@@ -1,0 +1,140 @@
+"""Sources: parquet table loaders, encoding-sniffed CSV/TSV scans (S1–S5).
+
+The reference reads one filing at a time with chardet + ``pd.read_csv``
+(reference utils/api.py:96-139) and bulk-backfills with a per-file python
+loop (reference scripts/bypass_import_csv.py:56-72). Here the same inputs are
+scanned by Spark itself; the only driver-side work is the encoding pre-pass,
+because a CSV scan needs its charset up front.
+
+Scale posture: a single ``spark.read.csv`` over a glob fans out across the
+cluster; per-file lineage comes from ``input_file_name()``, not a loop. Files
+whose sniffed encoding differs from the majority are read in per-encoding
+groups (one Spark job per charset, still fully parallel within each).
+"""
+
+from __future__ import annotations
+
+import codecs
+import os
+from collections import defaultdict
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import RAW_FILING_SCHEMA, TESTDATA_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one driver synthetic table with its declared schema."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    return df
+
+
+def load_tables(
+    spark: SparkSession, names: list[str] | None = None, sf_dir: str | None = None
+) -> dict[str, DataFrame]:
+    names = names or list(TESTDATA_SCHEMAS)
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every synthetic table as a temp view for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir=sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Encoding sniffing (S1/S2): driver-side pre-pass, Spark-side scan.
+# ---------------------------------------------------------------------------
+
+_BOMS = [
+    (codecs.BOM_UTF8, "UTF-8"),
+    (codecs.BOM_UTF16_LE, "UTF-16LE"),
+    (codecs.BOM_UTF16_BE, "UTF-16BE"),
+]
+
+
+def sniff_encoding(path: str, sample_bytes: int = 64 * 1024) -> str:
+    """Detect a file's charset from its first bytes.
+
+    BOM first; then chardet when importable; then a UTF-8/CP932 decode probe.
+    Mirrors the reference's chardet sniff (reference utils/api.py:129-133)
+    without requiring chardet to be installed.
+    """
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    for bom, enc in _BOMS:
+        if head.startswith(bom):
+            return enc
+    try:
+        import chardet  # type: ignore
+
+        guess = chardet.detect(head)
+        if guess and guess.get("encoding"):
+            enc = guess["encoding"].upper()
+            # chardet reports ascii subsets; widen to their supersets
+            if enc in ("ASCII",):
+                return "UTF-8"
+            return enc
+    except ImportError:
+        pass
+    try:
+        head.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError:
+        return "CP932"  # Shift-JIS superset used by Japanese filings
+
+
+def read_filing_csvs(
+    spark: SparkSession,
+    paths_or_glob: str | list[str],
+    delimiter: str = "\t",
+) -> DataFrame:
+    """Scan XBRL→CSV filing exports into one raw DataFrame (S1/S2/S3).
+
+    Accepts a glob (``download/**/*.csv``) or explicit paths. Groups files by
+    sniffed encoding and unions one declarative scan per charset; each scan
+    carries ``_filing_path`` lineage via ``input_file_name()`` so downstream
+    conformance can treat "one filing" as a group without a per-file loop.
+    """
+    if isinstance(paths_or_glob, str):
+        paths = sorted(glob(paths_or_glob, recursive=True))
+    else:
+        paths = list(paths_or_glob)
+    if not paths:
+        return spark.createDataFrame([], RAW_FILING_SCHEMA).withColumn(
+            "_filing_path", F.lit(None).cast("string")
+        )
+
+    by_enc: dict[str, list[str]] = defaultdict(list)
+    for p in paths:
+        by_enc[sniff_encoding(p)].append(p)
+
+    scans = []
+    for enc, group in sorted(by_enc.items()):
+        scans.append(
+            spark.read.schema(RAW_FILING_SCHEMA)
+            .options(sep=delimiter, header=True, encoding=enc, mode="PERMISSIVE")
+            .csv(group)
+            .withColumn("_filing_path", F.input_file_name())
+        )
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def dataframe_from_records(
+    spark: SparkSession, records: list[dict], schema
+) -> DataFrame:
+    """REST/JSON source edge (S4): driver-fetched JSON rows → DataFrame.
+
+    The HTTP fetch itself stays outside the engine (reference
+    utils/api.py:45-93 does a driver-side GET); at scale the fetch would be a
+    Spark 4 Python DataSource partitioned by date — the shape downstream code
+    sees is identical.
+    """
+    return spark.createDataFrame(records, schema)

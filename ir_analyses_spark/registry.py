@@ -1,0 +1,45 @@
+"""Central query registry: merges every module's (queries, oracles) pair.
+
+``__spark_entry__.py`` (the driver contract) is a thin shim over this module.
+Each ops/queries/llm/streaming module exports
+
+- ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+- ``ORACLES: dict[str, str]`` — DuckDB-runnable ANSI SQL twins; a query
+  without an oracle entry gets the driver's weaker rows-only check (reserved
+  for genuinely non-SQL-expressible ops: sketches, LSH, streaming state).
+
+Names must be globally unique; the merge asserts it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ops import aggregates
+
+_MODULES = [
+    aggregates,
+]
+
+
+def _merge() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for mod in _MODULES:
+        for name, fn in mod.QUERIES.items():
+            assert name not in queries, f"duplicate query name: {name}"
+            queries[name] = fn
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            assert name in mod.QUERIES, f"oracle without query: {name}"
+            oracles[name] = sql
+    return queries, oracles
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _merge()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _merge()[1]

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Centralizes the engine's session configuration so every entry point (tests,
+bench, driver contract) runs with the same semantics:
+
+- ANSI mode OFF: the reference standardizes polymorphic values with
+  ``pd.to_numeric(errors="coerce")`` (reference utils/data_mapper.py:41),
+  i.e. failed casts become NULL, never errors. Spark 4 defaults ANSI on, so
+  we switch it off and additionally use ``try_cast``/``try_*`` where the
+  permissive behavior is semantic rather than incidental.
+- AQE ON: runtime coalescing + skew-join handling — at the 100 TB design
+  point, static shuffle-partition counts are always wrong for somebody.
+- UTC session timezone: all testdata timestamps are naive; pinning the zone
+  keeps date_trunc/window results engine-portable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "ir_analyses_spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    In local mode one JVM hosts everything, so ``spark.driver.memory`` is the
+    only memory knob; on a real cluster the same config object would carry
+    executor sizing instead. Shuffle partitions default to the core count —
+    appropriate for local testing; a 1000-executor deployment would raise it
+    (AQE coalesces back down when partitions run small).
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
