@@ -30,6 +30,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Load one driver synthetic table with its declared schema."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns→µs: integer division truncates exactly like DuckDB's narrowing;
+        # a double division would lose precision above 2^53 ns.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -1,0 +1,214 @@
+"""Window-function operators: ranking, analytic, and frame families
+(SURVEY §2B Window; generalizes §2A A4/O1 latest-per-group).
+
+Every window below declares a *total* order (business key tiebreaks) —
+SURVEY §7.3.4: any rank/running value over a partial order is
+nondeterministic under shuffle and will not reproduce. Window state is
+per-partition-key; nothing here materializes a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..io.sources import load_table
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per nation by balance."""
+    cust = load_table(spark, "customer", sf_dir)
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    w = W.partitionBy("c_nationkey").orderBy(*order)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+WINDOW_RANKING_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-customer order timeline with gap days —
+    the reference's per-company time series (§2A J2/O2) extended with
+    previous/next-period deltas."""
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       DATEDIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running + sliding aggregates over a total order (§2B
+    frames): cumulative spend and a centered 3-row moving average."""
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    slide = w.rowsBetween(-1, 1)
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(run).cast("double").alias("cum_spend"),
+        (F.sum(dec).over(slide).cast("double") / F.count(F.lit(1)).over(slide)).alias(
+            "moving_avg3"
+        ),
+        F.first("o_totalprice").over(run).alias("first_price"),
+        F.last("o_totalprice").over(run).alias("latest_price"),
+    )
+
+
+WINDOW_RUNNING_FRAMES_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER run AS DOUBLE) AS cum_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER slide AS DOUBLE)
+           / COUNT(*) OVER slide AS moving_avg3,
+       FIRST_VALUE(o_totalprice) OVER run AS first_price,
+       LAST_VALUE(o_totalprice) OVER run AS latest_price
+FROM orders
+WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       slide AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: trailing 30-day spend per customer (§2B
+    frames, time-based). Ordered by epoch seconds so the frame bound is a
+    plain numeric range — peers at equal timestamps aggregate together in
+    both engines."""
+    o = load_table(spark, "orders", sf_dir)
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+WINDOW_RANGE_INTERVAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d,
+       COUNT(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the event stream in batch (§2B
+    session window, batch counterpart of streaming session_window):
+    a >30-minute silence per user starts a new session. lag → boundary flag
+    → running sum = session id; then per-session aggregates."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(run))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+
+
+WINDOW_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "window_ranking": window_ranking,
+    "window_lag_lead": window_lag_lead,
+    "window_running_frames": window_running_frames,
+    "window_range_interval": window_range_interval,
+    "window_sessionize": window_sessionize,
+}
+
+ORACLES = {
+    "window_ranking": WINDOW_RANKING_SQL,
+    "window_lag_lead": WINDOW_LAG_LEAD_SQL,
+    "window_running_frames": WINDOW_RUNNING_FRAMES_SQL,
+    "window_range_interval": WINDOW_RANGE_INTERVAL_SQL,
+    "window_sessionize": WINDOW_SESSIONIZE_SQL,
+}

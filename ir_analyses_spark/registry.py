@@ -17,10 +17,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .ops import aggregates
+from .ops import aggregates, joins, relational, windows
 
 _MODULES = [
     aggregates,
+    joins,
+    relational,
+    windows,
 ]
 
 

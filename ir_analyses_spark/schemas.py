@@ -205,7 +205,11 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
-            T.StructField("ts", T.TimestampType(), True),
+            # on disk: INT64 TIMESTAMP(NANOS,false) — read as raw nanos
+            # (legacy nanosAsLong) and converted to TimestampType in
+            # sources.load_table via integer `div 1000` (truncation, same as
+            # DuckDB's ns→µs narrowing)
+            T.StructField("ts", T.LongType(), True),
             T.StructField("user_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),

@@ -59,6 +59,15 @@ def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, na
         f"{name}: columns {list(got.columns)} != oracle {list(want.columns)}"
     )
     for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        # i/u vs f is tolerated only when one side has NULLs (pandas upcasts)
+        compatible = (
+            gk == wk
+            or {gk, wk} <= {"i", "u"}
+            or ({gk, wk} <= {"i", "u", "f"} and (got[c].isna().any() or want[c].isna().any()))
+        )
+        assert compatible, f"{name}: column {c} dtype {got[c].dtype} vs {want[c].dtype}"
+    for c in got.columns:
         ga, wa = got[c].tolist(), want[c].tolist()
         for i, (a, b) in enumerate(zip(ga, wa)):
             assert _cell_equal(a, b), (
