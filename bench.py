@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query materializes fully through the `noop` sink (no driver collect, no
+result pruning), timed individually after a session warm-up. The headline set
+spans the operator families: scan+agg, broadcast star join, top-k join,
+windows, sessionization, as-of join, dedup (exact + MinHash LSH), ANN
+similarity, text analysis, streaming batch-twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ir_analyses_spark.registry import all_queries  # noqa: E402
+from ir_analyses_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "join_broadcast_dims",
+    "join_multiway_topk",
+    "join_asof",
+    "latest_per_group",
+    "window_ranking",
+    "window_running_frames",
+    "window_sessionize",
+    "rollup_agg",
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "ann_brute_topk",
+    "text_stats",
+    "quality_score",
+    "stream_tumbling_batch",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="ir_analyses_spark_bench")
+    queries = all_queries()
+    # warm-up: JVM + parquet footer caches, one tiny job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

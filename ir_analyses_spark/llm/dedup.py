@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash (SURVEY §2B LLM ext).
+
+Scale ladder (the reason all four exist):
+- exact hash dedup — one shuffle on a 16-byte key; always do this first;
+- n-gram Jaccard — exact pairwise similarity, quadratic in candidate pairs:
+  the *verifier*, never the candidate generator, at scale;
+- MinHash LSH — candidate generation in O(n·bands): shuffles fixed-size
+  signatures instead of shingle sets; candidates are then exact-verified;
+- SimHash — 8-byte fingerprint + banded Hamming lookup: cheapest index for
+  "almost identical" text at extreme scale.
+
+Everything is built from built-in expressions (xxhash64, explode, groupBy) —
+no Python UDFs — so dedup runs at scan speed inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+
+# 8-char shingles; starts 1..len-7 (whole text if shorter), distinct per doc.
+_SHINGLE_EXPR = (
+    "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"
+)
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 8-char shingle) pairs — shared by the exact and
+    LSH paths."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g"))
+        .distinct()
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (§2B: dropDuplicates on sha/xxhash).
+
+    One row per distinct content: canonical (lowest) doc_id + copy count.
+    At 100 TB this is a single shuffle on the 128-bit digest; never ship the
+    text itself through the shuffle.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT MD5(text) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+"""
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .withColumn("jac", F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")))
+        .filter(F.col("jac") > threshold)
+        .select("d1", "d2", "jac")
+    )
+
+
+def ngram_jaccard_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 8-gram Jaccard > 0.8 (§2B n-gram
+    Jaccard). Candidate pairs come from a shingle self-join — exact but
+    quadratic in shared-shingle pairs; at scale this expression is what the
+    MinHash candidates are *verified* with, not how they're found."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _jaccard_pairs(docs, 0.8)
+
+
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         substring(text, CAST(i AS INT), 8) AS g
+  FROM documents,
+       UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c * 1.0 / (s1.n + s2.n - c) AS jac
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) > 0.8
+"""
+
+_N_HASHES = 128
+_BAND_SIZE = 4  # 32 bands × 4 rows: P(candidate | jac=0.8) ≈ 1 - 5e-8
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """(doc_id, signature array<long>) — n_hashes seeded min-hashes.
+
+    Seeded hash family: xxhash64(shingle, seed) via per-seed literal — the
+    seed column participates in the hash, giving n independent 64-bit
+    functions. One aggregation, signature is fixed-size state.
+    """
+    sh = shingles(docs)
+    mins = [
+        F.min(F.xxhash64("g", F.lit(s))).alias(f"h{s}") for s in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (§2B minhash→band→bucket).
+
+    Pipeline: shingle → 128 min-hashes → 32 banded bucket keys → bucket
+    self-join for candidates → exact Jaccard verification > 0.8.
+
+    Shares the n-gram oracle: with 32×4 banding the planted-duplicate recall
+    is 1 − O(1e-8), and false candidates are removed by exact verification,
+    so LSH output == exact output (that equality is the correctness claim).
+    At 100 TB only signatures (1 KB/doc) shuffle; raw text never does.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs)
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * _BAND_SIZE + 1, _BAND_SIZE), F.lit(i)
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification of candidates only: count shared shingles per pair
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh2 = sh.withColumnsRenamed({"doc_id": "d2_r", "g": "g_b"})
+    inter = (
+        candidates.join(sh.withColumnRenamed("doc_id", "d1"), "d1")
+        .join(sh2, (F.col("d2") == F.col("d2_r")) & (F.col("g") == F.col("g_b")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .withColumn("jac", F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")))
+        .filter(F.col("jac") > 0.8)
+        .select("d1", "d2", "jac")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens (§2B SimHash).
+
+    Per token: xxhash64 → each bit votes ±1; fingerprint bit b is the vote
+    sign. Computed as 64 conditional-sum aggregates in one pass (wide but
+    codegen'd; no UDF, no 64× row blowup), then assembled with shifts.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: banded 16-bit chunks (pigeonhole: any
+    pair within Hamming distance 3 shares ≥1 of 4 chunks) then exact Hamming
+    ≤ 3 filter. Rows-only check: the fingerprint family is engine-specific.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "ngram_jaccard_nearup": ngram_jaccard_nearup,
+    "minhash_lsh_nearup": minhash_lsh_nearup,
+    "simhash_nearup": simhash_nearup,
+}
+
+ORACLES = {
+    "exact_dedup": EXACT_DEDUP_SQL,
+    "ngram_jaccard_nearup": NGRAM_JACCARD_SQL,
+    # minhash_lsh_nearup is exact-verified, so it shares the n-gram oracle
+    "minhash_lsh_nearup": NGRAM_JACCARD_SQL,
+    # simhash_nearup: fingerprint family is engine-specific → rows-only
+}

@@ -1,0 +1,188 @@
+"""Text analysis for training-data pipelines (SURVEY §2B LLM ext):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting — all native column expressions over the `documents` table,
+one scan each, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from .helpers_sql import STOPWORD_PATTERN
+
+_PUNCT = r"[.,;:!?]"
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (§2B token counting): whitespace
+    words, BPE-ish regex tokens, punctuation count, avg word length."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0))).alias(
+            "n_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT), F.lit(0))).alias("n_punct"),
+        (
+            (F.length("text") - F.size(words) + 1).cast("double") / F.size(words)
+        ).alias("avg_word_len"),
+    )
+
+
+TEXT_STATS_SQL = rf"""
+SELECT doc_id, source,
+       LENGTH(text) AS chars,
+       CAST(LENGTH(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(LENGTH(regexp_extract_all(text, '{_BPE_ISH}')) AS INT) AS n_tokens,
+       CAST(LENGTH(regexp_extract_all(text, '{_PUNCT}')) AS INT) AS n_punct,
+       CAST(LENGTH(text) - LENGTH(string_split(text, ' ')) + 1 AS DOUBLE)
+           / LENGTH(string_split(text, ' ')) AS avg_word_len
+FROM documents
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (§2B language-ID): English stopword density.
+
+    ratio = en-stopword hits / words; guess 'en' above 2%. Emits the guess
+    next to the labeled `lang` column with an agreement flag — the shape a
+    corpus-filtering pipeline uses to quarantine mislabeled text.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.size(F.split("text", " "))
+    hits = F.size(F.regexp_extract_all("text", F.lit(STOPWORD_PATTERN), F.lit(0)))
+    ratio = hits.cast("double") / words
+    guess = F.when(ratio > 0.02, "en").otherwise("other")
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("stopword_hits"),
+        ratio.alias("stopword_ratio"),
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("agrees"),
+    )
+
+
+LANGUAGE_ID_SQL = f"""
+SELECT doc_id, lang,
+       CAST(LENGTH(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS INT)
+           AS stopword_hits,
+       CAST(LENGTH(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+           / LENGTH(string_split(text, ' ')) AS stopword_ratio,
+       CASE WHEN CAST(LENGTH(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+                 / LENGTH(string_split(text, ' ')) > 0.02
+            THEN 'en' ELSE 'other' END AS lang_guess,
+       (CASE WHEN CAST(LENGTH(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+                  / LENGTH(string_split(text, ' ')) > 0.02
+             THEN 'en' ELSE 'other' END) = lang AS agrees
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (§2B quality): length band, punctuation and
+    digit ratios, stopword density → composite score + keep/drop flag.
+    The filter shape every pretraining pipeline runs before tokenization."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_chars = F.length("text")
+    words = F.size(F.split("text", " "))
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT), F.lit(0))).cast("double")
+        / n_chars
+    )
+    digit_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), F.lit(0))).cast("double")
+        / n_chars
+    )
+    stop_ratio = (
+        F.size(
+            F.regexp_extract_all("text", F.lit(STOPWORD_PATTERN), F.lit(0))
+        ).cast("double")
+        / words
+    )
+    length_ok = (n_chars >= 100) & (n_chars <= 20000)
+    # integer tenths, divided once: 0.4+0.2 in binary floats is 0.6000…01,
+    # and engines disagree on literal types — integer arithmetic doesn't
+    tenths = (
+        F.when(length_ok, F.lit(4)).otherwise(F.lit(0))
+        + F.when(punct_ratio < 0.1, F.lit(2)).otherwise(F.lit(0))
+        + F.when(digit_ratio < 0.2, F.lit(2)).otherwise(F.lit(0))
+        + F.when(stop_ratio > 0.01, F.lit(2)).otherwise(F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (tenths.cast("double") / 10.0).alias("quality"),
+        (tenths >= 6).alias("keep"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
+             / LENGTH(text) AS punct_ratio,
+         CAST(LENGTH(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / LENGTH(text) AS digit_ratio,
+         CAST(LENGTH(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+             / LENGTH(string_split(text, ' ')) AS stopword_ratio,
+         LENGTH(text) BETWEEN 100 AND 20000 AS length_ok
+  FROM documents
+)
+SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio,
+       CAST(CASE WHEN length_ok THEN 4 ELSE 0 END
+        + CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END
+        + CASE WHEN digit_ratio < 0.2 THEN 2 ELSE 0 END
+        + CASE WHEN stopword_ratio > 0.01 THEN 2 ELSE 0 END AS DOUBLE) / 10.0
+           AS quality,
+       (CASE WHEN length_ok THEN 4 ELSE 0 END
+        + CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END
+        + CASE WHEN digit_ratio < 0.2 THEN 2 ELSE 0 END
+        + CASE WHEN stopword_ratio > 0.01 THEN 2 ELSE 0 END) >= 6 AS keep
+FROM m
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (§2B fingerprinting): md5 of
+    the sorted distinct word set — a canonical-form hash that survives word
+    reordering, the cheap cousin of MinHash for near-identical detection."""
+    docs = load_table(spark, "documents", sf_dir)
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("wordset_fp"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("vocab_size"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS wordset_fp,
+       CAST(LENGTH(list_distinct(string_split(text, ' '))) AS INT) AS vocab_size
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "language_id": language_id,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "language_id": LANGUAGE_ID_SQL,
+    "quality_score": QUALITY_SCORE_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}

@@ -17,13 +17,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .llm import dedup, multimodal, similarity, textstats
 from .ops import aggregates, joins, relational, windows
+from .streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     aggregates,
     joins,
     relational,
     windows,
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+    streaming_pipeline,
 ]
 
 

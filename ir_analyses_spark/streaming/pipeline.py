@@ -1,0 +1,265 @@
+"""Structured Streaming operators over the event stream (SURVEY §2B
+Streaming; M6): file source → watermark → tumbling/sliding/session windows,
+stateful dedup, custom per-key state, foreachBatch upsert sink.
+
+Design notes for scale:
+- every aggregation is bounded by a watermark, so state is O(open windows ×
+  keys), never O(stream length);
+- the same transformation functions run in batch mode (DataFrames are
+  source-agnostic) — the registry exposes batch twins of each windowed agg,
+  which is also how the DuckDB oracle can check streaming semantics;
+- sinks go through ``foreachBatch`` + idempotent MERGE so replays after
+  failure don't duplicate (exactly-once at the table level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from ..schemas import TESTDATA_SCHEMAS
+
+WATERMARK = "10 minutes"
+TUMBLE = "15 minutes"
+SLIDE_WIDTH = "10 minutes"
+SLIDE_STEP = "5 minutes"
+SESSION_GAP = "30 minutes"
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source event stream: new parquet files under ``src_dir`` become
+    micro-batches. Schema is declared (never inferred mid-stream); ts arrives
+    as raw nanos (see schemas.TESTDATA_SCHEMAS) and converts on entry."""
+    raw = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# Windowed transformations — source-agnostic: run on stream or batch frames
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling-window per-type aggregate with late-data watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame) -> DataFrame:
+    """Sliding-window (10 min window, 5 min step) per-user event counts."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", SLIDE_WIDTH, SLIDE_STEP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Session-window aggregation: a ≥30-minute silence closes the session.
+    In streaming mode state merges adjacent sessions as late events arrive;
+    in batch mode it is a single pass."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id: duplicates arriving within the
+    watermark horizon are dropped; state expires with the watermark, so the
+    dedup index never grows unboundedly (unlike batch dropDuplicates)."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, mode: str = "append"
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Start the stream into an in-memory table (tests/dev)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_upsert(df: DataFrame, target_dir: str, keys: list[str]):
+    """Idempotent streaming sink: every micro-batch MERGEs into a parquet
+    target by natural key (anti-join + union + atomic dir swap — the
+    bare-parquet MERGE emulation from io.sinks; with Delta this would be
+    ``MERGE INTO``). Replayed batches upsert the same keys → exactly-once
+    at the table level."""
+    from ..io.sinks import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df, target_dir, keys)
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{target_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom keyed state (§2B custom stateful): running event count + value
+    sum per user, emitted once per micro-batch. GroupState holds two numbers
+    per user — fixed-size state, the pattern for billions of keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch twins (driver-checkable oracle surface for the same semantics)
+# ---------------------------------------------------------------------------
+
+def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`tumbling_counts` — identical transformation on
+    the same data as a bounded frame (window alignment is epoch-based in
+    both engines)."""
+    return tumbling_counts(load_table(spark, "events", sf_dir))
+
+
+STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+       time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`sliding_user_activity`: every event lands in
+    width/step = 2 overlapping windows."""
+    return sliding_user_activity(load_table(spark, "events", sf_dir))
+
+
+STREAM_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT user_id,
+         time_bucket(INTERVAL 5 MINUTE, ts) - k * (INTERVAL 5 MINUTE) AS window_start
+  FROM events, UNNEST([0, 1]) AS t(k)
+)
+SELECT window_start, user_id, COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`session_windows` (session_window works on
+    bounded frames too)."""
+    return session_windows(load_table(spark, "events", sf_dir))
+
+
+STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+  FROM flagged
+
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "stream_tumbling_batch": stream_tumbling_batch,
+    "stream_sliding_batch": stream_sliding_batch,
+    "stream_session_batch": stream_session_batch,
+}
+
+ORACLES = {
+    "stream_tumbling_batch": STREAM_TUMBLING_SQL,
+    "stream_sliding_batch": STREAM_SLIDING_SQL,
+    "stream_session_batch": STREAM_SESSION_SQL,
+}

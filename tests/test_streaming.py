@@ -1,0 +1,119 @@
+"""Structured Streaming tests: real readStream→writeStream runs on temp
+file sources, results checked against the identical batch transformation
+(stream/batch parity is the streaming correctness oracle)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.io.sources import load_table
+from ir_analyses_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    foreach_batch_upsert,
+    run_stream_to_memory,
+    session_windows,
+    stateful_running_totals,
+    stream_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Raw events parquet split into 3 files → 3 micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_src"))
+    # write raw nanos (as on disk) so stream_events exercises its conversion
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _run(q, timeout=120):
+    assert q.awaitTermination(timeout), "stream did not finish in time"
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    # complete mode: append would hold back windows the watermark has not
+    # passed yet (they'd emit on the next batch — correct but unending here)
+    stream = tumbling_counts(stream_events(spark, events_dir))
+    q = run_stream_to_memory(stream, "t_tumbling", mode="complete")
+    _run(q)
+    got = _rows(spark.table("t_tumbling"))
+    want = _rows(tumbling_counts(load_table(spark, "events", SF)))
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, events_dir, tmp_path):
+    # single-file source: with multiple unordered files the watermark drops
+    # later files as late (correct, but then stream ≠ batch by design)
+    one_dir = str(tmp_path / "one_file")
+    spark.read.parquet(events_dir).coalesce(1).write.parquet(one_dir)
+    stream = session_windows(stream_events(spark, one_dir))
+    q = run_stream_to_memory(stream, "t_sessions", mode="complete")
+    _run(q)
+    got = _rows(spark.table("t_sessions"))
+    want = _rows(session_windows(load_table(spark, "events", SF)))
+    assert got == want
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    # duplicate the whole source: stream must emit each event_id once.
+    # single file → single micro-batch: with multiple unordered files the
+    # watermark would (correctly) drop whole files as late, testing lateness
+    # rather than dedup
+    dup_dir = str(tmp_path / "dup_src")
+    raw = spark.read.parquet(events_dir)
+    raw.unionByName(raw).coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    stream = dedup_within_watermark(stream_events(spark, dup_dir))
+    q = run_stream_to_memory(stream.select("event_id"), "t_dedup", mode="append")
+    _run(q)
+    got = spark.table("t_dedup")
+    n_distinct = load_table(spark, "events", SF).select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.distinct().count() == n_distinct
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = stateful_running_totals(stream_events(spark, events_dir))
+    q = run_stream_to_memory(stream, "t_state", mode="update")
+    _run(q)
+    # final state per user (last update wins) == batch aggregate
+    final = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(final) == _rows(want)
+
+
+def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
+    target = str(tmp_path / "upsert_target")
+    stream = stream_events(spark, events_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = foreach_batch_upsert(stream, target, keys=["event_id"])
+    _run(q)
+    first = spark.read.parquet(target)
+    n = first.count()
+    assert n == load_table(spark, "events", SF).count()
+    # replay with a fresh checkpoint: same keys upsert, row count unchanged
+    import shutil
+
+    shutil.rmtree(f"{target}__checkpoint")
+    q2 = foreach_batch_upsert(stream, target, keys=["event_id"])
+    _run(q2)
+    assert spark.read.parquet(target).count() == n
