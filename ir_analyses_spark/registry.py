@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, multimodal, similarity, textstats
 from .ops import aggregates, joins, relational, windows
+from .queries import ir_demo
 from .streaming import pipeline as streaming_pipeline
 
 _MODULES = [
@@ -31,6 +32,7 @@ _MODULES = [
     textstats,
     multimodal,
     streaming_pipeline,
+    ir_demo,
 ]
 
 
