@@ -1,10 +1,11 @@
 """Similarity search over embedding columns (SURVEY §2B LLM ext):
 brute-force cosine top-k (exact baseline) and LSH-bucketed ANN (scale path).
 
-Determinism discipline: dot products accumulate as decimal(38,12) over
-double-cast elements (associative, order-insensitive), so the score — and
-therefore the top-k *selection* — is bit-identical across engines and
-partitionings; ranking tiebreaks on vec_id.
+Determinism discipline: dot products are in-order double folds (the fold
+order is part of the operator contract), so scores — and therefore top-k
+*selection* — are bit-identical across engines and partitionings; ranking
+tiebreaks on vec_id. Even the LSH path is reproducible because its
+hyperplanes are hash-derived, not RNG-drawn.
 """
 
 from __future__ import annotations
@@ -115,62 +116,79 @@ def _random_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 16-bit sign bucket + multiprobe within
-    bucket, exact cosine re-rank (scale path; rows-only check — bucket
-    recall is probabilistic by design).
+_N_PLANES = 16
+_N_BANDS = 4
+_BAND_SIZE = 4
+_PLANES = _random_hyperplanes(64, _N_PLANES)
 
-    At 10^9+ candidates the bucket join replaces the full scan: candidates
-    shuffle by bucket id, each query probes its own bucket only.
+
+def _band_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val): sign-bit LSH signature banded à la
+    MinHash — a candidate pair needs only ONE band to collide, which keeps
+    recall usable even when exact 16-bit buckets would all be singletons."""
+    plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in _PLANES])
+    bits = F.transform(
+        plane_lits,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(p, F.col("embedding"), lambda a, b: a * b.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        lambda i: F.aggregate(
+            F.slice(bits, i * _BAND_SIZE + 1, _BAND_SIZE),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+    return emb.select(
+        "vec_id", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH ANN (§2B scale path): 16 sign bits in
+    4 bands of 4; any band collision makes a candidate; exact cosine
+    re-rank of candidates only.
+
+    Scale shape: signatures shuffle by (band_idx, band_val) — each query
+    probes its own buckets instead of scanning all candidates; the exact
+    re-rank touches only the candidate set. Deterministic hyperplanes
+    (hash-derived, no RNG state) make even this *approximate* operator
+    bit-reproducible — which is why it can be oracle-checked at all.
     """
     emb = load_table(spark, "embeddings", sf_dir)
-    planes = _random_hyperplanes(64, 16)
-    plane_lits = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in planes]
+    sigs = _band_signatures(emb)
+    qsigs = (
+        sigs.filter(F.col("vec_id").isin(_QUERY_IDS))
+        .withColumnRenamed("vec_id", "query_id")
     )
-    with_bucket = emb.select(
-        "vec_id",
-        "embedding",
-        F.aggregate(
-            F.transform(
-                plane_lits,
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            p,
-                            F.col("embedding"),
-                            lambda a, b: a * b.cast("double"),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    >= 0,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, bit: acc * 2 + bit,
-        ).alias("bucket"),
+    cand = (
+        sigs.join(F.broadcast(qsigs), ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    q = (
-        with_bucket.filter(F.col("vec_id").isin(_QUERY_IDS))
+    q = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("bucket").alias("qbucket"),
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_DOT.format(a="embedding", b="qv"))
+                / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+            ).alias("cosine"),
         )
-    )
-    candidates = with_bucket.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = candidates.select(
-        "query_id",
-        "vec_id",
-        (
-            F.expr(_DOT.format(a="embedding", b="qv"))
-            / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
-        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -180,8 +198,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes_values_sql() -> str:
+    """The hyperplanes as a DuckDB VALUES list — float repr round-trips
+    exactly, so both engines hash/sign the very same doubles."""
+    rows = []
+    for pid, row in enumerate(_PLANES):
+        lits = ", ".join(repr(v) for v in row)
+        rows.append(f"({pid}, [{lits}]::DOUBLE[])")
+    return ",\n  ".join(rows)
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH planes(pid, pv) AS (VALUES
+  {_planes_values_sql()}
+),
+bits AS (
+  SELECT e.vec_id, p.pid,
+         CASE WHEN {_SQL_DOT.format(a='p.pv', b='e.embedding')} >= 0
+              THEN 1 ELSE 0 END AS b
+  FROM embeddings e CROSS JOIN planes p
+),
+bands AS (
+  SELECT vec_id, pid // {_BAND_SIZE} AS band_idx,
+         SUM(b * (1 << ({_BAND_SIZE} - 1 - (pid % {_BAND_SIZE}))))::BIGINT AS band_val
+  FROM bits GROUP BY vec_id, pid // {_BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM bands q
+  JOIN bands c ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {_SQL_DOT.format(a='e.embedding', b='q.embedding')}
+           / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.embedding')})
+           AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def embedding_cosine_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine > 0.95) by label-block
+    """Embedding-cosine near-duplicate pairs (cosine > 0.30) by label-block
     prefilter (§2B embedding near-dup): same-label vectors only, exact
     cosine — the all-pairs version of similarity search used for semantic
     dedup. Blocking on `label` (a cluster id) bounds the quadratic term."""
@@ -203,7 +271,7 @@ def embedding_cosine_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.expr(_NORM.format(a="e1")) * F.expr(_NORM.format(a="e2")))
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") > 0.95)
+        .filter(F.col("cosine") > 0.30)
     )
 
 
@@ -216,7 +284,7 @@ FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
         / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')})
-        > 0.95
+        > 0.30
 """
 
 
@@ -228,6 +296,6 @@ QUERIES = {
 
 ORACLES = {
     "ann_brute_topk": ANN_BRUTE_TOPK_SQL,
-    # ann_lsh_topk: probabilistic bucket recall → rows-only by design
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_cosine_nearup": EMBEDDING_COSINE_NEARDUP_SQL,
 }
