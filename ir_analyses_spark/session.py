@@ -54,6 +54,9 @@ def get_spark(
         # testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS) which
         # Spark cannot map to TimestampType; read as long + convert (sources.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # wide aggregates (64-column MinHash signature min-agg) must stay
+        # inside whole-stage codegen; the 100-field default kicks them out
+        .config("spark.sql.codegen.maxFields", "256")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
