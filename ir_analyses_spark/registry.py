@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, multimodal, similarity, textstats
-from .ops import aggregates, joins, relational, windows
+from .ops import aggregates, collections, joins, relational, udfs, windows
 from .queries import ir_demo
 from .streaming import pipeline as streaming_pipeline
 
@@ -27,6 +27,8 @@ _MODULES = [
     joins,
     relational,
     windows,
+    collections,
+    udfs,
     dedup,
     similarity,
     textstats,

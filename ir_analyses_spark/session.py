@@ -57,6 +57,13 @@ def get_spark(
         # wide aggregates (64-column MinHash signature min-agg) must stay
         # inside whole-stage codegen; the 100-field default kicks them out
         .config("spark.sql.codegen.maxFields", "256")
+        # Spark 4 locks the CSV charset list to a UTF/latin subset; EDINET
+        # filings arrive in CP932 (Shift-JIS), so allow full JVM charsets
+        .config("spark.sql.legacy.javaCharsets", "true")
+        # partition dirs must read back with their declared type: fiscal_year
+        # is a *string* per the reference schema (utils/db_models.py:77) and
+        # inference would silently flip fiscal_year=2023 to int
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

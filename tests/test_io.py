@@ -1,0 +1,129 @@
+"""IO layer tests: encoding-sniffed filing scans (SURVEY §2A S1–S3) and
+parquet sink MERGE semantics (S6/S7, A5–A7).
+
+Mirrors the reference's ingest edge cases: per-file charset detection
+(reference utils/api.py:129-137 uses chardet), BOM'd UTF-8 fixtures
+(reference tests/test_mapping.py:111-115), and the find-or-create /
+upsert repository behavior
+(reference utils/service/financial_service.py:184-232,
+tests/repositories/test_company_repository.py:37-121).
+"""
+
+from __future__ import annotations
+
+import codecs
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.io import sinks, sources
+from ir_analyses_spark.schemas import RAW_JP_COLUMNS
+
+HEADER = "\t".join(RAW_JP_COLUMNS)
+ROW1 = "\t".join(
+    ["jppfs_cor:NetSales", "売上高", "CurrentYTDDuration", "当四半期累計期間",
+     "連結", "期間", "JPY", "円", "1000"]
+)
+ROW2 = "\t".join(
+    ["jpcrp_cor:CompanyNameCoverPage", "会社名、表紙", "FilingDateInstant",
+     "提出日時点", "その他", "時点", "－", "－", "テスト株式会社"]
+)
+CONTENT = f"{HEADER}\n{ROW1}\n{ROW2}\n"
+
+
+# ---------------------------------------------------------------------------
+# sniff_encoding + read_filing_csvs
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "enc,write_bom,expect",
+    [
+        ("utf-8", False, "UTF-8"),
+        ("utf-8-sig", False, "UTF-8"),        # BOM path
+        ("cp932", False, ("CP932", "SHIFT_JIS", "SHIFT-JIS", "WINDOWS-31J")),
+        ("utf-16-le", True, "UTF-16LE"),
+    ],
+)
+def test_sniff_encoding(tmp_path, enc, write_bom, expect):
+    p = tmp_path / f"filing_{enc}.csv"
+    data = CONTENT.encode(enc)
+    if write_bom and enc == "utf-16-le":
+        data = codecs.BOM_UTF16_LE + data
+    p.write_bytes(data)
+    got = sources.sniff_encoding(str(p))
+    expected = (expect,) if isinstance(expect, str) else expect
+    assert got.upper() in expected
+
+
+def test_read_filing_csvs_mixed_encodings(spark, tmp_path):
+    """One scan over files in three charsets: grouped per encoding, unioned,
+    with per-file lineage — the Spark twin of the reference's per-file
+    chardet loop (reference scripts/bypass_import_csv.py:56-72)."""
+    (tmp_path / "a_utf8.csv").write_bytes(CONTENT.encode("utf-8"))
+    (tmp_path / "b_sjis.csv").write_bytes(CONTENT.encode("cp932"))
+    (tmp_path / "c_bom.csv").write_bytes(CONTENT.encode("utf-8-sig"))
+
+    df = sources.read_filing_csvs(spark, str(tmp_path / "*.csv"))
+    rows = df.collect()
+    assert len(rows) == 6  # 2 rows × 3 files
+    assert df.filter(F.col("要素ID") == "jppfs_cor:NetSales").count() == 3
+    # JP text decoded identically from every charset
+    names = {
+        r["値"] for r in rows if r["要素ID"] == "jpcrp_cor:CompanyNameCoverPage"
+    }
+    assert names == {"テスト株式会社"}
+    # lineage: 3 distinct source files
+    assert df.select("_filing_path").distinct().count() == 3
+
+
+def test_read_filing_csvs_empty_glob(spark, tmp_path):
+    df = sources.read_filing_csvs(spark, str(tmp_path / "nothing" / "*.csv"))
+    assert df.count() == 0
+    assert "_filing_path" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# sinks: merge_upsert / append_missing / replace_partition
+# ---------------------------------------------------------------------------
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "edinet_code string, company_name string")
+
+
+def test_merge_upsert_insert_then_update(spark, tmp_path):
+    target = str(tmp_path / "companies")
+    sinks.merge_upsert(_df(spark, [("E1", "A"), ("E2", "B")]), target, ["edinet_code"])
+    # update E2, insert E3 — the reference's find-or-create + merge
+    sinks.merge_upsert(_df(spark, [("E2", "B2"), ("E3", "C")]), target, ["edinet_code"])
+    got = {r["edinet_code"]: r["company_name"] for r in spark.read.parquet(target).collect()}
+    assert got == {"E1": "A", "E2": "B2", "E3": "C"}
+
+
+def test_append_missing_is_insert_only(spark, tmp_path):
+    target = str(tmp_path / "items")
+    sinks.append_missing(_df(spark, [("E1", "A"), ("E2", "B")]), target, "edinet_code")
+    # E2 exists → its new value must NOT overwrite (existence-check insert)
+    sinks.append_missing(_df(spark, [("E2", "CHANGED"), ("E3", "C")]), target, "edinet_code")
+    got = {r["edinet_code"]: r["company_name"] for r in spark.read.parquet(target).collect()}
+    assert got == {"E1": "A", "E2": "B", "E3": "C"}
+
+
+def test_replace_partition(spark, tmp_path):
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [("2023", 1), ("2023", 2), ("2024", 3)], "fiscal_year string, v int"
+    )
+    sinks.write_table(base, target, partition_by=["fiscal_year"])
+    # reload only fiscal_year=2023 (the roadmap's delete-then-insert)
+    upd = spark.createDataFrame([("2023", 9)], "fiscal_year string, v int")
+    sinks.replace_partition(upd, target, "fiscal_year")
+    got = sorted(
+        (r["fiscal_year"], r["v"]) for r in spark.read.parquet(target).collect()
+    )
+    assert got == [("2023", 9), ("2024", 3)]
+
+
+def test_surrogate_key_deterministic(spark):
+    df = spark.createDataFrame([("E1",), ("E1",), ("E2",)], "k string")
+    keys = [r["sk"] for r in df.select(sinks.surrogate_key("k").alias("sk")).collect()]
+    assert keys[0] == keys[1] != keys[2]
