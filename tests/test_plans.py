@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the scale properties SURVEY §2/§7.3.6
+promises must be visible in the executed plan, not just hoped for.
+
+A query can be value-correct and still carry a plan that dies at 100 TB
+(full sort instead of top-k, sort-merge join against a 25-row dim, a scan
+reading all 11 columns for a 4-column projection). These tests pin the
+plan shape so a future edit that silently regresses the physics fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ir_analyses_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^>]*>?)", plan)
+
+
+def test_scan_prunes_and_pushes(spark, sf_dir):
+    """Predicates and the 4-column projection must reach the parquet scan."""
+    plan = plan_of(spark, sf_dir, "filter_pushdown_project")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # NB: toString truncates long pushed-filter lists — match the prefix
+    assert "GreaterThan(l_discount" in plan
+    # column pruning: the scan reads only the 4 projected + 1 filter column
+    (rs,) = read_schemas(plan)
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """Star joins against ≤10k-row dims must be broadcast hash joins —
+    never a shuffle of the fact side (SURVEY §7.3.6)."""
+    plan = plan_of(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # dim scans are pruned to join key + payload
+    for rs in read_schemas(plan):
+        assert "p_retailprice" not in rs  # unused part column never read
+
+
+def test_topk_avoids_full_sort(spark, sf_dir):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (heap top-k),
+    not a global Sort — the difference between O(n log k) per partition
+    and a full-shuffle range sort at 100 TB."""
+    plan = plan_of(spark, sf_dir, "join_multiway_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_final(spark, sf_dir):
+    """groupBy aggregates must map-side combine: two HashAggregate levels
+    around exactly one exchange, with the date filter pushed to the scan."""
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_latest_per_group_single_shuffle(spark, sf_dir):
+    """The window dedup must cost exactly one hash partitioning by key."""
+    plan = plan_of(spark, sf_dir, "latest_per_group")
+    assert plan.count("Exchange") == 1
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Hash dedup is one shuffle on the digest; the text column must not
+    survive past the scan projection into the shuffle."""
+    plan = plan_of(spark, sf_dir, "exact_dedup")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial+final over the hash
+
+
+def test_summary_pipeline_broadcasts_items(spark, sf_dir):
+    """The IR summary read path joins fact⋈items via broadcast (J1/J4):
+    the item dim is bounded at ~10k rows by design."""
+    plan = plan_of(spark, sf_dir, "ir_summary_pipeline")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["window_ranking", "window_running_frames", "window_sessionize"]
+)
+def test_windows_shuffle_once_per_partitioning(spark, sf_dir, name):
+    """Window families reuse one partitioning: no repeated exchanges on the
+    same keys stacked back-to-back."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("Exchange") <= 2
