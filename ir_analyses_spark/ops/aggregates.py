@@ -286,8 +286,37 @@ GROUP BY o_orderstatus
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2B): per-flag, per-status, and grand-total
+    groups in one pass — the general form rollup/cube specialize."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_SPARK_GS_SUM} AS sum_qty,
+               COUNT(*) AS n_rows,
+               grouping_id() AS gid
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_SPARK_GS_SUM = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
+
+GROUPING_SETS_AGG_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "grouping_sets_agg": grouping_sets_agg,
     "distinct_agg": distinct_agg,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
@@ -302,6 +331,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
+    "grouping_sets_agg": GROUPING_SETS_AGG_SQL,
     "distinct_agg": DISTINCT_AGG_SQL,
     "rollup_agg": ROLLUP_AGG_SQL,
     "cube_agg": CUBE_AGG_SQL,

@@ -76,6 +76,25 @@ def test_read_filing_csvs_mixed_encodings(spark, tmp_path):
     assert df.select("_filing_path").distinct().count() == 3
 
 
+def test_read_zip_members(spark, tmp_path):
+    """S5: ZIP fan-out extracts only the jpcrp CSV members, in parallel
+    (reference utils/api.py:113-118 does this per-ZIP on the driver)."""
+    import zipfile
+
+    for i in range(2):
+        with zipfile.ZipFile(tmp_path / f"S10000{i}.zip", "w") as zf:
+            zf.writestr(f"XBRL_TO_CSV/jpcrp_filing_{i}.csv", CONTENT.encode("cp932"))
+            zf.writestr("XBRL_TO_CSV/jpaud_auditor.csv", b"ignored")
+            zf.writestr("manifest.xml", b"<xml/>")
+
+    members = sources.read_zip_members(spark, str(tmp_path / "*.zip"))
+    rows = members.collect()
+    assert len(rows) == 2
+    assert all("jpcrp" in r["member"] for r in rows)
+    # bytes round-trip: CP932 member decodes to the original filing text
+    assert bytes(rows[0]["content"]).decode("cp932") == CONTENT
+
+
 def test_read_filing_csvs_empty_glob(spark, tmp_path):
     df = sources.read_filing_csvs(spark, str(tmp_path / "nothing" / "*.csv"))
     assert df.count() == 0
