@@ -352,6 +352,57 @@ def test_summary_priority_coalesce(spark):
     assert dto["operation_profit_rate"] == pytest.approx(10.0)
 
 
+def test_backfill_integration(spark, tmp_path):
+    """Full M3 path on disk: mixed-encoding CSV files → one scan →
+    standardize → conform → partitioned silver parquet → summary query —
+    the set-oriented twin of the reference's bypass_import_csv.py loop,
+    plus idempotency: a second identical backfill converges to the same
+    tables (the reference's duplicate-load hazard, solved by keys)."""
+    from ir_analyses_spark.etl import pipeline
+    from ir_analyses_spark.schemas import RAW_JP_COLUMNS
+
+    header = "\t".join(RAW_JP_COLUMNS)
+
+    def write_filing(name, rows, enc):
+        lines = [header] + ["\t".join("" if v is None else str(v) for v in r) for r in rows]
+        (tmp_path / name).write_bytes(("\n".join(lines) + "\n").encode(enc))
+
+    write_filing(
+        "f1.csv",
+        _filing("2", "第10期 第2四半期(自 2023年4月1日 至 2023年6月30日)",
+                "500000000", "50000000", "40000000", "30000000",
+                "jppfs_cor:OperatingRevenue1"),
+        "utf-8",
+    )
+    write_filing(
+        "f2.csv",
+        _filing("3", "第10期 第３四半期(自 2023年7月1日 至 2023年9月30日)",
+                "1000000000", "0", "80000000", "60000000",
+                "jppfs_cor:NetSales"),
+        "cp932",
+    )
+
+    out = str(tmp_path / "silver")
+    for _ in range(2):  # run twice: idempotency
+        pipeline.backfill_from_csvs(spark, str(tmp_path / "*.csv"), out)
+
+    t = pipeline.read_silver(spark, out)
+    assert t["companies"].count() == 1
+    assert t["reports"].count() == 2
+    assert t["facts"].count() == 8  # 4 measures × 2 filings, no dup rows
+    # facts partitioned by fiscal_year on disk
+    import os
+    assert any(d.startswith("fiscal_year=") for d in os.listdir(
+        str(tmp_path / "silver" / "financial_data")))
+
+    dto = summary_q.financial_summary(
+        t["companies"], t["reports"], t["facts"], t["items"]
+    ).first()
+    assert dto["period_name"] == "2023 Q3"
+    assert dto["net_sales"] == 1000.0
+    assert dto["operation_profit_rate"] is None
+
+
 def test_company_selection_list(spark):
     std = _std(spark, COVER_ROWS)
     companies, _ = conform.conform_companies(std)
