@@ -95,6 +95,45 @@ def test_read_zip_members(spark, tmp_path):
     assert bytes(rows[0]["content"]).decode("cp932") == CONTENT
 
 
+def test_edinet_python_datasource(spark, tmp_path):
+    """S4 scale path: date-partitioned document lists via a Spark 4 Python
+    DataSource — one input partition per date, substring filter applied
+    relationally (reference utils/api.py:45-93 fetches per-date on the
+    driver and filters in pandas)."""
+    import json
+
+    from ir_analyses_spark.io.edinet_datasource import EdinetFixtureDataSource
+
+    d = tmp_path / "lists"
+    d.mkdir()
+    for date, descs in [
+        ("2024-02-09", ["四半期報告書－第121期第３四半期", "有価証券届出書"]),
+        ("2024-02-13", ["四半期報告書－第10期第２四半期"]),
+    ]:
+        payload = {
+            "results": [
+                {
+                    "docID": f"S{abs(hash((date, i))) % 10**6:06d}",
+                    "edinetCode": "E03562",
+                    "filerName": "株式会社山梨中央銀行",
+                    "docDescription": desc,
+                    "submitDateTime": f"{date} 15:00",
+                }
+                for i, desc in enumerate(descs)
+            ]
+        }
+        (d / f"{date}.json").write_text(json.dumps(payload), encoding="utf-8")
+
+    spark.dataSource.register(EdinetFixtureDataSource)
+    df = spark.read.format("edinet_fixture").option("path", str(d)).load()
+    assert df.count() == 3
+    assert df.rdd.getNumPartitions() == 2  # one partition per date
+    # F4: quarterly-report substring filter
+    quarterly = df.filter(F.col("docDescription").contains("四半期報告書"))
+    assert quarterly.count() == 2
+    assert {r["date"] for r in quarterly.collect()} == {"2024-02-09", "2024-02-13"}
+
+
 def test_read_filing_csvs_empty_glob(spark, tmp_path):
     df = sources.read_filing_csvs(spark, str(tmp_path / "nothing" / "*.csv"))
     assert df.count() == 0
