@@ -173,11 +173,46 @@ FROM documents
 """
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleanup pass every pretraining pipeline runs:
+    exact dedup (canonical doc per content hash) ∘ quality gate — one DAG,
+    emitting the surviving corpus with copy counts and scores.
+
+    Shape at 100 TB: the dedup shuffle moves 16-byte digests, the quality
+    scan is embarrassingly parallel, and the join keys on doc_id — no stage
+    ever ships document text across the cluster twice."""
+    docs = load_table(spark, "documents", sf_dir)
+    canon = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("h")
+    )
+    kept = quality_score(spark, sf_dir).filter(F.col("keep"))
+    return canon.join(kept.select("doc_id", "quality"), "doc_id")
+
+
+CORPUS_CLEAN_PIPELINE_SQL = f"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY MD5(text)
+),
+q AS ({QUALITY_SCORE_SQL})
+SELECT canon.doc_id, canon.n_copies, q.quality
+FROM canon JOIN q ON canon.doc_id = q.doc_id
+WHERE q.keep
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
 }
 
 ORACLES = {
@@ -185,4 +220,5 @@ ORACLES = {
     "language_id": LANGUAGE_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "corpus_clean_pipeline": CORPUS_CLEAN_PIPELINE_SQL,
 }
