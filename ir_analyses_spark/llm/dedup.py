@@ -152,16 +152,24 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
 def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (§2B minhash→band→bucket).
 
-    Pipeline: shingle → 128 min-hashes → 32 banded bucket keys → bucket
-    self-join for candidates → exact Jaccard verification > 0.8.
+    Pipeline: shingle → 64 min-hashes → 21 banded bucket keys → bucket
+    self-join for candidates → signature-estimate prefilter → exact Jaccard
+    verification > 0.8.
 
-    Shares the n-gram oracle: with 32×4 banding the planted-duplicate recall
-    is 1 − O(1e-8), and false candidates are removed by exact verification,
-    so LSH output == exact output (that equality is the correctness claim).
-    At 100 TB only signatures (1 KB/doc) shuffle; raw text never does.
+    Shares the n-gram oracle: with 21×3 banding the true-pair recall is
+    1 − O(1e-7) and surviving false candidates are removed by exact
+    verification, so LSH output == exact output (that equality IS the
+    correctness claim). At 100 TB only signatures (~0.5 KB/doc) shuffle;
+    raw text never does.
     """
     docs = load_table(spark, "documents", sf_dir)
-    sig = minhash_signatures(docs)
+    # The signature frame is consumed three times (banding + both sides of
+    # the estimate prefilter); without materialization every consumer stage
+    # re-expands the whole shingle→hash→min-agg subtree (lazy persist loses
+    # the race when consumer stages schedule concurrently). An eager local
+    # checkpoint computes the sketch exactly once and truncates lineage —
+    # "checkpoint the sketch, never recompute it", at any scale.
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     n_bands = _N_HASHES // _BAND_SIZE
     bands = sig.select(
         "doc_id",
@@ -206,7 +214,8 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(_N_HASHES)
     )
-    candidates = sigp.filter(est > 0.6).select("d1", "d2")
+    # surviving candidates feed both the doc-id prune and the pair verify
+    candidates = sigp.filter(est > 0.6).select("d1", "d2").localCheckpoint(eager=True)
 
     # exact verification of candidates only: shingle sets are semi-join-
     # pruned to docs that appear in some candidate pair BEFORE the pairwise
@@ -217,7 +226,8 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(candidates.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(docs).join(cand_docs, "doc_id", "left_semi")
+    # semi-join BEFORE the explode: only candidate docs ever shingle again
+    sh = shingles(docs.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh2 = sh.withColumnsRenamed({"doc_id": "d2_r", "g": "g_b"})
     inter = (
