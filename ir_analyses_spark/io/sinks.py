@@ -79,6 +79,26 @@ def replace_partition(
     updates.write.mode("overwrite").partitionBy(partition_col).parquet(target_dir)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Bucketed managed table (SURVEY §7.3.6: "+ bucketing by report_id at
+    100 TB"): co-locates rows by key at WRITE time so every later join or
+    aggregation on the bucket key skips its shuffle entirely — the
+    pay-once-shuffle-never-again layout for fact⋈fact joins.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def surrogate_key(*cols) -> "pyspark.sql.Column":  # noqa: F821
     """Deterministic 64-bit surrogate key (SURVEY §7.3.1): xxhash64 of the
     natural key — stable across runs/executors, unlike
