@@ -105,10 +105,101 @@ FROM documents
 """
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step (STUB codec, real plumbing): batched payload transform
+    that REPLACES the binary column — the 1:1 shape of a real thumbnail
+    pass. The fake resize truncates to ≤1 KiB; outputs stay scalar (digest
+    + dims) so the oracle can recompute them."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir)
+    payload = attach_binary_payload(docs)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            resized = [bytes(b)[:1024] for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized_bytes": [len(b) for b in resized],
+                    "resized_md5": [hashlib.md5(b).hexdigest() for b in resized],
+                }
+            )
+
+    return payload.mapInPandas(
+        batches, "doc_id bigint, resized_bytes bigint, resized_md5 string"
+    )
+
+
+# NB oracle slices in the CHAR domain (DuckDB cannot slice BLOBs); the
+# synthetic corpus is pure ASCII so char slices == byte slices — asserted
+# by the OCTET_LENGTH = LENGTH guard folded into the expressions.
+MEDIA_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(LEAST(OCTET_LENGTH(ENCODE(text)), 1024) AS BIGINT) AS resized_bytes,
+       MD5(SUBSTRING(text, 1, 1024)) AS resized_md5
+FROM documents
+"""
+
+
+_N_FRAMES = 3
+_FRAME_BYTES = 32
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (STUB codec, real plumbing): the 1:N row-expanding
+    mapInPandas shape of video decode — each payload yields _N_FRAMES
+    "frames" at deterministic offsets (i·⌊n/4⌋), each a byte slice. At
+    scale this is where av.open + keyframe seek would run; the batch
+    iterator streams frames out without materializing a partition of
+    decoded video."""
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir)
+    payload = attach_binary_payload(docs)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(b)
+                step = len(b) // 4
+                for i in range(1, _N_FRAMES + 1):
+                    off = i * step
+                    rows.append(
+                        (doc_id, i, off, b[off : off + _FRAME_BYTES].hex())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset", "frame_hex"]
+            )
+
+    return payload.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, offset bigint, frame_hex string",
+    )
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * (OCTET_LENGTH(ENCODE(text)) // 4) AS BIGINT) AS offset,
+       LOWER(HEX(ENCODE(SUBSTRING(text,
+                           CAST(i * (OCTET_LENGTH(ENCODE(text)) // 4) + 1 AS INT),
+                           {_FRAME_BYTES})))) AS frame_hex
+FROM documents, UNNEST(range(1, {_N_FRAMES} + 1)) AS t(i)
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "media_resize": media_resize,
+    "media_frame_sample": media_frame_sample,
 }
 
 ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
 }
