@@ -32,9 +32,16 @@ ASCII_DIGITS = "0123456789"
 _QUARTER_SRC = "一二三四" + FULLWIDTH_DIGITS
 _QUARTER_DST = "1234" + ASCII_DIGITS
 
-_PAT_GREGORIAN_RANGE = r"自\s*(\d{4})年.*?至\s*(\d{4})年"
-_PAT_WAREKI_RANGE = r"自\s*令和(元|\d+|[０-９]+)年.*?至\s*令和(元|\d+|[０-９]+)年"
-_PAT_BARE_YEAR = r"(\d{4})"
+# Python's re matches full-width digits with \d (str patterns are Unicode),
+# Java's \d is ASCII-only — so every reference \d becomes [0-9０-９] here,
+# or the engine would silently skip e.g. ``至 ２０２４年`` that the
+# reference parses (caught by tests/test_parser_properties.py).
+_D = "[0-9０-９]"
+_PAT_GREGORIAN_RANGE = rf"自\s*({_D}{{4}})年.*?至\s*({_D}{{4}})年"
+# (元|\d+|[０-９]+) in Python: \d+ alone already eats mixed-width runs like
+# ``１2``; the ASCII-only Java \d cannot, so one combined class replicates it
+_PAT_WAREKI_RANGE = rf"自\s*令和(元|{_D}+)年.*?至\s*令和(元|{_D}+)年"
+_PAT_BARE_YEAR = rf"({_D}{{4}})"
 _PAT_QUARTER = r"第\s*([0-4０-４一二三四１２３４]+)\s*四半期"
 
 
@@ -54,14 +61,21 @@ def wareki_year_to_number(c: Column) -> Column:
 
 def extract_fiscal_year(c: Column) -> Column:
     """End fiscal year as a 4-char string, or NULL — the reference's
-    three-pattern fallback chain (reference utils/parser.py:16-57)."""
-    gregorian = _nonempty(F.regexp_extract(c, _PAT_GREGORIAN_RANGE, 2))
+    three-pattern fallback chain (reference utils/parser.py:16-57).
+
+    Parity quirks preserved: the date-range path normalizes to ASCII
+    (``str(int(...))``), while the bare-year fallback returns the RAW
+    captured group — full-width if the input was — exactly like
+    ``return year_str`` (reference utils/parser.py:50-55)."""
+    greg_raw = _nonempty(F.regexp_extract(c, _PAT_GREGORIAN_RANGE, 2))
+    gregorian = F.translate(greg_raw, FULLWIDTH_DIGITS, ASCII_DIGITS)
 
     wareki_raw = _nonempty(F.regexp_extract(c, _PAT_WAREKI_RANGE, 2))
     wareki = (F.lit(2019) + wareki_year_to_number(wareki_raw) - 1).cast("string")
 
     bare = _nonempty(F.regexp_extract(c, _PAT_BARE_YEAR, 1))
-    bare_guarded = F.when(bare.cast("int").between(1990, 2100), bare)
+    bare_n = F.translate(bare, FULLWIDTH_DIGITS, ASCII_DIGITS).cast("int")
+    bare_guarded = F.when(bare_n.between(1990, 2100), bare)
 
     return F.coalesce(gregorian, wareki, bare_guarded)
 
