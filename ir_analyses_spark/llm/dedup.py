@@ -317,11 +317,101 @@ def simhash_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via iterative connected components (§2B
+    "iterative algorithms"): pairwise near-dup edges → min-label
+    propagation until fixpoint → (doc_id, canonical_id) per clustered doc.
+
+    Pairwise output alone can't drive dedup (A~B, B~C needs A,B,C in ONE
+    group with one survivor); this is the step every dedup pipeline runs
+    after candidate verification. Driver-side loop, DataFrame body:
+    each round joins labels to edges and takes the min over neighbors —
+    O(diameter) rounds, each a shuffle by doc_id; localCheckpoint per
+    round truncates the growing lineage (the classic iterative-algorithm
+    discipline on Spark).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    edges = _jaccard_pairs(docs, 0.8).select("d1", "d2")
+    edges = edges.localCheckpoint(eager=True)
+
+    # undirected adjacency incl. self-loops
+    adj = (
+        edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    )
+    nodes = adj.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
+
+    while True:
+        neighbor_min = (
+            adj.join(labels, adj["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("canonical_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "canonical_id", F.coalesce("nmin", "canonical_id")
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+  FROM documents,
+       UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) > 0.8
+),
+adj AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM edges
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM adj
+  UNION
+  SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src
+)
+SELECT doc_id, MIN(m) AS canonical_id
+FROM (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS m FROM reach GROUP BY src
+) GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_nearup": ngram_jaccard_nearup,
     "minhash_lsh_nearup": minhash_lsh_nearup,
     "simhash_nearup": simhash_nearup,
+    "dedup_components": dedup_components,
 }
 
 ORACLES = {
@@ -330,4 +420,5 @@ ORACLES = {
     # minhash_lsh_nearup is exact-verified, so it shares the n-gram oracle
     "minhash_lsh_nearup": NGRAM_JACCARD_SQL,
     # simhash_nearup: fingerprint family is engine-specific → rows-only
+    "dedup_components": DEDUP_COMPONENTS_SQL,
 }
