@@ -64,6 +64,14 @@ def get_spark(
         # is a *string* per the reference schema (utils/db_models.py:77) and
         # inference would silently flip fiscal_year=2023 to int
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # RocksDB state store: required by transformWithState(InPandas) and
+        # the right provider for large keyed state generally (off-heap,
+        # incremental checkpoints) — HDFS-backed in-memory maps don't scale
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

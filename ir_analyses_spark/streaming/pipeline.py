@@ -178,6 +178,57 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_totals_tws(events: DataFrame) -> DataFrame:
+    """Same running totals on the Spark 4 ``transformWithStateInPandas``
+    API (§2B custom stateful, current-generation form): typed ValueState
+    handles, explicit init/close lifecycle, TTL-capable — the successor of
+    applyInPandasWithState and where new stateful operators should land.
+
+    Environment note: the worker protocol of this API requires
+    ``google.protobuf`` at runtime (and the RocksDB state store, enabled in
+    session.py); where protobuf is absent the applyInPandasWithState twin
+    above provides the same semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> "pd.DataFrame":
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch twins (driver-checkable oracle surface for the same semantics)
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from ir_analyses_spark.streaming.pipeline import (
     run_stream_to_memory,
     session_windows,
     stateful_running_totals,
+    stateful_totals_tws,
     stream_events,
     tumbling_counts,
 )
@@ -89,6 +90,38 @@ def test_stateful_running_totals(spark, events_dir):
     # final state per user (last update wins) == batch aggregate
     final = (
         spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(final) == _rows(want)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's worker protocol needs google.protobuf, "
+    "not installed in this environment",
+)
+def test_stateful_totals_transform_with_state(spark, events_dir):
+    """Same totals on the Spark 4 transformWithStateInPandas API."""
+    stream = stateful_totals_tws(stream_events(spark, events_dir))
+    q = run_stream_to_memory(stream, "t_tws", mode="update")
+    _run(q)
+    final = (
+        spark.table("t_tws")
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
