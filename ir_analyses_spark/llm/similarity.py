@@ -288,10 +288,43 @@ WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
 """
 
 
+def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via stock spark.ml ``BucketedRandomProjectionLSH`` (§2B names
+    this primitive): Euclidean-bucketed approximate self-join under
+    distance 1.0, seeded for within-Spark determinism. Rows-only check:
+    the hash family is MLlib-internal, so no cross-engine oracle — the
+    custom ann_lsh_topk above is the oracle-checked path; this entry
+    proves the engine also drives the stock primitive."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(emb)
+    # threshold sits at the ~1st percentile of the pairwise distance
+    # distribution (min ≈ 1.04), so the join returns the genuinely nearest
+    # pairs rather than matching vacuously
+    pairs = model.approxSimilarityJoin(emb, emb, 1.2, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("v1"),
+            F.col("datasetB.vec_id").alias("v2"),
+            "dist",
+        )
+    )
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_cosine_nearup": embedding_cosine_nearup,
+    "ann_ml_brp_lsh": ann_ml_brp_lsh,
 }
 
 ORACLES = {

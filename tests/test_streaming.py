@@ -53,6 +53,17 @@ def test_tumbling_stream_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from ir_analyses_spark.streaming.pipeline import sliding_user_activity
+
+    stream = sliding_user_activity(stream_events(spark, events_dir))
+    q = run_stream_to_memory(stream, "t_sliding", mode="complete")
+    _run(q)
+    got = _rows(spark.table("t_sliding"))
+    want = _rows(sliding_user_activity(load_table(spark, "events", SF)))
+    assert got == want
+
+
 def test_session_stream_matches_batch(spark, events_dir, tmp_path):
     # single-file source: with multiple unordered files the watermark drops
     # later files as late (correct, but then stream ≠ batch by design)
