@@ -226,8 +226,12 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(candidates.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    # semi-join BEFORE the explode: only candidate docs ever shingle again
-    sh = shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+    # semi-join BEFORE the explode: only candidate docs ever shingle again;
+    # checkpointed because sizes + both sides of the intersection join
+    # would otherwise re-explode it three times
+    sh = shingles(docs.join(cand_docs, "doc_id", "left_semi")).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh2 = sh.withColumnsRenamed({"doc_id": "d2_r", "g": "g_b"})
     inter = (
