@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "pricing_summary",
+    "regional_revenue",
     "join_broadcast_dims",
     "join_multiway_topk",
     "join_asof",

@@ -204,6 +204,15 @@ def conform_reports(
         )
         .when(F.col("fiscal_year").isNull(), F.lit("fiscal year extraction failed"))
         .when(F.col("quarter_type").isNull(), F.lit("quarter extraction failed"))
+        # fiscal_year_end is NOT NULL in the warehouse (reference
+        # sql/ddl.sql:171-203); an unparsable date would crash the
+        # reference's insert — here it quarantines
+        .when(
+            F.col("fiscal_year_end").isNotNull()
+            & F.col("fiscal_year_end_d").isNull(),
+            F.lit("invalid fiscal_year_end date"),
+        )
+        .when(F.col("fiscal_year_end").isNull(), F.lit("missing fiscal_year_end"))
     )
     parsed = parsed.withColumn("_reason", reason)
     rejects = parsed.filter(F.col("_reason").isNotNull()).select(

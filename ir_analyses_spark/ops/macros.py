@@ -1,0 +1,137 @@
+"""Macro queries: TPC-H-shaped multi-operator compositions over the
+synthetic star schema — the "whole query" tier above the per-operator
+inventory (SURVEY §2B), exercising join ordering, semi-join rewrites, and
+aggregate pushdown the way real analytics do.
+
+Shapes (adapted to the columns TESTDATA actually has):
+- regional_revenue  — Q5 shape: 6-table join chain with a region filter and
+  per-nation revenue rollup; the classic "does the optimizer broadcast the
+  dims and defer the fact shuffle" test.
+- order_priority_counts — Q4 shape: EXISTS → left-semi join rewrite.
+- top_unshipped_parts — Q12/Q3 hybrid: anti-join + conditional agg + top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from .helpers import dsum, sql_dsum
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation within one region (TPC-H Q5 shape): lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, customer and supplier
+    constrained to the same nation — dims broadcast, the fact table
+    shuffles once for the final rollup."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["region", "nation", "customer", "supplier", "orders", "lineitem"]}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+REGIONAL_REVENUE_SQL = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority having at least one late-shipped line (TPC-H Q4
+    shape): the EXISTS subquery as a left-semi join — no fact-side
+    duplication, one shuffle per side."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    late = li.filter(F.month("l_shipdate") >= 6).select("l_orderkey")
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND MONTH(l_shipdate) >= 6
+)
+GROUP BY o_orderpriority
+"""
+
+
+def top_unshipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never shipped by any high-balance supplier (anti-join) with
+    conditional aggregation and a deterministic top-10."""
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    rich = supplier.filter(F.col("s_acctbal") > 5000).select("s_suppkey")
+    shipped_by_rich = (
+        li.join(F.broadcast(rich), li["l_suppkey"] == rich["s_suppkey"], "left_semi")
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        part.join(
+            shipped_by_rich,
+            part["p_partkey"] == shipped_by_rich["l_partkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("p_size") >= 25, 1)).alias("n_large"),
+        )
+        .orderBy(F.col("n_parts").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+TOP_UNSHIPPED_PARTS_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       COUNT(CASE WHEN p_size >= 25 THEN 1 END) AS n_large
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT DISTINCT l_partkey FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_acctbal > 5000
+)
+GROUP BY p_brand
+ORDER BY n_parts DESC, p_brand
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "regional_revenue": regional_revenue,
+    "order_priority_counts": order_priority_counts,
+    "top_unshipped_parts": top_unshipped_parts,
+}
+
+ORACLES = {
+    "regional_revenue": REGIONAL_REVENUE_SQL,
+    "order_priority_counts": ORDER_PRIORITY_COUNTS_SQL,
+    "top_unshipped_parts": TOP_UNSHIPPED_PARTS_SQL,
+}

@@ -18,7 +18,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, multimodal, similarity, textstats
-from .ops import aggregates, collections, joins, relational, skew, udfs, windows
+from .ops import (
+    aggregates,
+    collections,
+    joins,
+    macros,
+    relational,
+    skew,
+    udfs,
+    windows,
+)
 from .queries import ir_demo
 from .streaming import pipeline as streaming_pipeline
 
@@ -28,6 +37,7 @@ _MODULES = [
     relational,
     windows,
     collections,
+    macros,
     skew,
     udfs,
     dedup,

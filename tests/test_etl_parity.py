@@ -193,6 +193,20 @@ def test_report_mapping_golden(spark):
     assert r["filing_date"] == datetime.date(2024, 2, 9)
 
 
+def test_report_mapping_invalid_date_quarantined(spark):
+    rows = [
+        r if r[0] != "jpdei_cor:CurrentPeriodEndDateDEI"
+        else row(r[0], context="FilingDateInstant", cons="その他", period="時点",
+                 unit="－", unit_name="－", value="2023/6/31")  # June 31st
+        for r in COVER_ROWS
+    ]
+    std = _std(spark, rows)
+    companies, _ = conform.conform_companies(std)
+    reports, rejects = conform.conform_reports(std, companies)
+    assert reports.count() == 0
+    assert "invalid fiscal_year_end" in rejects.first()["reason"]
+
+
 def test_report_mapping_unparsable_period(spark):
     rows = [
         r if r[0] != "jpcrp_cor:QuarterlyAccountingPeriodCoverPage"
@@ -292,7 +306,7 @@ def _filing(q, period, sales, op_inc, ord_inc, net_inc, sales_element):
             value="E99999"),
         row("jpdei_cor:CurrentPeriodEndDateDEI", context="FilingDateInstant",
             cons="その他", period="時点", unit="－", unit_name="－",
-            value=f"2023/{3 * int(q)}/31"),
+            value=f"2023/{3 * int(q)}/28"),
         row(sales_element, value=sales),
         row("jppfs_cor:OperatingIncome", value=op_inc),
         row("jppfs_cor:OrdinaryIncome", value=ord_inc),
@@ -401,6 +415,28 @@ def test_backfill_integration(spark, tmp_path):
     assert dto["period_name"] == "2023 Q3"
     assert dto["net_sales"] == 1000.0
     assert dto["operation_profit_rate"] is None
+
+
+def test_item_time_series(spark):
+    """J2/O2: per-company single-item series ordered by period end."""
+    f1 = raw_df(spark, _filing("2", "第10期 第２四半期(自 2023年4月1日 至 2023年6月30日)",
+                               "500000000", "50000000", "40000000", "30000000",
+                               "jppfs_cor:NetSales"), filing="F1")
+    f2 = raw_df(spark, _filing("3", "第10期 第３四半期(自 2023年7月1日 至 2023年9月30日)",
+                               "1000000000", "0", "80000000", "60000000",
+                               "jppfs_cor:NetSales"), filing="F2")
+    std = standardize.standardize_raw(f1.unionByName(f2), filing_id_col="filing_id")
+    bundle = conform.conform_all(std)
+    company_id = bundle["companies"].first()["company_id"]
+    item_id = (
+        bundle["items"].filter(F.col("element_id") == "jppfs_cor:NetSales")
+        .first()["item_id"]
+    )
+    series = summary_q.item_time_series(
+        bundle["facts"], bundle["reports"], company_id, item_id
+    ).collect()
+    assert [float(r["value"]) for r in series] == [500000000.0, 1000000000.0]
+    assert series[0]["fiscal_year_end"] < series[1]["fiscal_year_end"]
 
 
 def test_company_selection_list(spark):

@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from ir_analyses_spark.registry import all_queries
 
@@ -87,6 +88,30 @@ def test_summary_pipeline_broadcasts_items(spark, sf_dir):
     the item dim is bounded at ~10k rows by design."""
     plan = plan_of(spark, sf_dir, "ir_summary_pipeline")
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must prune directories at planning
+    time (PartitionFilters), reading one fiscal_year of a table laid out
+    like the silver fact table — the on-disk analogue of the reference's
+    (company_id, fiscal_year) index (SURVEY §4)."""
+    base = spark.range(100).selectExpr(
+        "CAST(2020 + id % 4 AS STRING) AS fiscal_year", "id AS v"
+    )
+    path = str(tmp_path / "facts")
+    base.write.partitionBy("fiscal_year").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("fiscal_year") == "2023")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(fiscal_year" in plan
+    assert df.count() == 25
+
+
+def test_regional_revenue_plan(spark, sf_dir):
+    """The 6-table Q5-shape chain must broadcast every dim (nation/region
+    at least) and never sort-merge against them."""
+    plan = plan_of(spark, sf_dir, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("HashAggregate") == 2  # partial+final rollup
 
 
 @pytest.mark.parametrize(
