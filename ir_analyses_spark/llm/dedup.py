@@ -334,8 +334,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round truncates the growing lineage (the classic iterative-algorithm
     discipline on Spark).
     """
-    docs = load_table(spark, "documents", sf_dir)
-    edges = _jaccard_pairs(docs, 0.8).select("d1", "d2")
+    # edge source: the LSH pipeline, whose exact-verified output equals the
+    # quadratic _jaccard_pairs result (that equality is minhash's oracle
+    # claim) at a fraction of the cost — candidates come from bucket
+    # collisions instead of a full shingle self-join
+    edges = minhash_lsh_nearup(spark, sf_dir).select("d1", "d2")
     edges = edges.localCheckpoint(eager=True)
 
     # undirected adjacency incl. self-loops

@@ -82,12 +82,12 @@ GROUP BY o_orderpriority
 
 
 def top_unshipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts never shipped by any high-balance supplier (anti-join) with
-    conditional aggregation and a deterministic top-10."""
+    """Parts never shipped by any top-decile-balance supplier (anti-join)
+    with conditional aggregation and a deterministic top-10."""
     part = load_table(spark, "part", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
-    rich = supplier.filter(F.col("s_acctbal") > 5000).select("s_suppkey")
+    rich = supplier.filter(F.col("s_acctbal") > 9000).select("s_suppkey")
     shipped_by_rich = (
         li.join(F.broadcast(rich), li["l_suppkey"] == rich["s_suppkey"], "left_semi")
         .select("l_partkey")
@@ -116,7 +116,7 @@ FROM part
 WHERE p_partkey NOT IN (
   SELECT DISTINCT l_partkey FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
-  WHERE s_acctbal > 5000
+  WHERE s_acctbal > 9000
 )
 GROUP BY p_brand
 ORDER BY n_parts DESC, p_brand
