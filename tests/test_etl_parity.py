@@ -417,6 +417,17 @@ def test_backfill_integration(spark, tmp_path):
     assert dto["operation_profit_rate"] is None
 
 
+def test_missing_required_column_raises(spark):
+    """The reference raises KeyError when a required column is absent
+    (reference tests/test_mapping.py:284-290); the engine's analysis-time
+    equivalent is an AnalysisException naming the missing column."""
+    from pyspark.errors import AnalysisException
+
+    std = _std(spark, COVER_ROWS).drop("consolidated_type")
+    with pytest.raises(AnalysisException, match="consolidated_type"):
+        conform.conform_items(std).collect()
+
+
 def test_item_time_series(spark):
     """J2/O2: per-company single-item series ordered by period end."""
     f1 = raw_df(spark, _filing("2", "第10期 第２四半期(自 2023年4月1日 至 2023年6月30日)",
