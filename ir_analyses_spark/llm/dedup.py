@@ -333,6 +333,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter) rounds, each a shuffle by doc_id; localCheckpoint per
     round truncates the growing lineage (the classic iterative-algorithm
     discipline on Spark).
+
+    Oracle note: the DuckDB twin is a recursive-CTE transitive closure —
+    O(component²) intermediate rows, fine at the driver's correctness SF
+    but it (not this operator, which stays linear in edges) is what runs
+    out of memory first at larger scales.
     """
     # edge source: the LSH pipeline, whose exact-verified output equals the
     # quadratic _jaccard_pairs result (that equality is minhash's oracle
