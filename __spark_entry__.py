@@ -25,10 +25,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from ir_analyses_spark.ops.aggregates import pricing_summary
-
-    return pricing_summary(spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Routed through the registry so the engine's runtime SQL confs are
+    applied to whatever session the driver supplies."""
+    return all_queries()["pricing_summary"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,13 +49,28 @@ _MODULES = [
 ]
 
 
+def _with_engine_conf(fn: Callable) -> Callable:
+    """Queries must behave identically on ANY session the caller supplies
+    (the driver harness builds its own); retrofit the engine's runtime SQL
+    confs before the plan is constructed."""
+    from functools import wraps
+
+    from .session import ensure_engine_conf
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(ensure_engine_conf(spark), sf_dir)
+
+    return wrapped
+
+
 def _merge() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
             assert name not in queries, f"duplicate query name: {name}"
-            queries[name] = fn
+            queries[name] = _with_engine_conf(fn)
         for name, sql in getattr(mod, "ORACLES", {}).items():
             assert name in mod.QUERIES, f"oracle without query: {name}"
             oracles[name] = sql

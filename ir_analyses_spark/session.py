@@ -22,6 +22,47 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: Runtime SQL confs the engine's semantics depend on. Kept separate from
+#: the builder so ``ensure_engine_conf`` can retrofit them onto a session
+#: the engine did NOT create — the driver contract hands our queries an
+#: arbitrary SparkSession, and without these Spark 4's ANSI default turns
+#: the MinHash affine hash family's deliberate 64-bit wraparound into an
+#: ARITHMETIC_OVERFLOW error and the events table's TIMESTAMP(NANOS)
+#: parquet type into a read failure.
+ENGINE_SQL_CONF: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.codegen.maxFields": "256",
+    "spark.sql.legacy.javaCharsets": "true",
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the engine's runtime SQL confs to ``spark``.
+
+    Every registry query calls this on entry, so correctness does not
+    depend on WHO built the session (driver harness, notebook, tests).
+    Confs that a given deployment marks static are skipped, not fatal.
+    """
+    for k, v in ENGINE_SQL_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
 
 def get_spark(
     app_name: str = "ir_analyses_spark",
@@ -42,37 +83,14 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS) which
-        # Spark cannot map to TimestampType; read as long + convert (sources.py)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # wide aggregates (64-column MinHash signature min-agg) must stay
-        # inside whole-stage codegen; the 100-field default kicks them out
-        .config("spark.sql.codegen.maxFields", "256")
-        # Spark 4 locks the CSV charset list to a UTF/latin subset; EDINET
-        # filings arrive in CP932 (Shift-JIS), so allow full JVM charsets
-        .config("spark.sql.legacy.javaCharsets", "true")
-        # partition dirs must read back with their declared type: fiscal_year
-        # is a *string* per the reference schema (utils/db_models.py:77) and
-        # inference would silently flip fiscal_year=2023 to int
-        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        # RocksDB state store: required by transformWithState(InPandas) and
-        # the right provider for large keyed state generally (off-heap,
-        # incremental checkpoints) — HDFS-backed in-memory maps don't scale
-        .config(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
     )
+    # semantic confs (ANSI-off parity, nanos timestamps, CP932 charsets,
+    # codegen width, partition-type pinning, RocksDB state store): one
+    # source of truth shared with ensure_engine_conf — see ENGINE_SQL_CONF
+    for k, v in ENGINE_SQL_CONF.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
