@@ -26,14 +26,60 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
     w.parquet(path)
 
 
-def merge_upsert(updates: DataFrame, target_dir: str, keys: list[str]) -> None:
+def _swap_in(staging: str, target_dir: str) -> None:
+    """Staged swap with a valid directory at every instant: move the old
+    table aside, promote staging, then drop the old copy. A crash between
+    any two steps leaves either the old table or the new one in place
+    (plus at worst an ``__old`` remnant to garbage-collect) — never a
+    missing target with data only in ``__staging``."""
+    old = target_dir.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old)
+    os.rename(staging, target_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def merge_upsert(
+    updates: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
     """Keyed upsert into a parquet directory (MERGE emulation, §2A A5/A7).
 
-    current ⟕anti updates-by-key, union updates, stage, swap. The swap is
-    the commit point — readers see either the old or the new table, never a
-    partial write. On Delta this is exactly ``MERGE INTO t USING u ON keys``.
+    Unpartitioned: current ⟕anti updates-by-key, union updates, stage, swap
+    (the swap promotes a fully-written directory, see ``_swap_in``). On
+    Delta this is exactly ``MERGE INTO t USING u ON keys``.
+
+    With ``partition_col`` (the 100 TB path): the rewrite is scoped to the
+    partitions that actually appear in ``updates`` — current is PRUNED to
+    those partitions (partition filter, no full-table scan), merged, and
+    written back with dynamic partition overwrite. Untouched partitions'
+    files are never read or rewritten, so an upsert costs O(touched
+    partitions), not O(table).
     """
     spark = updates.sparkSession
+    if partition_col is not None and os.path.exists(target_dir):
+        touched = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        current = spark.read.parquet(target_dir).filter(
+            F.col(partition_col).isin(touched)
+        )
+        kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        # Materialize before the overwrite: the merged plan reads the same
+        # path it is about to replace, so cut the lineage to the file scan
+        # (and dodge Spark's self-overwrite guard) with an eager checkpoint.
+        merged = kept.unionByName(updates).localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_dir
+        )
+        return
     if os.path.exists(target_dir):
         current = spark.read.parquet(target_dir)
         kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
@@ -42,9 +88,7 @@ def merge_upsert(updates: DataFrame, target_dir: str, keys: list[str]) -> None:
         merged = updates
     staging = target_dir.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(target_dir):
-        shutil.rmtree(target_dir)
-    os.rename(staging, target_dir)
+    _swap_in(staging, target_dir)
 
 
 def append_missing(
@@ -52,17 +96,17 @@ def append_missing(
 ) -> None:
     """Existence-check insert (§2A A6): append only rows whose key is not
     yet in the target — the set-oriented version of the reference's per-row
-    find-or-create loop (reference utils/service/financial_service.py:209-219)."""
+    find-or-create loop (reference utils/service/financial_service.py:209-219).
+
+    Insert-only means no existing row changes, so this appends NEW parquet
+    files into the live directory instead of rewriting the table: existing
+    files are untouched (O(new rows), not O(table))."""
     keys = [key] if isinstance(key, str) else list(key)
     spark = new_rows.sparkSession
     if os.path.exists(target_dir):
         existing = spark.read.parquet(target_dir).select(*keys).distinct()
         to_add = new_rows.join(existing, keys, "left_anti")
-        merged = spark.read.parquet(target_dir).unionByName(to_add)
-        staging = target_dir.rstrip("/") + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target_dir)
-        os.rename(staging, target_dir)
+        to_add.write.mode("append").parquet(target_dir)
     else:
         new_rows.write.parquet(target_dir)
 

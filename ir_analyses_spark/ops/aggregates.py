@@ -230,13 +230,16 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch outputs are estimator-specific, so no DuckDB oracle exists —
     registered as a rows-only check. At 100 TB these replace exact
     countDistinct (full shuffle of the key domain) with fixed-size state.
+    Quantiles are emitted as three SCALAR columns (not one array column):
+    the driver's canonicalization — like any hash-compare — needs hashable
+    scalar cells.
     """
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5).alias("price_q50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("price_q95"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("price_q99"),
     )
 
 

@@ -48,6 +48,98 @@ _MODULES = [
     ir_demo,
 ]
 
+#: Explicit registry order. The driver's correctness sweep has a bounded
+#: budget (round 1 recorded rows for exactly the first 50 registry entries),
+#: so ordering is part of the verification contract:
+#:
+#: - Positions 0–49 contain at least one representative of EVERY SURVEY §2
+#:   component — the round-1-unchecked surface (IR flagship, LLM
+#:   dedup/similarity/textstats, multimodal, streaming twins + stateful
+#:   executions) goes first, then one representative per relational/join/
+#:   window/agg family.
+#: - The tail holds sibling variants whose component is already represented
+#:   in-window (e.g. cube/grouping-sets ride on rollup; range/session frame
+#:   variants ride on window_running_frames) — all cheap at sf0.01 so a
+#:   time-budgeted sweep still clears them.
+#: - ``ngram_jaccard_nearup`` is the deliberately-quadratic exact verifier
+#:   and always runs LAST.
+_ORDER = [
+    # -- round-1-unchecked surface: flagship, LLM, multimodal, streaming --
+    "ir_summary_pipeline",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "simhash_nearup",
+    "dedup_components",
+    "corpus_clean_pipeline",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_nearup",
+    "multimodal_features",
+    "media_resize",
+    "media_frame_sample",
+    "approx_sketches",
+    "stream_tumbling_batch",
+    "stream_sliding_batch",
+    "stream_session_batch",
+    "stateful_user_totals",
+    "stream_dedup_watermark",
+    "pricing_summary",
+    "rollup_agg",
+    "distinct_agg",
+    "pivot_agg",
+    "dedup_by_key",
+    "latest_per_group",
+    "exact_median",
+    "join_broadcast_dims",
+    "join_multiway_topk",
+    "join_left_outer",
+    "join_semi_anti",
+    "join_theta_bands",
+    "join_range_window",
+    "join_asof",
+    "filter_pushdown_project",
+    "string_predicates",
+    "string_functions",
+    "null_semantics",
+    "case_conditional",
+    "regexp_extract_ops",
+    "date_functions",
+    "math_functions",
+    "set_operations",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frames",
+    "array_agg_ops",
+    "pandas_udf_vectorized",
+    # ---- 50-query window boundary (driver budget) ----
+    "python_udtf_expand",
+    "pandas_grouped_agg_udf",
+    "apply_in_pandas_topk",
+    "grouping_sets_agg",
+    "cube_agg",
+    "unpivot_melt",
+    "minmax_extremes",
+    "join_full_outer",
+    "window_range_interval",
+    "window_sessionize",
+    "map_ops",
+    "explode_tokens",
+    "json_extract_ops",
+    "pivot_coalesce_priority",
+    "guarded_ratio_margin",
+    "regional_revenue",
+    "order_priority_counts",
+    "top_unshipped_parts",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "ann_ml_brp_lsh",
+    "ngram_jaccard_nearup",  # quadratic exact verifier: always last
+]
+
 
 def _with_engine_conf(fn: Callable) -> Callable:
     """Queries must behave identically on ANY session the caller supplies
@@ -74,6 +166,13 @@ def _merge() -> tuple[dict[str, Callable], dict[str, str]]:
         for name, sql in getattr(mod, "ORACLES", {}).items():
             assert name in mod.QUERIES, f"oracle without query: {name}"
             oracles[name] = sql
+    # _ORDER is the verification contract: every registered query must have
+    # an explicit position, and vice versa (tested in test_oracle_parity).
+    assert set(_ORDER) == set(queries), (
+        f"registry order out of sync: "
+        f"missing={set(queries) - set(_ORDER)} stale={set(_ORDER) - set(queries)}"
+    )
+    queries = {name: queries[name] for name in _ORDER}
     return queries, oracles
 
 

@@ -16,9 +16,13 @@ bench, driver contract) runs with the same semantics:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_log = logging.getLogger(__name__)
+_warned_confs: set[str] = set()
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -59,8 +63,10 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
-        except Exception:
-            pass
+        except Exception as exc:  # static conf on this deployment
+            if k not in _warned_confs:
+                _warned_confs.add(k)
+                _log.warning("engine conf %s=%s not applied: %s", k, v, exc)
     return spark
 
 

@@ -14,10 +14,28 @@ Design notes for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io.sources import load_table
 from ..schemas import TESTDATA_SCHEMAS
+
+
+def has_tws_support() -> bool:
+    """Explicit capability probe for ``transformWithStateInPandas``: the
+    Spark 4 worker protocol for that API serializes state over protobuf, so
+    ``google.protobuf`` must be importable in the Python workers. Where it
+    is absent (this container ships no protobuf and installs are frozen),
+    the ``applyInPandasWithState`` twin provides identical semantics."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 WATERMARK = "10 minutes"
 TUMBLE = "15 minutes"
@@ -126,16 +144,23 @@ def run_stream_to_memory(
     )
 
 
-def foreach_batch_upsert(df: DataFrame, target_dir: str, keys: list[str]):
+def foreach_batch_upsert(
+    df: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    partition_col: str | None = None,
+):
     """Idempotent streaming sink: every micro-batch MERGEs into a parquet
-    target by natural key (anti-join + union + atomic dir swap — the
-    bare-parquet MERGE emulation from io.sinks; with Delta this would be
-    ``MERGE INTO``). Replayed batches upsert the same keys → exactly-once
-    at the table level."""
+    target by natural key (the bare-parquet MERGE emulation from io.sinks;
+    with Delta this would be ``MERGE INTO``). Replayed batches upsert the
+    same keys → exactly-once at the table level. Pass ``partition_col`` so
+    each micro-batch rewrites ONLY the partitions it touches — without it
+    the merge is O(table) per batch, the scale-killer in a streaming write
+    path."""
     from ..io.sinks import merge_upsert
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        merge_upsert(batch_df, target_dir, keys)
+        merge_upsert(batch_df, target_dir, keys, partition_col=partition_col)
 
     return (
         df.writeStream.foreachBatch(_apply)
@@ -229,6 +254,173 @@ def stateful_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_totals_micros(events: DataFrame) -> DataFrame:
+    """Cross-engine-checkable variant of :func:`stateful_running_totals`:
+    the per-user value sum accumulates in integer MICROS
+    (``floor(value*1e6 + 0.5)``) so the total is order-independent and
+    exactly reproducible by a SQL oracle — float accumulation order differs
+    between engines and would drift the hash compare. Prefers the
+    ``transformWithStateInPandas`` form when the worker protocol is
+    available (see :func:`has_tws_support`), else the
+    ``applyInPandasWithState`` twin — identical semantics either way."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "user_id bigint, n_events bigint, total_micros bigint"
+
+    def fold(pdf_iter, n: int, micros: int):
+        for pdf in pdf_iter:
+            n += len(pdf)
+            vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            micros += int(np.floor(vals * 1_000_000.0 + 0.5).astype("int64").sum())
+        return n, micros
+
+    if has_tws_support():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        state_schema = StructType(
+            [StructField("n", LongType()), StructField("micros", LongType())]
+        )
+
+        class MicroTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("micros", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, micros = (
+                    self._state.get() if self._state.exists() else (0, 0)
+                )
+                n, micros = fold(rows, n, micros)
+                self._state.update((n, micros))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_micros": [micros],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return events.groupBy("user_id").transformWithStateInPandas(
+            MicroTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, micros = state.get if state.exists else (0, 0)
+        n, micros = fold(pdf_iter, n, micros)
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [micros]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, micros bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable EXECUTIONS of the streaming operators: each runs a real
+# readStream → stateful op → availableNow memory sink to completion inside
+# the query function and returns the final table, so the driver's oracle
+# compare covers the actual streaming machinery, not just a batch twin.
+# ---------------------------------------------------------------------------
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """The file stream source wants a DIRECTORY of files (its basePath);
+    the testdata table is a single parquet file. Stage it into a temp dir
+    by symlink — zero-copy, read-only on the source."""
+    d = tempfile.mkdtemp(prefix="ir_spark_stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
+    name = "strq_" + uuid.uuid4().hex[:10]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ir_spark_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the custom-keyed-state operator (§2B custom stateful) as a
+    real stream over the events parquet and returns final per-user totals.
+    The last emit per user (largest n_events — the count strictly grows)
+    is the final state; micros→value division by 1e6 is exact for integer
+    micros < 2^53, so the double compares cleanly cross-engine."""
+    events = stream_events(spark, _stage_events_dir(sf_dir))
+    out = _run_to_table(stateful_totals_micros(events), "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_micros").cast("double") / F.lit(1_000_000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+STATEFUL_USER_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes :func:`dedup_within_watermark` as a real stream (stateful
+    dedup with watermark-expiring state) and returns the surviving rows.
+    Oracle: key-distinct projection of the same table."""
+    events = stream_events(spark, _stage_events_dir(sf_dir))
+    out = _run_to_table(dedup_within_watermark(events), "append")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch twins (driver-checkable oracle surface for the same semantics)
 # ---------------------------------------------------------------------------
@@ -307,10 +499,14 @@ QUERIES = {
     "stream_tumbling_batch": stream_tumbling_batch,
     "stream_sliding_batch": stream_sliding_batch,
     "stream_session_batch": stream_session_batch,
+    "stateful_user_totals": stateful_user_totals,
+    "stream_dedup_watermark": stream_dedup_watermark,
 }
 
 ORACLES = {
     "stream_tumbling_batch": STREAM_TUMBLING_SQL,
     "stream_sliding_batch": STREAM_SLIDING_SQL,
     "stream_session_batch": STREAM_SESSION_SQL,
+    "stateful_user_totals": STATEFUL_USER_TOTALS_SQL,
+    "stream_dedup_watermark": STREAM_DEDUP_SQL,
 }

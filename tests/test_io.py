@@ -166,6 +166,68 @@ def test_append_missing_is_insert_only(spark, tmp_path):
     assert got == {"E1": "A", "E2": "B", "E3": "C"}
 
 
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    """Partition-scoped MERGE must leave untouched partitions' files
+    byte-identical — the O(touched-partitions) write path for 100 TB."""
+    import glob
+    import hashlib
+    import os
+
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [("2023", "k1", 1), ("2023", "k2", 2), ("2024", "k3", 3)],
+        "fy string, k string, v int",
+    )
+    sinks.write_table(base, target, partition_by=["fy"])
+
+    def _files(part):
+        out = {}
+        for p in sorted(glob.glob(os.path.join(target, f"fy={part}", "*.parquet"))):
+            with open(p, "rb") as fh:
+                out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    before_2024 = _files("2024")
+    upd = spark.createDataFrame(
+        [("2023", "k2", 99), ("2023", "k9", 7)], "fy string, k string, v int"
+    )
+    sinks.merge_upsert(upd, target, ["k"], partition_col="fy")
+    got = sorted(
+        (r["fy"], r["k"], r["v"]) for r in spark.read.parquet(target).collect()
+    )
+    assert got == [
+        ("2023", "k1", 1),
+        ("2023", "k2", 99),
+        ("2023", "k9", 7),
+        ("2024", "k3", 3),
+    ]
+    assert _files("2024") == before_2024, "untouched partition was rewritten"
+
+
+def test_append_missing_keeps_existing_files(spark, tmp_path):
+    """Insert-only append must not rewrite existing parquet files."""
+    import glob
+    import hashlib
+    import os
+
+    target = str(tmp_path / "items2")
+    sinks.append_missing(_df(spark, [("E1", "A")]), target, "edinet_code")
+    before = {
+        p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(target, "*.parquet"))
+    }
+    sinks.append_missing(_df(spark, [("E2", "B")]), target, "edinet_code")
+    after = {
+        p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(target, "*.parquet"))
+    }
+    assert set(before) <= set(after)
+    for p, h in before.items():
+        assert after[p] == h, f"existing file {p} was rewritten"
+    got = {r["edinet_code"]: r["company_name"] for r in spark.read.parquet(target).collect()}
+    assert got == {"E1": "A", "E2": "B"}
+
+
 def test_replace_partition(spark, tmp_path):
     target = str(tmp_path / "facts")
     base = spark.createDataFrame(
