@@ -84,6 +84,50 @@ def main() -> None:
         )
     )
 
+    # Regression gate: every headline query must stay within 2× of its best
+    # recorded per-round time (BENCH_r*.json are the driver's artifacts).
+    # The JSON line above is already printed, so a failure loses no record.
+    best = _best_prior_timings()
+    regressions = {
+        name: (t, best[name])
+        for name, t in timings.items()
+        if name in best and best[name] > 0 and t > 2.0 * best[name]
+    }
+    if regressions:
+        for name, (now, prior) in regressions.items():
+            print(
+                f"REGRESSION {name}: {now:.2f}s vs best prior {prior:.2f}s "
+                f"(>{2.0:.0f}x)",
+                file=sys.stderr,
+            )
+        sys.exit(1)
+
+
+def _best_prior_timings() -> dict[str, float]:
+    """Best per-query wall time across all recorded rounds (BENCH_r*.json
+    next to this script), at the same SF as this run."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    best: dict[str, float] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        try:
+            same_sf = float(rec.get("sf")) == float(sf)
+        except (TypeError, ValueError):
+            same_sf = False
+        if not same_sf:
+            continue
+        for name, t in (rec.get("queries") or {}).items():
+            if isinstance(t, (int, float)):
+                best[name] = min(best.get(name, float("inf")), float(t))
+    return best
+
 
 if __name__ == "__main__":
     main()

@@ -20,21 +20,40 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
 
-# 8-char shingles; starts 1..len-7 (whole text if shorter), distinct per doc.
-_SHINGLE_EXPR = (
-    "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"
-)
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to the cluster's parallelism before per-row
+    expansion (shingle explode multiplies rows ~300×). A small corpus file
+    arrives as ONE input split, which would run the whole
+    explode→hash→partial-agg chain single-threaded; at real scale the scan
+    already has ≥ defaultParallelism splits and this is a no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, 8-char shingle) pairs — shared by the exact and LSH paths.
+    Shingle starts run 1..len-7 (whole text if shorter).
+
+    Shape note: explode the POSITION sequence, then substring in the
+    following projection — both stay in whole-stage codegen. The obvious
+    alternative (``transform(sequence(...), i -> substring(...))``) builds
+    a per-doc array of shingle strings through an interpreted lambda,
+    which measurably dominates the MinHash pipeline at volume.
 
     ``distinct=False`` skips the dedup shuffle for consumers that are
     duplicate-insensitive (min-aggregation in MinHash): the explode then
     feeds map-side partial aggregation directly and the full shingle set
     never shuffles. Exact Jaccard (set semantics) needs ``distinct=True``.
     """
-    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g"))
+    sh = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+        ).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 8)").alias("g"))
     return sh.distinct() if distinct else sh
 
 
@@ -67,7 +86,7 @@ GROUP BY MD5(text)
 
 def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle."""
-    sh = shingles(docs)
+    sh = shingles(_spread(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -123,17 +142,19 @@ _N_HASHES = 64
 _BAND_SIZE = 3
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """(doc_id, signature array<long>) — n_hashes min-hashes from an affine
-    family h_i(g) = h1(g) + i·h2(g) over two base xxhash64 draws (wrapping
-    64-bit arithmetic).
+def _minhash_wide(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — n_hashes min-hashes as SEPARATE long columns
+    from an affine family h_i(g) = h1(g) + i·h2(g) over two base xxhash64
+    draws (wrapping 64-bit arithmetic).
 
     Hashing the shingle string n_hashes times would dominate the whole LSH
     pipeline (n_hashes string hashes per shingle); the affine family costs
-    two string hashes + n multiply-adds — the standard
-    pick for MinHash at scale, and fully deterministic.
-    """
-    sh = shingles(docs, distinct=False)
+    two string hashes + n multiply-adds — the standard pick for MinHash at
+    scale, and fully deterministic. Wide columns (not an array) keep every
+    downstream consumer — banding, signature-estimate — inside whole-stage
+    codegen; array HOFs (slice/aggregate/zip_with) are interpreted per row
+    and measurably dominate at volume."""
+    sh = shingles(_spread(docs), distinct=False)
     base = sh.select(
         "doc_id",
         F.xxhash64("g").alias("h1"),
@@ -143,7 +164,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
         F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"h{s}")
         for s in range(n_hashes)
     ]
-    agg = base.groupBy("doc_id").agg(*mins)
+    return base.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """(doc_id, signature array<long>) — array-shaped view of
+    :func:`_minhash_wide` for consumers that want one signature column."""
+    agg = _minhash_wide(docs, n_hashes)
     return agg.select(
         "doc_id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig")
     )
@@ -169,26 +196,34 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the race when consumer stages schedule concurrently). An eager local
     # checkpoint computes the sketch exactly once and truncates lineage —
     # "checkpoint the sketch, never recompute it", at any scale.
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    sig = _minhash_wide(docs).localCheckpoint(eager=True)
     n_bands = _N_HASHES // _BAND_SIZE
+    # banding: each band's bucket is a direct xxhash64 over its 3 min-hash
+    # COLUMNS — the projection feeding the explode is (doc_id, 21 longs);
+    # no signature array is assembled or carried through the generate, and
+    # the whole thing stays in codegen (no slice/HOF).
     bands = sig.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", i * _BAND_SIZE + 1, _BAND_SIZE), F.lit(i)
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.col(f"h{i * _BAND_SIZE}"),
+                        F.col(f"h{i * _BAND_SIZE + 1}"),
+                        F.col(f"h{i * _BAND_SIZE + 2}"),
+                        F.lit(i),
                     )
                     for i in range(n_bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bucket")
+        ).alias("band", "bucket"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
+    # NOT distinct here: a pair colliding in k bands yields k rows, but the
+    # estimate filter below is deterministic per pair, so dedup AFTER it —
+    # the distinct then runs on the few survivors instead of the ~100×
+    # larger raw candidate multiset.
     candidates = (
         a.join(
             b,
@@ -197,25 +232,36 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
     )
     # signature-estimate prefilter: short bands recall aggressively, so the
     # raw candidate set is ~100× the true pair set. The fraction of equal
     # minhashes estimates Jaccard (σ = √(j(1-j)/64) ≈ 0.05), so est > 0.6
-    # is >4σ below the 0.8 target — true pairs pass with P ≈ 1-3e-7, and
-    # the expensive exact verify only ever sees near-threshold pairs.
-    sigp = candidates.join(
-        sig.withColumnsRenamed({"doc_id": "d1", "sig": "sig1"}), "d1"
-    ).join(sig.withColumnsRenamed({"doc_id": "d2", "sig": "sig2"}), "d2")
-    est = (
-        F.expr(
-            "aggregate(zip_with(sig1, sig2, (a, b) -> IF(a = b, 1, 0)), 0, "
-            "(acc, v) -> acc + v)"
-        )
-        / F.lit(_N_HASHES)
+    # (≥ 39 of 64 equal) is >4σ below the 0.8 target — true pairs pass with
+    # P ≈ 1-3e-7, and the expensive exact verify only ever sees
+    # near-threshold pairs. The equal-count is a codegen'd sum of 64
+    # column comparisons, not an interpreted array fold.
+    siga = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
+    )
+    # signatures are ~0.5 KB/doc — broadcast them so the candidate stream
+    # never shuffles for the estimate (map-side joins + filter in one stage)
+    sigp = candidates.join(siga, "d1").join(sigb, "d2")
+    n_equal = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_HASHES)
     )
     # surviving candidates feed both the doc-id prune and the pair verify
-    candidates = sigp.filter(est > 0.6).select("d1", "d2").localCheckpoint(eager=True)
+    candidates = (
+        sigp.filter(n_equal >= int(0.6 * _N_HASHES) + 1)
+        .select("d1", "d2")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # exact verification of candidates only: shingle sets are semi-join-
     # pruned to docs that appear in some candidate pair BEFORE the pairwise
@@ -256,6 +302,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     sign. Computed as 64 conditional-sum aggregates in one pass (wide but
     codegen'd; no UDF, no 64× row blowup), then assembled with shifts.
     """
+    docs = _spread(docs)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

@@ -122,10 +122,11 @@ _BAND_SIZE = 4
 _PLANES = _random_hyperplanes(64, _N_PLANES)
 
 
-def _band_signatures(emb: DataFrame) -> DataFrame:
-    """(vec_id, band_idx, band_val): sign-bit LSH signature banded à la
-    MinHash — a candidate pair needs only ONE band to collide, which keeps
-    recall usable even when exact 16-bit buckets would all be singletons."""
+def _band_signatures(emb: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+    """(vec_id, band_idx, band_val [, keep_cols]): sign-bit LSH signature
+    banded à la MinHash — a candidate pair needs only ONE band to collide,
+    which keeps recall usable even when exact 16-bit buckets would all be
+    singletons."""
     plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in _PLANES])
     bits = F.transform(
         plane_lits,
@@ -148,7 +149,9 @@ def _band_signatures(emb: DataFrame) -> DataFrame:
         ),
     )
     return emb.select(
-        "vec_id", F.posexplode(bands).alias("band_idx", "band_val")
+        "vec_id",
+        *(keep_cols or []),
+        F.posexplode(bands).alias("band_idx", "band_val"),
     )
 
 
@@ -248,12 +251,16 @@ SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
 """
 
 
-def embedding_cosine_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine > 0.30) by label-block
-    prefilter (§2B embedding near-dup): same-label vectors only, exact
-    cosine — the all-pairs version of similarity search used for semantic
-    dedup. Blocking on `label` (a cluster id) bounds the quadratic term."""
-    emb = load_table(spark, "embeddings", sf_dir)
+#: Per-label block size above which the exact all-pairs join hands off to
+#: the banded-LSH candidate path. Sized so every block in the synthetic
+#: testdata (max 218 at sf0.1) stays exact — but a production hot label
+#: (the cartesian bomb at 100 TB) is bounded instead of exploding.
+_BLOCK_CAP = 1024
+
+
+def _exact_block_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """All same-label pairs with exact cosine — Σ|block|² cost, only safe
+    for bounded blocks."""
     a = emb.select(
         F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "label"
     )
@@ -271,8 +278,88 @@ def embedding_cosine_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.expr(_NORM.format(a="e1")) * F.expr(_NORM.format(a="e2")))
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") > 0.30)
+        .filter(F.col("cosine") > threshold)
     )
+
+
+def _hot_block_candidates(emb: DataFrame) -> DataFrame:
+    """Candidate pairs for oversized label blocks: banded sign-bit LSH
+    self-join within the label — (v1, v2) where the pair collides in at
+    least one band. Cost is Σ|bucket|² over (label, band, value) buckets,
+    sub-quadratic whenever the block's vectors spread across buckets (the
+    non-dup bulk of a hot label does; true near-dups share sign bits and
+    collide). Recall note: at very low cosine thresholds sign-bit LSH is
+    probabilistic — this path targets the semantic-dedup regime (high
+    cosine) where band collision is near-certain."""
+    sigs = _band_signatures(emb, keep_cols=["label"])
+    a = sigs.select(
+        F.col("vec_id").alias("v1"), "label", "band_idx", "band_val"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("v2"),
+        F.col("label").alias("label2"),
+        F.col("band_idx").alias("band_idx2"),
+        F.col("band_val").alias("band_val2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label2"))
+            & (F.col("band_idx") == F.col("band_idx2"))
+            & (F.col("band_val") == F.col("band_val2"))
+            & (F.col("v1") < F.col("v2")),
+        )
+        .select("v1", "v2")
+        .distinct()
+    )
+
+
+def neardup_pairs_bounded(
+    emb: DataFrame, threshold: float = 0.30, block_cap: int = _BLOCK_CAP
+) -> DataFrame:
+    """Near-duplicate pairs with a BOUNDED quadratic term: labels at or
+    under ``block_cap`` take the exact all-pairs path; oversized (hot)
+    labels generate candidates through the banded-LSH self-join first and
+    exact-score only the candidates. The union is the operator — at 100 TB
+    one skewed label degrades to the LSH path instead of a cartesian
+    explosion."""
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_blk"))
+    sized = emb.join(F.broadcast(sizes), "label")
+    cold = sized.filter(F.col("_blk") <= block_cap).drop("_blk")
+    hot = sized.filter(F.col("_blk") > block_cap).drop("_blk")
+    cold_pairs = _exact_block_pairs(cold, threshold)
+    cand = _hot_block_candidates(hot)
+    hot_pairs = (
+        cand.join(
+            hot.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")),
+            "v1",
+        )
+        .join(
+            hot.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")),
+            "v2",
+        )
+        .select(
+            "v1",
+            "v2",
+            (
+                F.expr(_DOT.format(a="e1", b="e2"))
+                / (F.expr(_NORM.format(a="e1")) * F.expr(_NORM.format(a="e2")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def embedding_cosine_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine > 0.30) by label-block
+    prefilter (§2B embedding near-dup): same-label vectors only, exact
+    cosine — the all-pairs version of similarity search used for semantic
+    dedup. Blocking on `label` (a cluster id) bounds the quadratic term,
+    and blocks over ``_BLOCK_CAP`` are further bounded by the banded-LSH
+    candidate path (see :func:`neardup_pairs_bounded`)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return neardup_pairs_bounded(emb)
 
 
 EMBEDDING_COSINE_NEARDUP_SQL = f"""

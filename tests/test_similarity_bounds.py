@@ -1,0 +1,94 @@
+"""Hot-label bound for embedding near-dup (VERDICT r1 item 4): a label
+block over the cap must route through the banded-LSH candidate path —
+sub-quadratic candidates — while producing the same pairs as the exact
+all-pairs computation in the high-cosine (semantic dedup) regime."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from ir_analyses_spark.llm.similarity import (
+    _hot_block_candidates,
+    neardup_pairs_bounded,
+)
+
+DIM = 64
+
+
+def _pseudo_vec(tag: str) -> list[float]:
+    """Deterministic pseudo-random unit-ish vector (no RNG state)."""
+    out = []
+    for d in range(DIM):
+        h = int.from_bytes(
+            hashlib.sha256(f"{tag}:{d}".encode()).digest()[:8], "big"
+        )
+        out.append((h / 2**63) - 1.0)
+    return out
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """One deliberately hot label (80 vectors: 70 spread + 5 near-identical
+    dup pairs) plus one cold label (10 spread vectors)."""
+    rows = []
+    vid = 0
+    for i in range(70):  # spread bulk of the hot label
+        rows.append((vid, _pseudo_vec(f"spread:{i}"), "hot"))
+        vid += 1
+    for i in range(5):  # high-cosine dup pairs (the semantic-dedup regime)
+        base = _pseudo_vec(f"dup:{i}")
+        near = [v + 0.001 * ((d % 3) - 1) for d, v in enumerate(base)]
+        rows.append((vid, base, "hot"))
+        vid += 1
+        rows.append((vid, near, "hot"))
+        vid += 1
+    for i in range(10):
+        rows.append((vid, _pseudo_vec(f"cold:{i}"), "cold"))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+
+
+THRESHOLD = 0.85
+CAP = 50
+
+
+def _exact_pairs(emb_df):
+    data = [(r["vec_id"], list(r["embedding"]), r["label"]) for r in emb_df.collect()]
+    pairs = set()
+    for i, (v1, e1, l1) in enumerate(data):
+        for v2, e2, l2 in data[i + 1 :]:
+            if l1 == l2 and _cosine(e1, e2) > THRESHOLD:
+                pairs.add((min(v1, v2), max(v1, v2)))
+    return pairs
+
+def test_hot_label_matches_exact(spark, emb):
+    got = {
+        (r["v1"], r["v2"])
+        for r in neardup_pairs_bounded(
+            emb, threshold=THRESHOLD, block_cap=CAP
+        ).collect()
+    }
+    assert got == _exact_pairs(emb)
+    assert len(got) >= 5  # the planted dup pairs were found
+
+
+def test_hot_label_candidates_subquadratic(spark, emb):
+    hot = emb.filter("label = 'hot'")
+    n = hot.count()
+    n_candidates = _hot_block_candidates(hot).count()
+    all_pairs = n * (n - 1) // 2
+    # the LSH banding must prune the spread bulk of the block: well under
+    # half of the quadratic pair space survives as candidates
+    assert n_candidates < all_pairs / 2, (n_candidates, all_pairs)
