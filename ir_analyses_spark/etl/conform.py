@@ -68,7 +68,14 @@ def extract_cover_values(std: DataFrame, mapping: dict[str, str]) -> DataFrame:
     First-matching-row semantics are made deterministic by ``_row_seq``
     (``min_by`` = the filing's earliest row for that element). The pivot is
     bounded by the declared element list, never the full element_id domain
-    (SURVEY §7.3.6)."""
+    (SURVEY §7.3.6).
+
+    Every filing present in ``std`` gets an output row — a filing with NO
+    rows matching any mapped element surfaces with all-NULL columns rather
+    than vanishing, so the downstream required-field gate can quarantine it
+    (the reference raises ValueError for such filings,
+    reference utils/data_mapper.py:142-151; silently producing nothing
+    would put it in neither the tables nor the rejects)."""
     element_ids = list(mapping.values())
     first_per_element = (
         std.filter(F.col("element_id").isin(element_ids))
@@ -94,6 +101,8 @@ def extract_cover_values(std: DataFrame, mapping: dict[str, str]) -> DataFrame:
         .pivot("element_id", element_ids)
         .agg(F.first("v"))
     )
+    all_filings = std.select(FILING_ID).distinct()
+    pivoted = all_filings.join(pivoted, FILING_ID, "left")
     return pivoted.select(
         FILING_ID, *[F.col(f"`{eid}`").alias(k) for k, eid in mapping.items()]
     )
@@ -215,11 +224,20 @@ def conform_reports(
         .when(F.col("fiscal_year_end").isNull(), F.lit("missing fiscal_year_end"))
     )
     parsed = parsed.withColumn("_reason", reason)
+    valid = parsed.filter(F.col("_reason").isNull())
+    # A filing whose company was rejected upstream has no company_id to
+    # join; the inner join below would silently drop its report. Surface it
+    # in the quarantine instead (the reference's per-filing transaction
+    # rolls BOTH inserts back together; set-oriented conformance must keep
+    # that filing visible somewhere).
+    orphaned = valid.join(
+        companies.select(FILING_ID), FILING_ID, "left_anti"
+    ).select(FILING_ID, F.lit("company rejected or missing").alias("reason"))
     rejects = parsed.filter(F.col("_reason").isNotNull()).select(
         FILING_ID, F.col("_reason").alias("reason")
-    )
+    ).unionByName(orphaned)
     reports = (
-        parsed.filter(F.col("_reason").isNull())
+        valid
         .join(companies.select(FILING_ID, "company_id"), FILING_ID)
         .select(
             F.xxhash64("company_id", "fiscal_year", "quarter_type").alias("report_id"),

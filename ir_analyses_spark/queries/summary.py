@@ -100,11 +100,19 @@ def financial_summary(
     )
 
     # bounded pivot: exactly the 11 declared element ids, never the full
-    # element domain (SURVEY §7.3.6)
+    # element domain (SURVEY §7.3.6). Each cell is a PRESENCE struct, not a
+    # bare value: the reference resolves synonyms on key presence in
+    # data_map (reference utils/service/financial_service.py:77-88), so a
+    # higher-priority element present with a NULL value must WIN (and
+    # yield NULL) rather than fall through to a lower-priority synonym —
+    # a bare-value pivot + coalesce would skip it.
+    per_element = measures.groupBy("report_id", "element_id").agg(
+        F.first("value", ignorenulls=True).alias("v")
+    )
     pivoted = (
-        measures.groupBy("report_id")
+        per_element.groupBy("report_id")
         .pivot("element_id", all_element_ids)
-        .agg(F.first("value", ignorenulls=True))
+        .agg(F.first(F.struct(F.lit(True).alias("present"), F.col("v").alias("v"))))
     )
 
     joined = (
@@ -113,12 +121,16 @@ def financial_summary(
         .join(pivoted, "report_id", "left")
     )
 
-    # candidate-priority resolution: coalesce in declared synonym order
+    # candidate-priority resolution: first PRESENT candidate in declared
+    # synonym order, keeping its value even when NULL
     # (J5, reference utils/service/financial_service.py:54-88)
     for measure, candidates in SUMMARY_ITEMS.items():
-        joined = joined.withColumn(
-            measure, F.coalesce(*[F.col(f"`{c}`") for c in candidates])
-        )
+        resolved = None
+        for c in candidates:
+            cond = F.col(f"`{c}`.present")
+            val = F.col(f"`{c}`.v")
+            resolved = F.when(cond, val) if resolved is None else resolved.when(cond, val)
+        joined = joined.withColumn(measure, resolved)
 
     sales = F.col("net_sales")
 

@@ -180,6 +180,30 @@ def test_company_mapping_missing_required(spark):
     assert "edinet_code" in rej["reason"]
 
 
+def test_company_mapping_elementless_filing_quarantined(spark):
+    """A filing with ZERO rows matching any cover element must surface in
+    the rejects (the reference raises ValueError for it) — not silently
+    vanish from both tables and quarantine."""
+    rows = [row("jppfs_cor:NetSales", value="100")]  # no cover elements
+    companies, rejects = conform.conform_companies(_std(spark, rows))
+    assert companies.count() == 0
+    rej = rejects.first()
+    assert rej is not None and "required keys missing" in rej["reason"]
+
+
+def test_report_of_rejected_company_quarantined(spark):
+    """A filing rejected at the company stage must land a report_rejects
+    row instead of being dropped by the inner join to companies."""
+    rows = [r for r in COVER_ROWS if "EDINETCode" not in r[0]]
+    std = _std(spark, rows)
+    companies, company_rejects = conform.conform_companies(std)
+    assert company_rejects.count() == 1
+    reports, report_rejects = conform.conform_reports(std, companies)
+    assert reports.count() == 0
+    reasons = [r["reason"] for r in report_rejects.collect()]
+    assert any("company rejected" in r for r in reasons)
+
+
 def test_report_mapping_golden(spark):
     std = _std(spark, COVER_ROWS)
     companies, _ = conform.conform_companies(std)
@@ -364,6 +388,27 @@ def test_summary_priority_coalesce(spark):
     ).first()
     assert dto["net_sales"] == 500.0
     assert dto["operation_profit_rate"] == pytest.approx(10.0)
+
+
+def test_summary_priority_present_null_blocks_fallback(spark):
+    """Reference parity (reference utils/service/financial_service.py:77-88):
+    synonym resolution is on KEY PRESENCE — a higher-priority element
+    present with a non-numeric (NULL) value wins and yields NULL, it does
+    NOT fall through to a lower-priority synonym."""
+    rows = _filing("2", "第10期 第２四半期(自 2023年4月1日 至 2023年6月30日)",
+                   "－",  # NetSales present but non-numeric → NULL value
+                   "50000000", "40000000", "30000000",
+                   "jppfs_cor:NetSales")
+    rows.append(row("jppfs_cor:OperatingRevenue1", value="999999"))
+    std = standardize.standardize_raw(raw_df(spark, rows), filing_id_col="filing_id")
+    bundle = conform.conform_all(std)
+    dto = summary_q.financial_summary(
+        bundle["companies"], bundle["reports"], bundle["facts"], bundle["items"]
+    ).first()
+    # NetSales (priority 1) is present-with-NULL → net_sales must be NULL,
+    # not the 999999 booked under the lower-priority synonym
+    assert dto["net_sales"] is None
+    assert dto["operation_profit_rate"] is None
 
 
 def test_backfill_integration(spark, tmp_path):
