@@ -77,6 +77,7 @@ _ORDER = [
     "corpus_clean_pipeline",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_cosine_nearup",
     "multimodal_features",
     "media_resize",
@@ -105,7 +106,6 @@ _ORDER = [
     "string_predicates",
     "string_functions",
     "null_semantics",
-    "case_conditional",
     "regexp_extract_ops",
     "date_functions",
     "math_functions",
@@ -129,6 +129,9 @@ _ORDER = [
     "map_ops",
     "explode_tokens",
     "json_extract_ops",
+    # C4 representative moved to the tail: conform's consolidated→category
+    # conditional runs inside in-window ir_summary_pipeline
+    "case_conditional",
     "pivot_coalesce_priority",
     "guarded_ratio_margin",
     "regional_revenue",
