@@ -117,6 +117,10 @@ def _best_prior_timings() -> dict[str, float]:
                 rec = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        # The driver wraps the bench JSON line under "parsed" (alongside
+        # rc/tail); accept both the bare and the wrapped shape.
+        if "parsed" in rec and isinstance(rec["parsed"], dict):
+            rec = {**rec, **rec["parsed"]}
         try:
             same_sf = float(rec.get("sf")) == float(sf)
         except (TypeError, ValueError):

@@ -4,11 +4,21 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 
 The Spark-side plumbing — binary payload column, metadata struct schema,
 batch-iterator UDF signature, partition sizing — is real and tested. The
-actual codec step (PIL/ffmpeg decode) is STUBBED: this container has no
-image/audio libraries, so ``decode_media`` raises NotImplementedError unless
-a decoder is importable, and ``fake_decode_features`` provides the
-deterministic stand-in the tests and oracle use. Swapping the stub for a
-real decoder changes one function body, no plumbing.
+codec layer is split by what this container can honestly run:
+
+- **Real codecs** (``media_codec_features``): BMP (24-bit uncompressed,
+  struct header parse + numpy pixel math, bottom-up row flip + 4-byte row
+  padding) and WAV (RIFF/PCM via the stdlib ``wave`` parser + numpy). Both
+  decode *genuine* files of their format; the DuckDB oracle recomputes the
+  expected features analytically from the generative formula — a true
+  differential check of the parser (a wrong offset, padding, endianness or
+  row order diverges the hash).
+- **Stubbed codecs** (PIL/ffmpeg formats — JPEG, PNG, MP4…): no image/av
+  libraries in this container, so ``decode_media`` dispatches on magic
+  bytes and raises NotImplementedError past BMP/WAV;
+  ``fake_decode_features`` is the deterministic stand-in those paths'
+  tests and oracle use. Swapping in a real decoder changes one function
+  body, no plumbing.
 """
 
 from __future__ import annotations
@@ -40,12 +50,82 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(content: bytes) -> dict:
-    """Real decode hook — STUB. Raises unless an image codec is available.
+def decode_bmp(content: bytes) -> dict:
+    """REAL BMP decoder (24-bit uncompressed): struct header parse + numpy
+    pixel math. Handles the two format quirks that make BMP a genuine
+    parsing exercise — rows are stored bottom-up and padded to 4 bytes —
+    and emits order-sensitive (top-left pixel) plus order-insensitive
+    (channel sums) features so both kinds of bugs are observable."""
+    import struct
 
-    Reference pipeline position: where PIL.Image.open / soundfile.read /
-    av.open would run, one payload at a time inside the batch loop.
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", content, 10)
+    size, w, h, planes, bpp = struct.unpack_from("<IiihH", content, 14)
+    if size != 40 or planes != 1 or bpp != 24:
+        raise NotImplementedError("only BITMAPINFOHEADER 24bpp supported")
+    row_bytes = (3 * w + 3) // 4 * 4
+    raw = np.frombuffer(content, np.uint8, count=h * row_bytes, offset=pix_off)
+    # bottom-up rows -> flip; strip padding; BGR channel order
+    img = raw.reshape(h, row_bytes)[::-1, : 3 * w].reshape(h, w, 3)
+    sums = img.astype(np.int64).sum(axis=(0, 1))
+    return {
+        "media_kind": "bmp",
+        "width": int(w),
+        "height": int(h),
+        "px00_r": int(img[0, 0, 2]),
+        "sum_r": int(sums[2]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[0]),
+        "sample_rate": None,
+        "n_samples": None,
+        "sum_abs": None,
+        "peak": None,
+    }
+
+
+def decode_wav(content: bytes) -> dict:
+    """REAL WAV decoder: stdlib ``wave`` (an independent RIFF/PCM parser —
+    not the writer below) + numpy sample math. int64 cast before abs so
+    -32768 doesn't overflow int16."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM supported")
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        samples = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.int64)
+    return {
+        "media_kind": "wav",
+        "width": None,
+        "height": None,
+        "px00_r": None,
+        "sum_r": None,
+        "sum_g": None,
+        "sum_b": None,
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "sum_abs": int(np.abs(samples).sum()),
+        "peak": int(np.abs(samples).max()),
+    }
+
+
+def decode_media(content: bytes) -> dict:
+    """Codec dispatch on magic bytes. BMP and WAV decode for real (pure
+    stdlib + numpy); formats needing PIL/ffmpeg (JPEG, PNG, MP4, …) raise
+    NotImplementedError in this container — ``fake_decode_features`` is
+    their deterministic stand-in.
     """
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
     try:
         import PIL.Image  # type: ignore  # noqa: F401
     except ImportError as exc:
@@ -192,14 +272,152 @@ FROM documents, UNNEST(range(1, {_N_FRAMES} + 1)) AS t(i)
 """
 
 
+#: real-codec feature schema: one row per document, image columns NULL for
+#: audio payloads and vice versa
+MEDIA_CODEC_SCHEMA = (
+    "doc_id bigint, media_kind string, width int, height int, px00_r int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, "
+    "sample_rate int, n_samples int, sum_abs bigint, peak int"
+)
+
+
+def synthesize_media(doc_id: int, n: int) -> bytes:
+    """Deterministic REAL media payload for a document: even doc_ids get a
+    24-bit BMP, odd doc_ids a 16-bit mono PCM WAV. Every byte follows from
+    (doc_id, n) via integer formulas, so the oracle can predict the decoded
+    features without parsing — while the Spark path must round-trip genuine
+    files. The writer here is hand-rolled (struct/RIFF byte layout), NOT
+    the parser used by the decode step."""
+    import struct
+
+    import numpy as np
+
+    if doc_id % 2 == 0:
+        w = n % 13 + 4
+        h = doc_id % 11 + 4
+        p = np.arange(w * h, dtype=np.int64)
+        r = (doc_id * 13 + p * 5) % 256
+        g = (doc_id * 17 + p * 11) % 256
+        b = (doc_id * 31 + p * 7) % 256
+        img = np.stack([b, g, r], axis=1).astype(np.uint8).reshape(h, 3 * w)
+        row_bytes = (3 * w + 3) // 4 * 4
+        rows = np.zeros((h, row_bytes), np.uint8)
+        rows[:, : 3 * w] = img[::-1]  # BMP stores rows bottom-up
+        pix = rows.tobytes()
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                          2835, 2835, 0, 0)
+            + pix
+        )
+    rate = 8000 + (doc_id % 5) * 1000
+    cnt = n % 200 + 50
+    i = np.arange(cnt, dtype=np.int64)
+    data = ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the REAL codec path: synthesize genuine BMP/WAV
+    bytes per document (first mapInPandas), then parse them back with the
+    real decoders (second mapInPandas — the binary column crosses Arrow
+    between the stages, same plumbing a production decode pipeline uses).
+    The oracle computes the same features from the generative formulas in
+    closed form, so any parser defect (padding, row order, endianness,
+    header offsets) breaks the match."""
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+    )
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "content": [
+                        synthesize_media(int(d), int(n))
+                        for d, n in zip(pdf["doc_id"], pdf["n"])
+                    ],
+                }
+            )
+
+    payload = docs.mapInPandas(synth, "doc_id bigint, content binary")
+
+    def dec(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = [
+                {"doc_id": int(d), **decode_media(bytes(c))}
+                for d, c in zip(pdf["doc_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return payload.mapInPandas(dec, MEDIA_CODEC_SCHEMA)
+
+
+# Closed-form twin of synthesize_media ∘ decode: pixel/sample index ranges
+# materialize from a constant range(0, 256) (superset of every per-doc
+# count) filtered per row — max pixels 16*14=224, max samples 249.
+MEDIA_CODEC_FEATURES_SQL = """
+WITH base AS (
+  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n FROM documents
+),
+bmp AS (
+  SELECT doc_id, n % 13 + 4 AS w, doc_id % 11 + 4 AS h
+  FROM base WHERE doc_id % 2 = 0
+),
+bmp_feats AS (
+  SELECT b.doc_id, 'bmp' AS media_kind,
+         CAST(b.w AS INT) AS width, CAST(b.h AS INT) AS height,
+         CAST(b.doc_id * 13 % 256 AS INT) AS px00_r,
+         CAST(SUM((b.doc_id * 13 + i * 5) % 256) AS BIGINT) AS sum_r,
+         CAST(SUM((b.doc_id * 17 + i * 11) % 256) AS BIGINT) AS sum_g,
+         CAST(SUM((b.doc_id * 31 + i * 7) % 256) AS BIGINT) AS sum_b,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
+  FROM bmp b, UNNEST(range(0, 256)) AS t(i)
+  WHERE i < b.w * b.h
+  GROUP BY b.doc_id, b.w, b.h
+),
+wav AS (
+  SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate, n % 200 + 50 AS cnt
+  FROM base WHERE doc_id % 2 = 1
+),
+wav_feats AS (
+  SELECT w.doc_id, 'wav' AS media_kind,
+         CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+         CAST(NULL AS INT) AS px00_r,
+         CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+         CAST(NULL AS BIGINT) AS sum_b,
+         CAST(w.rate AS INT) AS sample_rate,
+         CAST(w.cnt AS INT) AS n_samples,
+         CAST(SUM(ABS((w.doc_id * 7919 + i * 104729) % 65536 - 32768)) AS BIGINT)
+           AS sum_abs,
+         CAST(MAX(ABS((w.doc_id * 7919 + i * 104729) % 65536 - 32768)) AS INT)
+           AS peak
+  FROM wav w, UNNEST(range(0, 256)) AS t(i)
+  WHERE i < w.cnt
+  GROUP BY w.doc_id, w.rate, w.cnt
+)
+SELECT * FROM bmp_feats UNION ALL SELECT * FROM wav_feats
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
+    "media_codec_features": media_codec_features,
 }
 
 ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
+    "media_codec_features": MEDIA_CODEC_FEATURES_SQL,
 }

@@ -81,7 +81,7 @@ _ORDER = [
     "embedding_cosine_nearup",
     "multimodal_features",
     "media_resize",
-    "media_frame_sample",
+    "media_codec_features",
     "approx_sketches",
     "stream_tumbling_batch",
     "stream_sliding_batch",
@@ -129,6 +129,8 @@ _ORDER = [
     "map_ops",
     "explode_tokens",
     "json_extract_ops",
+    # 1:N mapInPandas sibling of in-window multimodal_features/media_resize
+    "media_frame_sample",
     # C4 representative moved to the tail: conform's consolidated→category
     # conditional runs inside in-window ir_summary_pipeline
     "case_conditional",

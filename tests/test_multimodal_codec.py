@@ -1,0 +1,100 @@
+"""Unit tests for the real BMP/WAV codecs behind ``media_codec_features``.
+
+The registry-level differential check (test_oracle_parity) proves the full
+synthesize → Arrow → parse pipeline against the closed-form oracle; these
+tests pin the parser details that a formula-level check could miss only by
+coincidence: bottom-up row flip, row padding, and cross-writer parsing.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from ir_analyses_spark.llm.multimodal import (
+    decode_bmp,
+    decode_media,
+    decode_wav,
+    synthesize_media,
+)
+
+
+def _bmp_bytes(pixels_topdown: list[list[tuple[int, int, int]]]) -> bytes:
+    """Independent hand-rolled BMP writer (RGB rows given top-down)."""
+    h = len(pixels_topdown)
+    w = len(pixels_topdown[0])
+    row_bytes = (3 * w + 3) // 4 * 4
+    body = b""
+    for row in reversed(pixels_topdown):  # file stores bottom-up
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        body += line + b"\x00" * (row_bytes - len(line))
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+
+
+def test_bmp_decode_flips_bottom_up_rows():
+    # 3x2 image, asymmetric: top-left is pure red, bottom-right pure blue.
+    img = [
+        [(255, 0, 0), (1, 2, 3), (4, 5, 6)],
+        [(7, 8, 9), (10, 11, 12), (0, 0, 255)],
+    ]
+    feats = decode_bmp(_bmp_bytes(img))
+    assert (feats["width"], feats["height"]) == (3, 2)
+    # px00_r must be the TOP-left red — wrong if the decoder forgets the flip
+    assert feats["px00_r"] == 255
+    assert feats["sum_r"] == 255 + 1 + 4 + 7 + 10 + 0
+    assert feats["sum_g"] == 0 + 2 + 5 + 8 + 11 + 0
+    assert feats["sum_b"] == 0 + 3 + 6 + 9 + 12 + 255
+
+
+def test_bmp_decode_respects_row_padding():
+    # width 3 -> 9 pixel bytes padded to 12 per row; junk in the pad bytes
+    # must not leak into sums
+    img = [[(1, 1, 1)] * 3, [(2, 2, 2)] * 3]
+    raw = bytearray(_bmp_bytes(img))
+    raw[-3:] = b"\xff\xff\xff"  # clobber final row's padding
+    feats = decode_bmp(bytes(raw))
+    assert feats["sum_r"] == 3 * 1 + 3 * 2
+
+
+def test_wav_decode_parses_files_written_by_stdlib_wave():
+    # writer here is the stdlib wave module; the engine's synthesizer writes
+    # raw RIFF bytes — decode must accept both
+    samples = [0, 100, -100, 32767, -32768]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(struct.pack("<5h", *samples))
+    feats = decode_wav(buf.getvalue())
+    assert feats["sample_rate"] == 16000
+    assert feats["n_samples"] == 5
+    assert feats["sum_abs"] == 0 + 100 + 100 + 32767 + 32768  # no int16 overflow
+    assert feats["peak"] == 32768
+
+
+def test_decode_media_dispatches_on_magic_bytes():
+    bmp = synthesize_media(2, 57)
+    wav = synthesize_media(3, 57)
+    assert decode_media(bmp)["media_kind"] == "bmp"
+    assert decode_media(wav)["media_kind"] == "wav"
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_synthesized_payloads_are_real_files():
+    # the synthesizer's WAV must be readable by the stdlib parser directly
+    with wave.open(io.BytesIO(synthesize_media(7, 123))) as wf:
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        assert wf.getnframes() == 123 % 200 + 50
+    feats = decode_bmp(synthesize_media(8, 123))
+    assert feats["width"] == 123 % 13 + 4
+    assert feats["height"] == 8 % 11 + 4
