@@ -124,14 +124,102 @@ LIMIT 10
 """
 
 
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-revenue urgent orders still unshipped at a cutoff (TPC-H Q3
+    shape): two selective date/segment filters pushed to the scans, two
+    broadcast-eligible build sides, one fact shuffle for the per-order
+    rollup, then TakeOrderedAndProject for the top-10 — the canonical
+    "filter early, aggregate once, never globally sort" pattern."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1997-06-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_TOPK_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15'
+  AND l_shipdate > TIMESTAMP '1997-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by revenue lost to returns in one quarter (TPC-H Q10
+    shape): time-windowed fact filter, returnflag predicate, customer join
+    AFTER the fact aggregation — aggregate first on the join key so only
+    one group row per customer reaches the join, not every lineitem."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, "customer", sf_dir)
+    lost = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
+    )
+    return (
+        lost.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "lost_revenue")
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REPORT_SQL = f"""
+WITH lost AS (
+  SELECT o_custkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment, lost_revenue
+FROM lost JOIN customer ON o_custkey = c_custkey
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "regional_revenue": regional_revenue,
     "order_priority_counts": order_priority_counts,
     "top_unshipped_parts": top_unshipped_parts,
+    "shipping_priority_topk": shipping_priority_topk,
+    "returned_item_report": returned_item_report,
 }
 
 ORACLES = {
     "regional_revenue": REGIONAL_REVENUE_SQL,
     "order_priority_counts": ORDER_PRIORITY_COUNTS_SQL,
     "top_unshipped_parts": TOP_UNSHIPPED_PARTS_SQL,
+    "shipping_priority_topk": SHIPPING_PRIORITY_TOPK_SQL,
+    "returned_item_report": RETURNED_ITEM_REPORT_SQL,
 }

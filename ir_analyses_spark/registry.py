@@ -139,6 +139,8 @@ _ORDER = [
     "regional_revenue",
     "order_priority_counts",
     "top_unshipped_parts",
+    "shipping_priority_topk",
+    "returned_item_report",
     "salted_twophase_agg",
     "salted_skew_join",
     "ann_ml_brp_lsh",

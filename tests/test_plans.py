@@ -114,6 +114,30 @@ def test_regional_revenue_plan(spark, sf_dir):
     assert plan.count("HashAggregate") == 2  # partial+final rollup
 
 
+def test_shipping_priority_plan(spark, sf_dir):
+    """Q3 shape: both date filters pushed to the scans, the filtered
+    customer keys broadcast, and the top-10 via heap top-k — no global
+    sort of the per-order rollup."""
+    plan = plan_of(spark, sf_dir, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_returned_item_report_aggregates_before_join(spark, sf_dir):
+    """Q10 shape: the per-customer rollup must complete (partial+final
+    HashAggregate) before the customer join, so the join input is one row
+    per customer, not every returned lineitem."""
+    plan = plan_of(spark, sf_dir, "returned_item_report")
+    assert "EqualTo(l_returnflag,R)" in plan  # predicate at the scan
+    assert plan.count("HashAggregate") >= 2
+    # the aggregate feeds the join build/stream side, not vice versa: the
+    # plan string nests children below parents, so the join appears above
+    # the final HashAggregate
+    assert plan.index("Join") < plan.rindex("HashAggregate")
+
+
 @pytest.mark.parametrize(
     "name", ["window_ranking", "window_running_frames", "window_sessionize"]
 )
