@@ -143,6 +143,57 @@ def write_bucketed(
     )
 
 
+def compact_small_files(
+    spark,
+    target_dir: str,
+    partition_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction (table maintenance, the OPTIMIZE of
+    Delta/Iceberg on bare parquet): streaming upserts and per-batch appends
+    accrete tiny files until scan planning, footer reads, and task
+    scheduling dominate query time — at 100 TB a table with 10⁶ kilobyte
+    files is unreadable regardless of its byte size.
+
+    Rewrites the table (or, with ``partition_col``, each partition) into
+    ``ceil(bytes / target_file_bytes)`` files via a staged atomic swap.
+    Data is unchanged — only the file layout. Returns {files_before,
+    files_after}. At scale you run this per-partition on the partitions a
+    merge touched (the same pruning discipline as ``merge_upsert``).
+    """
+    import math
+
+    def _data_files(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    before = _data_files(target_dir)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(target_dir)
+    staging = target_dir.rstrip("/") + "__staging"
+    if partition_col is not None:
+        # repartition by the partition column so each output directory gets
+        # its rows from as few tasks as possible; per-directory file count
+        # is then bounded by the hash spread, not the input file count
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    _swap_in(staging, target_dir)
+    return {"files_before": len(before), "files_after": len(_data_files(target_dir))}
+
+
 def surrogate_key(*cols) -> "pyspark.sql.Column":  # noqa: F821
     """Deterministic 64-bit surrogate key (SURVEY §7.3.1): xxhash64 of the
     natural key — stable across runs/executors, unlike

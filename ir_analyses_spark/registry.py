@@ -131,6 +131,9 @@ _ORDER = [
     "json_extract_ops",
     # 1:N mapInPandas sibling of in-window multimodal_features/media_resize
     "media_frame_sample",
+    # additional streaming-family entry (5 reps already in-window): real
+    # multi-batch stream maintaining an additive rollup table
+    "stream_incremental_rollup",
     # C4 representative moved to the tail: conform's consolidated→category
     # conditional runs inside in-window ir_summary_pipeline
     "case_conditional",

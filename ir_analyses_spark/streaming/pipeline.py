@@ -171,6 +171,86 @@ def foreach_batch_upsert(
 
 
 # ---------------------------------------------------------------------------
+# Incremental rollup: a continuously-maintained pre-aggregate (the
+# hypertable continuous-aggregate / materialized-rollup pattern)
+# ---------------------------------------------------------------------------
+
+def rollup_delta(events: DataFrame) -> DataFrame:
+    """Per-(day, event_type) partial aggregate of one frame. Source-agnostic
+    (micro-batch or bounded). Both measures are RE-AGGREGABLE — count and an
+    integer-micros sum combine by addition — which is what makes the rollup
+    incrementally maintainable without reprocessing history; avg/median
+    would need their re-aggregable decompositions (sum+count / sketch).
+    Day is a string so the partition value round-trips identically (the
+    engine disables partition-column type inference)."""
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")
+        ).alias("value_micros"),
+    )
+
+
+def merge_rollup_additive(delta: DataFrame, target_dir: str) -> None:
+    """ADDITIVE merge of a rollup delta: unlike keyed MERGE (which replaces
+    rows), existing bucket rows and the delta are re-aggregated so counts
+    and sums accumulate. The rewrite is pruned to the days present in the
+    delta and written with dynamic partition overwrite — a micro-batch
+    touching one day rewrites one directory, never the table."""
+    spark = delta.sparkSession
+    if os.path.exists(target_dir):
+        touched = [r[0] for r in delta.select("day").distinct().collect()]
+        current = spark.read.parquet(target_dir).filter(
+            F.col("day").isin(touched)
+        )
+        merged = (
+            current.unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_micros").alias("value_micros"),
+            )
+            # cut lineage to the files the overwrite is about to replace
+            .localCheckpoint(eager=True)
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("day").parquet(target_dir)
+    else:
+        delta.write.partitionBy("day").parquet(target_dir)
+
+
+def foreach_batch_rollup(df: DataFrame, target_dir: str):
+    """Streaming sink that keeps the rollup current: every micro-batch
+    folds its partial aggregate into the rollup table. State lives in the
+    table itself — no streaming-state store — so the rollup survives
+    restarts and is queryable mid-stream at scan speed.
+
+    Addition is NOT naturally idempotent (a replayed batch would
+    double-count), so each applied batch_id leaves a marker next to the
+    table and replays skip — the ledger trick every transactionless
+    additive sink needs (Delta's txn version does this internally)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ledger = target_dir.rstrip("/") + "__applied"
+        marker = os.path.join(ledger, str(batch_id))
+        if os.path.exists(marker):
+            return
+        merge_rollup_additive(rollup_delta(batch_df), target_dir)
+        os.makedirs(ledger, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{target_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator: per-user running totals via applyInPandasWithState
 # ---------------------------------------------------------------------------
 
@@ -421,6 +501,49 @@ WHERE rn = 1
 """
 
 
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the incremental-rollup sink over a REAL multi-batch stream:
+    the events table is staged as three files (maxFilesPerTrigger=1 → three
+    micro-batches), each batch's delta additively merges into the
+    partitioned rollup table, and the final table is returned. The oracle
+    is the one-shot batch aggregate — additivity means N incremental merges
+    must equal the single full aggregation exactly (integer micros, no
+    float drift)."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="ir_spark_rollup_src_")
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="ir_spark_rollup_tgt_"), "rollup"
+    )
+    try:
+        # split the source into 3 files with the RAW schema (ts still
+        # nanos-as-long) so the staged dir looks like a growing stream
+        raw = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        raw.repartition(3).write.mode("overwrite").parquet(src)
+        q = foreach_batch_rollup(stream_events(spark, src), target)
+        q.awaitTermination()
+        out = spark.read.parquet(target).select(
+            "day", "event_type", "n_events", "value_micros"
+        )
+        # materialize before the temp dirs vanish
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAM_INCREMENTAL_ROLLUP_SQL = """
+SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch twins (driver-checkable oracle surface for the same semantics)
 # ---------------------------------------------------------------------------
@@ -501,6 +624,7 @@ QUERIES = {
     "stream_session_batch": stream_session_batch,
     "stateful_user_totals": stateful_user_totals,
     "stream_dedup_watermark": stream_dedup_watermark,
+    "stream_incremental_rollup": stream_incremental_rollup,
 }
 
 ORACLES = {
@@ -509,4 +633,5 @@ ORACLES = {
     "stream_session_batch": STREAM_SESSION_SQL,
     "stateful_user_totals": STATEFUL_USER_TOTALS_SQL,
     "stream_dedup_watermark": STREAM_DEDUP_SQL,
+    "stream_incremental_rollup": STREAM_INCREMENTAL_ROLLUP_SQL,
 }

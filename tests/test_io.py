@@ -228,6 +228,42 @@ def test_append_missing_keeps_existing_files(spark, tmp_path):
     assert got == {"E1": "A", "E2": "B"}
 
 
+def test_compact_small_files(spark, tmp_path):
+    """Compaction must shrink the file count to the byte-target bound and
+    leave the data (values AND schema) untouched."""
+    target = str(tmp_path / "shards")
+    # 40 tiny files via 40-way repartition of a small frame
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(40).write.parquet(
+        target
+    )
+    stats = sinks.compact_small_files(spark, target)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1  # total bytes << one target file
+    df = spark.read.parquet(target)
+    assert df.count() == 1000
+    assert sorted(r["v"] for r in df.collect()) == sorted(2 * i for i in range(1000))
+
+
+def test_compact_small_files_partitioned(spark, tmp_path):
+    """Partitioned compaction keeps the directory layout (partition pruning
+    still works afterwards) while collapsing per-directory shards."""
+    import glob
+    import os
+
+    target = str(tmp_path / "pfacts")
+    base = spark.range(400).selectExpr(
+        "CAST(id % 2 AS STRING) AS fy", "id AS v"
+    ).repartition(20)
+    base.write.partitionBy("fy").parquet(target)
+    assert len(glob.glob(os.path.join(target, "fy=0", "*.parquet"))) > 1
+    sinks.compact_small_files(spark, target, partition_col="fy")
+    for part in ("0", "1"):
+        assert len(glob.glob(os.path.join(target, f"fy={part}", "*.parquet"))) == 1
+    got = spark.read.parquet(target)
+    assert got.count() == 400
+    assert got.filter(F.col("fy") == "0").count() == 200
+
+
 def test_replace_partition(spark, tmp_path):
     target = str(tmp_path / "facts")
     base = spark.createDataFrame(

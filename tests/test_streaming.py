@@ -144,6 +144,44 @@ def test_stateful_totals_transform_with_state(spark, events_dir):
     assert _rows(final) == _rows(want)
 
 
+def test_incremental_rollup_additive_and_replay_safe(spark, events_dir, tmp_path):
+    """Three micro-batch merges must equal the one-shot batch aggregate
+    exactly (integer micros), and replaying the stream from a fresh
+    checkpoint must not double-count (batch-id ledger)."""
+    from ir_analyses_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+        rollup_delta,
+    )
+
+    target = str(tmp_path / "rollup")
+    q = foreach_batch_rollup(stream_events(spark, events_dir), target)
+    _run(q)
+    got = _rows(
+        spark.read.parquet(target).select(
+            "day", "event_type", "n_events", "value_micros"
+        )
+    )
+    events = load_table(spark, "events", SF)
+    want = _rows(
+        rollup_delta(events).select("day", "event_type", "n_events", "value_micros")
+    )
+    assert got == want
+    # same checkpoint restart: no-op; fresh checkpoint replay: ledger skips
+    import shutil
+
+    shutil.rmtree(f"{target}__checkpoint")
+    q2 = foreach_batch_rollup(stream_events(spark, events_dir), target)
+    _run(q2)
+    assert (
+        _rows(
+            spark.read.parquet(target).select(
+                "day", "event_type", "n_events", "value_micros"
+            )
+        )
+        == want
+    )
+
+
 def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
     target = str(tmp_path / "upsert_target")
     stream = stream_events(spark, events_dir).select(
