@@ -1,0 +1,136 @@
+"""Corpus sampling & decontamination for training-data pipelines.
+
+Two operations every pretraining data build runs after dedup/quality:
+
+- **benchmark decontamination** — remove training documents that share
+  n-gram content with a held-out evaluation set, so benchmark answers
+  don't leak into the training corpus. Scale shape: the benchmark side is
+  tiny relative to the corpus, so its shingle set broadcasts and the
+  corpus-side shingle stream is filtered map-side — the corpus never
+  shuffles for the overlap test.
+- **stratified sampling** — deterministic per-stratum downsampling to hit
+  a target mixture (e.g. cap the dominant language). Hash-free integer
+  arithmetic on the key keeps the selection reproducible across engines
+  and across runs — resampling with a different quota keeps every
+  previously-selected doc whose bucket is still under quota (stable
+  mixtures, the property mixture tuning needs).
+
+Both are pure column expressions + joins — no UDFs, fully
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from .dedup import shingles
+
+#: deterministic stand-in for a held-out benchmark: every 53rd doc. In a
+#: real pipeline this is the eval-set table; the operator shape is the same.
+_BENCH_MOD = 53
+
+#: Knuth multiplicative constant: spreads sequential doc_ids uniformly over
+#: buckets while staying exactly representable in 64-bit integer arithmetic
+#: in both engines (doc_id * c < 2^63 for doc_id < 3.5e9 — at larger scale
+#: use pmod(xxhash64(key)) engine-side).
+_MIX = 2654435761
+
+
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs whose shingle CONTAINMENT in the benchmark set is
+    below 1/2: keep doc iff 2·|shingles ∩ bench| < |shingles| (integer
+    form — no float-boundary divergence between engines). Production
+    pipelines use word-13-gram containment; the 8-char-shingle shape here
+    is identical.
+
+    Scale shape: benchmark shingles are distinct-ed and broadcast, so the
+    containment join is map-side against the corpus shingle stream; only
+    (doc_id, counts) ever shuffle — one aggregation by doc_id, the corpus
+    text never moves.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench_sh = shingles(bench).select("g").distinct()
+    train_sh = shingles(train)
+    stats = (
+        train_sh.join(
+            F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_hit").alias("shared"),
+        )
+    )
+    clean = stats.filter(2 * F.col("shared") < F.col("n")).select("doc_id")
+    return (
+        train.join(clean, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+BENCHMARK_DECONTAMINATE_SQL = f"""
+WITH bench_sh AS (
+  SELECT DISTINCT substring(text, CAST(i AS INT), 8) AS g
+  FROM documents,
+       UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1)) AS t(i)
+  WHERE doc_id % {_BENCH_MOD} = 0
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+  FROM documents,
+       UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1)) AS t(i)
+  WHERE doc_id % {_BENCH_MOD} <> 0
+),
+stats AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n,
+         COUNT(b.g) AS shared
+  FROM train_sh s LEFT JOIN bench_sh b ON s.g = b.g
+  GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN stats ON d.doc_id = stats.doc_id
+WHERE 2 * shared < n
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language quota (percent) applied
+    by bucketing each doc_id into 100 pseudo-random but reproducible
+    buckets. One scan, one map-side filter — no shuffle, no RNG state; the
+    selection is a pure function of (doc_id, lang), so reruns and
+    backfills select identical rows.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (F.col("doc_id") * F.lit(_MIX)) % 100
+    quota = (
+        F.when(F.col("lang") == "en", F.lit(10))
+        .when(F.col("lang") == "ja", F.lit(50))
+        .otherwise(F.lit(25))
+    )
+    return (
+        docs.filter(bucket < quota)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * {_MIX}) % 100 <
+      CASE lang WHEN 'en' THEN 10 WHEN 'ja' THEN 50 ELSE 25 END
+"""
+
+
+QUERIES = {
+    "benchmark_decontaminate": benchmark_decontaminate,
+    "stratified_sample": stratified_sample,
+}
+
+ORACLES = {
+    "benchmark_decontaminate": BENCHMARK_DECONTAMINATE_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+}

@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .llm import dedup, multimodal, similarity, textstats
+from .llm import dedup, multimodal, sampling, similarity, textstats
 from .ops import (
     aggregates,
     collections,
@@ -43,6 +43,7 @@ _MODULES = [
     dedup,
     similarity,
     textstats,
+    sampling,
     multimodal,
     streaming_pipeline,
     ir_demo,
@@ -116,6 +117,10 @@ _ORDER = [
     "array_agg_ops",
     "pandas_udf_vectorized",
     # ---- 50-query window boundary (driver budget) ----
+    # tail head: novel LLM-pipeline ops first — a time-budgeted sweep
+    # reaches these before the remaining per-family siblings
+    "benchmark_decontaminate",
+    "stratified_sample",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     "apply_in_pandas_topk",
