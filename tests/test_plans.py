@@ -138,6 +138,20 @@ def test_returned_item_report_aggregates_before_join(spark, sf_dir):
     assert plan.index("Join") < plan.rindex("HashAggregate")
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must reach the containment join as a
+    broadcast build side; the corpus side must never sort-merge for it."""
+    plan = plan_of(spark, sf_dir, "benchmark_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    """Deterministic quota sampling is a pure scan+filter: zero exchanges."""
+    plan = plan_of(spark, sf_dir, "stratified_sample")
+    assert "Exchange" not in plan
+
+
 @pytest.mark.parametrize(
     "name", ["window_ranking", "window_running_frames", "window_sessionize"]
 )
