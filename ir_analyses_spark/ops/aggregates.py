@@ -243,6 +243,32 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (§2B approx, the distributed form): build a
+    Datasketches HLL per (returnflag, linestatus) cell, then UNION the
+    binary sketches up to per-returnflag totals — the two-level rollup
+    every incremental/aggregate-table pipeline needs, impossible with
+    plain approx_count_distinct (estimates don't add; sketches do).
+
+    ``tests/test_oracle_parity.py`` runs it rows-only; the in-repo
+    merge-consistency test pins the property that makes it correct at any
+    scale: union-of-parts == sketch-of-whole, exactly (same sketch family,
+    deterministic), no matter how the data was partitioned.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return (
+        cells.groupBy("l_returnflag")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate("merged").alias("approx_parts"),
+        )
+    )
+
+
 def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentile (median) — oracle-checked counterpart of
     the approx sketch, rounded to 6 dp to absorb interpolation ulp drift."""
@@ -328,6 +354,7 @@ QUERIES = {
     "dedup_by_key": dedup_by_key,
     "latest_per_group": latest_per_group,
     "approx_sketches": approx_sketches,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
     "exact_median": exact_median,
     "minmax_extremes": minmax_extremes,
 }

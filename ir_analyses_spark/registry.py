@@ -121,6 +121,7 @@ _ORDER = [
     # reaches these before the remaining per-family siblings
     "benchmark_decontaminate",
     "stratified_sample",
+    "hll_mergeable_rollup",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     "apply_in_pandas_topk",

@@ -22,6 +22,33 @@ def con(sf_dir):
     c.close()
 
 
+def test_hll_union_of_parts_equals_whole(spark, sf_dir):
+    """The property that makes sketch rollups valid at any scale: merging
+    per-cell HLL sketches must give EXACTLY the estimate of sketching the
+    whole partition — same sketch family, deterministic merge — however
+    the data was split."""
+    from pyspark.sql import functions as F
+
+    from ir_analyses_spark.io.sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    merged = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["hll_mergeable_rollup"](spark, sf_dir).collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias(
+                "approx_parts"
+            )
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
