@@ -143,6 +143,87 @@ def write_bucketed(
     )
 
 
+def scd2_merge(
+    updates: DataFrame,
+    target_dir: str,
+    key: str,
+    change_cols: list[str],
+    effective_col: str = "effective_from",
+) -> None:
+    """Slowly-changing-dimension type-2 merge: history-preserving upsert.
+
+    The target keeps one row per (key, version) with ``effective_from`` /
+    ``effective_to`` / ``is_current``; an update whose ``change_cols``
+    differ from the key's current row CLOSES that row (effective_to :=
+    update's effective_from) and appends the new version. Unchanged keys
+    and non-current history rows pass through untouched — at scale,
+    combine with a partition column the way ``merge_upsert`` does.
+
+    The reference keeps only latest state (ORM upsert); SCD2 is what the
+    same write needs once history must be queryable "as of" any date.
+    Like SQL MERGE, one update row per key per batch — collapse a batch
+    to latest-per-key first (A4) if the feed can repeat keys.
+    """
+    spark = updates.sparkSession
+    upd = updates.select(
+        F.col(key),
+        *[F.col(c) for c in change_cols],
+        F.col(effective_col).alias("_new_from"),
+    )
+    if not os.path.exists(target_dir):
+        first = upd.select(
+            key,
+            *change_cols,
+            F.col("_new_from").alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+        first.write.parquet(target_dir)
+        return
+    current = spark.read.parquet(target_dir)
+    changed = (F.struct(*[f"cur.{c}" for c in change_cols])
+               != F.struct(*[f"u.{c}" for c in change_cols]))
+    cur = current.alias("cur")
+    u = upd.alias("u")
+    joined = cur.join(u, F.col(f"cur.{key}") == F.col(f"u.{key}"), "left")
+    # current rows: close if a differing update arrived, else keep as-is
+    kept_or_closed = joined.select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{c}").alias(c) for c in change_cols],
+        F.col("cur.effective_from").alias("effective_from"),
+        F.when(
+            F.col("cur.is_current") & F.col("u._new_from").isNotNull() & changed,
+            F.col("u._new_from"),
+        )
+        .otherwise(F.col("cur.effective_to"))
+        .alias("effective_to"),
+        F.when(
+            F.col("cur.is_current") & F.col("u._new_from").isNotNull() & changed,
+            F.lit(False),
+        )
+        .otherwise(F.col("cur.is_current"))
+        .alias("is_current"),
+    )
+    # new versions: updates that differ from the key's current row, plus
+    # brand-new keys
+    cur_now = current.filter("is_current").alias("cur")
+    new_rows = (
+        u.join(cur_now, F.col(f"u.{key}") == F.col(f"cur.{key}"), "left")
+        .filter(F.col(f"cur.{key}").isNull() | changed)
+        .select(
+            F.col(f"u.{key}").alias(key),
+            *[F.col(f"u.{c}").alias(c) for c in change_cols],
+            F.col("u._new_from").alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    merged = kept_or_closed.unionByName(new_rows).localCheckpoint(eager=True)
+    staging = target_dir.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    _swap_in(staging, target_dir)
+
+
 def compact_small_files(
     spark,
     target_dir: str,

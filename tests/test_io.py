@@ -228,6 +228,64 @@ def test_append_missing_keeps_existing_files(spark, tmp_path):
     assert got == {"E1": "A", "E2": "B"}
 
 
+def test_scd2_merge_versions_history(spark, tmp_path):
+    """Type-2 merge: changed keys close the old version and append a new
+    current one; unchanged keys and prior history stay untouched."""
+    import datetime as dt
+
+    target = str(tmp_path / "dim")
+
+    def day(s):
+        return dt.date.fromisoformat(s)
+
+    b1 = spark.createDataFrame(
+        [("E1", "Tokyo", day("2023-01-01")), ("E2", "Osaka", day("2023-01-01"))],
+        "code string, city string, effective_from date",
+    )
+    sinks.scd2_merge(b1, target, key="code", change_cols=["city"])
+    # E1 moves, E2 unchanged, E3 appears
+    b2 = spark.createDataFrame(
+        [
+            ("E1", "Kyoto", day("2023-06-01")),
+            ("E2", "Osaka", day("2023-06-01")),
+            ("E3", "Nagoya", day("2023-06-01")),
+        ],
+        "code string, city string, effective_from date",
+    )
+    sinks.scd2_merge(b2, target, key="code", change_cols=["city"])
+    rows = sorted(
+        (
+            r["code"],
+            r["city"],
+            str(r["effective_from"]),
+            str(r["effective_to"]),
+            r["is_current"],
+        )
+        for r in spark.read.parquet(target).collect()
+    )
+    assert rows == [
+        ("E1", "Kyoto", "2023-06-01", "None", True),
+        ("E1", "Tokyo", "2023-01-01", "2023-06-01", False),
+        ("E2", "Osaka", "2023-01-01", "None", True),
+        ("E3", "Nagoya", "2023-06-01", "None", True),
+    ]
+    # a third change for E1 must close the 2023-06 version, keep 2023-01 history
+    b3 = spark.createDataFrame(
+        [("E1", "Sendai", day("2024-01-01"))],
+        "code string, city string, effective_from date",
+    )
+    sinks.scd2_merge(b3, target, key="code", change_cols=["city"])
+    e1 = sorted(
+        (r["city"], str(r["effective_to"]), r["is_current"])
+        for r in spark.read.parquet(target).filter(F.col("code") == "E1").collect()
+    )
+    assert e1 == [
+        ("Kyoto", "2024-01-01", False),
+        ("Sendai", "None", True),
+        ("Tokyo", "2023-06-01", False),
+    ]
+
+
 def test_compact_small_files(spark, tmp_path):
     """Compaction must shrink the file count to the byte-target bound and
     leave the data (values AND schema) untouched."""
