@@ -138,6 +138,15 @@ def test_returned_item_report_aggregates_before_join(spark, sf_dir):
     assert plan.index("Join") < plan.rindex("HashAggregate")
 
 
+def test_ann_ivf_centroids_broadcast(spark, sf_dir):
+    """IVF assignment must score corpus×centroids via a BROADCAST nested
+    loop (centroids are |corpus|/stride); a shuffled CartesianProduct here
+    is the plan that dies at scale."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     """The benchmark shingle set must reach the containment join as a
     broadcast build side; the corpus side must never sort-merge for it."""
