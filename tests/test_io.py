@@ -286,6 +286,53 @@ def test_scd2_merge_versions_history(spark, tmp_path):
     ]
 
 
+def test_scd2_merge_random_batches_match_model(spark, tmp_path):
+    """Randomized differential: a fixed-seed sequence of update batches
+    through scd2_merge must equal an independent sequential Python model
+    (the same N-cases-one-job pattern as the parser property tests)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    keys = [f"K{i}" for i in range(6)]
+    cities = ["A", "B", "C"]
+    target = str(tmp_path / "dim_rand")
+
+    # model: key -> list of [city, from, to, current]
+    model: dict[str, list[list]] = {}
+
+    def model_apply(batch, day):
+        for k, city in batch:
+            versions = model.setdefault(k, [])
+            cur = next((v for v in versions if v[3]), None)
+            if cur is None:
+                versions.append([city, day, None, True])
+            elif cur[0] != city:
+                cur[2], cur[3] = day, False
+                versions.append([city, day, None, True])
+
+    for step in range(5):
+        day = dt.date(2023, 1 + step, 1)
+        batch = [(k, rng.choice(cities)) for k in rng.sample(keys, rng.randint(1, 5))]
+        df = spark.createDataFrame(
+            [(k, c, day) for k, c in batch],
+            "code string, city string, effective_from date",
+        )
+        sinks.scd2_merge(df, target, key="code", change_cols=["city"])
+        model_apply(batch, day)
+
+    got = sorted(
+        (r["code"], r["city"], str(r["effective_from"]), str(r["effective_to"]), r["is_current"])
+        for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(
+        (k, v[0], str(v[1]), str(v[2]), v[3])
+        for k, versions in model.items()
+        for v in versions
+    )
+    assert got == want
+
+
 def test_compact_small_files(spark, tmp_path):
     """Compaction must shrink the file count to the byte-target bound and
     leave the data (values AND schema) untouched."""
