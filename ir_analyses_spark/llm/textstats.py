@@ -207,12 +207,91 @@ WHERE q.keep
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token pairs across the corpus — the counting step of
+    one BPE/WordPiece merge iteration (tokenizer training's inner loop).
+
+    Shape at 100 TB: the pair explode is map-side (positions, not arrays of
+    strings), partial aggregation combines before the single shuffle on the
+    pair key, and the top-k is a heap (TakeOrderedAndProject), never a
+    global sort. Ties break lexicographically so the result is total-order
+    deterministic cross-engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    # position explode + element_at stays in whole-stage codegen end to
+    # end; a transform(...) HOF building per-doc struct arrays would run
+    # interpreted per element (the measured 50x loss the MinHash pipeline
+    # documents) — same discipline as shingles()
+    toks = docs.select(F.split("text", " ").alias("w"))
+    pairs = (
+        toks.select(
+            "w", F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i")
+        )
+        .select(
+            F.element_at("w", F.col("i")).alias("a"),
+            F.element_at("w", F.col("i") + 1).alias("b"),
+        )
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+  FROM toks, UNNEST(range(1, LEN(w))) AS t(i)
+)
+SELECT a, b, COUNT(*) AS n
+FROM pairs
+GROUP BY a, b
+ORDER BY n DESC, a, b
+LIMIT 50
+"""
+
+
+def doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token (the exact-integer core of IDF: df and
+    corpus size N; the float log happens downstream so engines can't
+    disagree). One distinct-(doc,token) shuffle, then a count by token —
+    the canonical inverted-index statistics job."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("n_docs", F.lit(n_docs))
+    )
+
+
+DOC_FREQUENCY_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS df,
+       (SELECT COUNT(*) FROM documents) AS n_docs
+FROM tok
+GROUP BY token
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "bpe_pair_counts": bpe_pair_counts,
+    "doc_frequency": doc_frequency,
 }
 
 ORACLES = {
@@ -221,4 +300,6 @@ ORACLES = {
     "quality_score": QUALITY_SCORE_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_PIPELINE_SQL,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "doc_frequency": DOC_FREQUENCY_SQL,
 }

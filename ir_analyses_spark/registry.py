@@ -122,6 +122,8 @@ _ORDER = [
     "benchmark_decontaminate",
     "stratified_sample",
     "hll_mergeable_rollup",
+    "bpe_pair_counts",
+    "doc_frequency",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     "apply_in_pandas_topk",
