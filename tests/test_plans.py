@@ -138,6 +138,16 @@ def test_returned_item_report_aggregates_before_join(spark, sf_dir):
     assert plan.index("Join") < plan.rindex("HashAggregate")
 
 
+def test_bpe_pair_counts_heap_topk_partial_agg(spark, sf_dir):
+    """The tokenizer pair count must map-side combine (partial+final
+    HashAggregate around one exchange) and take the top-50 as a heap, not
+    a global sort of the pair distribution."""
+    plan = plan_of(spark, sf_dir, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
 def test_ann_ivf_centroids_broadcast(spark, sf_dir):
     """IVF assignment must score corpus×centroids via a BROADCAST nested
     loop (centroids are |corpus|/stride); a shuffled CartesianProduct here
