@@ -124,6 +124,8 @@ _ORDER = [
     "hll_mergeable_rollup",
     "bpe_pair_counts",
     "doc_frequency",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     "apply_in_pandas_topk",

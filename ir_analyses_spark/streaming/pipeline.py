@@ -501,6 +501,85 @@ WHERE rn = 1
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, executed as a REAL stream: each
+    micro-batch of events joins the static ``nation`` dim (broadcast — the
+    dim is re-readable per batch, never stateful) to attach a region
+    label. The canonical lookup-enrichment every event pipeline runs;
+    state cost is zero because only the stream side moves."""
+    events = stream_events(spark, _stage_events_dir(sf_dir))
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    enriched = events.join(
+        F.broadcast(nation), events["user_id"] % 25 == nation["n_nationkey"]
+    ).select("event_id", "user_id", "n_name", "event_type", "value")
+    return _run_to_table(enriched, "append")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT event_id, user_id, n_name, event_type, value
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+"""
+
+
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join, executed for real: clicks and
+    purchases arrive as two independent file streams, and a purchase joins
+    every click by the same user in the preceding 30 minutes. Watermarks
+    on both sides bound the buffered state to the interval width — the
+    piece that makes a stream-stream join runnable forever; inner-join
+    matches emit as soon as both sides arrive. The elapsed gap is emitted
+    in integer microseconds so the oracle compare is exact."""
+    clicks = (
+        stream_events(spark, _stage_events_dir(sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        stream_events(spark, _stage_events_dir(sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("click_ts")).alias(
+            "micros_to_purchase"
+        ),
+    )
+    return _run_to_table(joined, "append")
+
+
+STREAM_STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       EPOCH_US(p.ts) - EPOCH_US(c.ts) AS micros_to_purchase
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executes the incremental-rollup sink over a REAL multi-batch stream:
     the events table is staged as three files (maxFilesPerTrigger=1 → three
@@ -625,6 +704,8 @@ QUERIES = {
     "stateful_user_totals": stateful_user_totals,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_incremental_rollup": stream_incremental_rollup,
+    "stream_static_enrich": stream_static_enrich,
+    "stream_stream_interval_join": stream_stream_interval_join,
 }
 
 ORACLES = {
@@ -634,4 +715,6 @@ ORACLES = {
     "stateful_user_totals": STATEFUL_USER_TOTALS_SQL,
     "stream_dedup_watermark": STREAM_DEDUP_SQL,
     "stream_incremental_rollup": STREAM_INCREMENTAL_ROLLUP_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "stream_stream_interval_join": STREAM_STREAM_INTERVAL_JOIN_SQL,
 }
