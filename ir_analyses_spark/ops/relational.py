@@ -226,6 +226,35 @@ FROM events
 """
 
 
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path (§2B array/map/json, current-gen form):
+    ``parse_json`` once into a binary variant, then typed ``variant_get``
+    accesses — the open-format successor of get_json_object that parses
+    the document a single time instead of re-parsing the string per
+    extraction (the difference between O(fields) and O(fields × doc) on a
+    wide-payload scan). Same observable values as the string path, so the
+    DuckDB JSON functions oracle it exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_key"),
+        F.is_variant_null(F.try_variant_get(v, "$.k", "variant")).alias(
+            "k_is_json_null"
+        ),
+    )
+
+
+VARIANT_JSON_OPS_SQL = """
+SELECT event_id,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_typed,
+       JSON_EXTRACT_STRING(props, '$.missing') AS missing_key,
+       JSON_EXTRACT(props, '$.k') = 'null'::JSON AS k_is_json_null
+FROM events
+"""
+
+
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time library (C13/C14, §2B date lib): trunc, month add,
     diff, last_day, extract fields, formatting."""
@@ -411,6 +440,7 @@ QUERIES = {
     "case_conditional": case_conditional,
     "regexp_extract_ops": regexp_extract_ops,
     "json_extract_ops": json_extract_ops,
+    "variant_json_ops": variant_json_ops,
     "date_functions": date_functions,
     "math_functions": math_functions,
     "set_operations": set_operations,
@@ -426,6 +456,7 @@ ORACLES = {
     "case_conditional": CASE_CONDITIONAL_SQL,
     "regexp_extract_ops": REGEXP_EXTRACT_OPS_SQL,
     "json_extract_ops": JSON_EXTRACT_OPS_SQL,
+    "variant_json_ops": VARIANT_JSON_OPS_SQL,
     "date_functions": DATE_FUNCTIONS_SQL,
     "math_functions": MATH_FUNCTIONS_SQL,
     "set_operations": SET_OPERATIONS_SQL,

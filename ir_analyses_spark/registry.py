@@ -139,6 +139,8 @@ _ORDER = [
     "map_ops",
     "explode_tokens",
     "json_extract_ops",
+    # Spark 4 VariantType sibling of json_extract_ops
+    "variant_json_ops",
     # 1:N mapInPandas sibling of in-window multimodal_features/media_resize
     "media_frame_sample",
     # additional streaming-family entry (5 reps already in-window): real
