@@ -275,6 +275,24 @@ def compact_small_files(
     return {"files_before": len(before), "files_after": len(_data_files(target_dir))}
 
 
+def write_sorted_shards(
+    df: DataFrame, path: str, sort_col: str, n_shards: int
+) -> None:
+    """Range-sharded sorted output: ``repartitionByRange`` samples the sort
+    key to build balanced, NON-OVERLAPPING shard boundaries, then each
+    shard sorts locally — a full distributed sort without any single
+    machine seeing all data. This is both the training-shard layout
+    (readers stream shard k independently, globally ordered across shards)
+    and the precondition for min/max file skipping: disjoint per-file key
+    ranges make a point query touch exactly one file."""
+    (
+        df.repartitionByRange(n_shards, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def surrogate_key(*cols) -> "pyspark.sql.Column":  # noqa: F821
     """Deterministic 64-bit surrogate key (SURVEY §7.3.1): xxhash64 of the
     natural key — stable across runs/executors, unlike

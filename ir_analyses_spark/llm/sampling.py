@@ -125,12 +125,81 @@ WHERE (doc_id * {_MIX}) % 100 <
 """
 
 
+#: training-sequence length for packing (tokens per bin)
+_SEQ_LEN = 256
+#: shards for scale-safe prefix sums — packing is per-shard, so the window
+#: cumsum never needs a single global partition
+_N_SHARDS = 16
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    within each shard, documents are laid end-to-end in doc_id order and
+    the token stream is cut every ``_SEQ_LEN`` tokens; each doc reports its
+    token offset and the bin range it spans.
+
+    Scale shape: a running SUM window PARTITIONED by shard — the prefix
+    sum that would be a single-partition scale-killer globally becomes an
+    embarrassingly parallel per-shard pass (training shards are exactly
+    this independent in practice). One shuffle on the shard key; all
+    outputs are exact integers.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    shard = (F.col("doc_id") % _N_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", shard, n_tok.alias("n_tokens")
+    ).withColumn("tok_end", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("tok_end") - F.col("n_tokens")).alias("tok_start"),
+        F.floor((F.col("tok_end") - F.col("n_tokens")) / _SEQ_LEN).alias(
+            "first_bin"
+        ),
+        F.floor((F.col("tok_end") - 1) / _SEQ_LEN).alias("last_bin"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % {_N_SHARDS} AS shard,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS tok_end
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       tok_end - n_tokens AS tok_start,
+       CAST(FLOOR((tok_end - n_tokens) / {_SEQ_LEN}) AS BIGINT) AS first_bin,
+       CAST(FLOOR((tok_end - 1) / {_SEQ_LEN}) AS BIGINT) AS last_bin
+FROM cum
+"""
+
+
 QUERIES = {
     "benchmark_decontaminate": benchmark_decontaminate,
     "stratified_sample": stratified_sample,
+    "sequence_packing": sequence_packing,
 }
 
 ORACLES = {
     "benchmark_decontaminate": BENCHMARK_DECONTAMINATE_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
 }

@@ -126,6 +126,7 @@ _ORDER = [
     "doc_frequency",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "sequence_packing",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     "apply_in_pandas_topk",

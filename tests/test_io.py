@@ -369,6 +369,31 @@ def test_compact_small_files_partitioned(spark, tmp_path):
     assert got.filter(F.col("fy") == "0").count() == 200
 
 
+def test_write_sorted_shards_disjoint_and_sorted(spark, tmp_path):
+    """Shard files must hold disjoint key ranges (global order across
+    shards) and be internally sorted — the property that makes point
+    queries touch one file and shard readers independent."""
+    import glob
+    import os
+
+    path = str(tmp_path / "shards")
+    df = spark.range(10_000).selectExpr("(id * 2654435761) % 9973 AS k", "id AS v")
+    sinks.write_sorted_shards(df, path, "k", n_shards=8)
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        ks = [r["k"] for r in spark.read.parquet(f"file://{f}").collect()]
+        if not ks:
+            continue
+        assert ks == sorted(ks), "shard not internally sorted"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner actually spread the data
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "shard key ranges overlap"
+    total = spark.read.parquet(path).count()
+    assert total == 10_000
+
+
 def test_replace_partition(spark, tmp_path):
     target = str(tmp_path / "facts")
     base = spark.createDataFrame(
