@@ -170,6 +170,48 @@ def foreach_batch_upsert(
     )
 
 
+def foreach_batch_scd2(
+    df: DataFrame,
+    target_dir: str,
+    key: str,
+    change_cols: list[str],
+    effective_col: str = "effective_from",
+):
+    """Streaming CDC → SCD2: every micro-batch of change events versions
+    the dimension table (close-and-append via ``io.sinks.scd2_merge``).
+    The batch is first collapsed to its latest row per key (SCD2's
+    one-update-per-key contract; intermediate same-batch flips are
+    sub-batch-granularity history by definition). Replay needs the same
+    batch-id ledger as the rollup sink: re-merging only the LAST batch is
+    a no-op (values already current), but a replay from batch 0 would see
+    older values as "changes" against the final state and append stale
+    versions — time only moves forward through the ledger."""
+    from ..io.sinks import scd2_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ledger = target_dir.rstrip("/") + "__applied"
+        marker = os.path.join(ledger, str(batch_id))
+        if os.path.exists(marker):
+            return
+        w = Window.partitionBy(key).orderBy(F.col(effective_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        scd2_merge(latest, target_dir, key, change_cols, effective_col)
+        os.makedirs(ledger, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{target_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental rollup: a continuously-maintained pre-aggregate (the
 # hypertable continuous-aggregate / materialized-rollup pattern)

@@ -144,6 +144,50 @@ def test_stateful_totals_transform_with_state(spark, events_dir):
     assert _rows(final) == _rows(want)
 
 
+def test_foreach_batch_scd2_versions_dimension(spark, events_dir, tmp_path):
+    """A change stream must version the dimension: per-user latest
+    event_type becomes the current row, superseded values close with the
+    change date, and replaying the stream is a no-op (batch-id ledger —
+    a from-scratch replay would otherwise append stale versions)."""
+    from ir_analyses_spark.streaming.pipeline import foreach_batch_scd2
+
+    target = str(tmp_path / "user_dim")
+    changes = stream_events(spark, events_dir).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.to_date("ts").alias("effective_from"),
+    )
+    q = foreach_batch_scd2(
+        changes, target, key="user_id", change_cols=["state"]
+    )
+    _run(q)
+    dim = spark.read.parquet(target)
+    n_versions = dim.count()
+    # exactly one current row per user
+    users = load_table(spark, "events", SF).select("user_id").distinct().count()
+    assert dim.filter("is_current").count() == users
+    # closed rows chain: every non-current row's effective_to is some later
+    # version's effective_from for the same user
+    closed = dim.filter(~F.col("is_current"))
+    assert closed.count() == n_versions - users
+    chain = closed.alias("c").join(
+        dim.alias("n"),
+        (F.col("c.user_id") == F.col("n.user_id"))
+        & (F.col("c.effective_to") == F.col("n.effective_from")),
+        "left_anti",
+    )
+    assert chain.count() == 0
+    # replay with a fresh checkpoint: identical table (idempotent merge)
+    import shutil
+
+    shutil.rmtree(f"{target}__checkpoint")
+    q2 = foreach_batch_scd2(
+        changes, target, key="user_id", change_cols=["state"]
+    )
+    _run(q2)
+    assert spark.read.parquet(target).count() == n_versions
+
+
 def test_incremental_rollup_additive_and_replay_safe(spark, events_dir, tmp_path):
     """Three micro-batch merges must equal the one-shot batch aggregate
     exactly (integer micros), and replaying the stream from a fresh
