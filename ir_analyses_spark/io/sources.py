@@ -113,15 +113,30 @@ def read_filing_csvs(
             "_filing_path", F.lit(None).cast("string")
         )
 
-    by_enc: dict[str, list[str]] = defaultdict(list)
+    # Group by (charset, lineSep): Spark's CSV reader splits lines on raw
+    # bytes, so multi-byte charsets (the UTF-16 EDINET exports) need the
+    # line separator stated explicitly or every record lands on one line.
+    by_enc: dict[tuple[str, str | None], list[str]] = defaultdict(list)
     for p in paths:
-        by_enc[sniff_encoding(p)].append(p)
+        enc = sniff_encoding(p)
+        lsep = None
+        if enc.upper().startswith("UTF-16"):
+            with open(p, "rb") as f:
+                head = f.read(64 * 1024)
+            codec = "utf-16-le" if enc.upper().endswith("LE") else "utf-16-be"
+            text = head.decode(codec, errors="ignore")
+            lsep = "\r\n" if "\r\n" in text else "\n"
+        by_enc[(enc, lsep)].append(p)
 
     scans = []
-    for enc, group in sorted(by_enc.items()):
+    for (enc, lsep), group in sorted(by_enc.items(), key=str):
+        opts = {"sep": delimiter, "header": True, "encoding": enc,
+                "mode": "PERMISSIVE"}
+        if lsep is not None:
+            opts["lineSep"] = lsep
         scans.append(
             spark.read.schema(RAW_FILING_SCHEMA)
-            .options(sep=delimiter, header=True, encoding=enc, mode="PERMISSIVE")
+            .options(**opts)
             .csv(group)
             .withColumn("_filing_path", F.input_file_name())
         )
