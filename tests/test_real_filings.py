@@ -54,6 +54,35 @@ def test_all_filings_scan_and_conform(spark, real_bundle):
     ]
 
 
+def test_real_backfill_roundtrip_idempotent(spark, tmp_path, real_bundle):
+    """The backfill DAG over the real filings must land the four silver
+    tables, survive a re-run unchanged (upsert + partition replace), and
+    serve the same summary from disk as from memory."""
+    from ir_analyses_spark.etl import pipeline
+
+    _, _, in_memory = real_bundle
+    out = str(tmp_path / "silver")
+    pipeline.backfill_from_csvs(spark, DOWNLOAD_GLOB, out)
+    first = {
+        name: df.count() for name, df in pipeline.read_silver(spark, out).items()
+    }
+    assert first["companies"] == 8 and first["reports"] == 8
+    # idempotence: a second backfill converges to the same tables
+    pipeline.backfill_from_csvs(spark, DOWNLOAD_GLOB, out)
+    silver = pipeline.read_silver(spark, out)
+    assert {n: df.count() for n, df in silver.items()} == first
+    from_disk = {
+        r["edinet_code"]: r
+        for r in summary_q.financial_summary(
+            silver["companies"], silver["reports"], silver["facts"], silver["items"]
+        ).collect()
+    }
+    assert set(from_disk) == set(in_memory)
+    for code, row in in_memory.items():
+        assert from_disk[code]["net_sales"] == row["net_sales"], code
+        assert from_disk[code]["net_income"] == row["net_income"], code
+
+
 def test_real_summary_values(real_bundle):
     """Figures from the actual filings (millions of JPY after the engine's
     unit rescale): a plain-positive company, a sub-million decimal one, and
