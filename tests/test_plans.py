@@ -138,6 +138,15 @@ def test_returned_item_report_aggregates_before_join(spark, sf_dir):
     assert plan.index("Join") < plan.rindex("HashAggregate")
 
 
+def test_variant_ops_scan_only(spark, sf_dir):
+    """Variant extraction is a pure projection: zero exchanges, and the
+    scan reads only the two referenced columns."""
+    plan = plan_of(spark, sf_dir, "variant_json_ops")
+    assert "Exchange" not in plan
+    (rs,) = read_schemas(plan)
+    assert "props" in rs and "user_id" not in rs
+
+
 def test_bpe_pair_counts_heap_topk_partial_agg(spark, sf_dir):
     """The tokenizer pair count must map-side combine (partial+final
     HashAggregate around one exchange) and take the top-50 as a heap, not
