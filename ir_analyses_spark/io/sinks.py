@@ -181,8 +181,13 @@ def scd2_merge(
         first.write.parquet(target_dir)
         return
     current = spark.read.parquet(target_dir)
-    changed = (F.struct(*[f"cur.{c}" for c in change_cols])
-               != F.struct(*[f"u.{c}" for c in change_cols]))
+    # null-safe change test: plain struct != returns NULL when a member is
+    # NULL, which would silently skip NULL→value (and value→NULL) changes
+    changed = ~(
+        F.struct(*[f"cur.{c}" for c in change_cols]).eqNullSafe(
+            F.struct(*[f"u.{c}" for c in change_cols])
+        )
+    )
     cur = current.alias("cur")
     u = upd.alias("u")
     joined = cur.join(u, F.col(f"cur.{key}") == F.col(f"u.{key}"), "left")
@@ -260,11 +265,20 @@ def compact_small_files(
     df = spark.read.parquet(target_dir)
     staging = target_dir.rstrip("/") + "__staging"
     if partition_col is not None:
-        # repartition by the partition column so each output directory gets
-        # its rows from as few tasks as possible; per-directory file count
-        # is then bounded by the hash spread, not the input file count
+        # Repartition by (partition value, row salt): keying by the value
+        # alone would bound each directory to ONE task — and therefore one
+        # file — so a hot partition could never split to the byte target.
+        # The salt spreads each value over ceil(n_files / n_dirs) tasks;
+        # the dynamic writer still emits one file per (task, value).
+        n_dirs = max(
+            1, len({os.path.dirname(f) for f in before})
+        )
+        spread = max(1, -(-n_files // n_dirs))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(spread)
+        )
         (
-            df.repartition(n_files, partition_col)
+            df.repartition(max(n_files, n_dirs), F.col(partition_col), salt)
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(staging)

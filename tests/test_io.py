@@ -286,6 +286,60 @@ def test_scd2_merge_versions_history(spark, tmp_path):
     ]
 
 
+def test_scd2_merge_null_transitions(spark, tmp_path):
+    """NULL→value and value→NULL must count as changes (null-safe struct
+    compare); NULL→NULL must not."""
+    import datetime as dt
+
+    target = str(tmp_path / "dimnull")
+    d1, d2 = dt.date(2023, 1, 1), dt.date(2023, 6, 1)
+    b1 = spark.createDataFrame(
+        [("E1", None, d1), ("E2", None, d1), ("E3", "A", d1)],
+        "code string, city string, effective_from date",
+    )
+    sinks.scd2_merge(b1, target, key="code", change_cols=["city"])
+    b2 = spark.createDataFrame(
+        [("E1", "X", d2), ("E2", None, d2), ("E3", None, d2)],
+        "code string, city string, effective_from date",
+    )
+    sinks.scd2_merge(b2, target, key="code", change_cols=["city"])
+    versions = {
+        r["code"]: n
+        for r in spark.read.parquet(target)
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        for n in [r["n"]]
+    }
+    assert versions == {"E1": 2, "E2": 1, "E3": 2}
+    cur = {
+        r["code"]: r["city"]
+        for r in spark.read.parquet(target).filter("is_current").collect()
+    }
+    assert cur == {"E1": "X", "E2": None, "E3": None}
+
+
+def test_compact_splits_hot_partition(spark, tmp_path):
+    """A single partition larger than the byte target must split across
+    multiple files — the salt keeps compaction from collapsing a hot
+    partition into one unsplittable file."""
+    import glob
+    import os
+
+    target = str(tmp_path / "hot")
+    df = spark.range(200_000).selectExpr(
+        "'0' AS fy", "repeat(uuid(), 4) AS payload"
+    )
+    df.write.partitionBy("fy").parquet(target)
+    stats = sinks.compact_small_files(
+        spark, target, partition_col="fy", target_file_bytes=2 * 1024 * 1024
+    )
+    files = glob.glob(os.path.join(target, "fy=0", "*.parquet"))
+    assert len(files) > 1, "hot partition stayed one file"
+    assert stats["files_after"] == len(files)
+    assert spark.read.parquet(target).count() == 200_000
+
+
 def test_scd2_merge_random_batches_match_model(spark, tmp_path):
     """Randomized differential: a fixed-seed sequence of update batches
     through scd2_merge must equal an independent sequential Python model
