@@ -223,7 +223,11 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents) — same discipline as shingles()
     toks = docs.select(F.split("text", " ").alias("w"))
     pairs = (
-        toks.select(
+        # the >=2 guard matters: Spark's sequence(1, 0) REVERSES to [1, 0]
+        # for a single-token doc, yielding a bogus element_at(w, 0) index —
+        # it does not produce an empty array like SQL range(1, 1)
+        toks.filter(F.size("w") >= 2)
+        .select(
             "w", F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i")
         )
         .select(
