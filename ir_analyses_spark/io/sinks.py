@@ -229,6 +229,32 @@ def scd2_merge(
     _swap_in(staging, target_dir)
 
 
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    date_col: str,
+) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each fact row picks
+    the version whose [effective_from, effective_to) interval contains the
+    fact date — the query the versioned history exists for. A half-open
+    interval join; the optimizer runs it as an equi-join on the key with
+    the interval as residual predicate, so it costs one shuffle per side
+    (or none, if both are bucketed by the key)."""
+    d = dim.alias("d")
+    f = facts.alias("f")
+    return f.join(
+        d,
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col("d.effective_from") <= F.col(f"f.{date_col}"))
+        & (
+            F.col("d.effective_to").isNull()
+            | (F.col("d.effective_to") > F.col(f"f.{date_col}"))
+        ),
+        "left",
+    ).drop(F.col(f"d.{key}"))
+
+
 def compact_small_files(
     spark,
     target_dir: str,

@@ -286,6 +286,51 @@ def test_scd2_merge_versions_history(spark, tmp_path):
     ]
 
 
+def test_scd2_point_in_time_join(spark, tmp_path):
+    """Facts must resolve the dimension version valid AT their date:
+    before the first version → null, between changes → the closed row,
+    after the last change → the current row."""
+    import datetime as dt
+
+    target = str(tmp_path / "dim_pit")
+
+    def day(s):
+        return dt.date.fromisoformat(s)
+
+    sinks.scd2_merge(
+        spark.createDataFrame(
+            [("E1", "Tokyo", day("2023-01-01"))],
+            "code string, city string, effective_from date",
+        ),
+        target, key="code", change_cols=["city"],
+    )
+    sinks.scd2_merge(
+        spark.createDataFrame(
+            [("E1", "Kyoto", day("2023-06-01"))],
+            "code string, city string, effective_from date",
+        ),
+        target, key="code", change_cols=["city"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "E1", day("2022-12-31")),  # before any version
+            (2, "E1", day("2023-01-01")),  # first day of Tokyo
+            (3, "E1", day("2023-05-31")),  # last day of Tokyo
+            (4, "E1", day("2023-06-01")),  # first day of Kyoto
+            (5, "E1", day("2024-01-01")),  # current
+        ],
+        "fact_id long, code string, fact_date date",
+    )
+    dim = spark.read.parquet(target)
+    got = {
+        r["fact_id"]: r["city"]
+        for r in sinks.scd2_point_in_time_join(
+            facts, dim, key="code", date_col="fact_date"
+        ).collect()
+    }
+    assert got == {1: None, 2: "Tokyo", 3: "Tokyo", 4: "Kyoto", 5: "Kyoto"}
+
+
 def test_scd2_merge_null_transitions(spark, tmp_path):
     """NULL→value and value→NULL must count as changes (null-safe struct
     compare); NULL→NULL must not."""
