@@ -22,6 +22,40 @@ def con(sf_dir):
     c.close()
 
 
+def test_approx_sketches_error_bounded(spark, sf_dir):
+    """The rows-only sketch query still has checkable semantics: HLL
+    distinct within 5% of exact, approx quantiles inside the exact
+    neighborhood (percentile_approx's accuracy contract)."""
+    from pyspark.sql import functions as F
+
+    from ir_analyses_spark.io.sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_sketches"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("q50"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"], flag
+        # percentile_approx returns a true data value near the quantile
+        assert e["lo"] <= a["price_q50"] <= e["hi"], flag
+        assert abs(a["price_q50"] - e["q50"]) <= 0.2 * (e["hi"] - e["lo"]), flag
+        assert a["price_q50"] <= a["price_q95"] <= a["price_q99"], flag
+
+
 def test_hll_union_of_parts_equals_whole(spark, sf_dir):
     """The property that makes sketch rollups valid at any scale: merging
     per-cell HLL sketches must give EXACTLY the estimate of sketching the
