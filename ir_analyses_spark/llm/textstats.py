@@ -288,6 +288,61 @@ GROUP BY token
 """
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (corpus cleaning): redact emails, URLs, and
+    long digit runs with typed placeholders, counting each redaction.
+    Regexes stay in the RE2-compatible subset (no lookaround) so the same
+    pattern text runs identically in Spark (Java regex) and the oracle.
+
+    The synthetic corpus contains no PII, so each doc is suffixed with a
+    deterministic email + URL + phone derived from doc_id — the scrubber
+    then has real work whose outcome the oracle predicts exactly. One
+    scan, pure column expressions."""
+    docs = load_table(spark, "documents", sf_dir)
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url_re = r"https?://[^\s]+"
+    phone_re = r"[0-9][0-9-]{7,}[0-9]"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" https://ex.com/d/"), F.col("doc_id"),
+        F.lit(" tel 090-1234-"), F.lpad(F.col("doc_id") % 10000, 4, "0"),
+    )
+    no_url = F.regexp_replace(raw, url_re, "<URL>")
+    no_email = F.regexp_replace(no_url, email_re, "<EMAIL>")
+    clean = F.regexp_replace(no_email, phone_re, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(raw, F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(raw, F.lit(url_re), F.lit(0))).alias("n_urls"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+              || ' https://ex.com/d/' || doc_id
+              || ' tel 090-1234-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       REGEXP_REPLACE(
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(t, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+       CAST(LENGTH(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         AS n_emails,
+       CAST(LENGTH(REGEXP_EXTRACT_ALL(t, 'https?://[^\s]+')) AS INT) AS n_urls
+FROM raw
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
@@ -296,6 +351,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "bpe_pair_counts": bpe_pair_counts,
     "doc_frequency": doc_frequency,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -306,4 +362,5 @@ ORACLES = {
     "corpus_clean_pipeline": CORPUS_CLEAN_PIPELINE_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "doc_frequency": DOC_FREQUENCY_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }

@@ -124,6 +124,7 @@ _ORDER = [
     "hll_mergeable_rollup",
     "bpe_pair_counts",
     "doc_frequency",
+    "pii_scrub",
     "stream_static_enrich",
     "stream_stream_interval_join",
     "sequence_packing",
