@@ -25,6 +25,7 @@ from .ops import (
     macros,
     relational,
     skew,
+    subqueries,
     udfs,
     windows,
 )
@@ -35,6 +36,7 @@ _MODULES = [
     aggregates,
     joins,
     relational,
+    subqueries,
     windows,
     collections,
     macros,
@@ -158,6 +160,10 @@ _ORDER = [
     "top_unshipped_parts",
     "shipping_priority_topk",
     "returned_item_report",
+    # correlated-subquery shapes (SQL-API decorrelation surface)
+    "small_quantity_revenue",
+    "suppliers_with_waiting_orders",
+    "concentrated_part_types",
     "salted_twophase_agg",
     "salted_skew_join",
     "ann_ml_brp_lsh",
