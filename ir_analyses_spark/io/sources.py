@@ -21,20 +21,69 @@ from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..schemas import RAW_FILING_SCHEMA, TESTDATA_SCHEMAS
+from functools import lru_cache
+
+from ..schemas import EVENTS_TS_NANOS_SCHEMA, RAW_FILING_SCHEMA, TESTDATA_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def events_ts_unit(path: str) -> str:
+    """Probe an events parquet footer for its timestamp unit ('us', 'ns', …).
+
+    One driver-side footer read per path (cached), never a data scan — the
+    same decode must work whether the testdata generator emitted
+    TIMESTAMP(MICROS) (current) or TIMESTAMP(NANOS) (earlier rounds), so the
+    unit is read from the file rather than assumed. ``path`` may be a single
+    file or a directory of part files (streaming stage dirs).
+    """
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob(os.path.join(path, "*.parquet"))) or sorted(
+            p for p in glob(os.path.join(path, "part-*")) if os.path.isfile(p)
+        )
+        if not parts:
+            return "us"
+        probe = parts[0]
+    pf = pq.ParquetFile(probe)
+    schema = pf.schema  # parquet (physical) schema, not the arrow view
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            # legacy INT96: pyarrow reports it as timestamp[ns], but Spark
+            # decodes it natively into TimestampType — no narrowing needed
+            return "us"
+    ts_type = pf.schema_arrow.field("ts").type
+    return getattr(ts_type, "unit", "us")
+
+
+def narrow_ns_to_ts(df: DataFrame) -> DataFrame:
+    """ns→µs: integer division truncates exactly like DuckDB's narrowing;
+    a double division would lose precision above 2^53 ns."""
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events parquet file/dir with unit-correct ts decoding.
+
+    MICROS footers read straight into TimestampType; NANOS footers arrive as
+    raw INT64 (legacy nanosAsLong) and narrow via integer ``div 1000`` — the
+    same truncation DuckDB applies, so the oracle agrees either way.
+    """
+    if events_ts_unit(path) == "ns":
+        return narrow_ns_to_ts(spark.read.schema(EVENTS_TS_NANOS_SCHEMA).parquet(path))
+    return spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(path)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one driver synthetic table with its declared schema."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns→µs: integer division truncates exactly like DuckDB's narrowing;
-        # a double division would lose precision above 2^53 ns.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        return read_events(spark, f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(

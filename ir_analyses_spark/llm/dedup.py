@@ -295,30 +295,57 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+def simhash_fingerprints(docs: DataFrame, portable: bool = False) -> DataFrame:
     """64-bit SimHash per document from whitespace tokens (§2B SimHash).
 
-    Per token: xxhash64 → each bit votes ±1; fingerprint bit b is the vote
-    sign. Computed as 64 conditional-sum aggregates in one pass (wide but
-    codegen'd; no UDF, no 64× row blowup), then assembled with shifts.
+    Per token: a 64-bit hash → each bit votes ±1; fingerprint bit b is the
+    vote sign. Computed as 64 conditional-sum aggregates in one pass (wide
+    but codegen'd; no UDF, no 64× row blowup), then assembled with shifts.
+
+    The token-hash family is a pluggable parameter of the algorithm:
+
+    - default (``portable=False``): ``xxhash64`` — the fast path at scale;
+    - ``portable=True``: the first 64 bits of ``md5`` hex, bit b taken as
+      bit ``b%4`` of hex digit ``b//4``. Slower, but both engines produce
+      identical lowercase-hex md5, so the full pipeline is bit-for-bit
+      reproducible in ANSI SQL — this is what gives ``simhash_nearup`` an
+      exact oracle instead of a rows-only check.
     """
     docs = _spread(docs)
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    if portable:
+        # hex digit value without conv(): instr over the hex alphabet is
+        # the same expression DuckDB spells strpos(...) - 1
+        toks = toks.withColumn("hx", F.md5("tok")).select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"instr('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1"
+                ).alias(f"d{i}")
+                for i in range(16)
+            ],
+        )
+
+        def bit(b):
+            return F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+
+        def bit(b):
+            return F.shiftright("h", b).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
         for b in range(64)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     fingerprint = None
     for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+        bit_col = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        term = F.shiftleft(bit, b)
+        term = F.shiftleft(bit_col, b)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
@@ -326,10 +353,12 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def simhash_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: banded 16-bit chunks (pigeonhole: any
     pair within Hamming distance 3 shares ≥1 of 4 chunks) then exact Hamming
-    ≤ 3 filter. Rows-only check: the fingerprint family is engine-specific.
+    ≤ 3 filter. Uses the portable md5 hash family so the oracle (a quadratic
+    all-pairs twin — exact because banding loses nothing under the
+    pigeonhole bound) reproduces the fingerprints bit-for-bit.
     """
     docs = load_table(spark, "documents", sf_dir)
-    fp = simhash_fingerprints(docs)
+    fp = simhash_fingerprints(docs, portable=True)
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -359,13 +388,60 @@ def simhash_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of :func:`simhash_nearup` over the portable md5 family.
+
+    Quadratic all-pairs Hamming (no banding) — exact-equal to the banded
+    Spark plan because 4×16-bit chunk banding is lossless at distance ≤ 3.
+    Fingerprints are never assembled into one BIGINT (1<<63 overflows
+    DuckDB's signed shift); Hamming is the sum of per-bit |a-b| instead.
+    """
+
+    def digit(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (({digit(b // 4)} >> {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    bits = ",\n         ".join(
+        f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END AS b{b}" for b in range(64)
+    )
+    ham = " + ".join(f"abs(a.b{b} - b.b{b})" for b in range(64))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {bits}
+  FROM votes
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST({ham} AS BIGINT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+SIMHASH_NEARDUP_SQL = _simhash_oracle_sql()
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +554,7 @@ ORACLES = {
     "ngram_jaccard_nearup": NGRAM_JACCARD_SQL,
     # minhash_lsh_nearup is exact-verified, so it shares the n-gram oracle
     "minhash_lsh_nearup": NGRAM_JACCARD_SQL,
-    # simhash_nearup: fingerprint family is engine-specific → rows-only
+    # portable md5 hash family → the fingerprints reproduce in SQL exactly
+    "simhash_nearup": SIMHASH_NEARDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
 }

@@ -29,10 +29,15 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems below 40% of their part's
     average quantity — a correlated SCALAR subquery per outer row that
     Catalyst decorrelates into one per-part aggregate joined back (the
-    scan of lineitem happens twice, never per-row)."""
+    scan of lineitem happens twice, never per-row).
+
+    Numeric note: the /7 happens ONCE, on the exact decimal SUM, as an IEEE
+    double op — dividing per row would accumulate engine-specific decimal
+    quotient rounding (Spark's result scale vs DuckDB's) across thousands
+    of rows and break exact cross-engine parity."""
     _register(spark, sf_dir, ["lineitem", "part"])
     return spark.sql("""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) / 7) AS DOUBLE)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7
                  AS avg_weekly_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size < 10
@@ -44,7 +49,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SMALL_QUANTITY_REVENUE_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) / 7) AS DOUBLE)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7
          AS avg_weekly_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size < 10

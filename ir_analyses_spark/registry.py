@@ -52,32 +52,84 @@ _MODULES = [
 ]
 
 #: Explicit registry order. The driver's correctness sweep has a bounded
-#: budget (round 1 recorded rows for exactly the first 50 registry entries),
-#: so ordering is part of the verification contract:
+#: budget (rounds 1–2 each recorded rows for exactly the first 50 registry
+#: entries), so ordering is part of the verification contract. Round-3
+#: rotation, per VERDICT.md r2 item 2:
 #:
-#: - Positions 0–49 contain at least one representative of EVERY SURVEY §2
-#:   component — the round-1-unchecked surface (IR flagship, LLM
-#:   dedup/similarity/textstats, multimodal, streaming twins + stateful
-#:   executions) goes first, then one representative per relational/join/
-#:   window/agg family.
-#: - The tail holds sibling variants whose component is already represented
-#:   in-window (e.g. cube/grouping-sets ride on rollup; range/session frame
-#:   variants ride on window_running_frames) — all cheap at sf0.01 so a
-#:   time-budgeted sweep still clears them.
+#: - Positions 0–49 lead with the 19 queries no driver round has ever
+#:   checked (tail of r1/r2 windows), then the 5 queries the r2 ts-decode
+#:   bug broke (re-verification after the fix), then ``simhash_nearup``
+#:   (gains an exact oracle this round), then backfill — the flagship +
+#:   entries green only in r1 (second green row) + r2-green streaming
+#:   executions.
+#: - The tail holds entries already hash-green in r1 and/or r2 with code
+#:   unchanged since.
 #: - ``ngram_jaccard_nearup`` is the deliberately-quadratic exact verifier
-#:   and always runs LAST.
+#:   and runs at the window boundary — first check, but never ahead of
+#:   anything else unchecked.
 _ORDER = [
-    # -- round-1-unchecked surface: flagship, LLM, multimodal, streaming --
+    # -- flagship every round --
     "ir_summary_pipeline",
+    # -- never driver-checked (19) --
+    "benchmark_decontaminate",
+    "stratified_sample",
+    "hll_mergeable_rollup",
+    "bpe_pair_counts",
+    "doc_frequency",
+    "pii_scrub",
+    "sequence_packing",
+    "variant_json_ops",
+    "media_frame_sample",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_incremental_rollup",
+    "shipping_priority_topk",
+    "returned_item_report",
+    "small_quantity_revenue",
+    "suppliers_with_waiting_orders",
+    "concentrated_part_types",
+    "ann_ml_brp_lsh",
+    # -- r2 ts-bug casualties: re-verify after the decode fix --
+    "join_asof",
+    "stream_tumbling_batch",
+    "stream_sliding_batch",
+    "stream_session_batch",
+    "window_sessionize",
+    # -- newly oracle'd this round --
+    "simhash_nearup",
+    # -- backfill: r2-green streaming executions + LLM headliners --
+    "stateful_user_totals",
+    "stream_dedup_watermark",
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "dedup_components",
+    "corpus_clean_pipeline",
+    "pricing_summary",
+    # -- backfill: green only in r1 — earn a second green row --
+    "case_conditional",
+    "cube_agg",
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "minmax_extremes",
+    "join_full_outer",
+    "window_range_interval",
+    "map_ops",
+    "explode_tokens",
+    "json_extract_ops",
+    "pivot_coalesce_priority",
+    "guarded_ratio_margin",
+    "python_udtf_expand",
+    "pandas_grouped_agg_udf",
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "ngram_jaccard_nearup",  # quadratic exact verifier: window boundary
+    # ---- 50-query window boundary (driver budget) ----
+    # tail: hash-green in r1 and/or r2, code unchanged since
     "text_stats",
     "quality_score",
     "language_id",
     "doc_fingerprint",
-    "exact_dedup",
-    "minhash_lsh_nearup",
-    "simhash_nearup",
-    "dedup_components",
-    "corpus_clean_pipeline",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -85,13 +137,7 @@ _ORDER = [
     "multimodal_features",
     "media_resize",
     "media_codec_features",
-    "approx_sketches",
-    "stream_tumbling_batch",
-    "stream_sliding_batch",
-    "stream_session_batch",
-    "stateful_user_totals",
-    "stream_dedup_watermark",
-    "pricing_summary",
+    "approx_sketches",  # rows-only by design (error-bound test in-repo)
     "rollup_agg",
     "distinct_agg",
     "pivot_agg",
@@ -104,7 +150,6 @@ _ORDER = [
     "join_semi_anti",
     "join_theta_bands",
     "join_range_window",
-    "join_asof",
     "filter_pushdown_project",
     "string_predicates",
     "string_functions",
@@ -118,56 +163,9 @@ _ORDER = [
     "window_running_frames",
     "array_agg_ops",
     "pandas_udf_vectorized",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head: novel LLM-pipeline ops first — a time-budgeted sweep
-    # reaches these before the remaining per-family siblings
-    "benchmark_decontaminate",
-    "stratified_sample",
-    "hll_mergeable_rollup",
-    "bpe_pair_counts",
-    "doc_frequency",
-    "pii_scrub",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "sequence_packing",
-    "python_udtf_expand",
-    "pandas_grouped_agg_udf",
-    "apply_in_pandas_topk",
-    "grouping_sets_agg",
-    "cube_agg",
-    "unpivot_melt",
-    "minmax_extremes",
-    "join_full_outer",
-    "window_range_interval",
-    "window_sessionize",
-    "map_ops",
-    "explode_tokens",
-    "json_extract_ops",
-    # Spark 4 VariantType sibling of json_extract_ops
-    "variant_json_ops",
-    # 1:N mapInPandas sibling of in-window multimodal_features/media_resize
-    "media_frame_sample",
-    # additional streaming-family entry (5 reps already in-window): real
-    # multi-batch stream maintaining an additive rollup table
-    "stream_incremental_rollup",
-    # C4 representative moved to the tail: conform's consolidated→category
-    # conditional runs inside in-window ir_summary_pipeline
-    "case_conditional",
-    "pivot_coalesce_priority",
-    "guarded_ratio_margin",
     "regional_revenue",
     "order_priority_counts",
     "top_unshipped_parts",
-    "shipping_priority_topk",
-    "returned_item_report",
-    # correlated-subquery shapes (SQL-API decorrelation surface)
-    "small_quantity_revenue",
-    "suppliers_with_waiting_orders",
-    "concentrated_part_types",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "ann_ml_brp_lsh",
-    "ngram_jaccard_nearup",  # quadratic exact verifier: always last
 ]
 
 

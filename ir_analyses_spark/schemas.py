@@ -205,11 +205,12 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
-            # on disk: INT64 TIMESTAMP(NANOS,false) — read as raw nanos
-            # (legacy nanosAsLong) and converted to TimestampType in
-            # sources.load_table via integer `div 1000` (truncation, same as
-            # DuckDB's ns→µs narrowing)
-            T.StructField("ts", T.LongType(), True),
+            # on disk: TIMESTAMP(MICROS) — Spark's native unit, read directly.
+            # Data regenerated with TIMESTAMP(NANOS) instead is handled by a
+            # footer probe in io.sources (nanos arrive as raw longs under
+            # legacy nanosAsLong and narrow via integer `div 1000`, the same
+            # truncation DuckDB applies); see EVENTS_TS_NANOS_SCHEMA.
+            T.StructField("ts", T.TimestampType(), True),
             T.StructField("user_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
@@ -233,6 +234,17 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
         ]
     ),
 }
+
+#: Read-schema for an events file whose footer declares TIMESTAMP(NANOS):
+#: under ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a raw
+#: INT64 and io.sources narrows it to micros. Same shape as
+#: ``TESTDATA_SCHEMAS["events"]`` with only ``ts`` retyped.
+EVENTS_TS_NANOS_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
+        for f in TESTDATA_SCHEMAS["events"].fields
+    ]
+)
 
 # ---------------------------------------------------------------------------
 # Multimodal column conventions (llm/multimodal.py): media payloads are opaque

@@ -42,6 +42,9 @@ ENGINE_SQL_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # never emit deprecated INT96 timestamps (also keeps our own staged /
+    # sunk files probe-able by footer unit — see io.sources.events_ts_unit)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.codegen.maxFields": "256",
     "spark.sql.legacy.javaCharsets": "true",
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",

@@ -20,8 +20,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..io.sources import load_table
-from ..schemas import TESTDATA_SCHEMAS
+from ..io.sources import events_ts_unit, load_table, narrow_ns_to_ts
+from ..schemas import EVENTS_TS_NANOS_SCHEMA, TESTDATA_SCHEMAS
 
 
 def has_tws_support() -> bool:
@@ -50,14 +50,19 @@ SESSION_GAP = "30 minutes"
 
 def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source event stream: new parquet files under ``src_dir`` become
-    micro-batches. Schema is declared (never inferred mid-stream); ts arrives
-    as raw nanos (see schemas.TESTDATA_SCHEMAS) and converts on entry."""
+    micro-batches. Schema is declared (never inferred mid-stream); the ts
+    unit is probed from the staged footers once at stream definition —
+    MICROS reads straight into TimestampType, NANOS arrives as raw longs
+    and narrows on entry (io.sources.narrow_ns_to_ts)."""
+    is_ns = events_ts_unit(src_dir) == "ns"
     raw = (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        spark.readStream.schema(
+            EVENTS_TS_NANOS_SCHEMA if is_ns else TESTDATA_SCHEMAS["events"]
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return narrow_ns_to_ts(raw) if is_ns else raw
 
 
 # ---------------------------------------------------------------------------
@@ -637,11 +642,10 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ir_spark_rollup_tgt_"), "rollup"
     )
     try:
-        # split the source into 3 files with the RAW schema (ts still
-        # nanos-as-long) so the staged dir looks like a growing stream
-        raw = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
-            os.path.join(sf_dir, "events.parquet")
-        )
+        # split the source into 3 files so the staged dir looks like a
+        # growing stream; load_table normalizes ts to TimestampType, so the
+        # staged footers are MICROS regardless of the source's unit
+        raw = load_table(spark, "events", sf_dir)
         raw.repartition(3).write.mode("overwrite").parquet(src)
         q = foreach_batch_rollup(stream_events(spark, src), target)
         q.awaitTermination()

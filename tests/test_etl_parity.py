@@ -204,6 +204,32 @@ def test_report_of_rejected_company_quarantined(spark):
     assert any("company rejected" in r for r in reasons)
 
 
+def test_conform_all_elementless_filing_in_both_quarantines(spark):
+    """End-to-end (conform_all): a filing with no cover elements — mixed
+    into a batch with one healthy filing — must appear in BOTH
+    company_rejects and report_rejects and in NEITHER dim table, while its
+    batch-mates conform normally (the reference's per-filing transaction
+    raises and rolls back just that filing,
+    reference utils/data_mapper.py:142-151)."""
+    import pyspark.sql.functions as SF
+
+    good = raw_df(spark, COVER_ROWS, "GOOD")
+    bad = raw_df(spark, [row("jppfs_cor:NetSales", value="100")], "BAD")
+    std = standardize.standardize_raw(
+        good.unionByName(bad), filing_id_col="filing_id"
+    )
+    out = conform.conform_all(std)
+    assert out["companies"].count() == 1  # only GOOD
+    assert out["reports"].count() == 1
+    crej = out["company_rejects"].filter(SF.col("filing_id") == "BAD")
+    rrej = out["report_rejects"].filter(SF.col("filing_id") == "BAD")
+    assert crej.count() == 1 and "required keys missing" in crej.first()["reason"]
+    assert rrej.count() == 1
+    # GOOD must not be quarantined anywhere
+    assert out["company_rejects"].count() == 1
+    assert out["report_rejects"].count() == 1
+
+
 def test_report_mapping_golden(spark):
     std = _std(spark, COVER_ROWS)
     companies, _ = conform.conform_companies(std)

@@ -544,3 +544,37 @@ def test_surrogate_key_deterministic(spark):
     df = spark.createDataFrame([("E1",), ("E1",), ("E2",)], "k string")
     keys = [r["sk"] for r in df.select(sinks.surrogate_key("k").alias("sk")).collect()]
     assert keys[0] == keys[1] != keys[2]
+
+
+# ---------------------------------------------------------------------------
+# events ts-unit probe: the same decode must hold for MICROS (current
+# testdata), NANOS (earlier generator), and INT96 (legacy Spark writers).
+# ---------------------------------------------------------------------------
+
+
+def test_events_ts_unit_probe_and_decode(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ir_analyses_spark.io.sources import events_ts_unit, read_events
+
+    sf = "/root/testdata/sf0.001"
+    micros = read_events(spark, f"{sf}/events.parquet")
+    assert events_ts_unit(f"{sf}/events.parquet") == "us"
+    assert dict(micros.dtypes)["ts"] == "timestamp"
+
+    # rewrite the same rows with a TIMESTAMP(NANOS) footer
+    tbl = pq.read_table(f"{sf}/events.parquet")
+    i = tbl.schema.get_field_index("ts")
+    tbl_ns = tbl.set_column(
+        i, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    ns_path = str(tmp_path / "events_ns.parquet")
+    pq.write_table(tbl_ns, ns_path)
+    assert events_ts_unit(ns_path) == "ns"
+
+    got = read_events(spark, ns_path)
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    want_rows = sorted(map(tuple, micros.select("event_id", "ts").collect()))
+    got_rows = sorted(map(tuple, got.select("event_id", "ts").collect()))
+    assert got_rows == want_rows

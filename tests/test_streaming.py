@@ -28,7 +28,7 @@ SF = "/root/testdata/sf0.001"
 def events_dir(spark, tmp_path_factory):
     """Raw events parquet split into 3 files → 3 micro-batches."""
     path = str(tmp_path_factory.mktemp("events_src"))
-    # write raw nanos (as on disk) so stream_events exercises its conversion
+    # restage as-is (footer unit preserved) so stream_events' probe decides
     raw = spark.read.parquet(f"{SF}/events.parquet")
     raw.repartition(3).write.mode("overwrite").parquet(path)
     return path
