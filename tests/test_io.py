@@ -157,6 +157,42 @@ def test_merge_upsert_insert_then_update(spark, tmp_path):
     assert got == {"E1": "A", "E2": "B2", "E3": "C"}
 
 
+def test_swap_in_crash_window_leaves_valid_copy(spark, tmp_path, monkeypatch):
+    """A crash between _swap_in's two renames must leave the complete old
+    table at ``__old`` and the complete new table in staging — data is
+    recoverable at every instant — and a re-run must converge to the new
+    table with the remnant garbage-collected."""
+    import os as _os
+
+    import pytest as _pytest
+
+    target = str(tmp_path / "t")
+    _df(spark, [("E1", "old")]).write.parquet(target)
+    staging = target + "__staging"
+    _df(spark, [("E1", "new")]).write.parquet(staging)
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def crashy(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after old→__old, before staging→target
+            raise OSError("simulated crash")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", crashy)
+    with _pytest.raises(OSError):
+        sinks._swap_in(staging, target)
+    assert spark.read.parquet(target + "__old").first()["company_name"] == "old"
+    assert spark.read.parquet(staging).first()["company_name"] == "new"
+
+    monkeypatch.setattr(sinks.os, "rename", real_rename)
+    sinks._swap_in(staging, target)
+    assert spark.read.parquet(target).first()["company_name"] == "new"
+    assert not _os.path.exists(target + "__old")
+    assert not _os.path.exists(staging)
+
+
 def test_append_missing_is_insert_only(spark, tmp_path):
     target = str(tmp_path / "items")
     sinks.append_missing(_df(spark, [("E1", "A"), ("E2", "B")]), target, "edinet_code")
