@@ -343,6 +343,167 @@ FROM raw
 """
 
 
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality gate (LLM corpus filtering):
+    per-document distinct-token ratio, most-frequent-token coverage, and
+    most-frequent-bigram coverage, plus the keep/reject verdict those
+    rules imply. Repetitive boilerplate (low distinct ratio, one dominant
+    n-gram) is the classic pretraining-noise signature.
+
+    Scale shape: ONE token explode feeding a two-level partial aggregation
+    — (doc, token) counts, then per-doc max/count/sum — and the same for
+    bigrams. Bigrams index the split array by exploded POSITION
+    (``element_at``, codegen) rather than a ``zip_with`` lambda, which
+    would run interpreted (same discipline as the shingle path in
+    llm/dedup.py). All ratios are integer/integer IEEE divisions, so the
+    oracle agrees bit-for-bit.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    uni = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_tok_n"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    arr = docs.select("doc_id", F.split("text", " ").alias("a"))
+    big = (
+        arr.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            "a",
+            F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("a", F.col("i")),
+                F.element_at("a", F.col("i") + 1),
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_token_frac = F.col("max_tok_n").cast("double") / F.col("n_tokens")
+    top_bigram_frac = F.coalesce(F.col("max_bigram_n"), F.lit(0)).cast(
+        "double"
+    ) / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
+    return (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            distinct_ratio.alias("distinct_ratio"),
+            top_token_frac.alias("top_token_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (distinct_ratio >= 0.4)
+                & (top_token_frac <= 0.12)
+                & (top_bigram_frac <= 0.08)
+            ).alias("keep"),
+        )
+    )
+
+
+REPETITION_METRICS_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+uni AS (
+  SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS max_tok_n,
+         SUM(c) AS n_tokens
+  FROM uc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bgs AS (
+  SELECT doc_id, MAX(c) AS max_bigram_n, SUM(c) AS n_bigrams
+  FROM bc GROUP BY 1
+)
+SELECT u.doc_id,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens,
+       CAST(u.n_distinct AS BIGINT) AS n_distinct,
+       CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
+       CAST(u.max_tok_n AS DOUBLE) / u.n_tokens AS top_token_frac,
+       CAST(COALESCE(b.max_bigram_n, 0) AS DOUBLE)
+         / GREATEST(COALESCE(b.n_bigrams, 0), 1) AS top_bigram_frac,
+       (CAST(u.n_distinct AS DOUBLE) / u.n_tokens >= 0.4
+        AND CAST(u.max_tok_n AS DOUBLE) / u.n_tokens <= 0.12
+        AND CAST(COALESCE(b.max_bigram_n, 0) AS DOUBLE)
+              / GREATEST(COALESCE(b.n_bigrams, 0), 1) <= 0.08) AS keep
+FROM uni u LEFT JOIN bgs b USING (doc_id)
+"""
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report (training-data curation): per (lang, source)
+    cell — document count, token count, char count, and each cell's share
+    of the corpus. This is the table a data-mixing step reweights from.
+
+    Scale shape: token counts come from ``size(split(...))`` — no explode,
+    no shuffle of token rows; one partial+final agg over the cells, then
+    the corpus totals re-aggregate the TINY cell frame and broadcast back.
+    Shares are integer/integer IEEE divisions.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    totals = cells.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("n_docs").cast("double") / F.col("t_docs")).alias(
+                "doc_share"
+            ),
+            (F.col("n_tokens").cast("double") / F.col("t_tokens")).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+CORPUS_MIXTURE_SQL = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens,
+         SUM(length(text)) AS n_chars
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_docs) AS t_docs, SUM(n_tokens) AS t_tokens FROM cells)
+SELECT lang, source, n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_docs AS DOUBLE) / t_docs AS doc_share,
+       CAST(n_tokens AS DOUBLE) / t_tokens AS token_share
+FROM cells, tot
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
@@ -352,6 +513,8 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "doc_frequency": doc_frequency,
     "pii_scrub": pii_scrub,
+    "repetition_metrics": repetition_metrics,
+    "corpus_mixture": corpus_mixture,
 }
 
 ORACLES = {
@@ -363,4 +526,6 @@ ORACLES = {
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "doc_frequency": DOC_FREQUENCY_SQL,
     "pii_scrub": PII_SCRUB_SQL,
+    "repetition_metrics": REPETITION_METRICS_SQL,
+    "corpus_mixture": CORPUS_MIXTURE_SQL,
 }

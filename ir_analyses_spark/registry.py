@@ -95,8 +95,10 @@ _ORDER = [
     "stream_sliding_batch",
     "stream_session_batch",
     "window_sessionize",
-    # -- newly oracle'd this round --
+    # -- new this round (first driver check) --
     "simhash_nearup",
+    "repetition_metrics",
+    "corpus_mixture",
     # -- backfill: r2-green streaming executions + LLM headliners --
     "stateful_user_totals",
     "stream_dedup_watermark",
@@ -113,8 +115,6 @@ _ORDER = [
     "minmax_extremes",
     "join_full_outer",
     "window_range_interval",
-    "map_ops",
-    "explode_tokens",
     "json_extract_ops",
     "pivot_coalesce_priority",
     "guarded_ratio_margin",
@@ -126,6 +126,8 @@ _ORDER = [
     "ngram_jaccard_nearup",  # quadratic exact verifier: window boundary
     # ---- 50-query window boundary (driver budget) ----
     # tail: hash-green in r1 and/or r2, code unchanged since
+    "map_ops",
+    "explode_tokens",
     "text_stats",
     "quality_score",
     "language_id",

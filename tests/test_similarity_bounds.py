@@ -92,3 +92,46 @@ def test_hot_label_candidates_subquadratic(spark, emb):
     # the LSH banding must prune the spread bulk of the block: well under
     # half of the quadratic pair space survives as candidates
     assert n_candidates < all_pairs / 2, (n_candidates, all_pairs)
+
+
+# ---------------------------------------------------------------------------
+# ann_ml_brp_lsh (rows-only in the driver): standing in-repo evidence.
+# Soundness is exact (every emitted pair's distance is genuinely under the
+# join threshold); completeness is a measured recall bound against the
+# quadratic exact pair set — the defining quality contract of an ANN index.
+# ---------------------------------------------------------------------------
+
+
+def test_brp_lsh_sound_and_high_recall(spark):
+    import numpy as np
+
+    from ir_analyses_spark.llm.similarity import ann_ml_brp_lsh
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["v1"], r["v2"]): r["dist"]
+        for r in ann_ml_brp_lsh(spark, sf).collect()
+    }
+    assert got, "BRP-LSH returned no pairs"
+
+    from ir_analyses_spark.io.sources import load_table
+
+    rows = load_table(spark, "embeddings", sf).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(ids), k=1)
+    true_pairs = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): math.sqrt(d2[i, j])
+        for i, j in zip(*iu)
+        if d2[i, j] <= 1.2**2
+    }
+    # soundness: every emitted pair is a true pair, with the true distance
+    for (v1, v2), dist in got.items():
+        key = (min(v1, v2), max(v1, v2))
+        assert key in true_pairs, f"spurious pair {key}"
+        assert abs(dist - true_pairs[key]) < 1e-9
+    # completeness: 4 hash tables at bucketLength 2.0 must recover most of
+    # the true neighborhood (measured ~1.0 on this data; bound leaves slack)
+    recall = len(got) / len(true_pairs)
+    assert recall >= 0.8, f"recall {recall:.3f} below bound"
