@@ -197,12 +197,104 @@ GROUP BY user_id, session_seq
 """
 
 
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup with gap filling + LOCF (the
+    time_bucket_gapfill / locf pattern of time-series stores): per
+    event_type, every hour in the stream's span gets a row — observed
+    hours carry their aggregate, silent hours appear with n_events=0 and
+    the last observed hourly sum carried forward.
+
+    Scale shape: the aggregate is a stock partial+final hash agg on
+    (event_type, hour). The dense grid is types × hours — generated from
+    ONE broadcast scalar row (global min/max hour), never from the fact
+    table, so grid construction is O(output), not O(events). The LOCF
+    window runs per event_type over at most `span_hours` rows; for
+    high-cardinality keys at 100 TB the same fill would be range-
+    partitioned by (key, time range) first.
+
+    Sums accumulate as DECIMAL(38,6) (order-independent, exact) and emit
+    as double only at the edge, so LOCF propagates a bit-stable value.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_d"),
+        )
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("observed", F.col("sum_d").isNotNull())
+        .withColumn("locf_d", F.last("sum_d", ignorenulls=True).over(w))
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        "observed",
+        F.col("locf_d").cast("double").alias("locf_sum_value"),
+    )
+
+
+TIMESERIES_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(38,6))) AS sum_d
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+  ) g
+)
+SELECT g.event_type, g.hour,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       h.sum_d IS NOT NULL AS observed,
+       CAST(LAST_VALUE(h.sum_d IGNORE NULLS) OVER (
+            PARTITION BY g.event_type ORDER BY g.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS locf_sum_value
+FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+"""
+
+
 QUERIES = {
     "window_ranking": window_ranking,
     "window_lag_lead": window_lag_lead,
     "window_running_frames": window_running_frames,
     "window_range_interval": window_range_interval,
     "window_sessionize": window_sessionize,
+    "timeseries_gapfill": timeseries_gapfill,
 }
 
 ORACLES = {
@@ -211,4 +303,5 @@ ORACLES = {
     "window_running_frames": WINDOW_RUNNING_FRAMES_SQL,
     "window_range_interval": WINDOW_RANGE_INTERVAL_SQL,
     "window_sessionize": WINDOW_SESSIONIZE_SQL,
+    "timeseries_gapfill": TIMESERIES_GAPFILL_SQL,
 }

@@ -99,6 +99,7 @@ _ORDER = [
     "simhash_nearup",
     "repetition_metrics",
     "corpus_mixture",
+    "timeseries_gapfill",
     # -- backfill: r2-green streaming executions + LLM headliners --
     "stateful_user_totals",
     "stream_dedup_watermark",
@@ -115,7 +116,6 @@ _ORDER = [
     "minmax_extremes",
     "join_full_outer",
     "window_range_interval",
-    "json_extract_ops",
     "pivot_coalesce_priority",
     "guarded_ratio_margin",
     "python_udtf_expand",
@@ -128,6 +128,7 @@ _ORDER = [
     # tail: hash-green in r1 and/or r2, code unchanged since
     "map_ops",
     "explode_tokens",
+    "json_extract_ops",
     "text_stats",
     "quality_score",
     "language_id",

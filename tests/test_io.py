@@ -614,3 +614,92 @@ def test_events_ts_unit_probe_and_decode(spark, tmp_path):
     want_rows = sorted(map(tuple, micros.select("event_id", "ts").collect()))
     got_rows = sorted(map(tuple, got.select("event_id", "ts").collect()))
     assert got_rows == want_rows
+
+
+# ---------------------------------------------------------------------------
+# EDINET HTTP client (io/edinet_http.py): full client logic exercised with
+# an injected in-memory transport — zero network, same code paths.
+# ---------------------------------------------------------------------------
+
+
+def _fake_edinet_transport(tmp_path):
+    """(transport, log): serves documents.json and per-doc ZIPs from memory."""
+    import io as _io
+    import json as _json
+    import zipfile as _zip
+
+    results = [
+        {"docID": "D1", "filerName": "株式会社テスト", "docDescription": "四半期報告書（第3期）"},
+        {"docID": "D2", "filerName": "年次株式会社", "docDescription": "有価証券報告書"},
+        {"docID": "D3", "filerName": "第二テスト株式会社", "docDescription": "四半期報告書（第1期）"},
+    ]
+    tsv = (
+        "要素ID\t項目名\tコンテキストID\t相対年度\t連結・個別\t期間・時点\t"
+        "ユニットID\t単位\t値\n"
+        'jpdei_cor:EDINETCodeDEI\tEDINETコード\tFilingDateInstant\t'
+        "提出日時点\tその他\t時点\t－\t－\tE99999\n"
+    ).encode("utf-16-le")
+    tsv = b"\xff\xfe" + tsv  # BOM'd UTF-16LE, the real EDINET export shape
+
+    def make_zip(doc_id):
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as z:
+            z.writestr(f"XBRL_TO_CSV/jpcrp_{doc_id}.csv", tsv)
+            z.writestr("XBRL_TO_CSV/jpaud_ignored.csv", b"x")  # non-jpcrp
+            z.writestr("manifest.xml", b"<m/>")
+        return buf.getvalue()
+
+    log = []
+
+    def transport(url, params):
+        log.append((url, dict(params)))
+        if url.endswith("/documents.json"):
+            if params["date"] == "2024-02-09":
+                return _json.dumps({"results": results}).encode()
+            return _json.dumps({"metadata": {"status": "404"}}).encode()
+        if "/documents/" in url:
+            doc_id = url.rsplit("/", 1)[1]
+            if doc_id == "BADZIP":
+                return b"this is not a zip"
+            return make_zip(doc_id)
+        raise AssertionError(f"unexpected url {url}")
+
+    return transport, log
+
+
+def test_edinet_client_list_filter_and_docid(tmp_path):
+    from ir_analyses_spark.io.edinet_http import EdinetApiError, EdinetClient
+
+    transport, log = _fake_edinet_transport(tmp_path)
+    c = EdinetClient(api_key="k", transport=transport)
+    quarterly = c.quarterly_filings("2024-02-09")
+    assert [r["docID"] for r in quarterly] == ["D1", "D3"]  # 有報 filtered out
+    assert log[0][1]["Subscription-Key"] == "k" and log[0][1]["type"] == 2
+    assert c.doc_id_for_company(quarterly, "第二テスト株式会社") == "D3"
+    with pytest.raises(EdinetApiError, match="見つかりませんでした"):
+        c.doc_id_for_company(quarterly, "存在しない会社")
+    with pytest.raises(EdinetApiError, match="no 'results'"):
+        c.list_documents("2024-02-10")
+
+
+def test_edinet_client_download_extract_and_spark_scan(spark, tmp_path):
+    """End-to-end offline: list → ZIP download → jpcrp member extraction →
+    the engine's encoding-sniffed distributed scan reads the extracted
+    UTF-16 TSVs (the reference's fetch_single_company_dataframe path,
+    reference utils/api.py:96-139)."""
+    from ir_analyses_spark.io.edinet_http import EdinetApiError, EdinetClient
+    from ir_analyses_spark.io.sources import read_filing_csvs
+
+    transport, _ = _fake_edinet_transport(tmp_path)
+    c = EdinetClient(api_key="k", transport=transport)
+    paths = c.download_quarterly_filings(["2024-02-09"], str(tmp_path / "dl"))
+    assert len(paths) == 2  # D1 + D3, one jpcrp member each
+    assert all("jpaud" not in p for p in paths)
+
+    df = read_filing_csvs(spark, paths)
+    rows = df.collect()
+    assert len(rows) == 2  # one data row per filing
+    assert {r["値"] for r in rows} == {"E99999"}
+
+    with pytest.raises(EdinetApiError, match="not a ZIP"):
+        c.save_filing_csvs("BADZIP", str(tmp_path / "dl2"))
