@@ -204,13 +204,17 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours carry their aggregate, silent hours appear with n_events=0 and
     the last observed hourly sum carried forward.
 
-    Scale shape: the aggregate is a stock partial+final hash agg on
-    (event_type, hour). The dense grid is types × hours — generated from
-    ONE broadcast scalar row (global min/max hour), never from the fact
-    table, so grid construction is O(output), not O(events). The LOCF
-    window runs per event_type over at most `span_hours` rows; for
-    high-cardinality keys at 100 TB the same fill would be range-
-    partitioned by (key, time range) first.
+    Scale shape: the fact table is scanned EXACTLY ONCE — the hourly
+    partial+final hash agg. The (tiny) aggregated frame is eagerly
+    materialized and everything else derives from it: the global span is
+    min/max of its hour column (date_trunc is monotonic, so min(hour) ==
+    trunc(min ts)), the type list is its distinct event_type, and the
+    dense grid explodes from ONE broadcast scalar row — grid construction
+    is O(output), never a fact re-scan (pinned by
+    ``test_gapfill_grid_from_broadcast_scalar``). The LOCF window runs
+    per event_type over at most `span_hours` rows; for high-cardinality
+    keys at 100 TB the same fill would be range-partitioned by
+    (key, time range) first.
 
     Sums accumulate as DECIMAL(38,6) (order-independent, exact) and emit
     as double only at the edge, so LOCF propagates a bit-stable value.
@@ -219,15 +223,16 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("hour")
-        ).agg(
+        )
+        .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_d"),
         )
+        # consumed three times (span, type list, fill join); materialize the
+        # post-agg frame so the events scan + shuffle happen once
+        .localCheckpoint(eager=True)
     )
-    span = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
+    span = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     grid = (
         hourly.select("event_type")
         .distinct()

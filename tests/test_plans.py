@@ -188,3 +188,33 @@ def test_windows_shuffle_once_per_partitioning(spark, sf_dir, name):
     same keys stacked back-to-back."""
     plan = plan_of(spark, sf_dir, name)
     assert plan.count("Exchange") <= 2
+
+
+def test_repetition_metrics_codegen_no_hof(spark, sf_dir):
+    """Bigram construction must stay in codegen (positional element_at),
+    never an interpreted zip_with/transform lambda; both gram paths must
+    map-side combine (partial aggregate before their shuffle)."""
+    plan = plan_of(spark, sf_dir, "repetition_metrics")
+    assert "lambdafunction" not in plan.lower()
+    assert "zip_with" not in plan.lower()
+    assert plan.count("partial_count") >= 2  # unigram + bigram paths
+    assert "element_at" in plan
+
+
+def test_corpus_mixture_no_token_explode(spark, sf_dir):
+    """Token counts come from size(split(...)) — the plan must contain NO
+    Generate (explode) node and only the cell-level aggregation shuffles."""
+    plan = plan_of(spark, sf_dir, "corpus_mixture")
+    assert "Generate" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gapfill_grid_from_broadcast_scalar(spark, sf_dir):
+    """The dense hour grid must come from the broadcast min/max scalar row
+    (grid construction O(output)), and the hourly aggregate must partial-
+    aggregate before its shuffle."""
+    plan = plan_of(spark, sf_dir, "timeseries_gapfill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # span, type list, and fill all derive from the materialized hourly
+    # aggregate — the fact table is scanned exactly once
+    assert plan.count("events.parquet") <= 1
