@@ -505,7 +505,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             return labels
 
 
-DEDUP_COMPONENTS_SQL = """
+#: shared CTE chain: shingles → exact-Jaccard edges → transitive closure
+#: (used by the components oracle and the dedup-pipeline oracle)
+_COMPONENTS_CTES = """
 WITH RECURSIVE
 sh AS (
   SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
@@ -533,11 +535,74 @@ reach(src, dst) AS (
   SELECT src, dst FROM adj
   UNION
   SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src
+),
+comp AS (
+  SELECT doc_id, MIN(m) AS canonical_id
+  FROM (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS m FROM reach GROUP BY src
+  ) GROUP BY doc_id
 )
-SELECT doc_id, MIN(m) AS canonical_id
-FROM (
-  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS m FROM reach GROUP BY src
-) GROUP BY doc_id
+"""
+
+DEDUP_COMPONENTS_SQL = _COMPONENTS_CTES + """
+SELECT doc_id, canonical_id FROM comp
+"""
+
+
+def neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-duplicate deduplication — the operation every LLM
+    corpus pipeline ultimately runs: LSH-verified near-dup pairs →
+    connected components → ONE survivor per cluster (longest text,
+    smallest doc_id tiebreak — the usual keep-the-richest-copy policy) →
+    the deduped corpus.
+
+    Composes three already-verified stages (minhash_lsh_nearup,
+    dedup_components, anti-join); the survivor pick is a ``min_by`` over a
+    (-n_chars, doc_id) struct key — lexicographic struct comparison makes
+    the tiebreak total, so the output is deterministic. Only (doc_id,
+    cluster, n_chars) tuples ever shuffle; text stays in place until the
+    final pruned scan.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    comp = dedup_components(spark, sf_dir)  # clustered docs only
+    ranked = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    survivors = ranked.groupBy("canonical_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("n_chars")).alias("neg_len"),
+                F.col("doc_id").alias("tiebreak"),
+            ),
+        ).alias("survivor_id")
+    )
+    losers = (
+        comp.join(survivors, "canonical_id")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+#: survivor selection on top of the recursive-CTE component closure
+NEARDUP_DEDUP_PIPELINE_SQL = _COMPONENTS_CTES + """
+, ranked AS (
+  SELECT c.doc_id, c.canonical_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+survivors AS (
+  SELECT canonical_id,
+         (LIST(doc_id ORDER BY n_chars DESC, doc_id ASC))[1] AS survivor_id
+  FROM ranked GROUP BY canonical_id
+),
+losers AS (
+  SELECT c.doc_id FROM comp c JOIN survivors s USING (canonical_id)
+  WHERE c.doc_id <> s.survivor_id
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
@@ -547,6 +612,7 @@ QUERIES = {
     "minhash_lsh_nearup": minhash_lsh_nearup,
     "simhash_nearup": simhash_nearup,
     "dedup_components": dedup_components,
+    "neardup_dedup_pipeline": neardup_dedup_pipeline,
 }
 
 ORACLES = {
@@ -557,4 +623,5 @@ ORACLES = {
     # portable md5 hash family → the fingerprints reproduce in SQL exactly
     "simhash_nearup": SIMHASH_NEARDUP_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "neardup_dedup_pipeline": NEARDUP_DEDUP_PIPELINE_SQL,
 }

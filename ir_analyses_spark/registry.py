@@ -100,6 +100,7 @@ _ORDER = [
     "repetition_metrics",
     "corpus_mixture",
     "timeseries_gapfill",
+    "neardup_dedup_pipeline",
     # -- backfill: r2-green streaming executions + LLM headliners --
     "stateful_user_totals",
     "stream_dedup_watermark",
@@ -116,7 +117,6 @@ _ORDER = [
     "minmax_extremes",
     "join_full_outer",
     "window_range_interval",
-    "pivot_coalesce_priority",
     "guarded_ratio_margin",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
@@ -129,6 +129,7 @@ _ORDER = [
     "map_ops",
     "explode_tokens",
     "json_extract_ops",
+    "pivot_coalesce_priority",
     "text_stats",
     "quality_score",
     "language_id",
