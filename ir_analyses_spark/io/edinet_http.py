@@ -88,17 +88,29 @@ class EdinetClient:
         self.base_url = base_url.rstrip("/")
         self.transport = transport or urllib_transport
 
+    def _get(self, url: str, params: dict) -> bytes:
+        """One transport call with the API key attached; transport-level
+        failures (HTTP errors, timeouts, DNS) surface as EdinetApiError so
+        a per-date skip-and-continue loop needs exactly one except clause."""
+        if not self.api_key:
+            raise EdinetApiError(
+                "no API key: pass api_key= or set EDINET_API_KEY "
+                "(reference utils/api.py:16-26)"
+            )
+        try:
+            return self.transport(url, {**params, "Subscription-Key": self.api_key})
+        except EdinetApiError:
+            raise
+        except Exception as e:  # urllib.error.*, socket timeouts, fakes
+            raise EdinetApiError(f"GET {url} failed: {e}") from e
+
     # -- document list ----------------------------------------------------
 
     def list_documents(self, date: str) -> list[dict]:
         """All documents submitted on ``date`` (yyyy-mm-dd)."""
-        raw = self.transport(
+        raw = self._get(
             f"{self.base_url}/documents.json",
-            {
-                "date": date,
-                "type": LIST_TYPE_METADATA,
-                "Subscription-Key": self.api_key,
-            },
+            {"date": date, "type": LIST_TYPE_METADATA},
         )
         try:
             payload = json.loads(raw)
@@ -134,9 +146,8 @@ class EdinetClient:
 
     def fetch_document(self, doc_id: str, doc_type: int = DOC_TYPE_CSV) -> bytes:
         """One document's ZIP payload (type=5 → XBRL-to-CSV export)."""
-        return self.transport(
-            f"{self.base_url}/documents/{doc_id}",
-            {"type": doc_type, "Subscription-Key": self.api_key},
+        return self._get(
+            f"{self.base_url}/documents/{doc_id}", {"type": doc_type}
         )
 
     def save_filing_csvs(self, doc_id: str, dest_dir: str) -> list[str]:
@@ -166,14 +177,38 @@ class EdinetClient:
     # -- orchestration ----------------------------------------------------
 
     def download_quarterly_filings(
-        self, dates: list[str], dest_dir: str
+        self,
+        dates: list[str],
+        dest_dir: str,
+        skip_errors: bool = False,
+        errors: list[tuple[str, str]] | None = None,
     ) -> list[str]:
         """List + download every quarterly filing for ``dates``; returns all
         extracted CSV paths. Feed the result to
         ``sources.read_filing_csvs(spark, paths)`` for the distributed,
-        encoding-sniffed scan."""
+        encoding-sniffed scan.
+
+        By default a failed date/filing raises (all-or-nothing). With
+        ``skip_errors=True`` the backfill keeps going past bad dates and
+        corrupt ZIPs — the reference's log-and-continue behavior — and the
+        successfully extracted paths so far are still returned; pass an
+        ``errors`` list to receive (context, message) for each skip."""
         paths: list[str] = []
         for date in dates:
-            for filing in self.quarterly_filings(date):
-                paths += self.save_filing_csvs(filing["docID"], dest_dir)
+            try:
+                filings = self.quarterly_filings(date)
+            except EdinetApiError as e:
+                if not skip_errors:
+                    raise
+                if errors is not None:
+                    errors.append((date, str(e)))
+                continue
+            for filing in filings:
+                try:
+                    paths += self.save_filing_csvs(filing["docID"], dest_dir)
+                except EdinetApiError as e:
+                    if not skip_errors:
+                        raise
+                    if errors is not None:
+                        errors.append((filing["docID"], str(e)))
         return paths

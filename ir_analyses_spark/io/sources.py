@@ -21,43 +21,73 @@ from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from functools import lru_cache
-
 from ..schemas import EVENTS_TS_NANOS_SCHEMA, RAW_FILING_SCHEMA, TESTDATA_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-@lru_cache(maxsize=256)
-def events_ts_unit(path: str) -> str:
-    """Probe an events parquet footer for its timestamp unit ('us', 'ns', …).
+#: footer-probe cache keyed by (file path, mtime, size) — a regenerated
+#: file re-probes; an empty directory is NEVER cached (its later contents
+#: must decide the unit)
+_TS_UNIT_CACHE: dict[tuple[str, float, int], str] = {}
 
-    One driver-side footer read per path (cached), never a data scan — the
-    same decode must work whether the testdata generator emitted
-    TIMESTAMP(MICROS) (current) or TIMESTAMP(NANOS) (earlier rounds), so the
-    unit is read from the file rather than assumed. ``path`` may be a single
-    file or a directory of part files (streaming stage dirs).
-    """
+
+def _probe_one(probe: str) -> str:
     import pyarrow.parquet as pq
 
-    probe = path
-    if os.path.isdir(path):
-        parts = sorted(glob(os.path.join(path, "*.parquet"))) or sorted(
-            p for p in glob(os.path.join(path, "part-*")) if os.path.isfile(p)
-        )
-        if not parts:
-            return "us"
-        probe = parts[0]
+    st = os.stat(probe)
+    key = (probe, st.st_mtime, st.st_size)
+    hit = _TS_UNIT_CACHE.get(key)
+    if hit is not None:
+        return hit
     pf = pq.ParquetFile(probe)
+    unit = "us"
     schema = pf.schema  # parquet (physical) schema, not the arrow view
     for i in range(len(schema)):
         col = schema.column(i)
         if col.name == "ts" and col.physical_type == "INT96":
             # legacy INT96: pyarrow reports it as timestamp[ns], but Spark
             # decodes it natively into TimestampType — no narrowing needed
-            return "us"
-    ts_type = pf.schema_arrow.field("ts").type
-    return getattr(ts_type, "unit", "us")
+            break
+    else:
+        ts_type = pf.schema_arrow.field("ts").type
+        unit = getattr(ts_type, "unit", "us")
+    if len(_TS_UNIT_CACHE) > 1024:
+        _TS_UNIT_CACHE.clear()
+    _TS_UNIT_CACHE[key] = unit
+    return unit
+
+
+def events_ts_unit(path: str) -> str:
+    """Probe an events parquet footer for its timestamp unit ('us', 'ns', …).
+
+    Driver-side footer reads, never a data scan — the same decode must work
+    whether the testdata generator emitted TIMESTAMP(MICROS) (current) or
+    TIMESTAMP(NANOS) (earlier rounds), so the unit is read from the file
+    rather than assumed. ``path`` may be a single file or a directory of
+    part files (streaming stage dirs). The cache keys on the probed file's
+    (path, mtime, size), so a regenerated file re-probes, and an empty
+    directory is not cached at all — files that arrive later decide.
+
+    Directories are sampled at their first AND last part file (sorted); the
+    two must agree — a mixed-unit directory (e.g. a stale part from an
+    older generator) fails loudly here instead of silently decoding part
+    of the table 1000x off.
+    """
+    if os.path.isdir(path):
+        parts = sorted(glob(os.path.join(path, "*.parquet"))) or sorted(
+            p for p in glob(os.path.join(path, "part-*")) if os.path.isfile(p)
+        )
+        if not parts:
+            return "us"  # uncached: an empty stage dir decides later
+        first, last = _probe_one(parts[0]), _probe_one(parts[-1])
+        if first != last:
+            raise ValueError(
+                f"mixed timestamp units in {path}: {parts[0]}={first} vs "
+                f"{parts[-1]}={last}; restage with one unit"
+            )
+        return first
+    return _probe_one(path)
 
 
 def narrow_ns_to_ts(df: DataFrame) -> DataFrame:

@@ -57,11 +57,11 @@ _MODULES = [
 #: rotation, per VERDICT.md r2 item 2:
 #:
 #: - Positions 0–49 lead with the 19 queries no driver round has ever
-#:   checked (tail of r1/r2 windows), then the 5 queries the r2 ts-decode
-#:   bug broke (re-verification after the fix), then ``simhash_nearup``
-#:   (gains an exact oracle this round), then backfill — the flagship +
-#:   entries green only in r1 (second green row) + r2-green streaming
-#:   executions.
+#:   checked (18 up front; the 19th, quadratic ``ngram_jaccard_nearup``,
+#:   holds the window boundary), then the 5 queries the r2 ts-decode
+#:   bug broke (re-verification after the fix), then the queries new or
+#:   newly-oracled this round, then backfill — the flagship + entries
+#:   green only in r1 (second green row) + r2-green streaming executions.
 #: - The tail holds entries already hash-green in r1 and/or r2 with code
 #:   unchanged since.
 #: - ``ngram_jaccard_nearup`` is the deliberately-quadratic exact verifier

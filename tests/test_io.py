@@ -615,6 +615,36 @@ def test_events_ts_unit_probe_and_decode(spark, tmp_path):
     got_rows = sorted(map(tuple, got.select("event_id", "ts").collect()))
     assert got_rows == want_rows
 
+    # empty-dir probe must NOT stick: files that arrive later decide the
+    # unit (a cached 'us' here would decode the ns stage 1000x off)
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    assert events_ts_unit(str(stage)) == "us"
+    pq.write_table(tbl_ns, str(stage / "part-0.parquet"))
+    assert events_ts_unit(str(stage)) == "ns"
+
+    # regenerating a file in place (new mtime/size) re-probes
+    regen = tmp_path / "regen.parquet"
+    pq.write_table(tbl_ns, str(regen))
+    assert events_ts_unit(str(regen)) == "ns"
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)
+    pq.write_table(tbl, str(regen))
+    _os.utime(regen)
+    assert events_ts_unit(str(regen)) == "us"
+
+    # a mixed-unit directory fails loudly instead of decoding half wrong
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(tbl, str(mixed / "part-0.parquet"))
+    pq.write_table(tbl_ns, str(mixed / "part-1.parquet"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed timestamp units"):
+        events_ts_unit(str(mixed))
+
 
 # ---------------------------------------------------------------------------
 # EDINET HTTP client (io/edinet_http.py): full client logic exercised with
@@ -703,3 +733,44 @@ def test_edinet_client_download_extract_and_spark_scan(spark, tmp_path):
 
     with pytest.raises(EdinetApiError, match="not a ZIP"):
         c.save_filing_csvs("BADZIP", str(tmp_path / "dl2"))
+
+
+def test_edinet_client_typed_errors_and_skip(tmp_path, monkeypatch):
+    """Missing key fails fast; transport exceptions surface as
+    EdinetApiError; skip_errors=True keeps a backfill going and reports
+    what it skipped."""
+    from ir_analyses_spark.io.edinet_http import EdinetApiError, EdinetClient
+
+    monkeypatch.delenv("EDINET_API_KEY", raising=False)
+    with pytest.raises(EdinetApiError, match="no API key"):
+        EdinetClient(transport=lambda u, p: b"{}").list_documents("2024-02-09")
+
+    def flaky(url, params):
+        raise TimeoutError("connect timeout")
+
+    with pytest.raises(EdinetApiError, match="GET .* failed"):
+        EdinetClient(api_key="k", transport=flaky).list_documents("2024-02-09")
+
+    # skip_errors: one good date + one bad date + one corrupt ZIP
+    transport, _ = _fake_edinet_transport(tmp_path)
+
+    def mostly_good(url, params):
+        if url.endswith("/documents/D3"):
+            return b"broken"  # corrupt ZIP for one filing
+        return transport(url, params)
+
+    c = EdinetClient(api_key="k", transport=mostly_good)
+    errs = []
+    paths = c.download_quarterly_filings(
+        ["2024-02-09", "2024-02-10"],  # 02-10 has no 'results'
+        str(tmp_path / "dl3"),
+        skip_errors=True,
+        errors=errs,
+    )
+    assert len(paths) == 1  # D1 extracted; D3 and 02-10 skipped
+    assert {e[0] for e in errs} == {"D3", "2024-02-10"}
+    # default stays all-or-nothing
+    with pytest.raises(EdinetApiError):
+        c.download_quarterly_filings(
+            ["2024-02-09", "2024-02-10"], str(tmp_path / "dl4")
+        )

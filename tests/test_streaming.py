@@ -28,8 +28,10 @@ SF = "/root/testdata/sf0.001"
 def events_dir(spark, tmp_path_factory):
     """Raw events parquet split into 3 files → 3 micro-batches."""
     path = str(tmp_path_factory.mktemp("events_src"))
-    # restage as-is (footer unit preserved) so stream_events' probe decides
-    raw = spark.read.parquet(f"{SF}/events.parquet")
+    # restage via the unit-normalizing loader (same as the production
+    # stagers): whatever the source unit, staged footers are
+    # TIMESTAMP_MICROS, which stream_events' footer probe reads as-is
+    raw = load_table(spark, "events", SF)
     raw.repartition(3).write.mode("overwrite").parquet(path)
     return path
 
