@@ -135,3 +135,73 @@ def test_brp_lsh_sound_and_high_recall(spark):
     # the true neighborhood (measured ~1.0 on this data; bound leaves slack)
     recall = len(got) / len(true_pairs)
     assert recall >= 0.8, f"recall {recall:.3f} below bound"
+
+
+# ---------------------------------------------------------------------------
+# Invariants of the round-3 operators (beyond oracle parity): bounds that
+# must hold on ANY corpus, checked on the real testdata.
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_invariants(spark):
+    from ir_analyses_spark.llm.textstats import repetition_metrics
+
+    rows = repetition_metrics(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        assert 0 < r["distinct_ratio"] <= 1.0
+        # the most frequent token covers at least its fair share 1/n_distinct
+        assert r["top_token_frac"] >= 1.0 / r["n_distinct"] - 1e-12
+        assert r["top_token_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+
+
+def test_gapfill_dense_and_locf_invariants(spark):
+    from ir_analyses_spark.ops.windows import timeseries_gapfill
+
+    rows = timeseries_gapfill(spark, "/root/testdata/sf0.001").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    hours = {len(v) for v in by_type.values()}
+    assert len(hours) == 1  # every type spans the same dense grid
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r["hour"])
+        # hours are consecutive: no gaps survive gap-filling
+        for a, b in zip(seq, seq[1:]):
+            assert (b["hour"] - a["hour"]).total_seconds() == 3600
+        # LOCF: null only before the first observation; constant across
+        # unobserved runs
+        seen = None
+        for r in seq:
+            if r["observed"]:
+                seen = r["locf_sum_value"]
+            elif seen is None:
+                assert r["locf_sum_value"] is None
+                assert r["n_events"] == 0
+            else:
+                assert r["locf_sum_value"] == seen
+                assert r["n_events"] == 0
+
+
+def test_neardup_dedup_keeps_exactly_one_per_cluster(spark):
+    from ir_analyses_spark.llm.dedup import (
+        dedup_components,
+        neardup_dedup_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = {r["doc_id"]: r["canonical_id"] for r in dedup_components(spark, sf).collect()}
+    kept = {r["doc_id"] for r in neardup_dedup_pipeline(spark, sf).collect()}
+    from ir_analyses_spark.io.sources import load_table
+
+    all_ids = {r["doc_id"] for r in load_table(spark, "documents", sf).select("doc_id").collect()}
+    # every unclustered doc survives
+    assert (all_ids - set(comp)) <= kept
+    # exactly one survivor per cluster
+    clusters = {}
+    for doc, canon in comp.items():
+        clusters.setdefault(canon, set()).add(doc)
+    for members in clusters.values():
+        assert len(members & kept) == 1
