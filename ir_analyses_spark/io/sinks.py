@@ -27,11 +27,15 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
 
 
 def _swap_in(staging: str, target_dir: str) -> None:
-    """Staged swap with a valid directory at every instant: move the old
-    table aside, promote staging, then drop the old copy. A crash between
-    any two steps leaves either the old table or the new one in place
-    (plus at worst an ``__old`` remnant to garbage-collect) — never a
-    missing target with data only in ``__staging``."""
+    """Staged swap: move the old table aside, promote staging, drop the old
+    copy. Guarantee: data is NEVER lost — a crash at any step leaves the
+    complete old table (at ``target`` or ``__old``) and/or the complete new
+    table (at ``__staging`` or ``target``) on disk, and a re-run converges
+    (pinned by ``test_swap_in_crash_window_leaves_valid_copy``). There IS a
+    brief no-target window between the two renames (plain filesystems lack
+    an atomic exchange); readers that must never observe it need a
+    transactional table format (Delta/Iceberg), where this helper becomes
+    a ``MERGE``/``REPLACE`` one-liner."""
     old = target_dir.rstrip("/") + "__old"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -50,6 +54,10 @@ def merge_upsert(
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE emulation, §2A A5/A7).
 
+    Contract (same as SQL MERGE): at most ONE row per key in ``updates`` —
+    collapse a batch to latest-per-key first (A4) if the feed can repeat
+    keys; with duplicates, all duplicate rows land in the target.
+
     Unpartitioned: current ⟕anti updates-by-key, union updates, stage, swap
     (the swap promotes a fully-written directory, see ``_swap_in``). On
     Delta this is exactly ``MERGE INTO t USING u ON keys``.
@@ -59,7 +67,11 @@ def merge_upsert(
     those partitions (partition filter, no full-table scan), merged, and
     written back with dynamic partition overwrite. Untouched partitions'
     files are never read or rewritten, so an upsert costs O(touched
-    partitions), not O(table).
+    partitions), not O(table). Precondition: ``partition_col`` must be
+    functionally dependent on ``keys`` (a key never moves between
+    partition values) — an update that moved a key to a new partition
+    would leave the old partition's row in place, because pruning never
+    reads it. Same rule every partition-scoped MERGE engine imposes.
     """
     spark = updates.sparkSession
     if partition_col is not None and os.path.exists(target_dir):
@@ -75,9 +87,13 @@ def merge_upsert(
         # path it is about to replace, so cut the lineage to the file scan
         # (and dodge Spark's self-overwrite guard) with an eager checkpoint.
         merged = kept.unionByName(updates).localCheckpoint(eager=True)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_dir
+        # per-WRITE dynamic mode — never session-level conf.set, which would
+        # leak into unrelated overwrites and stop them deleting partitions
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target_dir)
         )
         return
     if os.path.exists(target_dir):
@@ -89,6 +105,36 @@ def merge_upsert(
     staging = target_dir.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
     _swap_in(staging, target_dir)
+
+
+def batch_ledger(target_dir: str, batch_id) -> tuple[bool, "Callable[[], None]"]:
+    """Applied-batch ledger for non-idempotent (additive / versioning)
+    foreachBatch sinks: returns (already_applied, mark_applied). The sink
+    checks the flag, merges, then calls ``mark_applied()``.
+
+    Honest crash-window note: the merge and the marker are two filesystem
+    operations, so a crash BETWEEN them re-applies that one batch on
+    replay (the classic two-phase gap; keyed MERGE sinks don't care —
+    they're idempotent — but additive sinks double-count that batch).
+    Closing the gap needs a table format whose commit carries the txn id
+    (Delta/Iceberg); on bare parquet this ledger narrows exactly-once to
+    effectively-once-with-a-crash-window, and both streaming sinks share
+    THIS implementation so the window is in one place. The marker itself
+    is written via tmp+rename so a crash mid-write never leaves a
+    half-created marker that silently skips an unapplied batch."""
+    import os as _os
+
+    ledger = target_dir.rstrip("/") + "__applied"
+    marker = _os.path.join(ledger, str(batch_id))
+
+    def mark_applied() -> None:
+        _os.makedirs(ledger, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w"):
+            pass
+        _os.rename(tmp, marker)
+
+    return _os.path.exists(marker), mark_applied
 
 
 def append_missing(
@@ -117,10 +163,15 @@ def replace_partition(
     """Partition replace (the roadmap's 洗い替え delete-then-insert,
     reference documents/old/IR_Analysis_Roadmap_and_Design.md:61-64):
     overwrite only the partitions present in ``updates`` — Spark's dynamic
-    partition overwrite, the idempotent way to reload one report/day."""
-    spark = updates.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    updates.write.mode("overwrite").partitionBy(partition_col).parquet(target_dir)
+    partition overwrite, the idempotent way to reload one report/day.
+    Dynamic mode is set per-write (never on the session, where it would
+    leak into unrelated overwrites)."""
+    (
+        updates.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_dir)
+    )
 
 
 def write_bucketed(

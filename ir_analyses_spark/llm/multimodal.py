@@ -213,9 +213,13 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NB oracle slices in the CHAR domain (DuckDB cannot slice BLOBs); the
-# synthetic corpus is pure ASCII so char slices == byte slices — asserted
-# by the OCTET_LENGTH = LENGTH guard folded into the expressions.
+# NB the oracle slices in the CHAR domain (DuckDB cannot substring BLOBs)
+# while the operator slices payload BYTES; the two agree only because the
+# synthetic corpus is pure ASCII. That assumption is CHECKED, not assumed:
+# tests/test_multimodal_codec.py::test_corpus_is_ascii asserts
+# octet_length == char_length for every document, so a non-ASCII testdata
+# regeneration fails that test with a pointer here instead of surfacing as
+# an unexplained hash mismatch. (Same applies to MEDIA_FRAME_SAMPLE_SQL.)
 MEDIA_RESIZE_SQL = """
 SELECT doc_id,
        CAST(LEAST(OCTET_LENGTH(ENCODE(text)), 1024) AS BIGINT) AS resized_bytes,

@@ -45,9 +45,14 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical.
 
     Scale shape: benchmark shingles are distinct-ed and broadcast, so the
-    containment join is map-side against the corpus shingle stream; only
-    (doc_id, counts) ever shuffle — one aggregation by doc_id, the corpus
-    text never moves.
+    containment join is map-side against the corpus shingle stream. The
+    corpus TEXT never shuffles; what does shuffle is the per-doc distinct
+    of fixed-width (doc_id, shingle) pairs that set-containment requires
+    (dedup is a shuffle whichever way it is spelled — ``distinct`` or
+    two-phase count-distinct — and explode keeps each doc's shingles in
+    one partition, so the partial phase dedups map-side first). At larger
+    shingle widths you'd hash the shingle to a long before the dedup to
+    bound the shuffled row at 16 bytes.
     """
     docs = load_table(spark, "documents", sf_dir)
     bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)

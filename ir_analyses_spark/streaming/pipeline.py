@@ -9,7 +9,9 @@ Design notes for scale:
   source-agnostic) — the registry exposes batch twins of each windowed agg,
   which is also how the DuckDB oracle can check streaming semantics;
 - sinks go through ``foreachBatch`` + idempotent MERGE so replays after
-  failure don't duplicate (exactly-once at the table level).
+  failure don't duplicate (exactly-once at the table level for keyed
+  MERGE; the ADDITIVE rollup sink relies on the batch-id ledger, which
+  carries a documented crash window — see ``io.sinks.batch_ledger``).
 """
 
 from __future__ import annotations
@@ -161,11 +163,17 @@ def foreach_batch_upsert(
     same keys → exactly-once at the table level. Pass ``partition_col`` so
     each micro-batch rewrites ONLY the partitions it touches — without it
     the merge is O(table) per batch, the scale-killer in a streaming write
-    path."""
+    path. Each batch is collapsed to one row per key first (MERGE's
+    one-update-per-key contract; dropDuplicates keeps an arbitrary
+    duplicate — feeds that care which row survives must collapse upstream
+    with an explicit ordering, as foreach_batch_scd2 does)."""
     from ..io.sinks import merge_upsert
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        merge_upsert(batch_df, target_dir, keys, partition_col=partition_col)
+        merge_upsert(
+            batch_df.dropDuplicates(keys), target_dir, keys,
+            partition_col=partition_col,
+        )
 
     return (
         df.writeStream.foreachBatch(_apply)
@@ -191,12 +199,11 @@ def foreach_batch_scd2(
     a no-op (values already current), but a replay from batch 0 would see
     older values as "changes" against the final state and append stale
     versions — time only moves forward through the ledger."""
-    from ..io.sinks import scd2_merge
+    from ..io.sinks import batch_ledger, scd2_merge
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        ledger = target_dir.rstrip("/") + "__applied"
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
+        applied, mark_applied = batch_ledger(target_dir, batch_id)
+        if applied:
             return
         w = Window.partitionBy(key).orderBy(F.col(effective_col).desc())
         latest = (
@@ -205,9 +212,7 @@ def foreach_batch_scd2(
             .drop("_rn")
         )
         scd2_merge(latest, target_dir, key, change_cols, effective_col)
-        os.makedirs(ledger, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        mark_applied()
 
     return (
         df.writeStream.foreachBatch(_apply)
@@ -262,8 +267,14 @@ def merge_rollup_additive(delta: DataFrame, target_dir: str) -> None:
             # cut lineage to the files the overwrite is about to replace
             .localCheckpoint(eager=True)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("day").parquet(target_dir)
+        # per-WRITE dynamic mode: a session-level conf.set would silently
+        # change the semantics of every later overwrite in the session
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(target_dir)
+        )
     else:
         delta.write.partitionBy("day").parquet(target_dir)
 
@@ -277,17 +288,16 @@ def foreach_batch_rollup(df: DataFrame, target_dir: str):
     Addition is NOT naturally idempotent (a replayed batch would
     double-count), so each applied batch_id leaves a marker next to the
     table and replays skip — the ledger trick every transactionless
-    additive sink needs (Delta's txn version does this internally)."""
+    additive sink needs (Delta's txn version does this internally; see
+    ``io.sinks.batch_ledger`` for the honest crash-window caveat)."""
+    from ..io.sinks import batch_ledger
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        ledger = target_dir.rstrip("/") + "__applied"
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
+        applied, mark_applied = batch_ledger(target_dir, batch_id)
+        if applied:
             return
         merge_rollup_additive(rollup_delta(batch_df), target_dir)
-        os.makedirs(ledger, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        mark_applied()
 
     return (
         df.writeStream.foreachBatch(_apply)
@@ -518,11 +528,14 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# COALESCE matches the stateful fold's fillna(0.0): a user whose values are
+# all NULL totals 0, never NULL (SQL SUM over an all-NULL group would return
+# NULL and diverge from the operator).
 STATEFUL_USER_TOTALS_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-           / 1000000 AS total_value
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0)
+            AS DOUBLE) / 1000000 AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -530,21 +543,21 @@ GROUP BY user_id
 
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executes :func:`dedup_within_watermark` as a real stream (stateful
-    dedup with watermark-expiring state) and returns the surviving rows.
-    Oracle: key-distinct projection of the same table."""
+    dedup with watermark-expiring state) and returns the admitted KEY SET.
+
+    Only ``event_id`` is projected on purpose: among duplicates whose
+    payload columns differ, ``dropDuplicatesWithinWatermark`` keeps an
+    arbitrary (arrival-order-dependent) survivor, so payload columns are
+    not engine-portable — the deterministic, checkable contract of the
+    operator is exactly "each key admitted once". Payload-level survivor
+    behavior is exercised in tests/test_streaming.py."""
     events = stream_events(spark, _stage_events_dir(sf_dir))
     out = _run_to_table(dedup_within_watermark(events), "append")
-    return out.select("event_id", "user_id", "event_type", "value")
+    return out.select("event_id")
 
 
 STREAM_DEDUP_SQL = """
-SELECT event_id, user_id, event_type, value
-FROM (
-  SELECT event_id, user_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
-  FROM events
-)
-WHERE rn = 1
+SELECT DISTINCT event_id FROM events
 """
 
 

@@ -98,3 +98,22 @@ def test_synthesized_payloads_are_real_files():
     feats = decode_bmp(synthesize_media(8, 123))
     assert feats["width"] == 123 % 13 + 4
     assert feats["height"] == 8 % 11 + 4
+
+
+def test_corpus_is_ascii():
+    """The media oracles slice text in the CHAR domain (DuckDB cannot
+    substring BLOBs) while the operators slice BYTES; they agree only for
+    ASCII text. Check the assumption on every scale dir so a non-ASCII
+    testdata regeneration fails HERE with an explanation, not as an
+    unexplained hash mismatch (see llm/multimodal.py MEDIA_RESIZE_SQL)."""
+    import glob as _glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for path in sorted(_glob.glob("/root/testdata/sf*/documents.parquet")):
+        (n,) = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            "WHERE OCTET_LENGTH(ENCODE(text)) <> LENGTH(text)"
+        ).fetchone()
+        assert n == 0, f"{path}: {n} non-ASCII documents break the media oracles"
