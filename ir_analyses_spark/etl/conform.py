@@ -49,15 +49,16 @@ XBRL_REPORT_MAPPING = {
 FINANCIAL_ELEMENT_PATTERN = "jppfs_cor:|jpigp_cor:"
 
 
-def _scalar_string() -> F.Column:
+def _scalar_string(
+    is_numeric: F.Column, value: F.Column, value_text: F.Column
+) -> F.Column:
     """The reference's extraction-edge value rule: numerics become
     ``str(int(value))`` (decimal truncation toward zero), text passes
     through (reference utils/data_mapper.py:87-92). Only used at the cover
     extraction edge — never in the fact table (SURVEY §7.3.3)."""
-    return F.when(
-        F.col("is_numeric"),
-        F.col("value").cast("long").cast("string"),
-    ).otherwise(F.col("value_text"))
+    return F.when(is_numeric, value.cast("long").cast("string")).otherwise(
+        value_text
+    )
 
 
 def extract_cover_values(std: DataFrame, mapping: dict[str, str]) -> DataFrame:
@@ -88,12 +89,9 @@ def extract_cover_values(std: DataFrame, mapping: dict[str, str]) -> DataFrame:
         .select(
             FILING_ID,
             "element_id",
-            F.when(
-                F.col("r.is_numeric"),
-                F.col("r.value").cast("long").cast("string"),
-            )
-            .otherwise(F.col("r.value_text"))
-            .alias("v"),
+            _scalar_string(
+                F.col("r.is_numeric"), F.col("r.value"), F.col("r.value_text")
+            ).alias("v"),
         )
     )
     pivoted = (
@@ -132,9 +130,9 @@ def get_value(
         )
         .select(
             FILING_ID,
-            F.when(F.col("r.is_numeric"), F.col("r.value").cast("long").cast("string"))
-            .otherwise(F.col("r.value_text"))
-            .alias("value"),
+            _scalar_string(
+                F.col("r.is_numeric"), F.col("r.value"), F.col("r.value_text")
+            ).alias("value"),
         )
     )
 
@@ -316,6 +314,12 @@ def conform_facts(
             F.col("value").cast("decimal(20,0)").alias("value"),
             "value_text",
             "is_numeric",
+            # source row order, kept as lineage: the reference keeps facts
+            # in insertion order and its summary data_map is a dict built
+            # over that order (LAST row per element wins,
+            # reference utils/service/financial_service.py:127); queries
+            # reproduce that rule deterministically from this column
+            F.col(ROW_SEQ).alias("_row_seq"),
             F.current_timestamp().alias("created_at"),
         )
     )

@@ -60,13 +60,17 @@ def wareki_year_to_number(c: Column) -> Column:
 
 
 def extract_fiscal_year(c: Column) -> Column:
-    """End fiscal year as a 4-char string, or NULL — the reference's
+    """End fiscal year as a 4-char ASCII string, or NULL — the reference's
     three-pattern fallback chain (reference utils/parser.py:16-57).
 
-    Parity quirks preserved: the date-range path normalizes to ASCII
-    (``str(int(...))``), while the bare-year fallback returns the RAW
-    captured group — full-width if the input was — exactly like
-    ``return year_str`` (reference utils/parser.py:50-55)."""
+    Documented divergence: the reference's bare-year fallback returns the
+    RAW captured group — full-width if the input was (``return year_str``,
+    reference utils/parser.py:50-55). Here ALL three paths normalize to
+    ASCII, because a full-width year is a downstream correctness bug, not
+    a quirk: it sorts above every ASCII year in the latest-report window
+    (that report becomes "latest" forever), casts to NULL as int, and
+    mints a different ``report_id`` hash than its ASCII equivalent —
+    splitting one logical report into two natural keys."""
     greg_raw = _nonempty(F.regexp_extract(c, _PAT_GREGORIAN_RANGE, 2))
     gregorian = F.translate(greg_raw, FULLWIDTH_DIGITS, ASCII_DIGITS)
 
@@ -74,8 +78,8 @@ def extract_fiscal_year(c: Column) -> Column:
     wareki = (F.lit(2019) + wareki_year_to_number(wareki_raw) - 1).cast("string")
 
     bare = _nonempty(F.regexp_extract(c, _PAT_BARE_YEAR, 1))
-    bare_n = F.translate(bare, FULLWIDTH_DIGITS, ASCII_DIGITS).cast("int")
-    bare_guarded = F.when(bare_n.between(1990, 2100), bare)
+    bare_ascii = F.translate(bare, FULLWIDTH_DIGITS, ASCII_DIGITS)
+    bare_guarded = F.when(bare_ascii.cast("int").between(1990, 2100), bare_ascii)
 
     return F.coalesce(gregorian, wareki, bare_guarded)
 

@@ -27,6 +27,33 @@ from .conform import conform_all
 from .standardize import standardize_raw
 
 
+def _dedup_deterministic(df: DataFrame, key: str) -> DataFrame:
+    """One row per key with a DETERMINISTIC survivor. ``dropDuplicates``
+    keeps a partition-order-dependent survivor (the engine's own rule
+    forbids it — see ops/aggregates.dedup_by_key), which would make
+    re-runs of the backfill upsert different rows and never converge.
+
+    Survivor policy: when the frame carries the source row order
+    (``_row_seq`` — the facts table), the LAST source row wins, matching
+    both the reference's insertion order and the summary layer's
+    last-wins resolution, so a deduped table serves bit-identical
+    summaries to the undeduped in-memory frame. Without an order column
+    (dims), the lexicographically least full-row struct wins — arbitrary
+    but total."""
+    others = [c for c in df.columns if c != key]
+    if "_row_seq" in df.columns:
+        agg = df.groupBy(key).agg(
+            F.max_by(
+                F.struct(*[F.col(c).alias(c) for c in others]), F.col("_row_seq")
+            ).alias("_r")
+        )
+    else:
+        agg = df.groupBy(key).agg(
+            F.min(F.struct(*[F.col(c).alias(c) for c in others])).alias("_r")
+        )
+    return agg.select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
+
+
 def backfill_from_csvs(
     spark: SparkSession, csv_glob: str, out_dir: str
 ) -> dict[str, DataFrame]:
@@ -35,15 +62,23 @@ def backfill_from_csvs(
     Returns the conformed bundle (incl. quarantines) for inspection; the
     four tables land as parquet:
     ``companies/ financial_items/ financial_reports/ financial_data/``.
+
+    Multi-filing collapse: when several filings map to one natural key
+    (re-filed cover pages → same company_id; an original + amendment →
+    same report_id and therefore same data_id per item), each table keeps
+    ONE deterministic survivor — min-struct per key — so repeated
+    backfills converge bit-identically. A policy that prefers the
+    amendment would order by a filing sequence instead; the testdata
+    carries none, so determinism is the contract.
     """
     raw = read_filing_csvs(spark, csv_glob)
     std = standardize_raw(raw, filing_id_col="_filing_path")
     bundle = conform_all(std)
 
-    companies = bundle["companies"].dropDuplicates(["company_id"])
+    companies = _dedup_deterministic(bundle["companies"], "company_id")
     items = bundle["items"]
-    reports = bundle["reports"].dropDuplicates(["report_id"])
-    facts = bundle["facts"]
+    reports = _dedup_deterministic(bundle["reports"], "report_id")
+    facts = _dedup_deterministic(bundle["facts"], "data_id")
 
     # dims: keyed upserts (A5/A6/A7 semantics — reload-idempotent)
     sinks.merge_upsert(companies, os.path.join(out_dir, "companies"), ["company_id"])

@@ -340,6 +340,12 @@ def _hot_block_candidates(emb: DataFrame) -> DataFrame:
     )
 
 
+#: below this cosine threshold the 4×16 sign-bit banding loses real recall
+#: (single-bit agreement P ≈ 0.6 at cosine 0.3 → ~half the qualifying pairs
+#: of a hot block would be silently dropped) — the hot path refuses instead
+_LSH_SAFE_THRESHOLD = 0.6
+
+
 def neardup_pairs_bounded(
     emb: DataFrame, threshold: float = 0.30, block_cap: int = _BLOCK_CAP
 ) -> DataFrame:
@@ -348,8 +354,33 @@ def neardup_pairs_bounded(
     labels generate candidates through the banded-LSH self-join first and
     exact-score only the candidates. The union is the operator — at 100 TB
     one skewed label degrades to the LSH path instead of a cartesian
-    explosion."""
-    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_blk"))
+    explosion.
+
+    Exactness contract: candidates from banding are exact-verified, so
+    false POSITIVES never survive; false NEGATIVES (missed candidates) are
+    negligible only in the semantic-dedup regime (threshold ≥
+    ``_LSH_SAFE_THRESHOLD``, where near-dup sign bits collide with
+    near-certainty — pinned empirically by
+    ``test_hot_label_matches_exact``). Below that threshold a hot block
+    would silently lose ~half its qualifying pairs, so the call REFUSES
+    (raise block_cap or the threshold) instead. The check reads the
+    per-label size frame the plan materializes anyway — one tiny count on
+    an already-computed aggregate, not an extra corpus scan. (An in-plan
+    ``assert_true`` guard is NOT usable here: Catalyst's constraint
+    inference copies projection expressions into pushed-down not-null
+    filters, which would evaluate the side-effecting assert on every
+    row below the size filter.)"""
+    sizes = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("_blk")
+    ).localCheckpoint(eager=True)
+    if threshold < _LSH_SAFE_THRESHOLD and (
+        sizes.filter(F.col("_blk") > block_cap).limit(1).count() > 0
+    ):
+        raise ValueError(
+            f"banded-LSH hot-block path is unsound below cosine "
+            f"{_LSH_SAFE_THRESHOLD}: a label block exceeds "
+            f"block_cap={block_cap}; raise block_cap or the threshold"
+        )
     sized = emb.join(F.broadcast(sizes), "label")
     cold = sized.filter(F.col("_blk") <= block_cap).drop("_blk")
     hot = sized.filter(F.col("_blk") > block_cap).drop("_blk")

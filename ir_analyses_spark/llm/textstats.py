@@ -265,14 +265,16 @@ def doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree). One distinct-(doc,token) shuffle, then a count by token —
     the canonical inverted-index statistics job."""
     docs = load_table(spark, "documents", sf_dir)
-    n_docs = docs.count()
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
+    # corpus size stays IN-plan (broadcast scalar) — an eager .count()
+    # here would run a full extra scan at plan-build time
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("n_docs", F.lit(n_docs))
+        .crossJoin(F.broadcast(totals))
     )
 
 

@@ -289,16 +289,24 @@ GROUP BY l_returnflag
 
 
 def minmax_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/min_by/max_by — the deterministic first-row extraction family
-    (§2A A3: ``.iloc[0]`` after filter, made order-total)."""
+    """min/max + extreme-row extraction — the deterministic first-row
+    family (§2A A3: ``.iloc[0]`` after filter, made order-total).
+
+    Bare ``min_by(key, price)`` is NOT order-total: two orders sharing the
+    extreme price let each engine pick its own survivor. The extreme row
+    is instead the lexicographic min/max over a (price, orderkey) STRUCT —
+    a total order both engines implement identically."""
     o = load_table(spark, "orders", sf_dir)
+    pk = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
     return o.groupBy("o_orderstatus").agg(
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min(pk).getField("k").alias("cheapest_order"),
+        F.max(pk).getField("k").alias("priciest_order"),
     )
 
 
@@ -308,8 +316,8 @@ SELECT o_orderstatus,
        MAX(o_totalprice) AS max_price,
        MIN(o_orderdate) AS first_date,
        MAX(o_orderdate) AS last_date,
-       MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
-       MAX_BY(o_orderkey, o_totalprice) AS priciest_order
+       (MIN(struct_pack(p := o_totalprice, k := o_orderkey))).k AS cheapest_order,
+       (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k AS priciest_order
 FROM orders
 GROUP BY o_orderstatus
 """

@@ -21,8 +21,12 @@ from ..io.sources import load_table
 
 
 def _register(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    """Register inputs under a module prefix (``_subq_*``): the driver
+    contract hands these queries an arbitrary SparkSession, and bare names
+    like ``lineitem`` would clobber (and leak into) the caller's own temp
+    views — same convention as ``_gs_lineitem`` in aggregates.py."""
     for n in names:
-        load_table(spark, n, sf_dir).createOrReplaceTempView(n)
+        load_table(spark, n, sf_dir).createOrReplaceTempView(f"_subq_{n}")
 
 
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,11 +43,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7
                  AS avg_weekly_revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
+        FROM _subq_lineitem JOIN _subq_part ON l_partkey = p_partkey
         WHERE p_size < 10
           AND l_quantity < (
             SELECT 0.4 * AVG(l2.l_quantity)
-            FROM lineitem l2 WHERE l2.l_partkey = l_partkey
+            FROM _subq_lineitem l2 WHERE l2.l_partkey = l_partkey
           )
     """)
 
@@ -70,15 +74,15 @@ def suppliers_with_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     _register(spark, sf_dir, ["lineitem", "supplier"])
     return spark.sql("""
         SELECT s_name, COUNT(*) AS numwait
-        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        FROM _subq_supplier JOIN _subq_lineitem l1 ON s_suppkey = l1.l_suppkey
         WHERE MONTH(l1.l_shipdate) >= 6
           AND EXISTS (
-            SELECT 1 FROM lineitem l2
+            SELECT 1 FROM _subq_lineitem l2
             WHERE l2.l_orderkey = l1.l_orderkey
               AND l2.l_suppkey <> l1.l_suppkey
           )
           AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
+            SELECT 1 FROM _subq_lineitem l3
             WHERE l3.l_orderkey = l1.l_orderkey
               AND l3.l_suppkey <> l1.l_suppkey
               AND MONTH(l3.l_shipdate) >= 6
@@ -120,10 +124,10 @@ def concentrated_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_type,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
                  AS type_value
-        FROM part
+        FROM _subq_part
         GROUP BY p_type
         HAVING SUM(CAST(p_retailprice AS DECIMAL(38,6))) > (
-          SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.18 FROM part
+          SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.18 FROM _subq_part
         )
         ORDER BY type_value DESC, p_type
     """)

@@ -96,7 +96,10 @@ def financial_summary(
         "item_id", "element_id"
     )
     measures = facts.join(F.broadcast(summary_items), "item_id").select(
-        "report_id", "element_id", F.col("value").cast("double").alias("value")
+        "report_id",
+        "element_id",
+        F.col("value").cast("double").alias("value"),
+        "_row_seq",
     )
 
     # bounded pivot: exactly the 11 declared element ids, never the full
@@ -106,8 +109,13 @@ def financial_summary(
     # higher-priority element present with a NULL value must WIN (and
     # yield NULL) rather than fall through to a lower-priority synonym —
     # a bare-value pivot + coalesce would skip it.
+    # Deterministic per-element resolution (SURVEY §7.3.4: never first()
+    # after a shuffle): LAST source row per element wins — exactly the
+    # reference's ``data_map`` dict comprehension over insertion-ordered
+    # facts (reference utils/service/financial_service.py:127), made
+    # partition-order invariant by resolving on the carried ``_row_seq``.
     per_element = measures.groupBy("report_id", "element_id").agg(
-        F.first("value", ignorenulls=True).alias("v")
+        F.max_by("value", "_row_seq").alias("v")
     )
     pivoted = (
         per_element.groupBy("report_id")

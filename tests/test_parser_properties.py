@@ -34,7 +34,9 @@ def model_fiscal_year(content: str) -> str | None:
         return str(2019 + n - 1)
     m = re.search(r"(\d{4})", content)
     if m and 1990 <= int(m.group(1)) <= 2100:
-        return m.group(1)
+        # engine divergence (see parsers.extract_fiscal_year): bare years
+        # normalize to ASCII instead of the reference's raw return
+        return str(int(unicodedata.normalize("NFKC", m.group(1))))
     return None
 
 

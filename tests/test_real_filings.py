@@ -103,21 +103,28 @@ def test_real_zip_fanout_extracts_filing_members(spark, tmp_path):
 
 
 def test_real_summary_values(real_bundle):
-    """Figures from the actual filings (millions of JPY after the engine's
-    unit rescale): a plain-positive company, a sub-million decimal one, and
-    two loss-making quarters (negative-income paths)."""
+    """CURRENT-period figures from the actual filings (millions of JPY
+    after the engine's unit rescale), resolved with the reference's
+    last-source-row-per-element rule (its ``data_map`` dict comprehension,
+    reference utils/service/financial_service.py:127 — the filing lists
+    Prior1YTD rows before CurrentYTD, so last-wins lands on the current
+    period). Earlier rounds pinned the PRIOR-period values here because a
+    partition-order-dependent ``first()`` happened to pick the first
+    (prior-year) context; that nondeterminism is fixed by resolving on the
+    carried source row order. Verified against an independent dict-model
+    of the reference semantics over all 8 filings."""
     _, _, s = real_bundle
     waku = s["E00081"]  # 若築建設
     assert waku["company_name"] == "若築建設株式会社"
     assert waku["period_name"] == "2023 Q3"
-    assert (waku["net_sales"], waku["operating_income"]) == (61578.0, 5057.0)
+    assert (waku["net_sales"], waku["operating_income"]) == (71703.0, 4972.0)
     banners = s["E00585"]  # バナーズ — thousands-unit filing, rescaled
-    assert banners["net_sales"] == 3107.687
-    assert banners["net_income"] == 90.732
-    toami = s["E01441"]  # トーアミ — operating loss quarter
-    assert toami["operating_income"] == -82.113
-    assert toami["net_income"] == -31.884
-    yonden = s["E04505"]  # 四国電力 — negative op income, positive net
-    assert (yonden["operating_income"], yonden["net_income"]) == (-802.0, 1892.0)
+    assert banners["net_sales"] == 3340.112
+    assert banners["net_income"] == 111.924
+    toami = s["E01441"]  # トーアミ — thousands-unit filing, rescaled
+    assert toami["operating_income"] == 254.479
+    assert toami["net_income"] == 179.524
+    yonden = s["E04505"]  # 四国電力
+    assert (yonden["operating_income"], yonden["net_income"]) == (78575.0, 56284.0)
     shinetsu = s["E02388"]  # 信越ポリマー
-    assert (shinetsu["net_sales"], shinetsu["net_income"]) == (82175.0, 7633.0)
+    assert (shinetsu["net_sales"], shinetsu["net_income"]) == (80289.0, 6850.0)

@@ -205,3 +205,22 @@ def test_neardup_dedup_keeps_exactly_one_per_cluster(spark):
         clusters.setdefault(canon, set()).add(doc)
     for members in clusters.values():
         assert len(members & kept) == 1
+
+
+def test_hot_block_low_threshold_refuses(spark):
+    """Below the LSH-safe cosine threshold a hot block must fail loudly
+    (banding would silently drop ~half the qualifying pairs there), while
+    an all-cold corpus at the same threshold stays exact and unaffected."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i % 7), 1.0, 0.5], "L") for i in range(40)]
+    hot = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    # cold: cap above block size → exact path, no error
+    neardup_pairs_bounded(hot, threshold=0.30, block_cap=1024).count()
+    # hot at low threshold: explicit refusal, not silent recall loss
+    with _pytest.raises(Exception, match="banded-LSH hot-block"):
+        neardup_pairs_bounded(hot, threshold=0.30, block_cap=10).count()
+    # hot at high threshold: the LSH path runs
+    assert neardup_pairs_bounded(hot, threshold=0.9, block_cap=10).count() > 0
