@@ -69,10 +69,11 @@ def events_ts_unit(path: str) -> str:
     (path, mtime, size), so a regenerated file re-probes, and an empty
     directory is not cached at all — files that arrive later decide.
 
-    Directories are sampled at their first AND last part file (sorted); the
-    two must agree — a mixed-unit directory (e.g. a stale part from an
-    older generator) fails loudly here instead of silently decoding part
-    of the table 1000x off.
+    EVERY part file of a directory is probed (footer reads are cheap and
+    cached per file) and all must agree — a mixed-unit directory (e.g. a
+    stale interior part from an older generator, which a first/last sample
+    would miss) fails loudly here instead of silently decoding part of the
+    table 1000x off.
     """
     if os.path.isdir(path):
         parts = sorted(glob(os.path.join(path, "*.parquet"))) or sorted(
@@ -80,13 +81,16 @@ def events_ts_unit(path: str) -> str:
         )
         if not parts:
             return "us"  # uncached: an empty stage dir decides later
-        first, last = _probe_one(parts[0]), _probe_one(parts[-1])
-        if first != last:
+        units = {p: _probe_one(p) for p in parts}
+        distinct = set(units.values())
+        if len(distinct) > 1:
+            by_unit = {u: next(p for p, x in units.items() if x == u) for u in distinct}
             raise ValueError(
-                f"mixed timestamp units in {path}: {parts[0]}={first} vs "
-                f"{parts[-1]}={last}; restage with one unit"
+                f"mixed timestamp units in {path}: "
+                + ", ".join(f"{u} (e.g. {p})" for u, p in by_unit.items())
+                + "; restage with one unit"
             )
-        return first
+        return distinct.pop()
     return _probe_one(path)
 
 
@@ -164,8 +168,13 @@ def sniff_encoding(path: str, sample_bytes: int = 64 * 1024) -> str:
             return enc
     except ImportError:
         pass
+    # A fixed-size sample can cut a multibyte sequence at its end; a strict
+    # decode would then misclassify valid UTF-8 (CJK text hits this with
+    # ~2/3 probability at any cut point) as CP932 and the permissive scan
+    # would silently ship mojibake. An incremental decoder treats a
+    # trailing partial sequence as "awaiting more bytes", not an error.
     try:
-        head.decode("utf-8")
+        codecs.getincrementaldecoder("utf-8")().decode(head, final=False)
         return "UTF-8"
     except UnicodeDecodeError:
         return "CP932"  # Shift-JIS superset used by Japanese filings

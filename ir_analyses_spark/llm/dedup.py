@@ -84,17 +84,36 @@ GROUP BY MD5(text)
 """
 
 
-def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle."""
-    sh = shingles(_spread(docs))
+def _jaccard_over(
+    sh: DataFrame, pairs: DataFrame | None, threshold: float
+) -> DataFrame:
+    """Exact Jaccard > ``threshold`` over a (doc_id, g) shingle-set frame —
+    ONE definition of the scoring arithmetic shared by the quadratic
+    verifier and the LSH candidate-verify path, so the 'LSH output == exact
+    output' equality can never drift between two copies of the formula.
+    With ``pairs`` (d1, d2) only those candidates are scored; without, all
+    pairs sharing ≥1 shingle (quadratic)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    if pairs is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        sh2 = sh.withColumnsRenamed({"doc_id": "d2_r", "g": "g_b"})
+        inter = (
+            pairs.join(sh.withColumnRenamed("doc_id", "d1"), "d1")
+            .join(sh2, (F.col("d2") == F.col("d2_r")) & (F.col("g") == F.col("g_b")))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
         .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
@@ -102,6 +121,11 @@ def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("jac") > threshold)
         .select("d1", "d2", "jac")
     )
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle."""
+    return _jaccard_over(shingles(_spread(docs)), None, threshold)
 
 
 def ngram_jaccard_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,8 +272,11 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("d2"),
         *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
     )
-    # signatures are ~0.5 KB/doc — broadcast them so the candidate stream
-    # never shuffles for the estimate (map-side joins + filter in one stage)
+    # estimate joins shuffle only signature rows (~0.5 KB/doc) keyed by
+    # doc id — never text. Below the 64 MB auto-broadcast threshold
+    # (~125k docs) Catalyst plans them as map-side broadcast joins on its
+    # own; past that a key-partitioned shuffle of the signature table is
+    # the correct plan, so no broadcast hint is forced here.
     sigp = candidates.join(siga, "d1").join(sigb, "d2")
     n_equal = sum(
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
@@ -278,21 +305,8 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(docs.join(cand_docs, "doc_id", "left_semi")).localCheckpoint(
         eager=True
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh2 = sh.withColumnsRenamed({"doc_id": "d2_r", "g": "g_b"})
-    inter = (
-        candidates.join(sh.withColumnRenamed("doc_id", "d1"), "d1")
-        .join(sh2, (F.col("d2") == F.col("d2_r")) & (F.col("g") == F.col("g_b")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
-        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
-        .withColumn("jac", F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")))
-        .filter(F.col("jac") > 0.8)
-        .select("d1", "d2", "jac")
-    )
+    # same scoring arithmetic as the quadratic verifier, by construction
+    return _jaccard_over(sh, candidates, 0.8)
 
 
 def simhash_fingerprints(docs: DataFrame, portable: bool = False) -> DataFrame:
@@ -570,7 +584,10 @@ def neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(
             "doc_id",
             F.struct(
-                (-F.col("n_chars")).alias("neg_len"),
+                # NULL n_chars must LOSE (keep-the-richest policy; also
+                # DuckDB's default NULLS LAST under DESC): Spark's struct
+                # ordering puts NULL first ascending, so coalesce to +inf-ish
+                F.coalesce(-F.col("n_chars"), F.lit(2**62)).alias("neg_len"),
                 F.col("doc_id").alias("tiebreak"),
             ),
         ).alias("survivor_id")
@@ -593,7 +610,8 @@ NEARDUP_DEDUP_PIPELINE_SQL = _COMPONENTS_CTES + """
 ),
 survivors AS (
   SELECT canonical_id,
-         (LIST(doc_id ORDER BY n_chars DESC, doc_id ASC))[1] AS survivor_id
+         (LIST(doc_id ORDER BY n_chars DESC NULLS LAST, doc_id ASC))[1]
+           AS survivor_id
   FROM ranked GROUP BY canonical_id
 ),
 losers AS (

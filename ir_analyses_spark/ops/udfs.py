@@ -139,6 +139,10 @@ class _ExpandSeq:
     expander exercising the UDTF protocol."""
 
     def eval(self, o_orderkey: int):
+        if o_orderkey is None:
+            # emit nothing, like the oracle's UNNEST(range(1, NULL)) — a
+            # bare `None % 3` would kill the whole task instead
+            return
         for s in range(1, o_orderkey % 3 + 2):
             yield o_orderkey, s
 

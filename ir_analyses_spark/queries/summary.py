@@ -101,6 +101,13 @@ def financial_summary(
         F.col("value").cast("double").alias("value"),
         "_row_seq",
     )
+    # prune BEFORE the aggregate/pivot: only latest reports are consumed,
+    # and the left join below cannot push through two groupBys — without
+    # this semi-join the pivot cost grows with history length, not
+    # company count
+    measures = measures.join(
+        latest.select("report_id"), "report_id", "left_semi"
+    )
 
     # bounded pivot: exactly the 11 declared element ids, never the full
     # element domain (SURVEY §7.3.6). Each cell is a PRESENCE struct, not a

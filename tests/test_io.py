@@ -774,3 +774,21 @@ def test_edinet_client_typed_errors_and_skip(tmp_path, monkeypatch):
         c.download_quarterly_filings(
             ["2024-02-09", "2024-02-10"], str(tmp_path / "dl4")
         )
+
+
+def test_sniff_encoding_truncated_multibyte_sample(tmp_path):
+    """A 64 KiB sample that cuts a 3-byte UTF-8 character mid-sequence must
+    still classify as UTF-8 (the incremental decoder treats the trailing
+    partial sequence as pending, not an error) — a strict decode would
+    misread the whole file as CP932 mojibake."""
+    p = tmp_path / "big_utf8.csv"
+    data = ("あいうえお" * 20000).encode("utf-8")
+    # ensure the default 64 KiB cut lands mid-character
+    assert_raises = False
+    try:
+        data[: 64 * 1024].decode("utf-8")
+    except UnicodeDecodeError:
+        assert_raises = True
+    assert assert_raises, "fixture must cut a multibyte sequence"
+    p.write_bytes(data)
+    assert sources.sniff_encoding(str(p)) == "UTF-8"
