@@ -46,6 +46,18 @@ HEADLINE = [
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _sf_of(path: str) -> float | None:
+    """Scale factor from a ``.../sf<N>`` directory name, or None — ONE
+    parser shared by the record emitter and the prior-timings reader (an
+    unguarded float() here would crash after all timed runs and lose the
+    record)."""
+    tail = path.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return None
+
+
 def main() -> None:
     spark = get_spark(app_name="ir_analyses_spark_bench")
     queries = all_queries()
@@ -65,24 +77,30 @@ def main() -> None:
             pass  # warm-up is best-effort; the timed run will surface errors
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad query must not lose the record
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
+    if errors:
+        for name, msg in errors.items():
+            print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
+        sys.exit(1)
 
     # Regression gate: every headline query must stay within 2× of its best
     # recorded per-round time (BENCH_r*.json are the driver's artifacts).
@@ -115,7 +133,7 @@ def _best_prior_timings() -> dict[str, float]:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = _sf_of(SF_DIR)
     best: dict[str, float] = {}
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
@@ -128,7 +146,7 @@ def _best_prior_timings() -> dict[str, float]:
         if "parsed" in rec and isinstance(rec["parsed"], dict):
             rec = {**rec, **rec["parsed"]}
         try:
-            same_sf = float(rec.get("sf")) == float(sf)
+            same_sf = sf is not None and float(rec.get("sf")) == sf
         except (TypeError, ValueError):
             same_sf = False
         if not same_sf:

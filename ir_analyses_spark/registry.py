@@ -14,6 +14,7 @@ Names must be globally unique; the merge asserts it.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -188,22 +189,29 @@ def _with_engine_conf(fn: Callable) -> Callable:
     return wrapped
 
 
+@cache
 def _merge() -> tuple[dict[str, Callable], dict[str, str]]:
+    # invariants raise REAL exceptions, never assert: under ``python -O``
+    # a stripped assert would let an unlisted query silently drop out of
+    # the verification sweep, or a duplicate name silently overwrite
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
-            assert name not in queries, f"duplicate query name: {name}"
+            if name in queries:
+                raise RuntimeError(f"duplicate query name: {name}")
             queries[name] = _with_engine_conf(fn)
         for name, sql in getattr(mod, "ORACLES", {}).items():
-            assert name in mod.QUERIES, f"oracle without query: {name}"
+            if name not in mod.QUERIES:
+                raise RuntimeError(f"oracle without query: {name}")
             oracles[name] = sql
     # _ORDER is the verification contract: every registered query must have
     # an explicit position, and vice versa (tested in test_oracle_parity).
-    assert set(_ORDER) == set(queries), (
-        f"registry order out of sync: "
-        f"missing={set(queries) - set(_ORDER)} stale={set(_ORDER) - set(queries)}"
-    )
+    if set(_ORDER) != set(queries):
+        raise RuntimeError(
+            f"registry order out of sync: "
+            f"missing={set(queries) - set(_ORDER)} stale={set(_ORDER) - set(queries)}"
+        )
     queries = {name: queries[name] for name in _ORDER}
     return queries, oracles
 

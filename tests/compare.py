@@ -21,6 +21,21 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _null_or_str(v):
+    """Canonical string for object cells; EVERY null flavor → None.
+    DuckDB's .df() can deliver float('nan')/NaT where Spark delivers None
+    for the same NULL — stringifying those to 'nan' would sort differently
+    and falsely mismatch. Non-scalars (arrays) fall through to str()."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass  # pd.isna on arrays returns an array — treat as a value
+    return str(v)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -29,7 +44,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
         elif s.dtype == object:
             # date objects / decimals → canonical strings for sort stability
-            df[c] = s.map(lambda v: None if v is None else str(v))
+            df[c] = s.map(_null_or_str)
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(
         drop=True
     )

@@ -12,7 +12,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ir_analyses_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# the driver's correctness SF is sf0.01; run this suite against it with
+#   TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/
+# (the verify recipe in .claude/skills/verify replays that protocol too)
 
 
 @pytest.fixture(scope="session")

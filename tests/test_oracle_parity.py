@@ -49,7 +49,10 @@ def test_approx_sketches_error_bounded(spark, sf_dir):
     assert set(approx) == set(exact)
     for flag, e in exact.items():
         a = approx[flag]
-        assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"], flag
+        # bound = 3× the sketch's default relative standard error (5%):
+        # a 1×rsd bound would fail ~1/3 of groups on a CORRECT
+        # implementation at some scale factor
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.15 * e["parts"], flag
         # percentile_approx returns a true data value near the quantile
         assert e["lo"] <= a["price_q50"] <= e["hi"], flag
         assert abs(a["price_q50"] - e["q50"]) <= 0.2 * (e["hi"] - e["lo"]), flag
@@ -83,10 +86,25 @@ def test_hll_union_of_parts_equals_whole(spark, sf_dir):
     assert merged == direct
 
 
+#: rows-only queries pin their column lists here so a silent schema change
+#: (renamed/dropped column) fails even without an oracle
+ROWS_ONLY_SCHEMAS = {
+    "approx_sketches": ["l_returnflag", "approx_parts", "price_q50", "price_q95", "price_q99"],
+    "hll_mergeable_rollup": ["l_returnflag", "approx_parts"],
+    "ann_ml_brp_lsh": ["v1", "v2", "dist"],
+}
+
+
+def test_rows_only_schema_registry_in_sync():
+    assert set(ROWS_ONLY_SCHEMAS) == set(QUERIES) - set(ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
     if name in ORACLES:
         assert_matches_oracle(df, con, ORACLES[name], name=name)
     else:
-        assert df.count() >= 0  # rows-only: runs and has a stable schema
+        # rows-only: must execute AND keep its declared schema
+        assert df.columns == ROWS_ONLY_SCHEMAS[name], name
+        df.count()
