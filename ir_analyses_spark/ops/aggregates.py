@@ -252,8 +252,14 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``tests/test_oracle_parity.py`` runs it rows-only; the in-repo
     merge-consistency test pins the property that makes it correct at any
-    scale: union-of-parts == sketch-of-whole, exactly (same sketch family,
-    deterministic), no matter how the data was partitioned.
+    scale: the UNION result is independent of how the data was
+    partitioned (register-wise max is associative/commutative), and its
+    estimate stays within the sketch's error bound of the exact count.
+    Note union-of-parts is NOT numerically identical to a directly-built
+    single sketch in estimation mode — a direct sketch answers with the
+    more accurate HIP estimator, which a union invalidates (composite
+    estimator instead); both are within the error bound, and only the
+    partition-independence matters for rollup correctness.
     """
     li = load_table(spark, "lineitem", sf_dir)
     cells = li.groupBy("l_returnflag", "l_linestatus").agg(
