@@ -95,6 +95,10 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
     }
     if errors:
+        # a partial sum reads as a faster-looking total to any tool that
+        # compares "value" across rounds — null it so an errored run can
+        # never be mistaken for a full-run record
+        record["value"] = None
         record["errors"] = errors
     print(json.dumps(record))
     if errors:

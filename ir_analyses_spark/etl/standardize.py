@@ -20,8 +20,13 @@ Parity notes:
 - ``_row_seq`` preserves source row order inside each filing; every
   "first matching row" rule downstream (conform.extract_cover_values)
   orders by it, making the reference's ``iloc[0]`` deterministic
-  (SURVEY §7.3.4). ``monotonically_increasing_id`` is ordered within and
-  across input splits of a single read, which is all the rule needs.
+  (SURVEY §7.3.4). ``monotonically_increasing_id`` is sequential WITHIN a
+  scan split but Spark orders splits by bin-packed size, not source order
+  — so the guarantee holds iff each filing lands in one split. That
+  precondition is enforced at the read edge: ``sources.read_filing_csvs``
+  routes any file larger than ``spark.sql.files.maxPartitionBytes`` (the
+  only files that can split) through a non-splittable ``multiLine`` scan
+  group.
 """
 
 from __future__ import annotations

@@ -180,6 +180,26 @@ def sniff_encoding(path: str, sample_bytes: int = 64 * 1024) -> str:
         return "CP932"  # Shift-JIS superset used by Japanese filings
 
 
+_SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+               "p": 1 << 50}
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int — the scan-split
+    threshold. Accepts Spark's byte-string forms ("134217728b", "128m",
+    "128MB"); an unparseable value degrades to 0, which routes EVERY file
+    through the order-safe non-splittable path rather than guessing."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    s = raw.strip().lower()
+    num = s.rstrip("kmgtpib")
+    suffix = s[len(num):].lstrip("i")  # "mb"→"m" handled below, "mib"→"m"
+    try:
+        value = int(num)
+    except ValueError:
+        return 0
+    return value * _SIZE_UNITS.get(suffix[:1] or "b", 1)
+
+
 def read_filing_csvs(
     spark: SparkSession,
     paths_or_glob: str | list[str],
@@ -191,6 +211,16 @@ def read_filing_csvs(
     sniffed encoding and unions one declarative scan per charset; each scan
     carries ``_filing_path`` lineage via ``input_file_name()`` so downstream
     conformance can treat "one filing" as a group without a per-file loop.
+
+    Ordering contract (feeds ``standardize.ROW_SEQ``): downstream
+    "last/first source row wins" rules need within-filing source order, and
+    ``monotonically_increasing_id`` only preserves it when each file lands
+    in ONE scan split (Spark bin-packs splits by size, not source order).
+    A file can only split when it exceeds
+    ``spark.sql.files.maxPartitionBytes``, so any such file is routed into
+    a separate ``multiLine`` scan group — the multi-line CSV parser reads
+    whole files and is non-splittable, trading split parallelism (only for
+    those oversized files) for an intrinsic order guarantee.
     """
     if isinstance(paths_or_glob, str):
         paths = sorted(glob(paths_or_glob, recursive=True))
@@ -201,10 +231,14 @@ def read_filing_csvs(
             "_filing_path", F.lit(None).cast("string")
         )
 
-    # Group by (charset, lineSep): Spark's CSV reader splits lines on raw
-    # bytes, so multi-byte charsets (the UTF-16 EDINET exports) need the
-    # line separator stated explicitly or every record lands on one line.
-    by_enc: dict[tuple[str, str | None], list[str]] = defaultdict(list)
+    # Group by (charset, lineSep, splittable): Spark's CSV reader splits
+    # lines on raw bytes, so multi-byte charsets (the UTF-16 EDINET exports)
+    # need the line separator stated explicitly or every record lands on one
+    # line. Files big enough to be split (> maxPartitionBytes) go to a
+    # non-splittable multiLine group so within-file order survives (see
+    # docstring ordering contract).
+    split_limit = _max_partition_bytes(spark)
+    by_enc: dict[tuple[str, str | None, bool], list[str]] = defaultdict(list)
     for p in paths:
         enc = sniff_encoding(p)
         lsep = None
@@ -214,14 +248,17 @@ def read_filing_csvs(
             codec = "utf-16-le" if enc.upper().endswith("LE") else "utf-16-be"
             text = head.decode(codec, errors="ignore")
             lsep = "\r\n" if "\r\n" in text else "\n"
-        by_enc[(enc, lsep)].append(p)
+        splittable = os.path.getsize(p) <= split_limit
+        by_enc[(enc, lsep, splittable)].append(p)
 
     scans = []
-    for (enc, lsep), group in sorted(by_enc.items(), key=str):
+    for (enc, lsep, splittable), group in sorted(by_enc.items(), key=str):
         opts = {"sep": delimiter, "header": True, "encoding": enc,
                 "mode": "PERMISSIVE"}
         if lsep is not None:
             opts["lineSep"] = lsep
+        if not splittable:
+            opts["multiLine"] = True
         scans.append(
             spark.read.schema(RAW_FILING_SCHEMA)
             .options(**opts)

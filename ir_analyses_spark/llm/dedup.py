@@ -521,6 +521,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: shared CTE chain: shingles → exact-Jaccard edges → transitive closure
 #: (used by the components oracle and the dedup-pipeline oracle)
+#:
+#: TRIAGE NOTE: the Spark side sources edges from minhash_lsh_nearup while
+#: these oracles compute the EXACT-Jaccard closure, so equality holds only
+#: with the LSH recall probability (~1 - 1e-7 per true pair at 21 bands × 3
+#: rows for J ≥ 0.8). A mismatch in dedup_components /
+#: neardup_dedup_pipeline on a regenerated or larger corpus should first be
+#: triaged as a scale-dependent LSH recall miss (a true pair whose
+#: signature never collided in any band), NOT as a code bug — recompute the
+#: edge set with the exact ``_jaccard_pairs`` path at the failing SF and
+#: compare before touching the operators.
 _COMPONENTS_CTES = """
 WITH RECURSIVE
 sh AS (

@@ -581,7 +581,14 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 1.0, seeded for within-Spark determinism. Rows-only check:
     the hash family is MLlib-internal, so no cross-engine oracle — the
     custom ann_lsh_topk above is the oracle-checked path; this entry
-    proves the engine also drives the stock primitive."""
+    proves the engine also drives the stock primitive.
+
+    Verification posture: RECALL-BOUNDED VS EXACT TWIN. In-repo tests pin
+    (a) soundness — every emitted pair's distance is genuinely under the
+    join radius — and (b) completeness at recall ≥ 0.8 against BOTH the
+    quadratic exact pair set and ann_brute_topk's top-k neighborhoods
+    restricted to the join radius (tests/test_similarity_bounds.py::
+    test_brp_lsh_sound_and_high_recall / test_brp_lsh_recall_vs_brute_topk)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 

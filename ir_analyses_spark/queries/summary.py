@@ -95,6 +95,13 @@ def financial_summary(
     summary_items = items.filter(F.col("element_id").isin(all_element_ids)).select(
         "item_id", "element_id"
     )
+    # schema migration shim: a facts table written by a pre-_row_seq
+    # backfill must still serve instead of failing on a missing column.
+    # Source order is unrecoverable for such tables, so the per-element
+    # resolution below falls back to its value tiebreaker — deterministic,
+    # though not the reference's "last source row" (which no longer exists)
+    if "_row_seq" not in facts.columns:
+        facts = facts.withColumn("_row_seq", F.lit(0).cast("long"))
     measures = facts.join(F.broadcast(summary_items), "item_id").select(
         "report_id",
         "element_id",
@@ -121,8 +128,11 @@ def financial_summary(
     # reference's ``data_map`` dict comprehension over insertion-ordered
     # facts (reference utils/service/financial_service.py:127), made
     # partition-order invariant by resolving on the carried ``_row_seq``.
+    # ordering key is (seq, value): with a real _row_seq the seq is unique
+    # and value never decides; under the constant-seq migration shim above,
+    # ties resolve on value — still deterministic across partition orders
     per_element = measures.groupBy("report_id", "element_id").agg(
-        F.max_by("value", "_row_seq").alias("v")
+        F.max_by("value", F.struct("_row_seq", "value")).alias("v")
     )
     pivoted = (
         per_element.groupBy("report_id")

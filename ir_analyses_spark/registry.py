@@ -217,8 +217,11 @@ def _merge() -> tuple[dict[str, Callable], dict[str, str]]:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _merge()[0]
+    # defensive copy: _merge() is @cache'd, so handing out the cached dict
+    # would let one caller's mutation (a test monkeypatching an entry)
+    # silently corrupt the registry for every later caller
+    return dict(_merge()[0])
 
 
 def all_oracles() -> dict[str, str]:
-    return _merge()[1]
+    return dict(_merge()[1])

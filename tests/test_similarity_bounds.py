@@ -137,6 +137,40 @@ def test_brp_lsh_sound_and_high_recall(spark):
     assert recall >= 0.8, f"recall {recall:.3f} below bound"
 
 
+def test_brp_lsh_recall_vs_brute_topk(spark):
+    """VERDICT r3 item 2: tie the rows-only BRP-LSH entry to the
+    oracle-checked exact twin. For ann_brute_topk's query points and k,
+    every brute-force top-k neighbor that lies inside BRP's Euclidean join
+    radius must be recovered by the BRP-LSH self-join at bounded recall —
+    the closest-to-an-oracle statement physics allows for an
+    MLlib-internal hash family."""
+    import numpy as np
+
+    from ir_analyses_spark.io.sources import load_table
+    from ir_analyses_spark.llm.similarity import ann_brute_topk, ann_ml_brp_lsh
+
+    sf = "/root/testdata/sf0.001"
+    brp_pairs = {
+        (min(r["v1"], r["v2"]), max(r["v1"], r["v2"]))
+        for r in ann_ml_brp_lsh(spark, sf).collect()
+    }
+    brute = ann_brute_topk(spark, sf).collect()  # query points 0–4, k=5
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", sf).collect()
+    }
+    # brute top-k neighbors within the BRP join radius (1.2 Euclidean):
+    # exactly the set an approxSimilarityJoin at that radius CAN return
+    expected = {
+        (min(r["query_id"], r["vec_id"]), max(r["query_id"], r["vec_id"]))
+        for r in brute
+        if float(np.linalg.norm(emb[r["query_id"]] - emb[r["vec_id"]])) <= 1.2
+    }
+    assert expected, "test vacuous: no brute top-k neighbor inside the radius"
+    recall = len(expected & brp_pairs) / len(expected)
+    assert recall >= 0.8, f"top-k recall {recall:.3f} below bound"
+
+
 # ---------------------------------------------------------------------------
 # Invariants of the round-3 operators (beyond oracle parity): bounds that
 # must hold on ANY corpus, checked on the real testdata.
