@@ -35,15 +35,38 @@ def _swap_in(staging: str, target_dir: str) -> None:
     brief no-target window between the two renames (plain filesystems lack
     an atomic exchange); readers that must never observe it need a
     transactional table format (Delta/Iceberg), where this helper becomes
-    a ``MERGE``/``REPLACE`` one-liner."""
+    a ``MERGE``/``REPLACE`` one-liner.
+
+    Callers that READ the target before staging a new version must call
+    ``_recover_swap`` first — after a between-renames crash the only copy
+    lives at ``__old``, and reading the absent target as "empty table"
+    would silently drop it from the merged result."""
     old = target_dir.rstrip("/") + "__old"
     if os.path.exists(old):
-        shutil.rmtree(old)
+        if not os.path.exists(target_dir):
+            # between-renames crash remnant: ``old`` IS the table; the
+            # caller should have recovered it, but never delete it here
+            os.rename(old, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(target_dir):
         os.rename(target_dir, old)
     os.rename(staging, target_dir)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _recover_swap(target_dir: str) -> None:
+    """Resolve a crashed ``_swap_in``: if a ``__old`` remnant exists with
+    no live target, the crash hit between the two renames and ``__old`` is
+    the authoritative table — restore it; with a live target, promotion
+    succeeded and ``__old`` is garbage. Idempotent; call before reading a
+    swap-managed directory you are about to rewrite."""
+    old = target_dir.rstrip("/") + "__old"
+    if os.path.exists(old):
+        if os.path.exists(target_dir):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, target_dir)
 
 
 def merge_upsert(
@@ -74,6 +97,7 @@ def merge_upsert(
     reads it. Same rule every partition-scoped MERGE engine imposes.
     """
     spark = updates.sparkSession
+    _recover_swap(target_dir)
     if partition_col is not None and os.path.exists(target_dir):
         touched = [
             r[0]
@@ -109,22 +133,22 @@ def merge_upsert(
 
 def batch_ledger(target_dir: str, batch_id) -> tuple[bool, "Callable[[], None]"]:
     """Applied-batch ledger for non-idempotent (additive / versioning)
-    foreachBatch sinks: returns (already_applied, mark_applied). The sink
-    checks the flag, merges, then calls ``mark_applied()``.
+    foreachBatch sinks: returns (already_applied, mark_applied).
 
-    Honest crash-window note: the merge and the marker are two filesystem
-    operations, so a crash BETWEEN them re-applies that one batch on
-    replay (the classic two-phase gap; keyed MERGE sinks don't care —
-    they're idempotent — but additive sinks double-count that batch).
-    Closing the gap needs a table format whose commit carries the txn id
-    (Delta/Iceberg); on bare parquet this ledger narrows exactly-once to
-    effectively-once-with-a-crash-window, and both streaming sinks share
-    THIS implementation so the window is in one place. The marker itself
-    is written via tmp+rename so a crash mid-write never leaves a
-    half-created marker that silently skips an unapplied batch."""
+    The ledger lives INSIDE the table directory (``<target>/_applied/<id>``
+    — underscore-prefixed, so parquet scans never see it). That placement
+    is the point: a sink that commits through a staged swap writes the
+    marker into the STAGING directory before the swap, so marker and data
+    are promoted by the SAME rename — there is no between-merge-and-mark
+    crash window (the poor-man's manifest commit; Delta's txn version does
+    this inside its log). ``scd2_merge(batch_id=...)`` and
+    ``additive_merge_committed`` both commit that way; ``mark_applied``
+    (tmp+rename, so a torn marker can never silently skip an unapplied
+    batch) remains for callers without a staged swap, which do retain the
+    classic two-phase gap."""
     import os as _os
 
-    ledger = target_dir.rstrip("/") + "__applied"
+    ledger = _os.path.join(target_dir, "_applied")
     marker = _os.path.join(ledger, str(batch_id))
 
     def mark_applied() -> None:
@@ -135,6 +159,151 @@ def batch_ledger(target_dir: str, batch_id) -> tuple[bool, "Callable[[], None]"]
         _os.rename(tmp, marker)
 
     return _os.path.exists(marker), mark_applied
+
+
+#: retain at most this many applied-batch markers per ledger; Structured
+#: Streaming replays only batches at/after the checkpoint frontier, so
+#: markers far behind it are dead weight (empty files, but at one per
+#: batch per partition they would dominate directory listings eventually)
+_LEDGER_KEEP = 128
+
+
+def _carry_markers(live_dir: str, staging_dir: str, batch_id: int) -> None:
+    """Copy prior batch markers from the live directory into staging and
+    add this batch's marker, so ONE rename commits data + full ledger.
+    Markers are bare files named ``_applied_<id>`` at the directory root
+    (hidden from scans by the underscore prefix)."""
+    prior = []
+    if os.path.isdir(live_dir):
+        prior = [
+            f for f in os.listdir(live_dir) if f.startswith("_applied_")
+        ]
+    keep = sorted(
+        (int(f.rsplit("_", 1)[1]) for f in prior),
+        reverse=True,
+    )[:_LEDGER_KEEP]
+    os.makedirs(staging_dir, exist_ok=True)
+    for bid in keep:
+        with open(os.path.join(staging_dir, f"_applied_{bid}"), "w"):
+            pass
+    with open(os.path.join(staging_dir, f"_applied_{batch_id}"), "w"):
+        pass
+
+
+def additive_merge_committed(
+    delta: DataFrame,
+    target_dir: str,
+    partition_col: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    batch_id: int,
+) -> None:
+    """ADDITIVE merge with an atomic per-partition commit: existing rows
+    and the delta re-aggregate (counts/sums accumulate, unlike keyed MERGE
+    which replaces rows), and each touched partition directory is swapped
+    in by ONE rename that carries both the merged data and this batch's
+    applied marker — so a replayed batch can never double-count, crash
+    anywhere included.
+
+    Protocol per batch: (1) prune to partitions NOT already carrying this
+    batch's marker; (2) one Spark job writes every such partition's merged
+    result into a staging root; (3) per partition, copy forward prior
+    markers + add this batch's marker into the staging directory, then
+    rename it into place. Crash before a partition's rename leaves that
+    partition untouched and unmarked → replay redoes it; crash after
+    leaves data+marker committed together → replay skips it. The rewrite
+    is O(touched partitions), never O(table), and step 3 is pure
+    filesystem metadata.
+
+    Residual (documented, same as every non-transactional layout): a
+    reader can see partition A new while B is still old, and each swap has
+    the brief no-target blink of ``_swap_in``. Fixing those needs a
+    transactional table format (Delta/Iceberg), where this whole function
+    is ``MERGE`` + txn id.
+
+    Precondition: ``partition_col`` values must be directory-name-safe
+    (the engine's day strings are); ``group_cols`` must contain
+    ``partition_col``.
+    """
+    spark = delta.sparkSession
+    staging_root = target_dir.rstrip("/") + "__staging"
+    if os.path.exists(staging_root):
+        shutil.rmtree(staging_root)
+
+    def _part(root: str, value) -> str:
+        return os.path.join(root, f"{partition_col}={value}")
+
+    def _part_old(value) -> str:
+        # the old copy parks in a SIBLING directory of the table root — a
+        # "day=X__old" dir inside it would be discovered as a phantom
+        # partition value by any concurrent reader (Spark's partition
+        # inference parses every directory component, hidden-prefix or not)
+        return os.path.join(
+            target_dir.rstrip("/") + "__oldparts", f"{partition_col}={value}"
+        )
+
+    def _recover_part(value) -> None:
+        # resolve a partition whose previous swap crashed between renames
+        # (its only copy is the hidden old dir): restore if the live dir
+        # is missing, else the old copy is post-promotion garbage
+        old, live = _part_old(value), _part(target_dir, value)
+        if os.path.exists(old):
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+
+    marker = f"_applied_{batch_id}"
+    touched = sorted(
+        r[0] for r in delta.select(partition_col).distinct().collect()
+    )  # deterministic commit order: replays resume at the first uncommitted
+    # recovery BEFORE the pruned read below — reading an absent live dir
+    # as "no current rows" would drop prior batches from the merge
+    for v in touched:
+        _recover_part(v)
+    todo = [
+        v
+        for v in touched
+        if not os.path.exists(os.path.join(_part(target_dir, v), marker))
+    ]
+    if not todo:
+        return
+    delta_todo = delta.filter(F.col(partition_col).isin(todo))
+    if os.path.exists(target_dir):
+        # partition-pruned read: only the todo directories are scanned.
+        # NOTE a partially-committed prior attempt is handled by the todo
+        # filter, not here — an already-swapped partition's (corrupt to
+        # re-merge) staging output is simply never promoted again.
+        current = spark.read.parquet(target_dir).filter(
+            F.col(partition_col).isin(todo)
+        )
+        merged = current.unionByName(delta_todo)
+    else:
+        merged = delta_todo
+    merged = merged.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    # one job, all todo partitions; no localCheckpoint needed — staging is
+    # a different path, so the plan never overwrites its own input
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+        staging_root
+    )
+    os.makedirs(target_dir, exist_ok=True)
+    for v in todo:
+        live, stage = _part(target_dir, v), _part(staging_root, v)
+        if not os.path.isdir(stage):
+            continue  # empty merged partition: nothing to commit, replay retries
+        _carry_markers(live, stage, batch_id)
+        old = _part_old(v)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(live):
+            os.makedirs(os.path.dirname(old), exist_ok=True)
+            os.rename(live, old)
+        os.rename(stage, live)  # THE commit point for this partition
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging_root, ignore_errors=True)
 
 
 def append_missing(
@@ -200,6 +369,7 @@ def scd2_merge(
     key: str,
     change_cols: list[str],
     effective_col: str = "effective_from",
+    batch_id: int | None = None,
 ) -> None:
     """Slowly-changing-dimension type-2 merge: history-preserving upsert.
 
@@ -214,8 +384,35 @@ def scd2_merge(
     same write needs once history must be queryable "as of" any date.
     Like SQL MERGE, one update row per key per batch — collapse a batch
     to latest-per-key first (A4) if the feed can repeat keys.
+
+    With ``batch_id`` (streaming replay protection), the applied-batch
+    marker is written into the staging directory BEFORE the swap, so the
+    rename that promotes the merged table promotes the marker with it —
+    data and "applied" commit atomically; there is no window where the
+    merge landed but the ledger didn't (see ``batch_ledger``).
     """
     spark = updates.sparkSession
+    _recover_swap(target_dir)
+
+    def _commit(df: DataFrame) -> None:
+        staging = target_dir.rstrip("/") + "__staging"
+        df.write.mode("overwrite").parquet(staging)
+        # the swap replaces the whole directory, so the ledger must ride
+        # along: carry prior markers forward even on a non-ledgered call
+        # (mixed ledgered/ad-hoc use must not amnesia the ledger)
+        live_ledger = os.path.join(target_dir, "_applied")
+        stage_ledger = os.path.join(staging, "_applied")
+        if os.path.isdir(live_ledger):
+            os.makedirs(stage_ledger, exist_ok=True)
+            for f in os.listdir(live_ledger):
+                with open(os.path.join(stage_ledger, f), "w"):
+                    pass
+        if batch_id is not None:
+            os.makedirs(stage_ledger, exist_ok=True)
+            with open(os.path.join(stage_ledger, str(batch_id)), "w"):
+                pass
+        _swap_in(staging, target_dir)
+
     upd = updates.select(
         F.col(key),
         *[F.col(c) for c in change_cols],
@@ -229,7 +426,7 @@ def scd2_merge(
             F.lit(None).cast("date").alias("effective_to"),
             F.lit(True).alias("is_current"),
         )
-        first.write.parquet(target_dir)
+        _commit(first)
         return
     current = spark.read.parquet(target_dir)
     # null-safe change test: plain struct != returns NULL when a member is
@@ -275,9 +472,7 @@ def scd2_merge(
         )
     )
     merged = kept_or_closed.unionByName(new_rows).localCheckpoint(eager=True)
-    staging = target_dir.rstrip("/") + "__staging"
-    merged.write.mode("overwrite").parquet(staging)
-    _swap_in(staging, target_dir)
+    _commit(merged)
 
 
 def scd2_point_in_time_join(
@@ -336,6 +531,7 @@ def compact_small_files(
             ]
         return out
 
+    _recover_swap(target_dir)
     before = _data_files(target_dir)
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_file_bytes))

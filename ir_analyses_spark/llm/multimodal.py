@@ -8,14 +8,16 @@ codec layer is split by what this container can honestly run:
 
 - **Real codecs** (``media_codec_features``): BMP (24-bit uncompressed,
   struct header parse + numpy pixel math, bottom-up row flip + 4-byte row
-  padding) and WAV (RIFF/PCM via the stdlib ``wave`` parser + numpy). Both
+  padding), WAV (RIFF/PCM via the stdlib ``wave`` parser + numpy), and PNG
+  (8-bit RGB: chunk walk, zlib inflate, full scanline unfiltering — all
+  five filter types None/Sub/Up/Average/Paeth — pure stdlib + numpy). All
   decode *genuine* files of their format; the DuckDB oracle recomputes the
   expected features analytically from the generative formula — a true
-  differential check of the parser (a wrong offset, padding, endianness or
-  row order diverges the hash).
-- **Stubbed codecs** (PIL/ffmpeg formats — JPEG, PNG, MP4…): no image/av
+  differential check of the parser (a wrong offset, padding, endianness,
+  row order or filter reconstruction diverges the hash).
+- **Stubbed codecs** (PIL/ffmpeg formats — JPEG, MP4…): no image/av
   libraries in this container, so ``decode_media`` dispatches on magic
-  bytes and raises NotImplementedError past BMP/WAV;
+  bytes and raises NotImplementedError past BMP/WAV/PNG;
   ``fake_decode_features`` is the deterministic stand-in those paths'
   tests and oracle use. Swapping in a real decoder changes one function
   body, no plumbing.
@@ -116,9 +118,100 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> dict:
+    """REAL PNG decoder (8-bit RGB, non-interlaced): chunk walk → IDAT
+    concatenation → zlib inflate → per-scanline unfiltering of all five
+    PNG filter types (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) — pure
+    stdlib ``zlib``/``struct`` + numpy, ~60 LoC, no PIL. Emits the same
+    image feature shape as ``decode_bmp`` (note PNG rows are top-down and
+    RGB, where BMP is bottom-up BGR — a decoder that confuses the two
+    flips px00_r). Filters 0/2 reconstruct vectorized; 1/3/4 need the
+    per-byte left-neighbor recurrence."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos2 = 0
+    for y in range(h):
+        ftype = raw[pos2]
+        line = np.frombuffer(raw, np.uint8, stride, pos2 + 1).astype(np.int64)
+        pos2 += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, 3)
+    sums = img.astype(np.int64).sum(axis=(0, 1))
+    return {
+        "media_kind": "png",
+        "width": int(w),
+        "height": int(h),
+        "px00_r": int(img[0, 0, 0]),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+        "sample_rate": None,
+        "n_samples": None,
+        "sum_abs": None,
+        "peak": None,
+    }
+
+
 def decode_media(content: bytes) -> dict:
-    """Codec dispatch on magic bytes. BMP and WAV decode for real (pure
-    stdlib + numpy); formats needing PIL/ffmpeg (JPEG, PNG, MP4, …) raise
+    """Codec dispatch on magic bytes. BMP, WAV and PNG decode for real
+    (pure stdlib + numpy); formats needing PIL/ffmpeg (JPEG, MP4, …) raise
     NotImplementedError in this container — ``fake_decode_features`` is
     their deterministic stand-in.
     """
@@ -126,6 +219,8 @@ def decode_media(content: bytes) -> dict:
         return decode_bmp(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     try:
         import PIL.Image  # type: ignore  # noqa: F401
     except ImportError as exc:
@@ -286,17 +381,20 @@ MEDIA_CODEC_SCHEMA = (
 
 
 def synthesize_media(doc_id: int, n: int) -> bytes:
-    """Deterministic REAL media payload for a document: even doc_ids get a
-    24-bit BMP, odd doc_ids a 16-bit mono PCM WAV. Every byte follows from
-    (doc_id, n) via integer formulas, so the oracle can predict the decoded
-    features without parsing — while the Spark path must round-trip genuine
-    files. The writer here is hand-rolled (struct/RIFF byte layout), NOT
-    the parser used by the decode step."""
+    """Deterministic REAL media payload for a document, split by
+    ``doc_id % 3``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
+    PNG (scanlines forward-filtered with filter type ``row % 5``, so the
+    decoder must reconstruct every PNG filter to round-trip). Every byte
+    follows from (doc_id, n) via integer formulas, so the oracle can
+    predict the decoded features without parsing — while the Spark path
+    must round-trip genuine files. The writers here are hand-rolled
+    (struct/RIFF/chunk+CRC byte layout), NOT the parsers used by the
+    decode step."""
     import struct
 
     import numpy as np
 
-    if doc_id % 2 == 0:
+    if doc_id % 3 == 0:
         w = n % 13 + 4
         h = doc_id % 11 + 4
         p = np.arange(w * h, dtype=np.int64)
@@ -314,25 +412,85 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
                           2835, 2835, 0, 0)
             + pix
         )
-    rate = 8000 + (doc_id % 5) * 1000
-    cnt = n % 200 + 50
-    i = np.arange(cnt, dtype=np.int64)
-    data = ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2").tobytes()
+    if doc_id % 3 == 1:
+        rate = 8000 + (doc_id % 5) * 1000
+        cnt = n % 200 + 50
+        i = np.arange(cnt, dtype=np.int64)
+        data = ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2").tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    # PNG: top-down RGB rows, forward-filtered with filter type row % 5
+    import zlib
+
+    w = n % 11 + 4
+    h = doc_id % 9 + 4
+    p = np.arange(w * h, dtype=np.int64)
+    rows = (
+        np.stack(
+            [
+                (doc_id * 19 + p * 3) % 256,
+                (doc_id * 23 + p * 13) % 256,
+                (doc_id * 29 + p * 17) % 256,
+            ],
+            axis=1,
+        )
+        .astype(np.uint8)
+        .reshape(h, 3 * w)
+    )
+    stride = 3 * w
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytes(rows[y])
+        ft = y % 5
+        filtered.append(ft)
+        for x in range(stride):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                q = a + b - c
+                qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if qa <= qb and qa <= qc else (b if qb <= qc else c)
+            filtered.append((row[x] - pred) % 256)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
     return (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-        + b"data" + struct.pack("<I", len(data)) + data
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
     )
 
 
 def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry for the REAL codec path: synthesize genuine BMP/WAV
-    bytes per document (first mapInPandas), then parse them back with the
-    real decoders (second mapInPandas — the binary column crosses Arrow
-    between the stages, same plumbing a production decode pipeline uses).
-    The oracle computes the same features from the generative formulas in
-    closed form, so any parser defect (padding, row order, endianness,
-    header offsets) breaks the match."""
+    """Registry entry for the REAL codec path: synthesize genuine
+    BMP/WAV/PNG bytes per document (first mapInPandas), then parse them
+    back with the real decoders (second mapInPandas — the binary column
+    crosses Arrow between the stages, same plumbing a production decode
+    pipeline uses). The oracle computes the same features from the
+    generative formulas in closed form, so any parser defect (padding,
+    row order, endianness, header offsets, PNG filter reconstruction)
+    breaks the match."""
     import pandas as pd
 
     docs = load_table(spark, "documents", sf_dir).select(
@@ -366,14 +524,15 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Closed-form twin of synthesize_media ∘ decode: pixel/sample index ranges
 # materialize from a constant range(0, 256) (superset of every per-doc
-# count) filtered per row — max pixels 16*14=224, max samples 249.
+# count) filtered per row — max pixels 16*14=224 (BMP) / 14*12=168 (PNG),
+# max samples 249.
 MEDIA_CODEC_FEATURES_SQL = """
 WITH base AS (
   SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n FROM documents
 ),
 bmp AS (
   SELECT doc_id, n % 13 + 4 AS w, doc_id % 11 + 4 AS h
-  FROM base WHERE doc_id % 2 = 0
+  FROM base WHERE doc_id % 3 = 0
 ),
 bmp_feats AS (
   SELECT b.doc_id, 'bmp' AS media_kind,
@@ -390,7 +549,7 @@ bmp_feats AS (
 ),
 wav AS (
   SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate, n % 200 + 50 AS cnt
-  FROM base WHERE doc_id % 2 = 1
+  FROM base WHERE doc_id % 3 = 1
 ),
 wav_feats AS (
   SELECT w.doc_id, 'wav' AS media_kind,
@@ -407,8 +566,26 @@ wav_feats AS (
   FROM wav w, UNNEST(range(0, 256)) AS t(i)
   WHERE i < w.cnt
   GROUP BY w.doc_id, w.rate, w.cnt
+),
+png AS (
+  SELECT doc_id, n % 11 + 4 AS w, doc_id % 9 + 4 AS h
+  FROM base WHERE doc_id % 3 = 2
+),
+png_feats AS (
+  SELECT g.doc_id, 'png' AS media_kind,
+         CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+         CAST(g.doc_id * 19 % 256 AS INT) AS px00_r,
+         CAST(SUM((g.doc_id * 19 + i * 3) % 256) AS BIGINT) AS sum_r,
+         CAST(SUM((g.doc_id * 23 + i * 13) % 256) AS BIGINT) AS sum_g,
+         CAST(SUM((g.doc_id * 29 + i * 17) % 256) AS BIGINT) AS sum_b,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
+  FROM png g, UNNEST(range(0, 256)) AS t(i)
+  WHERE i < g.w * g.h
+  GROUP BY g.doc_id, g.w, g.h
 )
 SELECT * FROM bmp_feats UNION ALL SELECT * FROM wav_feats
+UNION ALL SELECT * FROM png_feats
 """
 
 

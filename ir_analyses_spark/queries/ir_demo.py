@@ -67,7 +67,18 @@ def ir_summary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"ir_summary_pipeline": ir_summary_pipeline}
+def summary_chart_frame_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship summary reshaped into the UI's 2-column chart frame
+    (reference app/app.py:158-169) — the last read-surface corner of the
+    reference: (項目, 金額) rows in dict-insertion order, carried as
+    ``chart_order`` (O3)."""
+    return summary_q.summary_chart_frame(ir_summary_pipeline(spark, sf_dir))
+
+
+QUERIES = {
+    "ir_summary_pipeline": ir_summary_pipeline,
+    "summary_chart_frame": summary_chart_frame_demo,
+}
 
 ORACLES = {
     # literal expected DTO; margins computed with the same double arithmetic
@@ -85,5 +96,18 @@ ORACLES = {
             CAST(80000000 AS DOUBLE) / 1000000   AS ordinary_income,
             CAST(60000000 AS DOUBLE) / 1000000   AS net_income,
             'E99999'                             AS edinet_code
+    """,
+    # literal expected chart frame: the DTO's four measures in million yen,
+    # labeled and ordered exactly as the UI's dict (reference app/app.py:158)
+    "summary_chart_frame": """
+        SELECT 'E99999' AS edinet_code,
+               CAST(t.chart_order AS INTEGER) AS chart_order,
+               t."項目", CAST(t."金額" AS DOUBLE) AS "金額"
+        FROM (VALUES
+          (0, '売上高',   1000.0),
+          (1, '営業利益', 0.0),
+          (2, '経常利益', 80.0),
+          (3, '純利益',   60.0)
+        ) AS t(chart_order, "項目", "金額")
     """,
 }

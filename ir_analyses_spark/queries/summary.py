@@ -183,6 +183,39 @@ def financial_summary(
     )
 
 
+#: the chart's measures in the UI's dict-insertion order
+#: (reference app/app.py:158-163): JP label → summary column
+CHART_ITEMS: list[tuple[str, str]] = [
+    ("売上高", "net_sales"),
+    ("営業利益", "operating_income"),
+    ("経常利益", "ordinary_income"),
+    ("純利益", "net_income"),
+]
+
+
+def summary_chart_frame(summary: DataFrame) -> DataFrame:
+    """The UI's 2-column chart frame (reference app/app.py:158-169): one
+    ``(項目, 金額)`` row per measure, 金額 as double (the reference's
+    ``.astype(float)``) in million yen — the DTO columns are already
+    rescaled. A DataFrame has no row order, so the pandas dict-insertion
+    order the chart relies on (SURVEY §2A O3) is carried as an explicit
+    ``chart_order`` column; render with ``ORDER BY chart_order`` (the
+    reference's Altair ``sort=None`` equivalent). Runs per company —
+    ``edinet_code`` keys the frame, so serving every company's chart is
+    one plan, not a loop."""
+    entries = [
+        F.struct(
+            F.lit(i).cast("int").alias("chart_order"),
+            F.lit(jp).alias("項目"),
+            F.col(m).cast("double").alias("金額"),
+        )
+        for i, (jp, m) in enumerate(CHART_ITEMS)
+    ]
+    return summary.select(
+        "edinet_code", F.explode(F.array(*entries)).alias("e")
+    ).select("edinet_code", "e.chart_order", "e.項目", "e.金額")
+
+
 def company_selection_list(companies: DataFrame) -> DataFrame:
     """The UI's two-column projection (P4,
     reference utils/repositories/company_repository.py:19-25)."""

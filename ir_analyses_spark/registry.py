@@ -53,95 +53,57 @@ _MODULES = [
 ]
 
 #: Explicit registry order. The driver's correctness sweep has a bounded
-#: budget (rounds 1–2 each recorded rows for exactly the first 50 registry
-#: entries), so ordering is part of the verification contract. Round-3
-#: rotation, per VERDICT.md r2 item 2:
+#: budget (each round records rows for exactly the first 50 registry
+#: entries), so ordering is part of the verification contract. Round-4
+#: rotation, per VERDICT.md r3 item 1 — "no green row older than the code
+#: it certifies":
 #:
-#: - Positions 0–49 lead with the 19 queries no driver round has ever
-#:   checked (18 up front; the 19th, quadratic ``ngram_jaccard_nearup``,
-#:   holds the window boundary), then the 5 queries the r2 ts-decode
-#:   bug broke (re-verification after the fix), then the queries new or
-#:   newly-oracled this round, then backfill — the flagship + entries
-#:   green only in r1 (second green row) + r2-green streaming executions.
-#: - The tail holds entries already hash-green in r1 and/or r2 with code
-#:   unchanged since.
-#: - ``ngram_jaccard_nearup`` is the deliberately-quadratic exact verifier
-#:   and runs at the window boundary — first check, but never ahead of
-#:   anything else unchecked.
+#: - Positions 0–49 lead with the flagship + the query new this round
+#:   (``summary_chart_frame``; its module ``queries/summary.py`` also
+#:   changed semantically — max_by tiebreak struct — so the flagship
+#:   re-certifies too), then the queries whose defining modules changed
+#:   during r4 (``llm/multimodal.py``: PNG codec + 3-way synthesizer
+#:   split; ``queries/summary.py``: ``guarded_ratio_margin``;
+#:   ``streaming/pipeline.py`` + ``io/sinks.py``: the committed-marker
+#:   sink rework — conservatively ALL streaming-module queries), then the
+#:   22 stale-evidence queries VERDICT r3 listed (modules changed in r3
+#:   after their last r1/r2 green row: textstats, similarity, aggregates,
+#:   windows, udfs), then backfill — r1/r2-green entries earning a newer
+#:   row (collections, serving queries, string/date/math, broadcast/topk
+#:   joins).
+#: - The tail holds entries hash-green in r3 (or earlier) whose defining
+#:   modules are unchanged since their last green row.
 _ORDER = [
-    # -- flagship every round --
+    # -- flagship every round; its module changed in r4 --
     "ir_summary_pipeline",
-    # -- never driver-checked (19) --
-    "benchmark_decontaminate",
-    "stratified_sample",
-    "hll_mergeable_rollup",
-    "bpe_pair_counts",
-    "doc_frequency",
-    "pii_scrub",
-    "sequence_packing",
-    "variant_json_ops",
+    "summary_chart_frame",  # new in r4: UI chart-frame reshape (O3)
+    "guarded_ratio_margin",  # queries/summary.py changed in r4
+    # -- multimodal module changed in r4 (PNG codec, %3 synthesizer) --
+    "media_codec_features",
+    "multimodal_features",
+    "media_resize",
     "media_frame_sample",
+    # -- streaming/sinks modules changed in r4 (committed-marker sinks) --
+    "stream_incremental_rollup",
     "stream_static_enrich",
     "stream_stream_interval_join",
-    "stream_incremental_rollup",
-    "shipping_priority_topk",
-    "returned_item_report",
-    "small_quantity_revenue",
-    "suppliers_with_waiting_orders",
-    "concentrated_part_types",
-    "ann_ml_brp_lsh",
-    # -- r2 ts-bug casualties: re-verify after the decode fix --
-    "join_asof",
     "stream_tumbling_batch",
     "stream_sliding_batch",
     "stream_session_batch",
-    "window_sessionize",
-    # -- new this round (first driver check) --
-    "simhash_nearup",
-    "repetition_metrics",
-    "corpus_mixture",
-    "timeseries_gapfill",
-    "neardup_dedup_pipeline",
-    # -- backfill: r2-green streaming executions + LLM headliners --
     "stateful_user_totals",
     "stream_dedup_watermark",
-    "exact_dedup",
-    "minhash_lsh_nearup",
-    "dedup_components",
-    "corpus_clean_pipeline",
-    "pricing_summary",
-    # -- backfill: green only in r1 — earn a second green row --
-    "case_conditional",
-    "cube_agg",
-    "grouping_sets_agg",
-    "unpivot_melt",
-    "minmax_extremes",
-    "join_full_outer",
-    "window_range_interval",
-    "guarded_ratio_margin",
-    "python_udtf_expand",
-    "pandas_grouped_agg_udf",
-    "apply_in_pandas_topk",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "ngram_jaccard_nearup",  # quadratic exact verifier: window boundary
-    # ---- 50-query window boundary (driver budget) ----
-    # tail: hash-green in r1 and/or r2, code unchanged since
-    "map_ops",
-    "explode_tokens",
-    "json_extract_ops",
-    "pivot_coalesce_priority",
+    # -- VERDICT r3 stale-evidence list: modules changed in r3 after the
+    #    last green driver row (llm/textstats.py) --
     "text_stats",
     "quality_score",
     "language_id",
     "doc_fingerprint",
+    # (llm/similarity.py)
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_cosine_nearup",
-    "multimodal_features",
-    "media_resize",
-    "media_codec_features",
+    # (ops/aggregates.py)
     "approx_sketches",  # rows-only by design (error-bound test in-repo)
     "rollup_agg",
     "distinct_agg",
@@ -149,28 +111,77 @@ _ORDER = [
     "dedup_by_key",
     "latest_per_group",
     "exact_median",
-    "join_broadcast_dims",
-    "join_multiway_topk",
-    "join_left_outer",
-    "join_semi_anti",
-    "join_theta_bands",
-    "join_range_window",
-    "filter_pushdown_project",
+    # (ops/windows.py)
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frames",
+    # (ops/udfs.py)
+    "pandas_udf_vectorized",
+    # -- backfill: r1/r2-green, code unchanged — earn a newer green row --
+    "map_ops",
+    "explode_tokens",
+    "json_extract_ops",
+    "pivot_coalesce_priority",
+    "regional_revenue",
+    "order_priority_counts",
+    "top_unshipped_parts",
+    "set_operations",
     "string_predicates",
     "string_functions",
     "null_semantics",
     "regexp_extract_ops",
     "date_functions",
     "math_functions",
-    "set_operations",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frames",
+    "join_broadcast_dims",
+    "join_multiway_topk",
+    # ---- 50-query window boundary (driver budget) ----
+    # tail: green in r3 (or r1/r2 with code unchanged since); newest rows
+    # first so a budget overrun still hits the freshest-needed entries
+    "join_left_outer",
+    "join_semi_anti",
+    "join_theta_bands",
+    "join_range_window",
+    "join_asof",
+    "join_full_outer",
+    "filter_pushdown_project",
     "array_agg_ops",
-    "pandas_udf_vectorized",
-    "regional_revenue",
-    "order_priority_counts",
-    "top_unshipped_parts",
+    "case_conditional",
+    "cube_agg",
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "minmax_extremes",
+    "window_range_interval",
+    "window_sessionize",
+    "timeseries_gapfill",
+    "python_udtf_expand",
+    "pandas_grouped_agg_udf",
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "pricing_summary",
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "simhash_nearup",
+    "dedup_components",
+    "neardup_dedup_pipeline",
+    "corpus_clean_pipeline",
+    "ngram_jaccard_nearup",  # deliberately-quadratic exact verifier
+    "repetition_metrics",
+    "corpus_mixture",
+    "bpe_pair_counts",
+    "doc_frequency",
+    "pii_scrub",
+    "sequence_packing",
+    "variant_json_ops",
+    "benchmark_decontaminate",
+    "stratified_sample",
+    "hll_mergeable_rollup",  # rows-only by design
+    "ann_ml_brp_lsh",  # rows-only by design (recall-bounded vs exact twin)
+    "shipping_priority_topk",
+    "returned_item_report",
+    "small_quantity_revenue",
+    "suppliers_with_waiting_orders",
+    "concentrated_part_types",
 ]
 
 

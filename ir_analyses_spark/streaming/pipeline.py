@@ -10,8 +10,10 @@ Design notes for scale:
   which is also how the DuckDB oracle can check streaming semantics;
 - sinks go through ``foreachBatch`` + idempotent MERGE so replays after
   failure don't duplicate (exactly-once at the table level for keyed
-  MERGE; the ADDITIVE rollup sink relies on the batch-id ledger, which
-  carries a documented crash window — see ``io.sinks.batch_ledger``).
+  MERGE; the ADDITIVE rollup and SCD2 sinks commit each batch's applied
+  marker in the same rename as its data — ``io.sinks.batch_ledger`` /
+  ``additive_merge_committed`` — so replays skip with no
+  merge-vs-marker crash window).
 """
 
 from __future__ import annotations
@@ -198,11 +200,13 @@ def foreach_batch_scd2(
     batch-id ledger as the rollup sink: re-merging only the LAST batch is
     a no-op (values already current), but a replay from batch 0 would see
     older values as "changes" against the final state and append stale
-    versions — time only moves forward through the ledger."""
+    versions — time only moves forward through the ledger. The marker
+    commits INSIDE scd2_merge's staged swap (same rename as the data), so
+    a crash can never leave a merged-but-unmarked batch to re-apply."""
     from ..io.sinks import batch_ledger, scd2_merge
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied, mark_applied = batch_ledger(target_dir, batch_id)
+        applied, _ = batch_ledger(target_dir, batch_id)
         if applied:
             return
         w = Window.partitionBy(key).orderBy(F.col(effective_col).desc())
@@ -211,8 +215,10 @@ def foreach_batch_scd2(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        scd2_merge(latest, target_dir, key, change_cols, effective_col)
-        mark_applied()
+        scd2_merge(
+            latest, target_dir, key, change_cols, effective_col,
+            batch_id=batch_id,
+        )
 
     return (
         df.writeStream.foreachBatch(_apply)
@@ -245,40 +251,6 @@ def rollup_delta(events: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollup_additive(delta: DataFrame, target_dir: str) -> None:
-    """ADDITIVE merge of a rollup delta: unlike keyed MERGE (which replaces
-    rows), existing bucket rows and the delta are re-aggregated so counts
-    and sums accumulate. The rewrite is pruned to the days present in the
-    delta and written with dynamic partition overwrite — a micro-batch
-    touching one day rewrites one directory, never the table."""
-    spark = delta.sparkSession
-    if os.path.exists(target_dir):
-        touched = [r[0] for r in delta.select("day").distinct().collect()]
-        current = spark.read.parquet(target_dir).filter(
-            F.col("day").isin(touched)
-        )
-        merged = (
-            current.unionByName(delta)
-            .groupBy("day", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("value_micros").alias("value_micros"),
-            )
-            # cut lineage to the files the overwrite is about to replace
-            .localCheckpoint(eager=True)
-        )
-        # per-WRITE dynamic mode: a session-level conf.set would silently
-        # change the semantics of every later overwrite in the session
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(target_dir)
-        )
-    else:
-        delta.write.partitionBy("day").parquet(target_dir)
-
-
 def foreach_batch_rollup(df: DataFrame, target_dir: str):
     """Streaming sink that keeps the rollup current: every micro-batch
     folds its partial aggregate into the rollup table. State lives in the
@@ -286,18 +258,23 @@ def foreach_batch_rollup(df: DataFrame, target_dir: str):
     restarts and is queryable mid-stream at scan speed.
 
     Addition is NOT naturally idempotent (a replayed batch would
-    double-count), so each applied batch_id leaves a marker next to the
-    table and replays skip — the ledger trick every transactionless
-    additive sink needs (Delta's txn version does this internally; see
-    ``io.sinks.batch_ledger`` for the honest crash-window caveat)."""
-    from ..io.sinks import batch_ledger
+    double-count), so each touched day directory commits its merged data
+    and an applied-batch marker in ONE rename
+    (``io.sinks.additive_merge_committed``): a replayed batch skips every
+    day it already committed, crash-anywhere included — the transactionless
+    equivalent of Delta recording the txn id inside the commit. The
+    rewrite stays pruned to the days the batch touches, never O(table)."""
+    from ..io.sinks import additive_merge_committed
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied, mark_applied = batch_ledger(target_dir, batch_id)
-        if applied:
-            return
-        merge_rollup_additive(rollup_delta(batch_df), target_dir)
-        mark_applied()
+        additive_merge_committed(
+            rollup_delta(batch_df),
+            target_dir,
+            partition_col="day",
+            group_cols=["day", "event_type"],
+            sum_cols=["n_events", "value_micros"],
+            batch_id=batch_id,
+        )
 
     return (
         df.writeStream.foreachBatch(_apply)

@@ -419,6 +419,33 @@ def test_summary_serves_pre_row_seq_facts(spark):
     assert dto["operation_profit_rate"] == pytest.approx(10.0)
 
 
+def test_summary_chart_frame_golden(spark):
+    """The UI chart frame (reference app/app.py:158-169): 2 columns
+    (項目, 金額) + carried insertion order, values in million yen,
+    NULL-measure rows preserved (the chart shows a gap, not a dropped
+    bar)."""
+    f2 = raw_df(spark, _filing("3", "第10期 第３四半期(自 2023年7月1日 至 2023年9月30日)",
+                               "1000000000", "0", "80000000", "60000000",
+                               "jppfs_cor:NetSales"), filing="F2")
+    std = standardize.standardize_raw(f2, filing_id_col="filing_id")
+    bundle = conform.conform_all(std)
+    dto = summary_q.financial_summary(
+        bundle["companies"], bundle["reports"], bundle["facts"], bundle["items"]
+    )
+    rows = (
+        summary_q.summary_chart_frame(dto)
+        .orderBy("chart_order")
+        .collect()
+    )
+    assert [(r["項目"], r["金額"]) for r in rows] == [
+        ("売上高", 1000.0),
+        ("営業利益", 0.0),
+        ("経常利益", 80.0),
+        ("純利益", 60.0),
+    ]
+    assert [r["chart_order"] for r in rows] == [0, 1, 2, 3]
+
+
 def test_summary_priority_coalesce(spark):
     # only the Q2 filing: sales come from the 2nd-priority synonym
     f1 = raw_df(spark, _filing("2", "第10期 第２四半期(自 2023年4月1日 至 2023年6月30日)",

@@ -193,6 +193,123 @@ def test_swap_in_crash_window_leaves_valid_copy(spark, tmp_path, monkeypatch):
     assert not _os.path.exists(staging)
 
 
+def test_additive_merge_crash_mid_commit_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r3 item 4: the additive sink's merge and applied-marker
+    commit in the SAME rename per partition, so a crash anywhere —
+    including between two partitions' commits — can never double-count a
+    replayed batch. Kill batch 1 after its first partition committed,
+    replay it, and require exact totals."""
+    import os as _os
+
+    import pytest as _pytest
+
+    target = str(tmp_path / "rollup")
+    schema = "day string, event_type string, n_events long, value_micros long"
+    d0 = spark.createDataFrame(
+        [("2024-01-01", "a", 1, 10), ("2024-01-02", "a", 2, 20)], schema
+    )
+    sinks.additive_merge_committed(
+        d0, target, "day", ["day", "event_type"],
+        ["n_events", "value_micros"], batch_id=0,
+    )
+
+    d1 = spark.createDataFrame(
+        [("2024-01-01", "a", 5, 50), ("2024-01-02", "a", 7, 70)], schema
+    )
+    real_rename = _os.rename
+
+    def crashy(src, dst):
+        # commit order is sorted, so day=01 promotes first; crash on the
+        # promotion of day=02 (staging → live)
+        if dst.endswith("day=2024-01-02") and "__staging" in src:
+            raise OSError("simulated crash mid-commit")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", crashy)
+    with _pytest.raises(OSError, match="mid-commit"):
+        sinks.additive_merge_committed(
+            d1, target, "day", ["day", "event_type"],
+            ["n_events", "value_micros"], batch_id=1,
+        )
+    monkeypatch.setattr(sinks.os, "rename", real_rename)
+
+    # intermediate state: day=01 committed WITH its marker in one rename;
+    # day=02's crash hit between its two renames, so its (unmarked) batch-0
+    # data survives at __old awaiting recovery — never half-applied
+    assert _os.path.exists(
+        _os.path.join(target, "day=2024-01-01", "_applied_1")
+    )
+    day2_old = _os.path.join(target + "__oldparts", "day=2024-01-02")
+    assert _os.path.exists(day2_old)
+    assert not _os.path.exists(_os.path.join(day2_old, "_applied_1"))
+    mid = {
+        (r["day"], r["event_type"]): (r["n_events"], r["value_micros"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert mid[("2024-01-01", "a")] == (6, 60)
+
+    # replay of batch 1: day=01 skipped (marker), day=02 applied once
+    for _ in range(2):  # second replay must be a full no-op
+        sinks.additive_merge_committed(
+            d1, target, "day", ["day", "event_type"],
+            ["n_events", "value_micros"], batch_id=1,
+        )
+        got = {
+            (r["day"], r["event_type"]): (r["n_events"], r["value_micros"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got[("2024-01-01", "a")] == (6, 60)
+        assert got[("2024-01-02", "a")] == (9, 90)
+
+
+def test_scd2_batch_marker_commits_with_swap(spark, tmp_path, monkeypatch):
+    """The SCD2 sink's applied marker rides the staged swap: a crash
+    before the swap leaves the batch unmarked (replay applies it exactly
+    once); after the swap, data and marker are both present (replay
+    skips). No state exists where the merge landed but the ledger didn't."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    target = str(tmp_path / "dim")
+    schema = "code string, city string, effective_from date"
+    b0 = spark.createDataFrame(
+        [("K1", "A", _dt.date(2023, 1, 1))], schema
+    )
+    sinks.scd2_merge(b0, target, key="code", change_cols=["city"], batch_id=0)
+    assert sinks.batch_ledger(target, 0)[0]
+
+    b1 = spark.createDataFrame(
+        [("K1", "B", _dt.date(2023, 2, 1))], schema
+    )
+
+    def boom(staging, target_dir):
+        raise OSError("simulated crash before swap")
+
+    monkeypatch.setattr(sinks, "_swap_in", boom)
+    with _pytest.raises(OSError, match="before swap"):
+        sinks.scd2_merge(
+            b1, target, key="code", change_cols=["city"], batch_id=1
+        )
+    monkeypatch.undo()  # restore the real _swap_in for the replay below
+
+    # nothing applied, nothing marked: the ledger and table agree
+    assert not sinks.batch_ledger(target, 1)[0]
+    assert spark.read.parquet(target).count() == 1
+
+    # replay applies exactly once; marker 0 carried forward
+    sinks.scd2_merge(b1, target, key="code", change_cols=["city"], batch_id=1)
+    assert sinks.batch_ledger(target, 0)[0]
+    assert sinks.batch_ledger(target, 1)[0]
+    rows = {
+        (r["city"], r["is_current"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {("A", False), ("B", True)}
+
+
 def test_append_missing_is_insert_only(spark, tmp_path):
     target = str(tmp_path / "items")
     sinks.append_missing(_df(spark, [("E1", "A"), ("E2", "B")]), target, "edinet_code")

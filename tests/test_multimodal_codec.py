@@ -81,12 +81,14 @@ def test_wav_decode_parses_files_written_by_stdlib_wave():
 
 
 def test_decode_media_dispatches_on_magic_bytes():
-    bmp = synthesize_media(2, 57)
-    wav = synthesize_media(3, 57)
+    bmp = synthesize_media(3, 57)   # doc_id % 3 == 0
+    wav = synthesize_media(4, 57)   # doc_id % 3 == 1
+    png = synthesize_media(5, 57)   # doc_id % 3 == 2
     assert decode_media(bmp)["media_kind"] == "bmp"
     assert decode_media(wav)["media_kind"] == "wav"
+    assert decode_media(png)["media_kind"] == "png"
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n garbage")
+        decode_media(b"\xff\xd8\xff jpeg-shaped garbage")
 
 
 def test_synthesized_payloads_are_real_files():
@@ -95,9 +97,88 @@ def test_synthesized_payloads_are_real_files():
         assert wf.getnchannels() == 1
         assert wf.getsampwidth() == 2
         assert wf.getnframes() == 123 % 200 + 50
-    feats = decode_bmp(synthesize_media(8, 123))
+    feats = decode_bmp(synthesize_media(9, 123))
     assert feats["width"] == 123 % 13 + 4
-    assert feats["height"] == 8 % 11 + 4
+    assert feats["height"] == 9 % 11 + 4
+
+
+def test_png_decode_reconstructs_all_five_filters():
+    """The synthesizer forward-filters scanline y with filter y % 5, so an
+    image with h ≥ 5 exercises None/Sub/Up/Average/Paeth; the decoded
+    features must match the closed-form generative formulas exactly — any
+    filter-reconstruction bug shifts the sums."""
+    from ir_analyses_spark.llm.multimodal import decode_png
+
+    for doc_id, n in [(2, 57), (5, 123), (8, 200), (11, 7)]:
+        w = n % 11 + 4
+        h = doc_id % 9 + 4
+        feats = decode_png(synthesize_media(doc_id, n))
+        assert (feats["width"], feats["height"]) == (w, h)
+        assert feats["px00_r"] == doc_id * 19 % 256
+        px = range(w * h)
+        assert feats["sum_r"] == sum((doc_id * 19 + p * 3) % 256 for p in px)
+        assert feats["sum_g"] == sum((doc_id * 23 + p * 13) % 256 for p in px)
+        assert feats["sum_b"] == sum((doc_id * 29 + p * 17) % 256 for p in px)
+    assert any((d % 9 + 4) >= 5 for d in (2, 5, 8, 11)), "no Paeth row hit"
+
+
+def test_png_decode_golden_hand_built():
+    """Independent writer: a 2x2 RGB PNG built by hand with zlib, rows
+    filtered None then Up — decoded pixels must be exact (top-down, RGB:
+    the opposite of BMP's bottom-up BGR)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from ir_analyses_spark.llm.multimodal import decode_png
+
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1_raw = bytes([15, 25, 35, 45, 55, 65])
+    # filter 2 (Up): stored = raw - prior
+    row1 = bytes((row1_raw[i] - row0[i]) % 256 for i in range(6))
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" + row0 + b"\x02" + row1))
+        + chunk(b"IEND", b"")
+    )
+    feats = decode_png(png)
+    assert (feats["width"], feats["height"]) == (2, 2)
+    assert feats["px00_r"] == 10  # top-left R, top-down row order
+    assert feats["sum_r"] == 10 + 40 + 15 + 45
+    assert feats["sum_g"] == 20 + 50 + 25 + 55
+    assert feats["sum_b"] == 30 + 60 + 35 + 65
+
+
+def test_png_decode_rejects_unsupported_shapes():
+    import struct as _struct
+    import zlib as _zlib
+
+    from ir_analyses_spark.llm.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    # grayscale (color type 0) must gate, not mis-decode
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00\x01\x02"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit RGB"):
+        decode_png(png)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
 
 
 def test_corpus_is_ascii():

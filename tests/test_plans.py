@@ -209,6 +209,49 @@ def test_corpus_mixture_no_token_explode(spark, sf_dir):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_aqe_skew_join_split_fires(spark):
+    """SCALE.md names AQE skew-split as the runtime backstop for join
+    skew; this pins that it actually FIRES, not merely that the conf is
+    set. A 90%-hot-key join under tightened skew thresholds must show
+    ``skew=true`` on the sort-merge join in the final adaptive plan —
+    proof AQE detected the oversized partition and split it."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 holds 90% of rows; sha2 payload resists shuffle
+        # compression so the hot partition's bytes clear the threshold
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 > 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # execute through the SAME DataFrame whose plan is inspected —
+        # .count() would build a separate query execution and leave this
+        # one unexecuted (isFinalPlan=false)
+        assert len(joined.collect()) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:1500]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_gapfill_grid_from_broadcast_scalar(spark, sf_dir):
     """The dense hour grid must come from the broadcast min/max scalar row
     (grid construction O(output)), and the hourly aggregate must partial-
