@@ -413,22 +413,42 @@ def scd2_merge(
                 pass
         _swap_in(staging, target_dir)
 
+    merged = scd2_apply(
+        spark.read.parquet(target_dir) if os.path.exists(target_dir) else None,
+        updates,
+        key,
+        change_cols,
+        effective_col,
+    )
+    if os.path.exists(target_dir):
+        # the merged plan reads the path it replaces: cut lineage first
+        merged = merged.localCheckpoint(eager=True)
+    _commit(merged)
+
+
+def scd2_apply(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    change_cols: list[str],
+    effective_col: str = "effective_from",
+) -> DataFrame:
+    """The SCD2 state transition as a pure transform: (current table or
+    None, one-row-per-key updates) → next table. Shared by the staged-swap
+    sink above and the txn-format sink (``txn.scd2_merge_txn``)."""
     upd = updates.select(
         F.col(key),
         *[F.col(c) for c in change_cols],
         F.col(effective_col).alias("_new_from"),
     )
-    if not os.path.exists(target_dir):
-        first = upd.select(
+    if current is None:
+        return upd.select(
             key,
             *change_cols,
             F.col("_new_from").alias("effective_from"),
             F.lit(None).cast("date").alias("effective_to"),
             F.lit(True).alias("is_current"),
         )
-        _commit(first)
-        return
-    current = spark.read.parquet(target_dir)
     # null-safe change test: plain struct != returns NULL when a member is
     # NULL, which would silently skip NULL→value (and value→NULL) changes
     changed = ~(
@@ -471,8 +491,7 @@ def scd2_merge(
             F.lit(True).alias("is_current"),
         )
     )
-    merged = kept_or_closed.unionByName(new_rows).localCheckpoint(eager=True)
-    _commit(merged)
+    return kept_or_closed.unionByName(new_rows)
 
 
 def scd2_point_in_time_join(

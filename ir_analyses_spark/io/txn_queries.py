@@ -1,0 +1,115 @@
+"""Driver-visible queries over the transaction-log table format
+(``io/txn.py``): real multi-commit table lifecycles — overwrite, keyed
+partition-scoped MERGE, exactly-once additive batches with replays — whose
+final snapshot read must hash-match a plain SQL restatement. This puts the
+txn format's end state (not just its pytest invariants) under the driver's
+oracle gate, the same treatment every other operator gets.
+
+Each run builds its table under a fresh ``tempfile.mkdtemp`` directory; the
+files must outlive the function (the driver collects the returned DataFrame
+afterwards), so cleanup is left to /tmp hygiene.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import txn
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def txn_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-commit lifecycle on a partitioned txn table: load a base slice
+    of ``orders`` partitioned by priority class, then MERGE an updates
+    slice (doubled price) scoped to partitions '1' and '2' — untouched
+    partitions carry over file-verbatim (zero I/O), and the final snapshot
+    read returns the serialized result of both commits. Equivalent SQL:
+    updates win per key, non-updated base rows survive."""
+    table = tempfile.mkdtemp(prefix="txn_snapshot_merge_")
+    orders = _orders(spark, sf_dir).withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1)
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "prio", F.col("o_totalprice").cast("double").alias("price")
+    )
+    txn.overwrite(base, table, partition_by="prio")
+    updates = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) & F.col("prio").isin("1", "2")
+    ).select(
+        "o_orderkey",
+        "prio",
+        (F.col("o_totalprice") * 2).cast("double").alias("price"),
+    )
+    txn.merge_upsert(updates, table, keys=["o_orderkey"], partition_col="prio")
+    return txn.read(spark, table)
+
+
+def txn_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive month-rollup fed in three batches WITH replays: batches
+    0, 1, then 1 again, 2, then 0 again. Replays must be exact no-ops
+    (their batch_id is already in the manifest ledger), so the final
+    table equals the one-shot aggregate over all rows — which is the
+    oracle. Decimal accumulators keep the sums partition- and
+    batch-order-exact."""
+    table = tempfile.mkdtemp(prefix="txn_exactly_once_")
+    orders = _orders(spark, sf_dir)
+    delta_all = orders.select(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("omonth"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("o_totalprice").cast("decimal(30,2)").alias("total"),
+        (F.col("o_orderkey") % 3).alias("_b"),
+    )
+    for batch_id in (0, 1, 1, 2, 0):
+        delta = delta_all.filter(F.col("_b") == batch_id).drop("_b")
+        txn.additive_merge(
+            delta,
+            table,
+            partition_col="omonth",
+            group_cols=["omonth"],
+            sum_cols=["cnt", "total"],
+            batch_id=batch_id,
+        )
+    out = txn.read(spark, table)
+    return out.select(
+        "omonth", "cnt", F.col("total").cast("double").alias("total")
+    )
+
+
+QUERIES = {
+    "txn_snapshot_merge": txn_snapshot_merge,
+    "txn_exactly_once_rollup": txn_exactly_once_rollup,
+}
+
+ORACLES = {
+    "txn_snapshot_merge": """
+        SELECT o_orderkey,
+               substr(o_orderpriority, 1, 1) AS prio,
+               CAST(o_totalprice * 2 AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+          AND substr(o_orderpriority, 1, 1) IN ('1', '2')
+        UNION ALL
+        SELECT o_orderkey,
+               substr(o_orderpriority, 1, 1) AS prio,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey % 3 <> 0
+          AND NOT (o_orderkey % 2 = 0
+                   AND substr(o_orderpriority, 1, 1) IN ('1', '2'))
+    """,
+    "txn_exactly_once_rollup": """
+        SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
+               COUNT(*) AS cnt,
+               -- per-value decimal cast BEFORE summing, mirroring the
+               -- engine's decimal accumulators: both sides sum exactly,
+               -- so the final double is bit-identical
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1
+    """,
+}

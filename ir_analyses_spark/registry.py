@@ -18,6 +18,7 @@ from functools import cache
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .io import txn_queries
 from .llm import dedup, multimodal, sampling, similarity, textstats
 from .ops import (
     aggregates,
@@ -50,6 +51,7 @@ _MODULES = [
     multimodal,
     streaming_pipeline,
     ir_demo,
+    txn_queries,
 ]
 
 #: Explicit registry order. The driver's correctness sweep has a bounded
@@ -92,6 +94,9 @@ _ORDER = [
     "stream_session_batch",
     "stateful_user_totals",
     "stream_dedup_watermark",
+    # -- new in r4: transaction-log table format (io/txn.py) --
+    "txn_snapshot_merge",
+    "txn_exactly_once_rollup",
     # -- VERDICT r3 stale-evidence list: modules changed in r3 after the
     #    last green driver row (llm/textstats.py) --
     "text_stats",
@@ -132,11 +137,11 @@ _ORDER = [
     "regexp_extract_ops",
     "date_functions",
     "math_functions",
-    "join_broadcast_dims",
-    "join_multiway_topk",
     # ---- 50-query window boundary (driver budget) ----
     # tail: green in r3 (or r1/r2 with code unchanged since); newest rows
     # first so a budget overrun still hits the freshest-needed entries
+    "join_broadcast_dims",
+    "join_multiway_topk",
     "join_left_outer",
     "join_semi_anti",
     "join_theta_bands",

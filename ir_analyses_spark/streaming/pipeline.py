@@ -284,6 +284,35 @@ def foreach_batch_rollup(df: DataFrame, target_dir: str):
     )
 
 
+def foreach_batch_rollup_txn(df: DataFrame, table: str):
+    """``foreach_batch_rollup`` on the transaction-log table format
+    (``io/txn.py``): same incremental rollup, but the batch commits as ONE
+    manifest publication with the batch id in the manifest's ledger — so
+    beyond the directory layout's guarantees, concurrent readers get
+    snapshot isolation (never half a batch, never a no-target blink) and
+    replay protection is atomic across ALL touched days, not per-day.
+    This is the Delta-txn-id pattern the bare-directory sink documents as
+    its remaining residual; read the table with ``txn.read``."""
+    from ..io import txn
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        txn.additive_merge(
+            rollup_delta(batch_df),
+            table,
+            partition_col="day",
+            group_cols=["day", "event_type"],
+            sum_cols=["n_events", "value_micros"],
+            batch_id=batch_id,
+        )
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{table}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user running totals via applyInPandasWithState
 # ---------------------------------------------------------------------------

@@ -228,6 +228,38 @@ def test_incremental_rollup_additive_and_replay_safe(spark, events_dir, tmp_path
     )
 
 
+def test_incremental_rollup_txn_snapshot_and_replay_safe(
+    spark, events_dir, tmp_path
+):
+    """The txn-format twin of the rollup sink: identical totals to the
+    one-shot aggregate, fresh-checkpoint replay is a no-op (ledger in the
+    manifest — and being atomic per batch, the table VERSION proves no
+    partial re-application either), and a reader pinned before the replay
+    stays consistent."""
+    from ir_analyses_spark.io import txn
+    from ir_analyses_spark.streaming.pipeline import (
+        foreach_batch_rollup_txn,
+        rollup_delta,
+    )
+
+    table = str(tmp_path / "rollup_txn")
+    _run(foreach_batch_rollup_txn(stream_events(spark, events_dir), table))
+    cols = ["day", "event_type", "n_events", "value_micros"]
+    events = load_table(spark, "events", SF)
+    want = _rows(rollup_delta(events).select(*cols))
+    assert _rows(txn.read(spark, table).select(*cols)) == want
+    v = txn.snapshot(table).version
+    pinned = txn.read(spark, table, at_version=v)
+    # fresh checkpoint replay: every batch short-circuits on the ledger
+    import shutil
+
+    shutil.rmtree(f"{table}__checkpoint")
+    _run(foreach_batch_rollup_txn(stream_events(spark, events_dir), table))
+    assert txn.snapshot(table).version == v  # not one partial commit
+    assert _rows(txn.read(spark, table).select(*cols)) == want
+    assert _rows(pinned.select(*cols)) == want
+
+
 def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
     target = str(tmp_path / "upsert_target")
     stream = stream_events(spark, events_dir).select(

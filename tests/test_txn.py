@@ -1,0 +1,220 @@
+"""Transaction-log table format (io/txn.py): the properties the bare
+staged-swap sinks document as their residuals, proven positively here —
+no no-target window, snapshot isolation under concurrent commits, atomic
+multi-partition batch application, optimistic concurrency, retention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ir_analyses_spark.io import txn
+
+
+def _mk(spark, rows, cols=("k", "day", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_overwrite_read_roundtrip_and_versioning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = txn.overwrite(_mk(spark, [(1, "a", 10), (2, "b", 20)]), t)
+    assert s1.version == 1
+    s2 = txn.overwrite(_mk(spark, [(3, "c", 30)]), t)
+    assert s2.version == 2
+    assert _rows(txn.read(spark, t)) == [(3, "c", 30)]
+    # time travel to the retained old version
+    assert _rows(txn.read(spark, t, at_version=1)) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_append_accumulates(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    txn.append(_mk(spark, [(2, "b", 20)]), t)
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_no_uncommitted_data_is_ever_visible(spark, tmp_path, monkeypatch):
+    """Crash before the manifest link (the ONLY commit point): data files
+    exist on disk but no reader sees them; replay converges."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+
+    real_publish = txn._publish
+
+    def crash_publish(table, manifest):
+        raise OSError("simulated crash before commit")
+
+    monkeypatch.setattr(txn, "_publish", crash_publish)
+    with pytest.raises(OSError):
+        txn.append(_mk(spark, [(2, "b", 20)]), t)
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    # the orphaned files are on disk, but the table still reads as v1
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10)]
+    # replaying the append converges to exactly-once
+    txn.append(_mk(spark, [(2, "b", 20)]), t)
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20)]
+    # vacuum sweeps the orphaned commit directory
+    txn.vacuum(t, keep_versions=2)
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_snapshot_isolation_under_concurrent_overwrite(spark, tmp_path):
+    """A reader holding version v keeps a consistent view while any number
+    of commits land — the property the staged swap cannot give."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10), (2, "b", 20)]), t)
+    pinned = txn.read(spark, t, at_version=1)  # plan resolved against v1
+    txn.overwrite(_mk(spark, [(9, "z", 90)]), t)
+    txn.append(_mk(spark, [(8, "y", 80)]), t)
+    # old files still on disk (no vacuum ran): the pinned plan is intact
+    assert _rows(pinned) == [(1, "a", 10), (2, "b", 20)]
+    assert _rows(txn.read(spark, t)) == [(8, "y", 80), (9, "z", 90)]
+
+
+def test_merge_upsert_semantics_and_partition_file_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base = _mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    txn.merge_upsert(base, t, keys=["k"], partition_col="day")
+    before = {
+        f["path"]: f["partition"] for f in txn.snapshot(t).files
+    }
+    upd = _mk(spark, [(2, "a", 21), (4, "a", 40)])  # update + insert, day=a
+    txn.merge_upsert(upd, t, keys=["k"], partition_col="day")
+    assert _rows(txn.read(spark, t)) == [
+        (1, "a", 10),
+        (2, "a", 21),
+        (3, "b", 30),
+        (4, "a", 40),
+    ]
+    after = {f["path"]: f["partition"] for f in txn.snapshot(t).files}
+    # file-level proof of pruning: day=b files carried over VERBATIM
+    b_before = {p for p, part in before.items() if part == {"day": "b"}}
+    b_after = {p for p, part in after.items() if part == {"day": "b"}}
+    assert b_before and b_before == b_after
+    # day=a files were rewritten (no stale file remains listed)
+    assert not ({p for p, part in after.items() if part == {"day": "a"}} & set(b_before))
+    # manifest-level pruned read hands Spark only matching files
+    only_b = txn.read(spark, t, partition_values={"day": ["b"]})
+    assert _rows(only_b) == [(3, "b", 30)]
+
+
+def test_additive_merge_exactly_once_replay_and_atomic_ledger(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d1 = _mk(spark, [("a", 1), ("a", 2), ("b", 5)], cols=("day", "v"))
+    txn.additive_merge(d1, t, "day", ["day"], ["v"], batch_id=0)
+    d2 = _mk(spark, [("a", 10), ("b", 10)], cols=("day", "v"))
+    txn.additive_merge(d2, t, "day", ["day"], ["v"], batch_id=1)
+    expect = [("a", 13), ("b", 15)]
+    assert _rows(txn.read(spark, t)) == expect
+    v = txn.snapshot(t).version
+    # replayed batch: a pure no-op — same values, same VERSION (no commit)
+    txn.additive_merge(d2, t, "day", ["day"], ["v"], batch_id=1)
+    assert _rows(txn.read(spark, t)) == expect
+    assert txn.snapshot(t).version == v
+    # ledger lives inside the manifest: marker+data are one atomic object
+    with open(txn._log_path(t, v)) as fh:
+        assert 1 in json.load(fh)["applied_batches"]
+
+
+def test_additive_merge_crash_anywhere_never_double_counts(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the writer at the instant before the commit link; a replay of
+    the same batch must produce exactly-once totals across BOTH touched
+    partitions (the per-partition-marker layout could expose half)."""
+    t = str(tmp_path / "t")
+    d1 = _mk(spark, [("a", 1), ("b", 5)], cols=("day", "v"))
+    txn.additive_merge(d1, t, "day", ["day"], ["v"], batch_id=0)
+
+    real_publish = txn._publish
+
+    def crash_publish(table, manifest):
+        raise OSError("killed before commit")
+
+    d2 = _mk(spark, [("a", 10), ("b", 20)], cols=("day", "v"))
+    monkeypatch.setattr(txn, "_publish", crash_publish)
+    with pytest.raises(OSError):
+        txn.additive_merge(d2, t, "day", ["day"], ["v"], batch_id=1)
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    # crash window: NOTHING of batch 1 is visible (not one partition of it)
+    assert _rows(txn.read(spark, t)) == [("a", 1), ("b", 5)]
+    # replay applies once
+    txn.additive_merge(d2, t, "day", ["day"], ["v"], batch_id=1)
+    txn.additive_merge(d2, t, "day", ["day"], ["v"], batch_id=1)
+    assert _rows(txn.read(spark, t)) == [("a", 11), ("b", 25)]
+
+
+def test_optimistic_concurrency_append_race_both_land(
+    spark, tmp_path, monkeypatch
+):
+    """First publish attempt loses to a competing writer; the commit loop
+    re-resolves and lands on the next version with both effects kept."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+
+    real_publish = txn._publish
+    raced = {"done": False}
+
+    def racing_publish(table, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # competing writer sneaks in an append and takes this version
+            monkeypatch.setattr(txn, "_publish", real_publish)
+            txn.append(_mk(spark, [(2, "b", 20)]), t)
+            monkeypatch.setattr(txn, "_publish", racing_publish)
+            return False  # our attempt observes the taken version
+        return real_publish(table, manifest)
+
+    monkeypatch.setattr(txn, "_publish", racing_publish)
+    txn.append(_mk(spark, [(3, "c", 30)]), t)
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_compact_reduces_files_preserves_rows_and_old_snapshot(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id as k", "cast(id % 7 as string) day", "id v")
+    txn.overwrite(df.repartition(16), t)
+    n_before = len(txn.snapshot(t).files)
+    assert n_before >= 16
+    old = txn.read(spark, t, at_version=1)
+    txn.compact(spark, t, target_file_bytes=1 << 30)
+    snap = txn.snapshot(t)
+    assert len(snap.files) < n_before
+    assert txn.read(spark, t).count() == 1000
+    assert old.count() == 1000  # concurrent reader of v1 unaffected
+
+
+def test_vacuum_retires_history_keeps_retained(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    txn.overwrite(_mk(spark, [(2, "b", 20)]), t)
+    txn.overwrite(_mk(spark, [(3, "c", 30)]), t)
+    stats = txn.vacuum(t, keep_versions=2)
+    assert stats["removed_versions"] == 1 and stats["removed_files"] >= 1
+    # retained window still reads (current + one back)
+    assert _rows(txn.read(spark, t)) == [(3, "c", 30)]
+    assert _rows(txn.read(spark, t, at_version=2)) == [(2, "b", 20)]
+    with pytest.raises(FileNotFoundError):
+        txn.read(spark, t, at_version=1)
+
+
+def test_partition_column_type_pinned_by_manifest_schema(spark, tmp_path):
+    """Partition values come back as the WRITTEN type (string), not what
+    path inference would guess (e.g. '2024-01-01' as date)."""
+    t = str(tmp_path / "t")
+    df = _mk(spark, [(1, "2024-01-01", 10), (2, "2024-01-02", 20)])
+    txn.overwrite(df, t, partition_by="day")
+    out = txn.read(spark, t)
+    assert dict(out.dtypes)["day"] == "string"
+    assert _rows(out.select("k", "day", "v")) == [
+        (1, "2024-01-01", 10),
+        (2, "2024-01-02", 20),
+    ]
