@@ -8,16 +8,19 @@ codec layer is split by what this container can honestly run:
 
 - **Real codecs** (``media_codec_features``): BMP (24-bit uncompressed,
   struct header parse + numpy pixel math, bottom-up row flip + 4-byte row
-  padding), WAV (RIFF/PCM via the stdlib ``wave`` parser + numpy), and PNG
+  padding), WAV (RIFF/PCM via the stdlib ``wave`` parser + numpy), PNG
   (8-bit RGB: chunk walk, zlib inflate, full scanline unfiltering — all
-  five filter types None/Sub/Up/Average/Paeth — pure stdlib + numpy). All
-  decode *genuine* files of their format; the DuckDB oracle recomputes the
-  expected features analytically from the generative formula — a true
-  differential check of the parser (a wrong offset, padding, endianness,
-  row order or filter reconstruction diverges the hash).
-- **Stubbed codecs** (PIL/ffmpeg formats — JPEG, MP4…): no image/av
-  libraries in this container, so ``decode_media`` dispatches on magic
-  bytes and raises NotImplementedError past BMP/WAV/PNG;
+  five filter types None/Sub/Up/Average/Paeth — pure stdlib + numpy), and
+  baseline JPEG (SOF0 marker walk, DQT/DHT table build, Huffman + DC-DPCM
+  + AC run/size entropy decode, dequantize, de-zigzag, float IDCT — pure
+  stdlib + numpy). All decode *genuine* files of their format; the DuckDB
+  oracle recomputes the expected features analytically from the
+  generative formula — a true differential check of the parser (a wrong
+  offset, padding, endianness, row order, filter reconstruction, Huffman
+  table or coefficient ordering diverges the hash).
+- **Stubbed codecs** (ffmpeg-class formats — MP4, MP3…): no av libraries
+  in this container, so ``decode_media`` dispatches on magic bytes and
+  raises NotImplementedError past BMP/WAV/PNG/JPEG;
   ``fake_decode_features`` is the deterministic stand-in those paths'
   tests and oracle use. Swapping in a real decoder changes one function
   body, no plumbing.
@@ -209,11 +212,251 @@ def decode_png(content: bytes) -> dict:
     }
 
 
+def _zigzag_order() -> list[int]:
+    """The JPEG zigzag scan as (row, col) → natural index, generated
+    algorithmically (diagonal walk) rather than hand-typed."""
+    order = []
+    r = c = 0
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _idct_basis():
+    """Orthonormal 8-point DCT basis A (A[u,x] = α(u)·cos((2x+1)uπ/16));
+    2-D inverse is Aᵀ·S·A. A DC-only block yields the constant S00/8
+    exactly, which is what makes the constant-tile payloads lossless."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        alpha = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for x in range(8):
+            a[u, x] = alpha * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # skip the stuffing zero
+            self.bitbuf = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman (length, code) → symbol map from a DHT segment's
+    BITS/HUFFVAL arrays."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map ``size`` magnitude bits to the signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """REAL baseline JPEG decoder (SOF0, 8-bit, 1×1 sampling): marker walk
+    → quant/Huffman table build → MCU entropy decode (DC DPCM + AC
+    run/size with EOB/ZRL) → dequantize → de-zigzag → float IDCT → plane
+    assembly. Pure stdlib + numpy, no PIL. General over any DQT/DHT the
+    file declares; gates honestly on progressive/subsampled inputs.
+
+    Features report the YCbCr sample planes (px00_r/sum_r ← luma Y,
+    sum_g ← Cb, sum_b ← Cr): the terminal RGB conversion is a fixed
+    affine map left out so payloads built from constant 8×8 tiles with
+    unit quant tables round-trip bit-exactly — the property the
+    closed-form oracle checks."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    w = h = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    data_start = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = __import__("struct").unpack_from(">H", content, pos + 2)
+        seg = content[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tq = seg[i] & 0x0F
+                zz = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.int64)
+                nat = np.zeros(64, np.int64)
+                nat[_ZIGZAG] = zz
+                qt[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _huff_decode_table(
+                    bits, seg[i + 17 : i + 17 + n]
+                )
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            for ci in range(nc):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "only 1x1 (4:4:4) sampling supported"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline SOF0 JPEG supported")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            by_id = {cid: idx for idx, (cid, _tq) in enumerate(comps)}
+            for si in range(ns):
+                cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan.append((by_id[cid], tabs >> 4, tabs & 0x0F))
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if w is None or data_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    end = content.rfind(b"\xff\xd9")
+    if end < data_start:
+        raise ValueError("JPEG missing EOI")
+    reader = _BitReader(content[data_start:end])
+
+    def read_symbol(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    basis = _idct_basis()
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((by * 8, bx * 8), np.int64) for _ in comps]
+    pred = [0] * len(comps)
+    for mcu in range(bx * by):
+        ty, tx = divmod(mcu, bx)
+        for ci, dc_id, ac_id in scan:
+            coef = np.zeros(64, np.int64)
+            s = read_symbol(huff[(0, dc_id)])
+            pred[ci] += _extend(reader.bits(s), s)
+            coef[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = read_symbol(huff[(1, ac_id)])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                coef[_ZIGZAG[k]] = _extend(reader.bits(sym & 0x0F), sym & 0x0F)
+                k += 1
+            block = (coef * qt[comps[ci][1]]).reshape(8, 8).astype(float)
+            pix = basis.T @ block @ basis + 128.0
+            pix = np.clip(np.rint(pix), 0, 255).astype(np.int64)
+            planes[ci][ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = pix
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] if len(planes) > 1 else None
+    cr = planes[2][:h, :w] if len(planes) > 2 else None
+    return {
+        "media_kind": "jpeg",
+        "width": int(w),
+        "height": int(h),
+        "px00_r": int(y[0, 0]),
+        "sum_r": int(y.sum()),
+        "sum_g": int(cb.sum()) if cb is not None else None,
+        "sum_b": int(cr.sum()) if cr is not None else None,
+        "sample_rate": None,
+        "n_samples": None,
+        "sum_abs": None,
+        "peak": None,
+    }
+
+
 def decode_media(content: bytes) -> dict:
-    """Codec dispatch on magic bytes. BMP, WAV and PNG decode for real
-    (pure stdlib + numpy); formats needing PIL/ffmpeg (JPEG, MP4, …) raise
-    NotImplementedError in this container — ``fake_decode_features`` is
-    their deterministic stand-in.
+    """Codec dispatch on magic bytes. BMP, WAV, PNG and baseline JPEG
+    decode for real (pure stdlib + numpy); formats needing ffmpeg-class
+    decoders (MP4, …) raise NotImplementedError in this container —
+    ``fake_decode_features`` is their deterministic stand-in.
     """
     if content[:2] == b"BM":
         return decode_bmp(content)
@@ -221,6 +464,8 @@ def decode_media(content: bytes) -> dict:
         return decode_wav(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     try:
         import PIL.Image  # type: ignore  # noqa: F401
     except ImportError as exc:
@@ -382,19 +627,21 @@ MEDIA_CODEC_SCHEMA = (
 
 def synthesize_media(doc_id: int, n: int) -> bytes:
     """Deterministic REAL media payload for a document, split by
-    ``doc_id % 3``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
+    ``doc_id % 4``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
     PNG (scanlines forward-filtered with filter type ``row % 5``, so the
-    decoder must reconstruct every PNG filter to round-trip). Every byte
-    follows from (doc_id, n) via integer formulas, so the oracle can
-    predict the decoded features without parsing — while the Spark path
-    must round-trip genuine files. The writers here are hand-rolled
-    (struct/RIFF/chunk+CRC byte layout), NOT the parsers used by the
-    decode step."""
+    decoder must reconstruct every PNG filter to round-trip), 3 → baseline
+    JPEG built from constant 8×8 YCbCr tiles with unit quant tables (DC
+    DPCM + Huffman must round-trip every tile exactly). Every byte follows
+    from (doc_id, n) via integer formulas, so the oracle can predict the
+    decoded features without parsing — while the Spark path must
+    round-trip genuine files. The writers here are hand-rolled
+    (struct/RIFF/chunk+CRC/entropy-coded byte layout), NOT the parsers
+    used by the decode step."""
     import struct
 
     import numpy as np
 
-    if doc_id % 3 == 0:
+    if doc_id % 4 == 0:
         w = n % 13 + 4
         h = doc_id % 11 + 4
         p = np.arange(w * h, dtype=np.int64)
@@ -412,7 +659,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
                           2835, 2835, 0, 0)
             + pix
         )
-    if doc_id % 3 == 1:
+    if doc_id % 4 == 1:
         rate = 8000 + (doc_id % 5) * 1000
         cnt = n % 200 + 50
         i = np.arange(cnt, dtype=np.int64)
@@ -422,6 +669,22 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
             + b"data" + struct.pack("<I", len(data)) + data
         )
+    if doc_id % 4 == 3:
+        # baseline JPEG: constant 8×8 tiles in YCbCr; a constant tile's
+        # only nonzero coefficient is DC = 8·(value−128), which unit
+        # quant + the orthonormal IDCT return bit-exactly
+        tiles_x = n % 3 + 1
+        tiles_y = doc_id % 3 + 1
+        comp_coefs = []
+        for mult_dc, mult_t in ((37, 29), (41, 31), (43, 37)):
+            blocks = []
+            for t in range(tiles_x * tiles_y):
+                val = (doc_id * mult_dc + t * mult_t) % 256
+                block = np.zeros(64, np.int64)
+                block[0] = 8 * (val - 128)
+                blocks.append(block)
+            comp_coefs.append(blocks)
+        return encode_jpeg_baseline(8 * tiles_x, 8 * tiles_y, comp_coefs)
     # PNG: top-down RGB rows, forward-filtered with filter type row % 5
     import zlib
 
@@ -482,15 +745,148 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
     )
 
 
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _huff_encode_table(symbols: set[int]) -> tuple[list[int], bytes, dict]:
+    """Build a flat canonical Huffman table over exactly the symbols a
+    scan uses: all codes share length L with 2^L ≥ n+1, so the forbidden
+    all-ones code is never assigned. Returns (BITS, HUFFVAL, symbol →
+    (code, length)) — a legal DHT any baseline decoder must accept,
+    without hand-transcribing the Annex K tables."""
+    vals = sorted(symbols)
+    length = max(2, (len(vals) + 1 - 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    enc = {sym: (code, length) for code, sym in enumerate(vals)}
+    return bits, bytes(vals), enc
+
+
+def _dc_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg_baseline(w: int, h: int, comp_coefs: list[list]) -> bytes:
+    """Hand-rolled baseline JPEG writer (the synthesis twin of
+    ``decode_jpeg``, sharing no parsing code with it): takes per-component
+    quantized coefficient blocks (natural order, MCU row-major), derives
+    minimal canonical Huffman tables from the symbols actually emitted,
+    and writes SOI/DQT(unit)/SOF0(1×1)/DHT/SOS with DC DPCM + AC run/size
+    entropy coding (EOB/ZRL included). Unit quant tables mean the decoder
+    must reproduce the coefficients exactly."""
+    import struct
+
+    import numpy as np
+
+    ncomp = len(comp_coefs)
+    n_mcus = len(comp_coefs[0])
+    # ---- first pass: collect the DC categories / AC symbols in use ----
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = {0x00}
+    ac_runs: list[list[list[tuple[int, int]]]] = []  # comp→mcu→[(sym, val)]
+    dc_diffs: list[list[int]] = []
+    for coefs in comp_coefs:
+        pred = 0
+        diffs, runs_by_mcu = [], []
+        for block in coefs:
+            blk = np.asarray(block, dtype=np.int64).reshape(64)
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            diffs.append(diff)
+            dc_syms.add(_dc_category(diff))
+            runs: list[tuple[int, int]] = []
+            zz = [int(blk[_ZIGZAG[k]]) for k in range(1, 64)]
+            run = 0
+            for v in zz:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    runs.append((0xF0, 0))
+                    ac_syms.add(0xF0)
+                    run -= 16
+                size = _dc_category(v)
+                runs.append(((run << 4) | size, v))
+                ac_syms.add((run << 4) | size)
+                run = 0
+            runs.append((0x00, 0))  # EOB (also required for all-zero ACs)
+            runs_by_mcu.append(runs)
+        dc_diffs.append(diffs)
+        ac_runs.append(runs_by_mcu)
+    dc_bits, dc_vals, dc_enc = _huff_encode_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _huff_encode_table(ac_syms)
+    # ---- entropy-coded scan ----
+    bw = _BitWriter()
+    for mcu in range(n_mcus):
+        for ci in range(ncomp):
+            diff = dc_diffs[ci][mcu]
+            cat = _dc_category(diff)
+            code, ln = dc_enc[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(_amplitude(diff, cat), cat)
+            for sym, v in ac_runs[ci][mcu]:
+                code, ln = ac_enc[sym]
+                bw.write(code, ln)
+                size = sym & 0x0F
+                if size:
+                    bw.write(_amplitude(v, size), size)
+    body = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0x00]) for cid in range(ncomp)
+    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(dc_bits) + dc_vals
+        + bytes([0x10]) + bytes(ac_bits) + ac_vals,
+    )
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
 def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for the REAL codec path: synthesize genuine
-    BMP/WAV/PNG bytes per document (first mapInPandas), then parse them
-    back with the real decoders (second mapInPandas — the binary column
-    crosses Arrow between the stages, same plumbing a production decode
-    pipeline uses). The oracle computes the same features from the
+    BMP/WAV/PNG/JPEG bytes per document (first mapInPandas), then parse
+    them back with the real decoders (second mapInPandas — the binary
+    column crosses Arrow between the stages, same plumbing a production
+    decode pipeline uses). The oracle computes the same features from the
     generative formulas in closed form, so any parser defect (padding,
-    row order, endianness, header offsets, PNG filter reconstruction)
-    breaks the match."""
+    row order, endianness, header offsets, PNG filter reconstruction,
+    JPEG Huffman/DPCM/zigzag/IDCT handling) breaks the match."""
     import pandas as pd
 
     docs = load_table(spark, "documents", sf_dir).select(
@@ -525,14 +921,15 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Closed-form twin of synthesize_media ∘ decode: pixel/sample index ranges
 # materialize from a constant range(0, 256) (superset of every per-doc
 # count) filtered per row — max pixels 16*14=224 (BMP) / 14*12=168 (PNG),
-# max samples 249.
+# max samples 249, max JPEG tiles 9. JPEG sums are over the YCbCr planes
+# (constant per tile → 64× the tile value), see decode_jpeg.
 MEDIA_CODEC_FEATURES_SQL = """
 WITH base AS (
   SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n FROM documents
 ),
 bmp AS (
   SELECT doc_id, n % 13 + 4 AS w, doc_id % 11 + 4 AS h
-  FROM base WHERE doc_id % 3 = 0
+  FROM base WHERE doc_id % 4 = 0
 ),
 bmp_feats AS (
   SELECT b.doc_id, 'bmp' AS media_kind,
@@ -549,7 +946,7 @@ bmp_feats AS (
 ),
 wav AS (
   SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate, n % 200 + 50 AS cnt
-  FROM base WHERE doc_id % 3 = 1
+  FROM base WHERE doc_id % 4 = 1
 ),
 wav_feats AS (
   SELECT w.doc_id, 'wav' AS media_kind,
@@ -569,7 +966,7 @@ wav_feats AS (
 ),
 png AS (
   SELECT doc_id, n % 11 + 4 AS w, doc_id % 9 + 4 AS h
-  FROM base WHERE doc_id % 3 = 2
+  FROM base WHERE doc_id % 4 = 2
 ),
 png_feats AS (
   SELECT g.doc_id, 'png' AS media_kind,
@@ -583,9 +980,26 @@ png_feats AS (
   FROM png g, UNNEST(range(0, 256)) AS t(i)
   WHERE i < g.w * g.h
   GROUP BY g.doc_id, g.w, g.h
+),
+jpg AS (
+  SELECT doc_id, n % 3 + 1 AS tx, doc_id % 3 + 1 AS ty
+  FROM base WHERE doc_id % 4 = 3
+),
+jpg_feats AS (
+  SELECT j.doc_id, 'jpeg' AS media_kind,
+         CAST(8 * j.tx AS INT) AS width, CAST(8 * j.ty AS INT) AS height,
+         CAST(j.doc_id * 37 % 256 AS INT) AS px00_r,
+         CAST(64 * SUM((j.doc_id * 37 + i * 29) % 256) AS BIGINT) AS sum_r,
+         CAST(64 * SUM((j.doc_id * 41 + i * 31) % 256) AS BIGINT) AS sum_g,
+         CAST(64 * SUM((j.doc_id * 43 + i * 37) % 256) AS BIGINT) AS sum_b,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
+  FROM jpg j, UNNEST(range(0, 9)) AS t(i)
+  WHERE i < j.tx * j.ty
+  GROUP BY j.doc_id, j.tx, j.ty
 )
 SELECT * FROM bmp_feats UNION ALL SELECT * FROM wav_feats
-UNION ALL SELECT * FROM png_feats
+UNION ALL SELECT * FROM png_feats UNION ALL SELECT * FROM jpg_feats
 """
 
 

@@ -81,25 +81,29 @@ def test_wav_decode_parses_files_written_by_stdlib_wave():
 
 
 def test_decode_media_dispatches_on_magic_bytes():
-    bmp = synthesize_media(3, 57)   # doc_id % 3 == 0
-    wav = synthesize_media(4, 57)   # doc_id % 3 == 1
-    png = synthesize_media(5, 57)   # doc_id % 3 == 2
+    bmp = synthesize_media(4, 57)   # doc_id % 4 == 0
+    wav = synthesize_media(5, 57)   # doc_id % 4 == 1
+    png = synthesize_media(6, 57)   # doc_id % 4 == 2
+    jpg = synthesize_media(7, 57)   # doc_id % 4 == 3
     assert decode_media(bmp)["media_kind"] == "bmp"
     assert decode_media(wav)["media_kind"] == "wav"
     assert decode_media(png)["media_kind"] == "png"
+    assert decode_media(jpg)["media_kind"] == "jpeg"
     with pytest.raises(NotImplementedError):
+        decode_media(b"GIF89a no gif codec wired")
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff jpeg-shaped garbage")
 
 
 def test_synthesized_payloads_are_real_files():
     # the synthesizer's WAV must be readable by the stdlib parser directly
-    with wave.open(io.BytesIO(synthesize_media(7, 123))) as wf:
+    with wave.open(io.BytesIO(synthesize_media(9, 123))) as wf:
         assert wf.getnchannels() == 1
         assert wf.getsampwidth() == 2
         assert wf.getnframes() == 123 % 200 + 50
-    feats = decode_bmp(synthesize_media(9, 123))
+    feats = decode_bmp(synthesize_media(8, 123))
     assert feats["width"] == 123 % 13 + 4
-    assert feats["height"] == 9 % 11 + 4
+    assert feats["height"] == 8 % 11 + 4
 
 
 def test_png_decode_reconstructs_all_five_filters():
@@ -109,7 +113,7 @@ def test_png_decode_reconstructs_all_five_filters():
     filter-reconstruction bug shifts the sums."""
     from ir_analyses_spark.llm.multimodal import decode_png
 
-    for doc_id, n in [(2, 57), (5, 123), (8, 200), (11, 7)]:
+    for doc_id, n in [(2, 57), (6, 123), (10, 200), (14, 7)]:
         w = n % 11 + 4
         h = doc_id % 9 + 4
         feats = decode_png(synthesize_media(doc_id, n))
@@ -119,7 +123,7 @@ def test_png_decode_reconstructs_all_five_filters():
         assert feats["sum_r"] == sum((doc_id * 19 + p * 3) % 256 for p in px)
         assert feats["sum_g"] == sum((doc_id * 23 + p * 13) % 256 for p in px)
         assert feats["sum_b"] == sum((doc_id * 29 + p * 17) % 256 for p in px)
-    assert any((d % 9 + 4) >= 5 for d in (2, 5, 8, 11)), "no Paeth row hit"
+    assert any((d % 9 + 4) >= 5 for d in (2, 6, 10, 14)), "no Paeth row hit"
 
 
 def test_png_decode_golden_hand_built():
@@ -179,6 +183,105 @@ def test_png_decode_rejects_unsupported_shapes():
         decode_png(png)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def test_jpeg_roundtrip_matches_generative_formulas():
+    """Constant-tile JPEGs with unit quant must round-trip bit-exactly:
+    sums over the YCbCr planes equal 64× the per-tile formula values, for
+    single- and multi-tile images (multi-tile → nonzero DC diffs, so the
+    DPCM + Huffman path is exercised, not just the first block)."""
+    from ir_analyses_spark.llm.multimodal import decode_jpeg
+
+    for doc_id, n in [(3, 57), (7, 123), (11, 200), (19, 8)]:
+        tx, ty = n % 3 + 1, doc_id % 3 + 1
+        feats = decode_jpeg(synthesize_media(doc_id, n))
+        assert (feats["width"], feats["height"]) == (8 * tx, 8 * ty)
+        assert feats["px00_r"] == doc_id * 37 % 256
+        tiles = range(tx * ty)
+        assert feats["sum_r"] == 64 * sum((doc_id * 37 + t * 29) % 256 for t in tiles)
+        assert feats["sum_g"] == 64 * sum((doc_id * 41 + t * 31) % 256 for t in tiles)
+        assert feats["sum_b"] == 64 * sum((doc_id * 43 + t * 37) % 256 for t in tiles)
+    assert any((n % 3 + 1) * (d % 3 + 1) > 1 for d, n in [(3, 57), (7, 123), (11, 200), (19, 8)])
+
+
+def test_jpeg_ac_coefficients_run_lengths_and_zrl():
+    """The decoder's AC path (run/size symbols, ZRL, EOB mid-block) against
+    an independently computed float IDCT: encode a block with scattered AC
+    coefficients — including one placed after >16 zeros to force a ZRL —
+    and compare every reconstructed pixel."""
+    import math
+
+    import numpy as np
+
+    from ir_analyses_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    block = np.zeros(64, np.int64)
+    block[0] = 8 * (200 - 128)  # DC
+    block[1] = 40              # (0,1) — early AC
+    block[3 * 8 + 2] = -25     # mid-block
+    block[7 * 8 + 6] = 13      # deep AC: long zero run in zigzag → ZRL
+    jpg = encode_jpeg_baseline(8, 8, [[block]])
+    feats = decode_jpeg(jpg)
+
+    # independent reconstruction: textbook 2-D IDCT double loop
+    def alpha(u):
+        return math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+
+    want = np.zeros((8, 8))
+    s = block.reshape(8, 8)
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    acc += (
+                        alpha(u) * alpha(v) * s[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            want[x, y] = acc
+    want = np.clip(np.rint(want + 128.0), 0, 255).astype(np.int64)
+    assert feats["sum_r"] == int(want.sum())
+    assert feats["px00_r"] == int(want[0, 0])
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """A tile value whose entropy coding emits 0xFF bytes must round-trip
+    through write-side stuffing and read-side unstuffing. Brute-force a
+    range of constant tiles — every one must reconstruct exactly."""
+    import numpy as np
+
+    from ir_analyses_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    for val in range(0, 256, 7):
+        block = np.zeros(64, np.int64)
+        block[0] = 8 * (val - 128)
+        feats = decode_jpeg(encode_jpeg_baseline(8, 8, [[block]]))
+        assert feats["sum_r"] == 64 * val, val
+
+
+def test_jpeg_rejects_unsupported_shapes():
+    from ir_analyses_spark.llm.multimodal import decode_jpeg
+
+    # progressive (SOF2) must gate, not mis-decode
+    import struct as _struct
+
+    sof2 = (
+        b"\xff\xd8"
+        + _struct.pack(">HH", 0xFFC2, 11)
+        + _struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
 
 
 def test_corpus_is_ascii():
