@@ -146,12 +146,52 @@ def _publish(table: str, manifest: dict) -> bool:
         os.remove(tmp)
 
 
+def _footer_stats(path: str, cols: list[str]) -> dict | None:
+    """Per-file [min, max] for ``cols`` read from the parquet FOOTER
+    (pyarrow metadata) — no data scan, no extra Spark job. Values are kept
+    JSON-portable (dates/timestamps → ISO strings, bytes → utf-8)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+    def _norm(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if isinstance(v, (int, float, str)) or v is None:
+            return v
+        return str(v)  # dates/timestamps → ISO form
+
+    out = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                return None  # stats unavailable → no skipping claim
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[col] = [_norm(lo), _norm(hi)]
+    return out or None
+
+
 def _write_data(
-    df: DataFrame, table: str, partition_by: str | None
+    df: DataFrame,
+    table: str,
+    partition_by: str | None,
+    stats_cols: list[str] | None = None,
 ) -> tuple[list[dict], str]:
     """Write ``df``'s files under a fresh commit directory and return
     their manifest entries. Invisible to every reader until a manifest
-    that names them is published."""
+    that names them is published. With ``stats_cols``, each entry carries
+    per-file [min, max] harvested from the parquet footer — the basis of
+    manifest-level file SKIPPING on read (Delta's data-skipping stats)."""
     commit_id = uuid.uuid4().hex
     rel_dir = os.path.join(_DATA_DIR, commit_id)
     out_dir = os.path.join(table, rel_dir)
@@ -164,14 +204,20 @@ def _write_data(
         for name in names:
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
-            rel = os.path.relpath(os.path.join(root, name), table)
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table)
             part = None
             if partition_by:
                 # spark encodes the value into the dir name (url-escaped)
                 seg = os.path.relpath(root, out_dir).split(os.sep)[0]
                 col, _, enc = seg.partition("=")
                 part = {col: urllib.parse.unquote(enc)}
-            entries.append({"path": rel, "partition": part})
+            entry = {"path": rel, "partition": part}
+            if stats_cols:
+                stats = _footer_stats(full, stats_cols)
+                if stats:
+                    entry["stats"] = stats
+            entries.append(entry)
     return entries, rel_dir
 
 
@@ -214,11 +260,16 @@ def read(
     table: str,
     partition_values: dict[str, list] | None = None,
     at_version: int | None = None,
+    range_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read. ``partition_values`` prunes at the MANIFEST level
     ({col: [allowed values]} — only matching files reach Spark; values
-    compare as strings, the directory-encoding form). ``at_version`` time
-    travels to a retained historical version."""
+    compare as strings, the directory-encoding form). ``range_filter``
+    ({col: (lo, hi)} inclusive) SKIPS files whose recorded min/max range
+    (see ``stats_cols`` on the writers) cannot intersect — files without
+    stats are conservatively kept, and the caller still applies the
+    predicate itself (skipping is an optimization, never a filter).
+    ``at_version`` time travels to a retained historical version."""
     snap = snapshot(table, at_version)
     if snap.schema_json is None:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -234,6 +285,21 @@ def read(
                 str(f["partition"].get(c)) in vs for c, vs in allowed.items()
             )
         ]
+    if range_filter:
+
+        def _may_hit(f: dict) -> bool:
+            stats = f.get("stats") or {}
+            for col, (lo, hi) in range_filter.items():
+                rng = stats.get(col)
+                if rng is None:
+                    continue  # no stats → cannot skip
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            return True
+
+        files = [f for f in files if _may_hit(f)]
     if not files:
         return spark.createDataFrame([], schema)
     # group by commit directory: files in one commit share a basePath, so
@@ -262,10 +328,16 @@ def read(
 
 
 def overwrite(
-    df: DataFrame, table: str, partition_by: str | None = None
+    df: DataFrame,
+    table: str,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> Snapshot:
-    """Full replace: new manifest names only this commit's files."""
-    entries, _ = _write_data(df, table, partition_by)
+    """Full replace: new manifest names only this commit's files.
+    ``stats_cols`` records per-file min/max for manifest-level skipping
+    (pair with a range-sharded layout — ``sinks.write_sorted_shards`` —
+    for disjoint per-file ranges, where a point read prunes to ONE file)."""
+    entries, _ = _write_data(df, table, partition_by, stats_cols)
     schema = df.schema.json()
 
     def build(snap: Snapshot) -> dict:
@@ -281,18 +353,43 @@ def overwrite(
 
 
 def append(
-    df: DataFrame, table: str, partition_by: str | None = None
+    df: DataFrame,
+    table: str,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> Snapshot:
     """Append: next manifest = prior files + this commit's files. The data
     job runs once; only the (cheap) manifest build re-runs on a lost
-    race, so two concurrent appends both land."""
-    entries, _ = _write_data(df, table, partition_by)
+    race, so two concurrent appends both land.
+
+    ``merge_schema=True`` allows the append to ADD columns (Delta's
+    mergeSchema): the manifest schema widens to the union, and readers
+    null-fill the new columns for pre-evolution files (the explicit read
+    schema makes parquet do this for free). Type changes to an existing
+    column are refused — silent coercion is how tables rot."""
+    entries, _ = _write_data(df, table, partition_by, stats_cols)
     schema = df.schema.json()
 
     def build(snap: Snapshot) -> dict:
+        out_schema = snap.schema_json or schema
+        if snap.schema_json and merge_schema:
+            old = StructType.fromJson(json.loads(snap.schema_json))
+            by_name = {f.name: f for f in old.fields}
+            added = []
+            for f in df.schema.fields:
+                have = by_name.get(f.name)
+                if have is None:
+                    added.append(f)
+                elif have.dataType != f.dataType:
+                    raise TypeError(
+                        f"append(merge_schema) cannot change column "
+                        f"{f.name}: {have.dataType} -> {f.dataType}"
+                    )
+            out_schema = StructType(old.fields + added).json()
         return {
             "version": snap.version + 1,
-            "schema": snap.schema_json or schema,
+            "schema": out_schema,
             "partition_by": snap.partition_by if snap.schema_json else partition_by,
             "files": snap.files + entries,
             "applied_batches": snap.applied_batches,
@@ -540,34 +637,68 @@ def compact(
     return _commit(table, build)
 
 
-def vacuum(table: str, keep_versions: int = 2) -> dict:
+def vacuum(
+    table: str,
+    keep_versions: int = 2,
+    orphan_min_age_seconds: float = 600.0,
+) -> dict:
     """Retire history: keep the newest ``keep_versions`` manifests, delete
     every data file none of them references, and sweep orphaned commit
     directories (crashed/lost-race writers). Readers pinned to a retired
     snapshot break afterwards — the standard retention contract; size
-    ``keep_versions`` to the longest-running query."""
+    ``keep_versions`` to the longest-running query.
+
+    A commit directory with NO live files might belong to an IN-FLIGHT
+    writer that has written data but not yet published its manifest —
+    deleting it would corrupt that commit the instant its link lands. Such
+    fully-orphaned directories are only swept once older than
+    ``orphan_min_age_seconds`` (Delta VACUUM's retention-window rule);
+    dead files inside partially-live directories are always safe — their
+    commit published, so nothing in-flight references them."""
+    import time
+
     versions = _list_versions(table)
     keep = versions[-keep_versions:] if versions else []
     live: set[str] = set()
-    for v in keep:
-        live.update(f["path"] for f in snapshot(table, v).files)
+    published: set[str] = set()  # named by ANY manifest → not in-flight
+    for v in versions:
+        paths = {f["path"] for f in snapshot(table, v).files}
+        published |= paths
+        if v in keep:
+            live |= paths
     removed_files = 0
+    now = time.time()
     data_root = os.path.join(table, _DATA_DIR)
     if os.path.isdir(data_root):
         for commit_id in os.listdir(data_root):
             cdir = os.path.join(data_root, commit_id)
+            all_files = [
+                os.path.relpath(os.path.join(root, name), table)
+                for root, _dirs, names in os.walk(cdir)
+                for name in names
+            ]
+            if not any(rel in live for rel in all_files):
+                if not any(rel in published for rel in all_files):
+                    # never referenced by a manifest: could be an
+                    # IN-FLIGHT writer's data — only sweep when old
+                    try:
+                        age = now - os.path.getmtime(cdir)
+                    except OSError:
+                        continue
+                    if age < orphan_min_age_seconds:
+                        continue
+                removed_files += len(all_files)
+                shutil.rmtree(cdir, ignore_errors=True)
+                continue
             for root, _dirs, names in os.walk(cdir, topdown=False):
                 for name in names:
                     rel = os.path.relpath(os.path.join(root, name), table)
                     if rel not in live:
                         os.remove(os.path.join(root, name))
                         removed_files += 1
-            # drop now-empty directories (incl. fully-orphaned commits)
             for root, dirs, names in os.walk(cdir, topdown=False):
-                if not dirs and not names:
+                if not dirs and not names and root != cdir:
                     os.rmdir(root)
-            if os.path.isdir(cdir) and not os.listdir(cdir):
-                shutil.rmtree(cdir)
     removed_versions = 0
     for v in versions[:-keep_versions] if keep_versions else versions:
         os.remove(_log_path(table, v))

@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from ir_analyses_spark.io import txn
 
@@ -60,8 +61,8 @@ def test_no_uncommitted_data_is_ever_visible(spark, tmp_path, monkeypatch):
     # replaying the append converges to exactly-once
     txn.append(_mk(spark, [(2, "b", 20)]), t)
     assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20)]
-    # vacuum sweeps the orphaned commit directory
-    txn.vacuum(t, keep_versions=2)
+    # vacuum sweeps the orphaned commit directory (age 0 = "not in-flight")
+    txn.vacuum(t, keep_versions=2, orphan_min_age_seconds=0.0)
     assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20)]
 
 
@@ -204,6 +205,90 @@ def test_vacuum_retires_history_keeps_retained(spark, tmp_path):
     assert _rows(txn.read(spark, t, at_version=2)) == [(2, "b", 20)]
     with pytest.raises(FileNotFoundError):
         txn.read(spark, t, at_version=1)
+
+
+def test_vacuum_spares_young_unpublished_commit_dirs(spark, tmp_path, monkeypatch):
+    """An in-flight writer's data directory (written, manifest not yet
+    published) must survive vacuum until the retention age passes —
+    otherwise vacuum corrupts the commit the moment its link lands."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+
+    real_publish = txn._publish
+
+    def crash_publish(table, manifest):
+        raise OSError("crash before publish")
+
+    monkeypatch.setattr(txn, "_publish", crash_publish)
+    with pytest.raises(OSError):
+        txn.append(_mk(spark, [(2, "b", 20)]), t)
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    data_root = os.path.join(t, "data")
+    assert len(os.listdir(data_root)) == 2  # committed + in-flight
+
+    def _parquets():
+        return {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(data_root)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = _parquets()
+    txn.vacuum(t, keep_versions=2)  # default min-age: spare the in-flight
+    assert _parquets() == before  # no data file touched
+    assert len(os.listdir(data_root)) == 2
+    # but a retired PUBLISHED version's directory goes immediately
+    txn.overwrite(_mk(spark, [(3, "c", 30)]), t)
+    txn.overwrite(_mk(spark, [(4, "d", 40)]), t)
+    txn.overwrite(_mk(spark, [(5, "e", 50)]), t)
+    stats = txn.vacuum(t, keep_versions=1)
+    assert stats["removed_files"] >= 2  # v1 + intermediate overwrites
+    assert _rows(txn.read(spark, t)) == [(5, "e", 50)]
+
+
+def test_stats_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """Range-sharded write + stats_cols → a narrow range_filter read must
+    hand Spark a strict subset of files while still containing every
+    matching row (skipping is an optimization, never a filter)."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10_000).selectExpr("id as k", "id * 2 as v")
+    txn.overwrite(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        t,
+        stats_cols=["k"],
+    )
+    snap = txn.snapshot(t)
+    assert all("stats" in f for f in snap.files) and len(snap.files) == 8
+    pruned = txn.read(spark, t, range_filter={"k": (2500, 2600)})
+    full = txn.read(spark, t)
+    n_pruned = len({r[0] for r in pruned.select(F.input_file_name()).collect()})
+    n_full = len({r[0] for r in full.select(F.input_file_name()).collect()})
+    assert n_pruned < n_full  # files actually skipped
+    got = _rows(pruned.filter("k between 2500 and 2600").select("k", "v"))
+    assert got == [(k, 2 * k) for k in range(2500, 2601)]
+
+
+def test_append_merge_schema_widens_and_nullfills(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.overwrite(spark.createDataFrame([(1, "a")], ["k", "s"]), t)
+    txn.append(
+        spark.createDataFrame([(2, "b", 9.5)], ["k", "s", "score"]),
+        t,
+        merge_schema=True,
+    )
+    out = txn.read(spark, t)
+    assert [f.name for f in out.schema.fields] == ["k", "s", "score"]
+    rows = {r.k: (r.s, r.score) for r in out.collect()}
+    assert rows[1] == ("a", None)  # pre-evolution file null-fills
+    assert rows[2] == ("b", 9.5)
+    # type change refused
+    with pytest.raises(TypeError, match="cannot change column"):
+        txn.append(
+            spark.createDataFrame([("x", "c")], ["k", "s"]),
+            t,
+            merge_schema=True,
+        )
 
 
 def test_partition_column_type_pinned_by_manifest_schema(spark, tmp_path):
