@@ -614,12 +614,132 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-means: seed every Nth vector (deterministic, reproducible
+#: cross-engine — same discipline as the IVF coarse quantizer) and run a
+#: FIXED number of Lloyd iterations so both engines compute the identical
+#: trajectory. At the TESTDATA sizes the stride seeds 5 clusters.
+_KM_STRIDE = 100
+_KM_ITERS = 2
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means corpus clustering (the SemDeDup-style grouping
+    step of embedding pipelines): stride-seeded centroids, then
+    ``_KM_ITERS`` Lloyd rounds of [assign to nearest centroid by cosine →
+    recompute centroids as element-wise means]. Returns the final
+    (vec_id, cluster) assignment.
+
+    Cross-engine exactness, the part that makes an ITERATIVE float
+    algorithm oracle-checkable: (1) seeding is a stride sample, no RNG;
+    (2) iteration count is fixed, no convergence test on floats; (3) the
+    centroid mean runs per element through the decimal-accumulator trick
+    (a float's 24-bit significand can never sit exactly ON a decimal(38,12)
+    rounding boundary, so both engines round identically, sum exactly, and
+    produce bit-equal double centroids); (4) cosine is the module's
+    in-order fold; ties break on cluster id. Any divergence anywhere in
+    the trajectory flips assignments and fails the hash.
+
+    Scale shape: assignment is one broadcast of k centroids against the
+    corpus scan per round (O(n·k) fused in codegen, no shuffle of
+    embeddings); the centroid update shuffles (cluster, dim) partial sums
+    — k·d rows — never vectors. This is exactly distributed Lloyd's.
+    """
+    emb = _with_norm(
+        load_table(spark, "embeddings", sf_dir), "embedding", "enorm"
+    ).select("vec_id", "embedding", "enorm")
+    cent = emb.filter(F.col("vec_id") % _KM_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("enorm").alias("cnorm"),
+    )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        scored = emb.join(F.broadcast(c), how="cross").select(
+            "vec_id",
+            "cid",
+            (
+                _dot_col("embedding", "cv") / (F.col("enorm") * F.col("cnorm"))
+            ).alias("_csim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", F.col("cid").alias("cluster"))
+        )
+
+    assign = _assign(cent)
+    for _ in range(_KM_ITERS - 1):
+        pos = emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "val")
+        )
+        means = (
+            pos.join(assign, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("v")
+            )
+        )
+        cent = means.groupBy("cid").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s")
+        ).select(
+            "cid", F.expr("transform(s, x -> x.v)").alias("cv")
+        )
+        cent = _with_norm(cent, "cv", "cnorm")
+        assign = _assign(cent)
+    return assign
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH cent0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id % {_KM_STRIDE} = 0
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_COS.format(a='e.embedding', b='c.cv')} DESC,
+                      c.cid) AS r
+    FROM embeddings e CROSS JOIN cent0 c
+  ) WHERE r = 1
+),
+elems AS (
+  SELECT e.vec_id, t.pos, e.embedding[t.pos] AS val
+  FROM embeddings e,
+       UNNEST(range(1, len(e.embedding) + 1)) AS t(pos)
+),
+means AS (
+  SELECT a1.cluster AS cid, elems.pos,
+         CAST(SUM(CAST(elems.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS v
+  FROM elems JOIN a1 ON elems.vec_id = a1.vec_id
+  GROUP BY a1.cluster, elems.pos
+),
+cent1 AS (
+  SELECT cid, list(v ORDER BY pos) AS cv FROM means GROUP BY cid
+)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_SQL_COS.format(a='e.embedding', b='c.cv')} DESC,
+                    c.cid) AS r
+  FROM embeddings e CROSS JOIN cent1 c
+) WHERE r = 1
+"""
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_cosine_nearup": embedding_cosine_nearup,
     "ann_ml_brp_lsh": ann_ml_brp_lsh,
+    "kmeans_assign": kmeans_assign,
 }
 
 ORACLES = {
@@ -627,4 +747,5 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_cosine_nearup": EMBEDDING_COSINE_NEARDUP_SQL,
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
 }

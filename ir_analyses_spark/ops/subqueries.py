@@ -10,7 +10,8 @@ lowers to the scale-safe plan, not to a per-row re-execution.
 
 TPC-H shapes adapted to the TESTDATA columns: Q17-style scalar-per-group,
 Q21-style EXISTS + NOT EXISTS self-joins, Q11-style HAVING vs a global
-scalar.
+scalar, Q2-style correlated MIN over a foreign table joined back as an
+equality, Q22-style global-average threshold + NOT-EXISTS anti-join.
 """
 
 from __future__ import annotations
@@ -145,14 +146,100 @@ ORDER BY type_value DESC, p_type
 """
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier(s) behind its
+    MINIMUM observed price — a correlated scalar MIN over a DIFFERENT
+    table than the outer query's driving table, joined back by Catalyst
+    as a per-part aggregate (never a per-row re-scan). MIN over doubles
+    is order-insensitive, so the equality predicate is engine-exact; ties
+    yield one row per tying supplier, deterministic as a set."""
+    _register(spark, sf_dir, ["part", "lineitem", "supplier"])
+    return spark.sql("""
+        SELECT p_partkey, s_name, l_extendedprice AS best_price
+        FROM _subq_part
+        JOIN _subq_lineitem ON p_partkey = l_partkey
+        JOIN _subq_supplier ON s_suppkey = l_suppkey
+        WHERE p_size < 5
+          AND l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM _subq_lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """)
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = """
+SELECT p_partkey, s_name, l_extendedprice AS best_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size < 5
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: TESTDATA customers carry no phone, so
+    the country code becomes the nation key): per-nation totals of
+    customers holding an above-global-average positive balance who placed
+    NO orders —
+    an uncorrelated scalar AVG threshold (computed once, broadcast into
+    the filter) composed with a NOT EXISTS anti-join. The average runs
+    through the decimal-accumulator trick (ops/helpers.py) spelled
+    identically in both engines, so the threshold double is bit-equal and
+    no borderline customer can flip sides."""
+    _register(spark, sf_dir, ["customer", "orders"])
+    return spark.sql("""
+        SELECT c_nationkey AS cc,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 AS totacctbal
+        FROM _subq_customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*)
+            FROM _subq_customer c2 WHERE c2.c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM _subq_orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey
+        ORDER BY cc
+    """)
+
+
+IDLE_CUSTOMER_BALANCES_SQL = """
+SELECT c_nationkey AS cc,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY c_nationkey
+ORDER BY cc
+"""
+
+
 QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "suppliers_with_waiting_orders": suppliers_with_waiting_orders,
     "concentrated_part_types": concentrated_part_types,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "idle_customer_balances": idle_customer_balances,
 }
 
 ORACLES = {
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "suppliers_with_waiting_orders": SUPPLIERS_WITH_WAITING_ORDERS_SQL,
     "concentrated_part_types": CONCENTRATED_PART_TYPES_SQL,
+    "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
+    "idle_customer_balances": IDLE_CUSTOMER_BALANCES_SQL,
 }

@@ -187,6 +187,9 @@ _ORDER = [
     "small_quantity_revenue",
     "suppliers_with_waiting_orders",
     "concentrated_part_types",
+    "cheapest_supplier_per_part",  # new in r4 (tail: next-round window)
+    "idle_customer_balances",  # new in r4 (tail: next-round window)
+    "kmeans_assign",  # new in r4 (tail: next-round window)
 ]
 
 
