@@ -733,6 +733,78 @@ SELECT vec_id, cid AS cluster FROM (
 """
 
 
+#: semantic-dedup similarity threshold. The synthetic corpus has no true
+#: near-duplicate embeddings (pairwise cosine maxes out ≈ 0.51), so the
+#: demo threshold sits at the ~99th percentile of the pairwise
+#: distribution — high enough to be selective, low enough that the drop
+#: path is actually exercised; production SemDeDup would use ~0.9+.
+_SEMDEDUP_TAU = 0.3
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus
+    (:func:`kmeans_assign`), then inside each cluster drop every vector
+    that has a more-similar-than-τ neighbor with a LOWER vec_id (the
+    deterministic keep-the-smallest-id rule the exact-dedup path also
+    uses). Returns (vec_id, cluster, is_kept) for the whole corpus.
+
+    The clustering is what makes this scale: candidate pairs are confined
+    to clusters (Σ|cluster|² instead of n², with cluster counts driven by
+    k), so the quadratic step never sees the corpus — the same
+    candidate-bounding role LSH bands play for text MinHash. Cosine uses
+    the module's in-order fold, so the pair set — and therefore the
+    keep/drop verdicts — are engine-exact."""
+    assign = kmeans_assign(spark, sf_dir)
+    emb = _with_norm(
+        load_table(spark, "embeddings", sf_dir), "embedding", "enorm"
+    ).select("vec_id", "embedding", "enorm")
+    both = emb.join(assign, "vec_id")
+    a = both.alias("a")
+    b = both.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(
+            (
+                _dot_col("a.embedding", "b.embedding")
+                / (F.col("a.enorm") * F.col("b.enorm"))
+            )
+            > _SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(
+        dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH assign AS (
+{KMEANS_ASSIGN_SQL}
+),
+memb AS (
+  SELECT e.vec_id, e.embedding, a.cluster
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM memb a JOIN memb b
+    ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} > {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS is_kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -740,6 +812,7 @@ QUERIES = {
     "embedding_cosine_nearup": embedding_cosine_nearup,
     "ann_ml_brp_lsh": ann_ml_brp_lsh,
     "kmeans_assign": kmeans_assign,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLES = {
@@ -748,4 +821,5 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_cosine_nearup": EMBEDDING_COSINE_NEARDUP_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
 }

@@ -60,19 +60,20 @@ _MODULES = [
 #: rotation, per VERDICT.md r3 item 1 — "no green row older than the code
 #: it certifies":
 #:
-#: - Positions 0–49 lead with the flagship + the query new this round
-#:   (``summary_chart_frame``; its module ``queries/summary.py`` also
-#:   changed semantically — max_by tiebreak struct — so the flagship
-#:   re-certifies too), then the queries whose defining modules changed
-#:   during r4 (``llm/multimodal.py``: PNG codec + 3-way synthesizer
-#:   split; ``queries/summary.py``: ``guarded_ratio_margin``;
-#:   ``streaming/pipeline.py`` + ``io/sinks.py``: the committed-marker
-#:   sink rework — conservatively ALL streaming-module queries), then the
-#:   22 stale-evidence queries VERDICT r3 listed (modules changed in r3
+#: - Positions 0–49 lead with the flagship + the queries new this round
+#:   (``summary_chart_frame``; the txn-format pair; ``kmeans_assign`` /
+#:   ``semantic_dedup``; the Q2/Q22 subquery pair — and, since
+#:   ``ops/subqueries.py`` changed when the pair was added, its three
+#:   r3-green entries re-certify too), then the queries whose defining
+#:   modules changed during r4 (``llm/multimodal.py``: PNG + JPEG codecs
+#:   + 4-way synthesizer split; ``queries/summary.py``:
+#:   ``guarded_ratio_margin`` + max_by tiebreak; ``streaming/pipeline.py``
+#:   + ``io/sinks.py``: committed-marker sinks + txn twins —
+#:   conservatively ALL streaming-module queries), then the 22
+#:   stale-evidence queries VERDICT r3 listed (modules changed in r3
 #:   after their last r1/r2 green row: textstats, similarity, aggregates,
-#:   windows, udfs), then backfill — r1/r2-green entries earning a newer
-#:   row (collections, serving queries, string/date/math, broadcast/topk
-#:   joins).
+#:   windows, udfs), then backfill — r1/r2-green entries with unchanged
+#:   code earning a newer row (string/date/math, set ops).
 #: - The tail holds entries hash-green in r3 (or earlier) whose defining
 #:   modules are unchanged since their last green row.
 _ORDER = [
@@ -97,6 +98,16 @@ _ORDER = [
     # -- new in r4: transaction-log table format (io/txn.py) --
     "txn_snapshot_merge",
     "txn_exactly_once_rollup",
+    # -- new in r4: clustering + semantic dedup (llm/similarity.py) --
+    "kmeans_assign",
+    "semantic_dedup",
+    # -- ops/subqueries.py changed in r4 (Q2/Q22 added): re-certify its
+    #    r3-green entries + first rows for the new pair --
+    "cheapest_supplier_per_part",
+    "idle_customer_balances",
+    "small_quantity_revenue",
+    "suppliers_with_waiting_orders",
+    "concentrated_part_types",
     # -- VERDICT r3 stale-evidence list: modules changed in r3 after the
     #    last green driver row (llm/textstats.py) --
     "text_stats",
@@ -123,13 +134,6 @@ _ORDER = [
     # (ops/udfs.py)
     "pandas_udf_vectorized",
     # -- backfill: r1/r2-green, code unchanged — earn a newer green row --
-    "map_ops",
-    "explode_tokens",
-    "json_extract_ops",
-    "pivot_coalesce_priority",
-    "regional_revenue",
-    "order_priority_counts",
-    "top_unshipped_parts",
     "set_operations",
     "string_predicates",
     "string_functions",
@@ -142,6 +146,13 @@ _ORDER = [
     # first so a budget overrun still hits the freshest-needed entries
     "join_broadcast_dims",
     "join_multiway_topk",
+    "map_ops",
+    "explode_tokens",
+    "json_extract_ops",
+    "pivot_coalesce_priority",
+    "regional_revenue",
+    "order_priority_counts",
+    "top_unshipped_parts",
     "join_left_outer",
     "join_semi_anti",
     "join_theta_bands",
@@ -184,12 +195,6 @@ _ORDER = [
     "ann_ml_brp_lsh",  # rows-only by design (recall-bounded vs exact twin)
     "shipping_priority_topk",
     "returned_item_report",
-    "small_quantity_revenue",
-    "suppliers_with_waiting_orders",
-    "concentrated_part_types",
-    "cheapest_supplier_per_part",  # new in r4 (tail: next-round window)
-    "idle_customer_balances",  # new in r4 (tail: next-round window)
-    "kmeans_assign",  # new in r4 (tail: next-round window)
 ]
 
 
