@@ -597,12 +597,16 @@ def compact(
     spark: SparkSession,
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
 ) -> Snapshot:
     """OPTIMIZE: rewrite the current snapshot into ~target-sized files and
     commit the new layout as one version. Readers of the old snapshot are
     untouched (old files persist until vacuum) — compaction never blocks
     or breaks a concurrent query, unlike ``sinks.compact_small_files``'s
-    whole-directory swap."""
+    whole-directory swap. Pass ``stats_cols`` to re-harvest min/max
+    skipping stats for the rewritten files (a compaction without it
+    drops them — skipping then degrades to scan-everything, safe but
+    slower)."""
     snap = snapshot(table)
     if snap.schema_json is None:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -621,7 +625,7 @@ def compact(
         df = df.repartition(n_files, F.col(snap.partition_by))
     else:
         df = df.repartition(n_files)
-    entries, _ = _write_data(df, table, snap.partition_by)
+    entries, _ = _write_data(df, table, snap.partition_by, stats_cols)
 
     def build(s: Snapshot) -> dict | None:
         if s.version != snap.version:

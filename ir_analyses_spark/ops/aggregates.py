@@ -357,8 +357,65 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the DESCRIBE/ANALYZE data-quality summary every
+    warehouse engine ships): per-column row count, null count, exact
+    distinct count, min and max — computed in ONE scan (all fifteen
+    measures in a single aggregate, reshaped long with ``stack``).
+
+    Scale note: one pass over the table; the exact countDistincts expand
+    the aggregate (Spark plans an Expand + two-phase agg for multiple
+    distincts) — at 100 TB you swap them for ``approx_count_distinct``
+    (see ``approx_sketches``) and keep the same one-scan shape.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+COLUMN_PROFILE_SQL = """
+SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*),
+       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE),
+       CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*),
+       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_discount),
+       CAST(MIN(l_discount) AS DOUBLE),
+       CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "column_profile": column_profile,
     "grouping_sets_agg": grouping_sets_agg,
     "distinct_agg": distinct_agg,
     "rollup_agg": rollup_agg,
@@ -375,6 +432,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
+    "column_profile": COLUMN_PROFILE_SQL,
     "grouping_sets_agg": GROUPING_SETS_AGG_SQL,
     "distinct_agg": DISTINCT_AGG_SQL,
     "rollup_agg": ROLLUP_AGG_SQL,

@@ -122,6 +122,7 @@ _ORDER = [
     # (ops/aggregates.py)
     "approx_sketches",  # rows-only by design (error-bound test in-repo)
     "rollup_agg",
+    "column_profile",  # new in r4 (same module: fresh driver row)
     "distinct_agg",
     "pivot_agg",
     "dedup_by_key",
@@ -134,7 +135,6 @@ _ORDER = [
     # (ops/udfs.py)
     "pandas_udf_vectorized",
     # -- backfill: r1/r2-green, code unchanged — earn a newer green row --
-    "set_operations",
     "string_predicates",
     "string_functions",
     "null_semantics",
@@ -146,6 +146,7 @@ _ORDER = [
     # first so a budget overrun still hits the freshest-needed entries
     "join_broadcast_dims",
     "join_multiway_topk",
+    "set_operations",
     "map_ops",
     "explode_tokens",
     "json_extract_ops",

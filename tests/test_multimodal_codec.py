@@ -266,6 +266,21 @@ def test_jpeg_byte_stuffing_roundtrip():
         assert feats["sum_r"] == 64 * val, val
 
 
+def test_jpeg_skips_app_segments():
+    """Real-world JPEGs open with APP0/COM metadata segments; the decoder
+    must skip any marker it doesn't consume. Splice a JFIF APP0 and a
+    comment into a synthesized file — decode must be unchanged."""
+    import struct as _struct
+
+    from ir_analyses_spark.llm.multimodal import decode_jpeg
+
+    plain = synthesize_media(7, 57)
+    app0 = _struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = _struct.pack(">HH", 0xFFFE, 2 + 11) + b"hello jpeg!"
+    spliced = plain[:2] + app0 + com + plain[2:]
+    assert decode_jpeg(spliced) == decode_jpeg(plain)
+
+
 def test_jpeg_rejects_unsupported_shapes():
     from ir_analyses_spark.llm.multimodal import decode_jpeg
 

@@ -193,6 +193,60 @@ def test_compact_reduces_files_preserves_rows_and_old_snapshot(spark, tmp_path):
     assert old.count() == 1000  # concurrent reader of v1 unaffected
 
 
+def test_publish_is_exclusive_under_thread_race(tmp_path):
+    """The commit primitive itself, raced hard: N threads publish for the
+    SAME version concurrently — exactly one may win (os.link exclusivity
+    is the whole optimistic-concurrency story; a silent double-publish
+    would lose a commit). Pure filesystem, no Spark."""
+    import threading
+
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    results = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def attempt(i):
+        barrier.wait()  # maximize contention on the same version
+        ok = txn._publish(
+            t, {"version": 1, "schema": None, "files": [], "writer": i}
+        )
+        with lock:
+            results.append((i, ok))
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sum(ok for _i, ok in results) == 1
+    assert txn.snapshot(t).version == 1
+    # no tmp litter: every loser cleaned up its attempt
+    leftovers = [
+        f for f in os.listdir(os.path.join(t, "_txnlog")) if f.startswith(".")
+    ]
+    assert leftovers == []
+
+
+def test_compact_with_stats_cols_reharvests_skipping_stats(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 4000).selectExpr("id as k", "id v")
+    txn.overwrite(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        t,
+        stats_cols=["k"],
+    )
+    txn.compact(spark, t, target_file_bytes=1 << 30, stats_cols=["k"])
+    snap = txn.snapshot(t)
+    assert all("stats" in f for f in snap.files)
+    lo = min(f["stats"]["k"][0] for f in snap.files)
+    hi = max(f["stats"]["k"][1] for f in snap.files)
+    assert (lo, hi) == (0, 3999)
+    assert txn.read(spark, t, range_filter={"k": (10, 20)}).filter(
+        "k between 10 and 20"
+    ).count() == 11
+
+
 def test_vacuum_retires_history_keeps_retained(spark, tmp_path):
     t = str(tmp_path / "t")
     txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
