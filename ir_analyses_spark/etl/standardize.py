@@ -24,9 +24,10 @@ Parity notes:
   scan split but Spark orders splits by bin-packed size, not source order
   — so the guarantee holds iff each filing lands in one split. That
   precondition is enforced at the read edge: ``sources.read_filing_csvs``
-  routes any file larger than ``spark.sql.files.maxPartitionBytes`` (the
-  only files that can split) through a non-splittable ``multiLine`` scan
-  group.
+  routes any file that could possibly split — larger than
+  ``min(maxPartitionBytes, openCostInBytes)``, the only size bound that
+  holds regardless of cluster shape (``sources._no_split_limit``) —
+  through a non-splittable ``multiLine`` scan group.
 """
 
 from __future__ import annotations

@@ -150,6 +150,12 @@ def batch_ledger(target_dir: str, batch_id) -> tuple[bool, "Callable[[], None]"]
 
     ledger = _os.path.join(target_dir, "_applied")
     marker = _os.path.join(ledger, str(batch_id))
+    # tables written before the ledger moved inside the table directory
+    # kept markers at the sibling <target>__applied — honor them so an
+    # upgraded deployment doesn't re-apply every historical batch
+    legacy = _os.path.join(
+        target_dir.rstrip("/") + "__applied", str(batch_id)
+    )
 
     def mark_applied() -> None:
         _os.makedirs(ledger, exist_ok=True)
@@ -158,7 +164,8 @@ def batch_ledger(target_dir: str, batch_id) -> tuple[bool, "Callable[[], None]"]
             pass
         _os.rename(tmp, marker)
 
-    return _os.path.exists(marker), mark_applied
+    applied = _os.path.exists(marker) or _os.path.exists(legacy)
+    return applied, mark_applied
 
 
 #: retain at most this many applied-batch markers per ledger; Structured
@@ -269,7 +276,15 @@ def additive_merge_committed(
     if not todo:
         return
     delta_todo = delta.filter(F.col(partition_col).isin(todo))
-    if os.path.exists(target_dir):
+    # "current exists" must mean AT LEAST ONE committed partition
+    # directory, not merely the directory inode: a crash between the
+    # first batch's makedirs and its first partition rename leaves an
+    # EMPTY target, and reading that as parquet throws on every replay —
+    # a permanent wedge the bare-exists check caused.
+    has_current = os.path.isdir(target_dir) and any(
+        e.startswith(f"{partition_col}=") for e in os.listdir(target_dir)
+    )
+    if has_current:
         # partition-pruned read: only the todo directories are scanned.
         # NOTE a partially-committed prior attempt is handled by the todo
         # filter, not here — an already-swapped partition's (corrupt to
@@ -404,7 +419,18 @@ def scd2_merge(
         stage_ledger = os.path.join(staging, "_applied")
         if os.path.isdir(live_ledger):
             os.makedirs(stage_ledger, exist_ok=True)
-            for f in os.listdir(live_ledger):
+            # bounded carry (same _LEDGER_KEEP rationale as the additive
+            # sink): streaming replays only reach back to the checkpoint
+            # frontier, so carrying every historical marker forward would
+            # recreate O(n) files per batch — O(n²) over a stream's life
+            names = os.listdir(live_ledger)
+            numeric = sorted(
+                (int(f) for f in names if f.isdigit()), reverse=True
+            )[:_LEDGER_KEEP]
+            keep = {str(b) for b in numeric} | {
+                f for f in names if not f.isdigit()
+            }
+            for f in keep:
                 with open(os.path.join(stage_ledger, f), "w"):
                     pass
         if batch_id is not None:
@@ -550,6 +576,32 @@ def compact_small_files(
             ]
         return out
 
+    def _carry_ledgers(staging: str) -> None:
+        """The applied-batch ledgers live INSIDE the table directory (see
+        ``batch_ledger``), so a whole-directory swap that doesn't copy
+        them would amnesia every applied batch and re-enable replay
+        double-application — compaction must carry both ledger kinds."""
+        live_ledger = os.path.join(target_dir, "_applied")
+        if os.path.isdir(live_ledger):
+            stage_ledger = os.path.join(staging, "_applied")
+            os.makedirs(stage_ledger, exist_ok=True)
+            for f in os.listdir(live_ledger):
+                with open(os.path.join(stage_ledger, f), "w"):
+                    pass
+        if partition_col:
+            for e in os.listdir(target_dir):
+                if not e.startswith(f"{partition_col}="):
+                    continue
+                part_dir = os.path.join(target_dir, e)
+                if not os.path.isdir(part_dir):
+                    continue
+                for f in os.listdir(part_dir):
+                    if f.startswith("_applied_"):
+                        dst = os.path.join(staging, e)
+                        os.makedirs(dst, exist_ok=True)
+                        with open(os.path.join(dst, f), "w"):
+                            pass
+
     _recover_swap(target_dir)
     before = _data_files(target_dir)
     total = sum(os.path.getsize(f) for f in before)
@@ -577,6 +629,7 @@ def compact_small_files(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    _carry_ledgers(staging)
     _swap_in(staging, target_dir)
     return {"files_before": len(before), "files_after": len(_data_files(target_dir))}
 

@@ -184,13 +184,10 @@ _SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
                "p": 1 << 50}
 
 
-def _max_partition_bytes(spark: SparkSession) -> int:
-    """``spark.sql.files.maxPartitionBytes`` as an int — the scan-split
-    threshold. Accepts Spark's byte-string forms ("134217728b", "128m",
-    "128MB"); an unparseable value degrades to 0, which routes EVERY file
-    through the order-safe non-splittable path rather than guessing."""
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    s = raw.strip().lower()
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-string forms ("134217728b", "128m", "128MB") as an int;
+    unparseable degrades to 0 (callers treat 0 as 'assume splittable')."""
+    s = str(raw).strip().lower()
     num = s.rstrip("kmgtpib")
     suffix = s[len(num):].lstrip("i")  # "mb"→"m" handled below, "mib"→"m"
     try:
@@ -198,6 +195,28 @@ def _max_partition_bytes(spark: SparkSession) -> int:
     except ValueError:
         return 0
     return value * _SIZE_UNITS.get(suffix[:1] or "b", 1)
+
+
+def _no_split_limit(spark: SparkSession) -> int:
+    """The size at or below which a file can NEVER be split by the scan.
+
+    Spark's actual split size is ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore))`` where ``bytesPerCore`` depends on
+    the TOTAL scan size and parallelism at plan time — so a file well under
+    maxPartitionBytes can still split when the job has many cores and
+    little data (bytesPerCore small → maxSplitBytes collapses to
+    openCostInBytes). The only size-based guarantee that holds regardless
+    of cluster shape is ``size <= min(maxPartitionBytes, openCostInBytes)``
+    — use THAT as the no-split threshold for the within-filing row-order
+    contract, never maxPartitionBytes alone. Unparseable confs degrade to
+    0, routing every file through the order-safe non-splittable path."""
+    mpb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    return min(mpb, open_cost)
 
 
 def read_filing_csvs(
@@ -216,11 +235,13 @@ def read_filing_csvs(
     "last/first source row wins" rules need within-filing source order, and
     ``monotonically_increasing_id`` only preserves it when each file lands
     in ONE scan split (Spark bin-packs splits by size, not source order).
-    A file can only split when it exceeds
-    ``spark.sql.files.maxPartitionBytes``, so any such file is routed into
-    a separate ``multiLine`` scan group — the multi-line CSV parser reads
-    whole files and is non-splittable, trading split parallelism (only for
-    those oversized files) for an intrinsic order guarantee.
+    A file can only possibly split when it exceeds
+    ``min(maxPartitionBytes, openCostInBytes)`` (``_no_split_limit`` — the
+    bound that holds on ANY cluster shape; Spark's actual split size also
+    depends on total-bytes-per-core at plan time), so any such file is
+    routed into a separate ``multiLine`` scan group — the multi-line CSV
+    parser reads whole files and is non-splittable, trading split
+    parallelism (only for those files) for an intrinsic order guarantee.
     """
     if isinstance(paths_or_glob, str):
         paths = sorted(glob(paths_or_glob, recursive=True))
@@ -234,10 +255,10 @@ def read_filing_csvs(
     # Group by (charset, lineSep, splittable): Spark's CSV reader splits
     # lines on raw bytes, so multi-byte charsets (the UTF-16 EDINET exports)
     # need the line separator stated explicitly or every record lands on one
-    # line. Files big enough to be split (> maxPartitionBytes) go to a
-    # non-splittable multiLine group so within-file order survives (see
-    # docstring ordering contract).
-    split_limit = _max_partition_bytes(spark)
+    # line. Files that could possibly be split (> the conservative no-split
+    # bound, see _no_split_limit) go to a non-splittable multiLine group so
+    # within-file order survives (docstring ordering contract).
+    split_limit = _no_split_limit(spark)
     by_enc: dict[tuple[str, str | None, bool], list[str]] = defaultdict(list)
     for p in paths:
         enc = sniff_encoding(p)

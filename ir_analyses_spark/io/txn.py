@@ -262,13 +262,18 @@ def read(
     at_version: int | None = None,
     range_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
-    """Snapshot read. ``partition_values`` prunes at the MANIFEST level
-    ({col: [allowed values]} — only matching files reach Spark; values
-    compare as strings, the directory-encoding form). ``range_filter``
-    ({col: (lo, hi)} inclusive) SKIPS files whose recorded min/max range
-    (see ``stats_cols`` on the writers) cannot intersect — files without
-    stats are conservatively kept, and the caller still applies the
-    predicate itself (skipping is an optimization, never a filter).
+    """Snapshot read. BOTH pruning arguments are OPTIMIZATIONS, never
+    filters: a file whose membership can't be decided is conservatively
+    kept, and the caller still applies the actual predicate.
+
+    ``partition_values`` prunes at the MANIFEST level ({col: [allowed
+    values]}; values compare as strings, the directory-encoding form) —
+    files with no recorded partition (written unpartitioned into a
+    partitioned table) are KEPT, since they can hold any value.
+    ``range_filter`` ({col: (lo, hi)} inclusive) skips files whose
+    recorded min/max (see ``stats_cols`` on the writers) cannot
+    intersect; bounds are normalized to the stats' stored form (dates/
+    timestamps → ISO strings), and an incomparable pair keeps the file.
     ``at_version`` time travels to a retained historical version."""
     snap = snapshot(table, at_version)
     if snap.schema_json is None:
@@ -280,8 +285,8 @@ def read(
         files = [
             f
             for f in files
-            if f["partition"] is not None
-            and all(
+            if f["partition"] is None  # unknown membership: must keep
+            or all(
                 str(f["partition"].get(c)) in vs for c, vs in allowed.items()
             )
         ]
@@ -293,10 +298,19 @@ def read(
                 rng = stats.get(col)
                 if rng is None:
                     continue  # no stats → cannot skip
-                if (hi is not None and rng[0] > hi) or (
-                    lo is not None and rng[1] < lo
-                ):
-                    return False
+                # stats for non-primitive types are stored as strings
+                # (_footer_stats); compare bounds in the same domain
+                if lo is not None and isinstance(rng[1], str):
+                    lo = lo if isinstance(lo, str) else str(lo)
+                if hi is not None and isinstance(rng[0], str):
+                    hi = hi if isinstance(hi, str) else str(hi)
+                try:
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                except TypeError:
+                    continue  # incomparable → cannot skip, keep the file
             return True
 
         files = [f for f in files if _may_hit(f)]
@@ -661,6 +675,12 @@ def vacuum(
     commit published, so nothing in-flight references them."""
     import time
 
+    if keep_versions < 1:
+        # keep_versions=0 would slice versions[-0:] == ALL versions into
+        # `live` while the manifest loop deletes every log file — a table
+        # whose data survives but whose log is gone. Retiring the whole
+        # table is directory removal, not a vacuum setting.
+        raise ValueError("vacuum requires keep_versions >= 1")
     versions = _list_versions(table)
     keep = versions[-keep_versions:] if versions else []
     live: set[str] = set()
@@ -704,7 +724,7 @@ def vacuum(
                 if not dirs and not names and root != cdir:
                     os.rmdir(root)
     removed_versions = 0
-    for v in versions[:-keep_versions] if keep_versions else versions:
+    for v in versions[:-keep_versions]:
         os.remove(_log_path(table, v))
         removed_versions += 1
     return {"removed_files": removed_files, "removed_versions": removed_versions}

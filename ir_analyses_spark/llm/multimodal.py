@@ -836,7 +836,13 @@ def encode_jpeg_baseline(w: int, h: int, comp_coefs: list[list]) -> bytes:
                 runs.append(((run << 4) | size, v))
                 ac_syms.add((run << 4) | size)
                 run = 0
-            runs.append((0x00, 0))  # EOB (also required for all-zero ACs)
+            if run > 0:
+                # EOB covers the trailing zeros (incl. the all-zero-AC
+                # case). When the LAST coefficient lands exactly on
+                # zigzag position 63 there are no trailing zeros and the
+                # spec emits NO EOB — appending one anyway desyncs the
+                # next block's DC read (caught by the hypothesis fuzz).
+                runs.append((0x00, 0))
             runs_by_mcu.append(runs)
         dc_diffs.append(diffs)
         ac_runs.append(runs_by_mcu)

@@ -621,6 +621,73 @@ def test_compact_small_files_partitioned(spark, tmp_path):
     assert got.filter(F.col("fy") == "0").count() == 200
 
 
+def test_compact_carries_applied_ledgers_through_swap(spark, tmp_path):
+    """The applied-batch ledgers live INSIDE the table directory, so
+    compaction's whole-directory swap must carry them — otherwise a
+    replayed batch after maintenance double-counts (found by review)."""
+    target = str(tmp_path / "rollup")
+    schema = "day string, event_type string, n_events long, value_micros long"
+    d0 = spark.createDataFrame([("2024-01-01", "a", 1, 10)], schema)
+    d1 = spark.createDataFrame([("2024-01-01", "a", 5, 50)], schema)
+    args = (target, "day", ["day", "event_type"], ["n_events", "value_micros"])
+    sinks.additive_merge_committed(d0, *args, batch_id=0)
+    sinks.additive_merge_committed(d1, *args, batch_id=1)
+    sinks.compact_small_files(spark, target, partition_col="day")
+    # replay both batches after compaction: markers must have survived
+    sinks.additive_merge_committed(d0, *args, batch_id=0)
+    sinks.additive_merge_committed(d1, *args, batch_id=1)
+    rows = spark.read.parquet(target).collect()
+    assert [(r.n_events, r.value_micros) for r in rows] == [(6, 60)]
+    # scd2-style directory ledger survives the unpartitioned swap too
+    dim = str(tmp_path / "dim")
+    import datetime as _dt
+
+    upd = spark.createDataFrame(
+        [(1, "a", _dt.date(2024, 1, 1))], ["user_id", "state", "effective_from"]
+    )
+    sinks.scd2_merge(upd, dim, key="user_id", change_cols=["state"], batch_id=7)
+    sinks.compact_small_files(spark, dim)
+    applied, _mark = sinks.batch_ledger(dim, 7)
+    assert applied
+
+
+def test_additive_merge_replay_survives_empty_target_dir(spark, tmp_path):
+    """A crash between the first batch's makedirs and its first partition
+    rename leaves an EMPTY target directory; the replay must treat that
+    as 'no current rows' instead of wedging on a parquet read of an empty
+    dir (found by review)."""
+    import os as _os
+
+    target = str(tmp_path / "rollup")
+    _os.makedirs(target)  # the post-crash remnant
+    schema = "day string, event_type string, n_events long, value_micros long"
+    d0 = spark.createDataFrame([("2024-01-01", "a", 1, 10)], schema)
+    sinks.additive_merge_committed(
+        d0, target, "day", ["day", "event_type"],
+        ["n_events", "value_micros"], batch_id=0,
+    )
+    rows = spark.read.parquet(target).collect()
+    assert [(r.n_events, r.value_micros) for r in rows] == [(1, 10)]
+
+
+def test_batch_ledger_honors_legacy_sibling_markers(tmp_path):
+    """Tables written before the ledger moved inside the table directory
+    keep markers at <target>__applied; they must still count as applied
+    after an upgrade (found by review)."""
+    import os as _os
+
+    target = str(tmp_path / "t")
+    _os.makedirs(target)
+    legacy = target + "__applied"
+    _os.makedirs(legacy)
+    with open(_os.path.join(legacy, "42"), "w"):
+        pass
+    applied, _mark = sinks.batch_ledger(target, 42)
+    assert applied
+    applied, _mark = sinks.batch_ledger(target, 43)
+    assert not applied
+
+
 def test_write_sorted_shards_disjoint_and_sorted(spark, tmp_path):
     """Shard files must hold disjoint key ranges (global order across
     shards) and be internally sorted — the property that makes point

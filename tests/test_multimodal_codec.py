@@ -299,6 +299,60 @@ def test_jpeg_rejects_unsupported_shapes():
         decode_jpeg(b"definitely not a jpeg")
 
 
+def test_jpeg_property_roundtrip_random_coefficient_blocks():
+    """Property: ANY valid quantized coefficient block the encoder can
+    express must survive encode→decode with the exact IDCT pixels (the
+    encoder and decoder share no entropy/marker code, so this fuzzes the
+    Huffman table derivation, DPCM, run-length coding and bit I/O against
+    each other across the whole coefficient space, not just DC)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from ir_analyses_spark.llm.multimodal import (
+        _idct_basis,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    basis = _idct_basis()
+
+    coef_entry = st.tuples(
+        st.integers(min_value=0, max_value=63),
+        st.integers(min_value=-1024, max_value=1016),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        blocks=st.lists(
+            st.lists(coef_entry, min_size=0, max_size=8),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def run(blocks):
+        comp = []
+        for entries in blocks:
+            b = np.zeros(64, np.int64)
+            for idx, v in entries:
+                b[idx] = v
+            comp.append(b)
+        jpg = encode_jpeg_baseline(8 * len(comp), 8, [comp])
+        feats = decode_jpeg(jpg)
+        total = 0
+        first = None
+        for b in comp:
+            pix = basis.T @ b.reshape(8, 8).astype(float) @ basis + 128.0
+            pix = np.clip(np.rint(pix), 0, 255).astype(np.int64)
+            if first is None:
+                first = int(pix[0, 0])
+            total += int(pix.sum())
+        assert feats["sum_r"] == total
+        assert feats["px00_r"] == first
+        assert (feats["width"], feats["height"]) == (8 * len(comp), 8)
+
+    run()
+
+
 def test_corpus_is_ascii():
     """The media oracles slice text in the CHAR domain (DuckDB cannot
     substring BLOBs) while the operators slice BYTES; they agree only for

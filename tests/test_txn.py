@@ -193,6 +193,52 @@ def test_compact_reduces_files_preserves_rows_and_old_snapshot(spark, tmp_path):
     assert old.count() == 1000  # concurrent reader of v1 unaffected
 
 
+def test_partition_pruning_keeps_membership_unknown_files(spark, tmp_path):
+    """Pruning is an optimization, never a filter: files appended WITHOUT
+    partition info into a partitioned table can hold any value, so a
+    partition_values read must keep them (dropping them silently loses
+    rows — the caller applies the real predicate)."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10), (2, "b", 20)]), t, partition_by="day")
+    txn.append(_mk(spark, [(3, "a", 30)]), t)  # plain append: partition unknown
+    pruned = txn.read(spark, t, partition_values={"day": ["a"]})
+    assert _rows(pruned.filter("day = 'a'").select("k", "day", "v")) == [
+        (1, "a", 10),
+        (3, "a", 30),
+    ]
+
+
+def test_range_filter_on_date_stats_normalizes_bounds(spark, tmp_path):
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i)) for i in range(200)],
+        ["k", "d"],
+    )
+    txn.overwrite(
+        df.repartitionByRange(4, "d").sortWithinPartitions("d"),
+        t,
+        stats_cols=["d"],
+    )
+    snap = txn.snapshot(t)
+    assert all(isinstance(f["stats"]["d"][0], str) for f in snap.files)
+    lo, hi = datetime.date(2024, 1, 10), datetime.date(2024, 1, 20)
+    pruned = txn.read(spark, t, range_filter={"d": (lo, hi)})
+    n_pruned = len({r[0] for r in pruned.select(F.input_file_name()).collect()})
+    assert n_pruned < 4  # date bounds actually skipped files
+    got = pruned.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)))
+    assert got.count() == 11
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    with pytest.raises(ValueError, match="keep_versions"):
+        txn.vacuum(t, keep_versions=0)
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10)]
+
+
 def test_publish_is_exclusive_under_thread_race(tmp_path):
     """The commit primitive itself, raced hard: N threads publish for the
     SAME version concurrently — exactly one may win (os.link exclusivity
