@@ -652,6 +652,73 @@ def write_sorted_shards(
     )
 
 
+def zorder_value(col_a, col_b, bits: int = 16) -> "pyspark.sql.Column":  # noqa: F821
+    """Morton (Z-order) interleave of two pre-scaled integer columns
+    (each in [0, 2^bits)): bit i of ``col_a`` lands at position 2i+1, of
+    ``col_b`` at 2i. Pure shift/and/or expressions — whole-stage codegen,
+    no UDF. Locality property: keys close in EITHER dimension are close
+    in z-value, so range-sharding by z bounds BOTH columns' per-file
+    ranges (1-D sorting bounds only its own column)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(col_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(col_b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_shards: int,
+    bits: int = 16,
+) -> None:
+    """Z-ordered two-dimensional layout (Delta's ``OPTIMIZE ZORDER BY``):
+    scale both columns to ``bits``-bit ranks (min/max from one scalar
+    aggregate, broadcast), interleave into a Morton key, range-shard and
+    locally sort by it. Result: every file covers a small rectangle of
+    (col_a, col_b) space, so min/max file skipping — parquet footers, or
+    ``txn`` manifest stats — prunes selective predicates on EITHER
+    column; a 1-D sorted layout can only ever prune its sort column.
+
+    Production note: linear min/max scaling is rank-faithful enough for
+    uniform-ish keys; heavily skewed keys want histogram/range-bin ranks
+    (same z-interleave on top). Scaling constants come from the data in
+    ONE extra scalar aggregate — no shuffle added beyond the range
+    exchange every sorted layout needs.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.select(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        span = (hi - lo) or 1
+        return F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * top
+        ).cast("long")
+
+    z = zorder_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_shards, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def surrogate_key(*cols) -> "pyspark.sql.Column":  # noqa: F821
     """Deterministic 64-bit surrogate key (SURVEY §7.3.1): xxhash64 of the
     natural key — stable across runs/executors, unlike

@@ -688,6 +688,60 @@ def test_batch_ledger_honors_legacy_sibling_markers(tmp_path):
     assert not applied
 
 
+def test_zorder_layout_bounds_both_columns_per_file(spark, tmp_path):
+    """Z-ordered files must cover small rectangles of (a, b) space: the
+    per-file span of BOTH columns stays well below the domain, where a
+    1-D sort by `a` leaves `b` spanning ~the whole domain in every file.
+    That bounded span is exactly what min/max skipping prunes on."""
+    import glob
+    import os
+
+    from ir_analyses_spark.io.txn import _footer_stats
+
+    n = 20_000
+    # two independent-ish dimensions over [0, 4096)
+    df = spark.range(n).selectExpr(
+        "CAST((id * 2654435761) % 4096 AS LONG) AS a",
+        "CAST((id * 40503) % 4096 AS LONG) AS b",
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    sinks.write_zordered(df, zpath, "a", "b", n_shards=16)
+    sinks.write_sorted_shards(df, spath, "a", n_shards=16)
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            st = _footer_stats(f, ["a", "b"])
+            out.append(
+                (
+                    (st["a"][1] - st["a"][0]) / 4096.0,
+                    (st["b"][1] - st["b"][0]) / 4096.0,
+                )
+            )
+        return out
+
+    z = spans(zpath)
+    s = spans(spath)
+    # 1-D layout: b is unconstrained (each file spans ~all of b)
+    assert sum(b for _a, b in s) / len(s) > 0.9
+    # z-order: BOTH dimensions bounded on average — files are rectangles
+    avg_a = sum(a for a, _b in z) / len(z)
+    avg_b = sum(b for _a, b in z) / len(z)
+    assert avg_a < 0.6 and avg_b < 0.6, (avg_a, avg_b)
+    # and a selective predicate on EITHER column skips files
+    for col in ("a", "b"):
+        hit = [
+            f
+            for f in sorted(glob.glob(os.path.join(zpath, "*.parquet")))
+            if (st := _footer_stats(f, [col]))
+            and not (st[col][0] > 300 or st[col][1] < 200)
+        ]
+        assert len(hit) < 16, col
+    # rows survive the layout exactly
+    assert spark.read.parquet(zpath).count() == n
+
+
 def test_write_sorted_shards_disjoint_and_sorted(spark, tmp_path):
     """Shard files must hold disjoint key ranges (global order across
     shards) and be internally sorted — the property that makes point

@@ -252,6 +252,53 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_join_pushdown_fires(spark):
+    """Runtime row-level join filtering (the engine's answer to 'the
+    probe side scans 100 TB to join a selective build side'): with the
+    size thresholds scaled to test data, a selective join must inject a
+    BloomFilter aggregate on the build side and a ``might_contain``
+    probe-side predicate — rows that cannot join die at the scan, before
+    the shuffle. At production scale the default thresholds gate this to
+    genuinely large probe sides; the mechanism is what's pinned here."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would
+        # subsume the bloom filter's job
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bloom_")
+        spark.range(200_000).selectExpr(
+            "id AS k", "sha2(CAST(id AS STRING), 256) AS payload"
+        ).write.mode("overwrite").parquet(f"{d}/probe")
+        spark.range(200_000).selectExpr(
+            "id AS k", "id * 2 AS w"
+        ).write.mode("overwrite").parquet(f"{d}/build")
+        probe = spark.read.parquet(f"{d}/probe")
+        # the injection heuristic wants a LIKELY-SELECTIVE predicate on
+        # the creation side IN THE PLAN (that's what makes the bloom
+        # filter worth building) — filter at read, not at write
+        build = spark.read.parquet(f"{d}/build").filter("k % 997 = 0")
+        joined = probe.join(build, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, (
+            f"runtime bloom filter not injected:\n{plan[:2000]}"
+        )
+        assert joined.count() == 201
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_gapfill_grid_from_broadcast_scalar(spark, sf_dir):
     """The dense hour grid must come from the broadcast min/max scalar row
     (grid construction O(output)), and the hourly aggregate must partial-
