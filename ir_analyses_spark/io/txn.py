@@ -85,6 +85,39 @@ class Snapshot:
         return [os.path.join(table, f["path"]) for f in self.files]
 
 
+def _pstr(v):
+    """Canonical partition-value domain for membership tests: null stays
+    None (``_write_data`` already folds Spark's hive-default marker back
+    to null), everything else compares as its string form. Without one
+    canonical domain, a NULL-partition file (stored as the marker) and a
+    NULL update key (``str(None)``) would never match — and a
+    partition-scoped merge would silently duplicate NULL-partition rows."""
+    return None if v is None else str(v)
+
+
+#: sentinel distinguishing "partition key absent from the file's
+#: metadata" (membership UNKNOWN → never prune, always rewrite) from
+#: "key present with null value" (a concrete, matchable value)
+_ABSENT = object()
+
+
+def _require_layout(snap: "Snapshot", partition_arg: str | None, op: str) -> None:
+    """Writers must agree with the table's committed partition layout.
+    Silently accepting a different column would record files whose
+    partition metadata later reads and merges misinterpret (pruning by a
+    key the file never recorded). A partitioned write into a table whose
+    manifest is unpartitioned is equally refused: the files would drop
+    the column from their data pages while the manifest schema still
+    expects it there."""
+    if snap.schema_json is None or partition_arg is None:
+        return
+    if snap.partition_by != partition_arg:
+        raise ValueError(
+            f"{op}: table is partitioned by {snap.partition_by!r}, "
+            f"not {partition_arg!r}"
+        )
+
+
 def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
 
@@ -139,6 +172,15 @@ def _publish(table: str, manifest: dict) -> bool:
         os.fsync(fh.fileno())
     try:
         os.link(tmp, _log_path(table, manifest["version"]))
+        # durability-after-ack: the link is only crash-proof once the
+        # DIRECTORY entry is flushed — without this, an acknowledged
+        # commit (e.g. a streaming batch whose checkpoint then advances)
+        # could vanish on power loss and never be replayed
+        dfd = os.open(log, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return True
     except FileExistsError:
         return False
@@ -149,7 +191,9 @@ def _publish(table: str, manifest: dict) -> bool:
 def _footer_stats(path: str, cols: list[str]) -> dict | None:
     """Per-file [min, max] for ``cols`` read from the parquet FOOTER
     (pyarrow metadata) — no data scan, no extra Spark job. Values are kept
-    JSON-portable (dates/timestamps → ISO strings, bytes → utf-8)."""
+    JSON-portable (dates/timestamps → ISO strings, bytes → utf-8). A
+    column with incomplete row-group stats is omitted (no skipping claim
+    for IT) without discarding the other columns' valid stats."""
     import pyarrow.parquet as pq
 
     try:
@@ -170,13 +214,15 @@ def _footer_stats(path: str, cols: list[str]) -> dict | None:
         if col not in idx:
             continue
         lo = hi = None
+        complete = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[col]).statistics
             if st is None or not st.has_min_max:
-                return None  # stats unavailable → no skipping claim
+                complete = False
+                break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+        if complete and lo is not None:
             out[col] = [_norm(lo), _norm(hi)]
     return out or None
 
@@ -205,13 +251,18 @@ def _write_data(
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
             full = os.path.join(root, name)
-            rel = os.path.relpath(full, table)
+            # manifest paths are ALWAYS posix-form: read() groups by
+            # splitting on "/" regardless of host os.sep
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
             part = None
             if partition_by:
-                # spark encodes the value into the dir name (url-escaped)
+                # spark encodes the value into the dir name (url-escaped;
+                # NULL becomes the hive default marker — canonicalize it
+                # back to null so membership tests can't miss it)
                 seg = os.path.relpath(root, out_dir).split(os.sep)[0]
                 col, _, enc = seg.partition("=")
-                part = {col: urllib.parse.unquote(enc)}
+                val = urllib.parse.unquote(enc)
+                part = {col: None if val == "__HIVE_DEFAULT_PARTITION__" else val}
             entry = {"path": rel, "partition": part}
             if stats_cols:
                 stats = _footer_stats(full, stats_cols)
@@ -281,15 +332,20 @@ def read(
     schema = StructType.fromJson(json.loads(snap.schema_json))
     files = snap.files
     if partition_values:
-        allowed = {c: {str(v) for v in vs} for c, vs in partition_values.items()}
-        files = [
-            f
-            for f in files
-            if f["partition"] is None  # unknown membership: must keep
-            or all(
-                str(f["partition"].get(c)) in vs for c, vs in allowed.items()
-            )
-        ]
+        allowed = {c: {_pstr(v) for v in vs} for c, vs in partition_values.items()}
+
+        def _matches(f: dict) -> bool:
+            if f["partition"] is None:
+                return True  # unknown membership: must keep
+            for c, vs in allowed.items():
+                v = f["partition"].get(c, _ABSENT)
+                if v is _ABSENT:
+                    return True  # partitioned by another column: keep
+                if _pstr(v) not in vs:
+                    return False
+            return True
+
+        files = [f for f in files if _matches(f)]
     if range_filter:
 
         def _may_hit(f: dict) -> bool:
@@ -380,14 +436,18 @@ def append(
     ``merge_schema=True`` allows the append to ADD columns (Delta's
     mergeSchema): the manifest schema widens to the union, and readers
     null-fill the new columns for pre-evolution files (the explicit read
-    schema makes parquet do this for free). Type changes to an existing
-    column are refused — silent coercion is how tables rot."""
+    schema makes parquet do this for free). Without it the appended
+    frame's columns must match the table schema exactly; a type change
+    to an existing column is refused in EITHER mode — silently
+    committing files the manifest schema cannot read bricks every later
+    scan of the table."""
     entries, _ = _write_data(df, table, partition_by, stats_cols)
     schema = df.schema.json()
 
     def build(snap: Snapshot) -> dict:
+        _require_layout(snap, partition_by, "append")
         out_schema = snap.schema_json or schema
-        if snap.schema_json and merge_schema:
+        if snap.schema_json:
             old = StructType.fromJson(json.loads(snap.schema_json))
             by_name = {f.name: f for f in old.fields}
             added = []
@@ -397,10 +457,16 @@ def append(
                     added.append(f)
                 elif have.dataType != f.dataType:
                     raise TypeError(
-                        f"append(merge_schema) cannot change column "
+                        f"append cannot change column "
                         f"{f.name}: {have.dataType} -> {f.dataType}"
                     )
-            out_schema = StructType(old.fields + added).json()
+            if merge_schema:
+                out_schema = StructType(old.fields + added).json()
+            elif added or len(df.schema.fields) != len(old.fields):
+                raise TypeError(
+                    "append schema mismatch (extra or missing columns); "
+                    "pass merge_schema=True to add columns"
+                )
         return {
             "version": snap.version + 1,
             "schema": out_schema,
@@ -430,6 +496,7 @@ def merge_upsert(
     spark = updates.sparkSession
 
     def build(snap: Snapshot) -> dict:
+        _require_layout(snap, partition_col, "merge_upsert")
         if snap.schema_json is None:
             entries, _ = _write_data(updates, table, partition_col)
             return {
@@ -439,24 +506,29 @@ def merge_upsert(
                 "files": entries,
                 "applied_batches": [],
             }
-        # a file with unknown partition membership (written unpartitioned
-        # into a partitioned table) can hold ANY key, so it always joins
-        # the rewrite set — never the carry-over set
-        unknown = [f for f in snap.files if f["partition"] is None]
+        # a file with unknown partition membership — written unpartitioned
+        # into a partitioned table, or missing this key entirely — can
+        # hold ANY key, so it always joins the rewrite set, never the
+        # carry-over set
+        unknown = [
+            f
+            for f in snap.files
+            if f["partition"] is None or partition_col not in f["partition"]
+        ] if partition_col is not None else []
         if partition_col is not None and not unknown:
             touched = {
-                str(r[0])
+                _pstr(r[0])
                 for r in updates.select(partition_col).distinct().collect()
             }
             kept_entries = [
                 f
                 for f in snap.files
-                if str(f["partition"].get(partition_col)) not in touched
+                if _pstr(f["partition"].get(partition_col)) not in touched
             ]
             current = read(
                 spark,
                 table,
-                partition_values={partition_col: sorted(touched)},
+                partition_values={partition_col: list(touched)},
                 at_version=snap.version,
             )
         else:
@@ -497,10 +569,12 @@ def additive_merge(
     def build(snap: Snapshot) -> dict | None:
         if batch_id in snap.applied_batches:
             return None  # replay of an applied batch: exactly-once no-op
-        touched = {
-            str(r[0]) for r in delta.select(partition_col).distinct().collect()
-        }
-        unknown = [f for f in snap.files if f["partition"] is None]
+        _require_layout(snap, partition_col, "additive_merge")
+        unknown = [
+            f
+            for f in snap.files
+            if f["partition"] is None or partition_col not in f["partition"]
+        ]
         if snap.schema_json is None:
             merged = delta.groupBy(*group_cols).agg(
                 *[F.sum(c).alias(c) for c in sum_cols]
@@ -516,10 +590,16 @@ def additive_merge(
             )
             kept_entries = []
         else:
+            # the touched-partition collect is only needed (and only paid)
+            # on the pruned path
+            touched = {
+                _pstr(r[0])
+                for r in delta.select(partition_col).distinct().collect()
+            }
             current = read(
                 spark,
                 table,
-                partition_values={partition_col: sorted(touched)},
+                partition_values={partition_col: list(touched)},
                 at_version=snap.version,
             )
             merged = (
@@ -530,7 +610,7 @@ def additive_merge(
             kept_entries = [
                 f
                 for f in snap.files
-                if str(f["partition"].get(partition_col)) not in touched
+                if _pstr(f["partition"].get(partition_col)) not in touched
             ]
         entries, _ = _write_data(merged, table, partition_col)
         ledger = sorted(set(snap.applied_batches) | {batch_id}, reverse=True)
@@ -556,11 +636,16 @@ def transform_commit(
     returns the table's full next state, committed with snapshot isolation
     and (with ``batch_id``) exactly-once replay protection via the
     manifest ledger. On a lost commit race ``compute`` re-runs against the
-    winning snapshot — the general OCC building block the SCD2 sink uses."""
+    winning snapshot — the general OCC building block the SCD2 sink uses.
+    Because the commit replaces EVERY file, the manifest takes compute's
+    output schema verbatim — a transform that adds a column evolves the
+    table (pinning the old schema would silently hide the new column on
+    read)."""
 
     def build(snap: Snapshot) -> dict | None:
         if batch_id is not None and batch_id in snap.applied_batches:
             return None
+        _require_layout(snap, partition_by, "transform_commit")
         cur = (
             read(spark, table, at_version=snap.version)
             if snap.schema_json is not None
@@ -576,7 +661,7 @@ def transform_commit(
             ]
         return {
             "version": snap.version + 1,
-            "schema": snap.schema_json or out.schema.json(),
+            "schema": out.schema.json(),
             "partition_by": part,
             "files": entries,
             "applied_batches": ledger,
@@ -727,4 +812,18 @@ def vacuum(
     for v in versions[:-keep_versions]:
         os.remove(_log_path(table, v))
         removed_versions += 1
+    # sweep aged .tmp-* manifests (a writer killed between link and its
+    # finally-remove leaves one; harmless to readers but they accumulate)
+    log_dir = os.path.join(table, _LOG_DIR)
+    if os.path.isdir(log_dir):
+        for name in os.listdir(log_dir):
+            if not name.startswith(".tmp-"):
+                continue
+            p = os.path.join(log_dir, name)
+            try:
+                if now - os.path.getmtime(p) >= orphan_min_age_seconds:
+                    os.remove(p)
+                    removed_files += 1
+            except OSError:
+                pass
     return {"removed_files": removed_files, "removed_versions": removed_versions}

@@ -239,6 +239,79 @@ def test_vacuum_rejects_zero_retention(spark, tmp_path):
     assert _rows(txn.read(spark, t)) == [(1, "a", 10)]
 
 
+def test_null_partition_values_merge_without_duplication(spark, tmp_path):
+    """NULL partition values (Spark's __HIVE_DEFAULT_PARTITION__ dirs)
+    must participate in partition-scoped merges like any other value: a
+    NULL-day update must REWRITE the NULL-day files, not duplicate their
+    rows (found by review: the marker string and str(None) never matched)."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, "b", 20)], "k long, day string, v long"
+    )
+    txn.overwrite(base, t, partition_by="day")
+    upd = spark.createDataFrame(
+        [(1, None, 11), (3, None, 30)], "k long, day string, v long"
+    )
+    txn.merge_upsert(upd, t, keys=["k"], partition_col="day")
+    got = sorted((r.k, r.day, r.v) for r in txn.read(spark, t).collect())
+    assert got == [(1, None, 11), (2, "b", 20), (3, None, 30)]
+    # additive path: NULL-day delta replacing, not double-counting
+    t2 = str(tmp_path / "t2")
+    d = spark.createDataFrame([(None, 1), ("b", 5)], "day string, n long")
+    txn.additive_merge(d, t2, "day", ["day"], ["n"], batch_id=0)
+    txn.additive_merge(d, t2, "day", ["day"], ["n"], batch_id=1)
+    got = sorted(
+        ((r.day, r.n) for r in txn.read(spark, t2).collect()),
+        key=lambda x: (x[0] is None, x[0] or ""),
+    )
+    assert got == [("b", 10), (None, 2)]
+
+
+def test_writers_refuse_mismatched_partition_layout(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t, partition_by="day")
+    with pytest.raises(ValueError, match="partitioned by"):
+        txn.append(_mk(spark, [(2, "b", 20)]), t, partition_by="v")
+    with pytest.raises(ValueError, match="partitioned by"):
+        txn.merge_upsert(
+            _mk(spark, [(2, "b", 20)]), t, keys=["k"], partition_col="v"
+        )
+    # unpartitioned table + partitioned append: equally refused
+    t2 = str(tmp_path / "t2")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t2)
+    with pytest.raises(ValueError, match="partitioned by"):
+        txn.append(_mk(spark, [(2, "b", 20)]), t2, partition_by="day")
+
+
+def test_append_refuses_type_and_shape_changes_in_both_modes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.overwrite(spark.createDataFrame([(1, "a")], ["k", "s"]), t)
+    # type change: refused with or without merge_schema
+    bad = spark.createDataFrame([("x", "c")], ["k", "s"])
+    for ms in (False, True):
+        with pytest.raises(TypeError, match="cannot change column"):
+            txn.append(bad, t, merge_schema=ms)
+    # extra column without merge_schema: refused (silently dropping it on
+    # read would lose data the caller thinks it committed)
+    extra = spark.createDataFrame([(2, "b", 1.5)], ["k", "s", "w"])
+    with pytest.raises(TypeError, match="merge_schema"):
+        txn.append(extra, t)
+    assert txn.snapshot(t).version == 1  # nothing committed
+
+
+def test_transform_commit_schema_evolves_with_output(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    txn.transform_commit(
+        spark, t, lambda cur: cur.withColumn("flag", SF.lit(True))
+    )
+    out = txn.read(spark, t)
+    assert "flag" in out.columns
+    assert [tuple(r) for r in out.collect()] == [(1, "a", 10, True)]
+
+
 def test_publish_is_exclusive_under_thread_race(tmp_path):
     """The commit primitive itself, raced hard: N threads publish for the
     SAME version concurrently — exactly one may win (os.link exclusivity
