@@ -28,12 +28,20 @@ from ..io.sources import events_ts_unit, load_table, narrow_ns_to_ts
 from ..schemas import EVENTS_TS_NANOS_SCHEMA, TESTDATA_SCHEMAS
 
 
-def has_tws_support() -> bool:
+def has_tws_support(spark: SparkSession | None = None) -> bool:
     """Explicit capability probe for ``transformWithStateInPandas``: the
-    Spark 4 worker protocol for that API serializes state over protobuf, so
-    ``google.protobuf`` must be importable in the Python workers. Where it
-    is absent (this container ships no protobuf and installs are frozen),
-    the ``applyInPandasWithState`` twin provides identical semantics."""
+    Spark 4 worker protocol for that API serializes state over protobuf,
+    so ``google.protobuf`` must be importable where the state protocol
+    runs. The probe is a DRIVER-side import: empirically (this container)
+    an executor-side import probe can succeed while the real
+    transformWithState helper process still dies — importability in an
+    RDD worker does not model the TWS runtime's own environment — so the
+    driver import is the best cheap signal, correct wherever driver and
+    workers share one Python environment (local mode, uniform clusters).
+    On split-environment deployments, validate the API with a smoke
+    stream at deploy time rather than trusting any import probe. Where
+    the probe is false, the ``applyInPandasWithState`` twin provides
+    identical semantics."""
     try:
         import google.protobuf  # noqa: F401
 
@@ -58,6 +66,17 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     unit is probed from the staged footers once at stream definition —
     MICROS reads straight into TimestampType, NANOS arrives as raw longs
     and narrows on entry (io.sources.narrow_ns_to_ts)."""
+    from glob import glob as _glob
+
+    if not _glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True):
+        # the unit probe would bake its empty-dir default into the
+        # stream's fixed schema; NANOS files arriving later would then be
+        # read 1000x off for the stream's whole lifetime — refuse loudly
+        raise ValueError(
+            f"stream_events: no parquet files under {src_dir} to probe the "
+            "timestamp unit from; stage at least one file before defining "
+            "the stream"
+        )
     is_ns = events_ts_unit(src_dir) == "ns"
     raw = (
         spark.readStream.schema(
@@ -153,6 +172,18 @@ def run_stream_to_memory(
     )
 
 
+def _start_foreach_batch(df: DataFrame, target: str, apply_fn):
+    """Shared starter for the foreachBatch sinks: checkpoint beside the
+    target, availableNow trigger. One definition so trigger/checkpoint
+    policy can't drift between the four sink wrappers."""
+    return (
+        df.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", f"{target}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_upsert(
     df: DataFrame,
     target_dir: str,
@@ -177,12 +208,7 @@ def foreach_batch_upsert(
             partition_col=partition_col,
         )
 
-    return (
-        df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{target_dir}__checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(df, target_dir, _apply)
 
 
 def foreach_batch_scd2(
@@ -209,7 +235,14 @@ def foreach_batch_scd2(
         applied, _ = batch_ledger(target_dir, batch_id)
         if applied:
             return
-        w = Window.partitionBy(key).orderBy(F.col(effective_col).desc())
+        # total order: effective date desc, then the change columns desc —
+        # two same-key rows with equal effective_from (common at date
+        # granularity) must pick the SAME survivor on every replay, or the
+        # dimension's history differs between runs
+        w = Window.partitionBy(key).orderBy(
+            F.col(effective_col).desc(),
+            *[F.col(c).desc() for c in change_cols],
+        )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -220,12 +253,7 @@ def foreach_batch_scd2(
             batch_id=batch_id,
         )
 
-    return (
-        df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{target_dir}__checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(df, target_dir, _apply)
 
 
 # ---------------------------------------------------------------------------
@@ -276,12 +304,7 @@ def foreach_batch_rollup(df: DataFrame, target_dir: str):
             batch_id=batch_id,
         )
 
-    return (
-        df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{target_dir}__checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(df, target_dir, _apply)
 
 
 def foreach_batch_rollup_txn(df: DataFrame, table: str):
@@ -305,12 +328,7 @@ def foreach_batch_rollup_txn(df: DataFrame, table: str):
             batch_id=batch_id,
         )
 
-    return (
-        df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{table}__checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(df, table, _apply)
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +436,7 @@ def stateful_totals_micros(events: DataFrame) -> DataFrame:
             micros += int(np.floor(vals * 1_000_000.0 + 0.5).astype("int64").sum())
         return n, micros
 
-    if has_tws_support():
+    if has_tws_support(events.sparkSession):
         from pyspark.sql.streaming.stateful_processor import (
             StatefulProcessor,
             StatefulProcessorHandle,
@@ -487,28 +505,51 @@ def stateful_totals_micros(events: DataFrame) -> DataFrame:
 def _stage_events_dir(sf_dir: str) -> str:
     """The file stream source wants a DIRECTORY of files (its basePath);
     the testdata table is a single parquet file. Stage it into a temp dir
-    by symlink — zero-copy, read-only on the source."""
+    by symlink — zero-copy, read-only on the source. The target is
+    absolutized: a relative ``sf_dir`` would store a link that resolves
+    against the TEMP directory and dangle."""
     d = tempfile.mkdtemp(prefix="ir_spark_stream_src_")
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(d, "events.parquet"),
     )
     return d
 
 
-def _run_to_table(df: DataFrame, mode: str) -> DataFrame:
+#: upper bound for driver-executed availableNow streams — a wedged
+#: micro-batch must surface as an error row in the correctness sweep, not
+#: hang the whole sweep forever
+_STREAM_TIMEOUT_S = 600
+
+
+def _run_to_table(
+    df: DataFrame, mode: str, cleanup_dirs: tuple[str, ...] = ()
+) -> DataFrame:
+    """Run an availableNow stream into a memory sink and return the final
+    table. The sink holds the rows in the session, so the checkpoint and
+    any caller-staged source directories are deleted afterwards — repeated
+    sweeps must not accumulate temp state."""
+    import shutil
+
     name = "strq_" + uuid.uuid4().hex[:10]
+    ckpt = tempfile.mkdtemp(prefix="ir_spark_ckpt_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ir_spark_ckpt_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        if not q.awaitTermination(_STREAM_TIMEOUT_S):
+            q.stop()
+            raise RuntimeError(
+                f"streaming query {name} did not finish in {_STREAM_TIMEOUT_S}s"
+            )
+    finally:
+        for d in (ckpt, *cleanup_dirs):
+            shutil.rmtree(d, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
@@ -518,8 +559,9 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     The last emit per user (largest n_events — the count strictly grows)
     is the final state; micros→value division by 1e6 is exact for integer
     micros < 2^53, so the double compares cleanly cross-engine."""
-    events = stream_events(spark, _stage_events_dir(sf_dir))
-    out = _run_to_table(stateful_totals_micros(events), "update")
+    src = _stage_events_dir(sf_dir)
+    events = stream_events(spark, src)
+    out = _run_to_table(stateful_totals_micros(events), "update", (src,))
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         out.withColumn("rn", F.row_number().over(w))
@@ -557,8 +599,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     not engine-portable — the deterministic, checkable contract of the
     operator is exactly "each key admitted once". Payload-level survivor
     behavior is exercised in tests/test_streaming.py."""
-    events = stream_events(spark, _stage_events_dir(sf_dir))
-    out = _run_to_table(dedup_within_watermark(events), "append")
+    src = _stage_events_dir(sf_dir)
+    events = stream_events(spark, src)
+    out = _run_to_table(dedup_within_watermark(events), "append", (src,))
     return out.select("event_id")
 
 
@@ -573,14 +616,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim is re-readable per batch, never stateful) to attach a region
     label. The canonical lookup-enrichment every event pipeline runs;
     state cost is zero because only the stream side moves."""
-    events = stream_events(spark, _stage_events_dir(sf_dir))
+    src = _stage_events_dir(sf_dir)
+    events = stream_events(spark, src)
     nation = load_table(spark, "nation", sf_dir).select(
         "n_nationkey", "n_name"
     )
     enriched = events.join(
         F.broadcast(nation), events["user_id"] % 25 == nation["n_nationkey"]
     ).select("event_id", "user_id", "n_name", "event_type", "value")
-    return _run_to_table(enriched, "append")
+    return _run_to_table(enriched, "append", (src,))
 
 
 STREAM_STATIC_ENRICH_SQL = """
@@ -597,8 +641,10 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece that makes a stream-stream join runnable forever; inner-join
     matches emit as soon as both sides arrive. The elapsed gap is emitted
     in integer microseconds so the oracle compare is exact."""
+    src_c = _stage_events_dir(sf_dir)
+    src_p = _stage_events_dir(sf_dir)
     clicks = (
-        stream_events(spark, _stage_events_dir(sf_dir))
+        stream_events(spark, src_c)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -608,7 +654,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", WATERMARK)
     )
     purchases = (
-        stream_events(spark, _stage_events_dir(sf_dir))
+        stream_events(spark, src_p)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -630,7 +676,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "micros_to_purchase"
         ),
     )
-    return _run_to_table(joined, "append")
+    return _run_to_table(joined, "append", (src_c, src_p))
 
 
 STREAM_STREAM_INTERVAL_JOIN_SQL = """
@@ -667,14 +713,23 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = load_table(spark, "events", sf_dir)
         raw.repartition(3).write.mode("overwrite").parquet(src)
         q = foreach_batch_rollup(stream_events(spark, src), target)
-        q.awaitTermination()
+        if not q.awaitTermination(_STREAM_TIMEOUT_S):
+            q.stop()
+            raise RuntimeError(
+                f"rollup stream did not finish in {_STREAM_TIMEOUT_S}s"
+            )
         out = spark.read.parquet(target).select(
             "day", "event_type", "n_events", "value_micros"
         )
         # materialize before the temp dirs vanish
         return out.localCheckpoint(eager=True)
     finally:
+        # the result is checkpointed above, so the staged source, the
+        # rollup table AND its stream checkpoint can all go - repeated
+        # sweeps must not accrete temp state
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+        shutil.rmtree(f"{target}__checkpoint", ignore_errors=True)
 
 
 STREAM_INCREMENTAL_ROLLUP_SQL = """
