@@ -80,9 +80,73 @@ def txn_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-version read (time travel) on the txn table format: after
+    an overwrite (v1) and a doubling MERGE (v2), read BOTH versions —
+    ``at_version=1`` must return the base exactly as committed, pinned by
+    version in the manifest log, while the default read sees the merge.
+    The rollup of each snapshot is returned side by side; the oracle
+    restates both from the source table, so a time-travel read that leaks
+    post-v1 files (or a merge that rewrote an untouched partition) breaks
+    the hash.
+
+    Scale note: version resolution reads ONE manifest file; the historical
+    read lists the v1 file set directly — no log replay, no diffing
+    against v2."""
+    table = tempfile.mkdtemp(prefix="txn_time_travel_")
+    orders = _orders(spark, sf_dir).withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1)
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "prio", F.col("o_totalprice").cast("double").alias("price")
+    )
+    txn.overwrite(base, table, partition_by="prio")
+    updates = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "price", F.col("price") * 2
+    )
+    txn.merge_upsert(updates, table, keys=["o_orderkey"], partition_col="prio")
+
+    def _rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("prio").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        ).withColumn("version", F.lit(version))
+
+    v1 = _rollup(txn.read(spark, table, at_version=1), 1)
+    v2 = _rollup(txn.read(spark, table), 2)
+    return v1.unionByName(v2).select(
+        "version", "prio", "n_orders", "total_price"
+    )
+
+
+TXN_TIME_TRAVEL_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         substr(o_orderpriority, 1, 1) AS prio,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+merged AS (
+  SELECT o_orderkey, prio,
+         CASE WHEN o_orderkey % 2 = 0 THEN price * 2 ELSE price END AS price
+  FROM base
+)
+SELECT 1 AS version, prio, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM base GROUP BY prio
+UNION ALL
+SELECT 2 AS version, prio, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM merged GROUP BY prio
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
+    "txn_time_travel": txn_time_travel,
 }
 
 ORACLES = {
@@ -102,6 +166,7 @@ ORACLES = {
           AND NOT (o_orderkey % 2 = 0
                    AND substr(o_orderpriority, 1, 1) IN ('1', '2'))
     """,
+    "txn_time_travel": TXN_TIME_TRAVEL_SQL,
     "txn_exactly_once_rollup": """
         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
                COUNT(*) AS cnt,

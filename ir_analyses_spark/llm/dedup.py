@@ -128,6 +128,61 @@ def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     return _jaccard_over(shingles(_spread(docs)), None, threshold)
 
 
+def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-duplicate pairs by shingle containment
+    |S(src) ∩ S(dst)| / |S(src)| > 0.9 — catches a document nearly
+    contained in a larger one, which symmetric Jaccard misses whenever the
+    size ratio alone caps the score below threshold (a quote-heavy page vs
+    its source, a subset dump vs the full dump). Emits both directions
+    when both hold.
+
+    Same scale posture as the exact Jaccard verifier: candidates from the
+    shared-shingle self-join (the verify tier — at corpus scale the
+    candidate set comes from LSH and this scoring runs semi-join-pruned),
+    intersection counted per ordered pair, divided once by the SOURCE set
+    size — exact integer counts, one IEEE division."""
+    sh = shingles(_spread(load_table(spark, "documents", sf_dir)))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "src", "n": "n_src"}), "src"
+        )
+        .withColumn("containment", F.col("c") / F.col("n_src"))
+        .filter(F.col("containment") > 0.9)
+        .select("src", "dst", "containment")
+    )
+
+
+CONTAINMENT_NEARDUP_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         substring(text, CAST(i AS INT), 8) AS g
+  FROM documents,
+       UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, c * 1.0 / s.n AS containment
+FROM inter JOIN sizes s ON src = s.doc_id
+WHERE c * 1.0 / s.n > 0.9
+"""
+
+
 def ngram_jaccard_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 8-gram Jaccard > 0.8 (§2B n-gram
     Jaccard). Candidate pairs come from a shingle self-join — exact but
@@ -637,6 +692,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_nearup": ngram_jaccard_nearup,
+    "containment_nearup": containment_nearup,
     "minhash_lsh_nearup": minhash_lsh_nearup,
     "simhash_nearup": simhash_nearup,
     "dedup_components": dedup_components,
@@ -646,6 +702,7 @@ QUERIES = {
 ORACLES = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "ngram_jaccard_nearup": NGRAM_JACCARD_SQL,
+    "containment_nearup": CONTAINMENT_NEARDUP_SQL,
     # minhash_lsh_nearup is exact-verified, so it shares the n-gram oracle
     "minhash_lsh_nearup": NGRAM_JACCARD_SQL,
     # portable md5 hash family → the fingerprints reproduce in SQL exactly

@@ -506,6 +506,167 @@ FROM cells, tot
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (linear-IDF
+    variant: score = tf · N / df — products and divisions of doubles are
+    correctly-rounded IEEE ops, so the score is bit-identical cross-engine,
+    where a transcendental log(N/df) would not be).
+
+    Scale shape: one explode → per-(doc, token) counts (shuffle 1, map-side
+    partial agg); the df frame aggregates BEFORE its join so only
+    (token, df) rows shuffle (shuffle 2); the per-doc top-3 is a bounded
+    row_number window (shuffle 3 on doc_id). Ties break on token asc for a
+    total order. No per-doc arrays, no HOFs, no quadratics."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+           / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of document token counts per source — the
+    length-distribution report a packing/curriculum step consumes.
+
+    The bucket floor comes from the BINARY-DIGIT LENGTH of the word count
+    (length(bin(n)) − 1 = floor(log2 n) in exact integer arithmetic — no
+    float log whose last ulp could differ cross-engine); 2^exp stays exact
+    in a double far beyond any document length. Single scan, no explode:
+    the token count is size(split(...)), and the histogram is one
+    partial+final agg over (source, bucket)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_words = F.size(F.split("text", " "))
+    exp = F.length(F.bin(n_words.cast("long"))) - 1
+    bucket_lo = F.pow(F.lit(2), exp).cast("long")
+    return (
+        docs.select("source", n_words.alias("n"), bucket_lo.alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n").cast("long")).alias("n_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .orderBy("source", "bucket_lo")
+    )
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = """
+WITH d AS (
+  SELECT source,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n,
+         CAST(POWER(2, LENGTH(BIN(LEN(STRING_SPLIT(text, ' ')))) - 1)
+              AS BIGINT) AS bucket_lo
+  FROM documents
+)
+SELECT source, bucket_lo, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       MIN(n) AS min_tokens, MAX(n) AS max_tokens
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary share per source against a corpus-derived top-1000
+    vocabulary — the coverage check run before committing to a tokenizer
+    vocab. Two phases over one logical input: (1) global token counts →
+    deterministic top-1000 cut (count desc, token asc); (2) re-scan scoring
+    every token against the vocab.
+
+    The OOV share divides two EXACT integer sums once per source (never an
+    average of per-doc floats, whose decimal rounding could differ
+    cross-engine). Scale: the vocab is ≤1000 rows — broadcast — so phase 2
+    adds zero shuffles beyond its own rollup; the token explode feeds
+    map-side partial aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(1000)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_share",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_OOV_RATE_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT 1000
+),
+flagged AS (
+  SELECT tok.source, (vocab.token IS NOT NULL) AS in_vocab
+  FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+)
+SELECT source, COUNT(*) AS n_tokens,
+       COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS n_oov,
+       CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_share
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
@@ -517,6 +678,9 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "repetition_metrics": repetition_metrics,
     "corpus_mixture": corpus_mixture,
+    "tfidf_top_terms": tfidf_top_terms,
+    "token_length_histogram": token_length_histogram,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
@@ -530,4 +694,7 @@ ORACLES = {
     "pii_scrub": PII_SCRUB_SQL,
     "repetition_metrics": REPETITION_METRICS_SQL,
     "corpus_mixture": CORPUS_MIXTURE_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
+    "vocab_oov_rate": VOCAB_OOV_RATE_SQL,
 }

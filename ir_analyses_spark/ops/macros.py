@@ -208,12 +208,226 @@ LIMIT 20
 """
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One supplier-nation's share of a region's STANDARD-part revenue per
+    order year (TPC-H Q8 shape): an 7-table snowflake with a conditional-
+    numerator ratio. Scale posture: the two tiny dims (nation, region)
+    broadcast; customer and part join the fact via hash shuffles Catalyst
+    orders after the selective region/type filters have pruned both sides
+    — at 100 TB part is NOT broadcastable, so the plan must not depend on
+    it. The share division happens once per year group, double/double on
+    two order-insensitive decimal sums."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["region", "nation", "customer", "supplier", "orders", "lineitem",
+          "part"]}
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_nation = t["supplier"].join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_region = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("cn_nationkey"), "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_nationkey"),
+        )
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_NATION_VOL_CASE = (
+    "CASE WHEN n2.n_name = 'NATION_3'"
+    " THEN l_extendedprice * (1 - l_discount) END"
+)
+
+MARKET_SHARE_SQL = f"""
+SELECT YEAR(o_orderdate) AS o_year,
+       {sql_dsum(_NATION_VOL_CASE)}
+         / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+GROUP BY YEAR(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation × order year over one part family (TPC-H
+    Q9 shape, adapted: TESTDATA has no partsupp, so supply cost is the
+    part's retail price — profit = discounted revenue − retailprice·qty).
+    The p_name LIKE filter prunes part BEFORE its fact join; nation
+    broadcasts; the profit expression folds into one codegen projection so
+    only (nationkey, year, profit) reaches the final rollup shuffle."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["nation", "supplier", "orders", "lineitem", "part"]}
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            t["part"]
+            .filter(F.col("p_name").like("%widget%"))
+            .select("p_partkey", "p_retailprice"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)'
+                 ' - p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of one quarter's revenue from PROMO parts (TPC-H Q14
+    shape): a conditional-sum / total-sum ratio in a single aggregate over
+    one fact pass — the date filter is pushed to the lineitem scan, part
+    arrives via hash join, and no second scan or self-join computes the
+    denominator."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol))
+                / dsum(vol)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_PROMO_VOL_CASE = (
+    "CASE WHEN p_type = 'PROMO'"
+    " THEN l_extendedprice * (1 - l_discount) END"
+)
+
+PROMO_REVENUE_RATIO_SQL = f"""
+SELECT 100.0 * {sql_dsum(_PROMO_VOL_CASE)}
+         / {sql_dsum('l_extendedprice * (1 - l_discount)')}
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+def disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR-of-ANDs band predicate (TPC-H Q19 shape): three
+    disjoint (brand, size, quantity) bands OR'd together. The shape test:
+    Catalyst must extract the common-column conjuncts — p_size ≤ 15 and
+    the quantity envelope hold in every branch — push them into BOTH scans
+    ahead of the join (CNF conversion / join-predicate pushdown), and keep
+    the residual disjunction a single codegen filter, never a 3-way union
+    of scans."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(dsum(vol).alias("revenue"))
+    )
+
+
+DISJUNCTIVE_PUSHDOWN_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
     "regional_revenue": regional_revenue,
     "order_priority_counts": order_priority_counts,
     "top_unshipped_parts": top_unshipped_parts,
     "shipping_priority_topk": shipping_priority_topk,
     "returned_item_report": returned_item_report,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "promo_revenue_ratio": promo_revenue_ratio,
+    "disjunctive_pushdown": disjunctive_pushdown,
 }
 
 ORACLES = {
@@ -222,4 +436,8 @@ ORACLES = {
     "top_unshipped_parts": TOP_UNSHIPPED_PARTS_SQL,
     "shipping_priority_topk": SHIPPING_PRIORITY_TOPK_SQL,
     "returned_item_report": RETURNED_ITEM_REPORT_SQL,
+    "market_share": MARKET_SHARE_SQL,
+    "product_profit": PRODUCT_PROFIT_SQL,
+    "promo_revenue_ratio": PROMO_REVENUE_RATIO_SQL,
+    "disjunctive_pushdown": DISJUNCTIVE_PUSHDOWN_SQL,
 }

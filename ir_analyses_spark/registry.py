@@ -23,6 +23,7 @@ from .llm import dedup, multimodal, sampling, similarity, textstats
 from .ops import (
     aggregates,
     collections,
+    events,
     joins,
     macros,
     relational,
@@ -36,6 +37,7 @@ from .streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     aggregates,
+    events,
     joins,
     relational,
     subqueries,
@@ -134,16 +136,28 @@ _ORDER = [
     "window_running_frames",
     # (ops/udfs.py)
     "pandas_udf_vectorized",
-    # -- backfill: r1/r2-green, code unchanged — earn a newer green row --
+    # -- new in r4 session 2: first driver rows beat re-greening unchanged
+    #    r1/r2-green code (those keep valid evidence and move to the tail) --
+    "market_share",
+    "product_profit",
+    "disjunctive_pushdown",
+    "containment_nearup",
+    "tfidf_top_terms",
+    "txn_time_travel",
+    # ---- 50-query window boundary (driver budget) ----
+    # tail: green in r3 (or r1/r2 with code unchanged since); newest rows
+    # first so a budget overrun still hits the freshest-needed entries
+    "promo_revenue_ratio",
+    "token_length_histogram",
+    "vocab_oov_rate",
+    "funnel_conversion",
+    "cohort_retention",
     "string_predicates",
     "string_functions",
     "null_semantics",
     "regexp_extract_ops",
     "date_functions",
     "math_functions",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail: green in r3 (or r1/r2 with code unchanged since); newest rows
-    # first so a budget overrun still hits the freshest-needed entries
     "join_broadcast_dims",
     "join_multiway_topk",
     "set_operations",

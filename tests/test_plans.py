@@ -308,3 +308,33 @@ def test_gapfill_grid_from_broadcast_scalar(spark, sf_dir):
     # span, type list, and fill all derive from the materialized hourly
     # aggregate — the fact table is scanned exactly once
     assert plan.count("events.parquet") <= 1
+
+
+def test_disjunctive_pushdown_reaches_both_scans(spark, sf_dir):
+    """Q19-shape OR-of-ANDs: Catalyst must CNF-extract the per-column
+    disjunctions and push them into BOTH parquet scans (the quantity bands
+    to lineitem, the brand/size bands to part), keeping the cross-table
+    residual as a single join condition — never a 3-way union of scans or
+    an unfiltered fact scan."""
+    plan = plan_of(spark, sf_dir, "disjunctive_pushdown")
+    # lineitem scan carries the OR'd quantity envelope
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity,1\.0\)", plan
+    )
+    # part scan carries the OR'd brand/size bands (toString truncates the
+    # filter list — match the prefix inside the PushedFilters clause)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_brand", plan)
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_market_share_posture(spark, sf_dir):
+    """Q8 shape: tiny dims broadcast; the ASIA-customer restriction reaches
+    the fact as a semi-join (no customer payload duplicated through the
+    fact), and the share ratio computes in one aggregate pass (no second
+    scan of lineitem for the denominator)."""
+    plan = plan_of(spark, sf_dir, "market_share")
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    # nation/region dims never sort-merge against the fact
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
