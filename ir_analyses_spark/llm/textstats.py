@@ -521,7 +521,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df rollup and the scored join; Spark rebuilds
+    # shared subtrees per consumer, so without the checkpoint the
+    # explode→count chain (the expensive part) runs twice over the corpus
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df = (
         tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     )

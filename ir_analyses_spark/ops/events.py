@@ -24,12 +24,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three keyed aggregations over one fact table; the step-N frame is one
     row per user, so each join back is agg-then-join (never fact×fact),
-    and all of them share the user_id partitioning."""
+    and all of them share the user_id partitioning. Each step frame is
+    eagerly localCheckpoint'ed: step N feeds BOTH step N+1 and the final
+    assembly, and Spark rebuilds shared subtrees per consumer — without
+    the checkpoint the view-filtered fact scan runs three times (measured:
+    6 fact scans total; with it, one scan per event type and the
+    one-row-per-user frames replay from executor-local disk)."""
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
     step1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     step2 = (
         ev.filter(F.col("event_type") == "click")
@@ -37,6 +43,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     step3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -90,7 +97,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", F.to_date("ts").alias("d")
     )
-    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    # one row per user, consumed twice (sizes + fact join) — checkpoint so
+    # the fact scan behind it runs once, not once per consumer
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .localCheckpoint(eager=True)
+    )
     sizes = cohorts.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_users")
     )

@@ -1,0 +1,55 @@
+"""Semantic invariants for the funnel/cohort analytics and the directional
+containment dedup — properties the oracle equality alone doesn't spell out."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.ops.events import funnel_conversion, cohort_retention
+from ir_analyses_spark.llm.dedup import containment_nearup, ngram_jaccard_nearup
+
+
+def test_funnel_steps_strictly_ordered(spark, sf_dir):
+    """Whenever a later step is present, its timestamp is strictly after
+    the previous step's (the strict-sequence semantics the docstring
+    promises), and a step can only be present if the previous one is."""
+    rows = funnel_conversion(spark, sf_dir).collect()
+    assert rows, "funnel produced no users"
+    for r in rows:
+        if r.t_click is not None:
+            assert r.t_view is not None and r.t_click > r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase > r.t_click
+
+
+def test_cohort_day_zero_is_complete(spark, sf_dir):
+    """Every cohort retains 100% of itself at offset 0 (each user is
+    active on their own first day, by construction of the cohort)."""
+    rows = cohort_retention(spark, sf_dir).collect()
+    day0 = {r.cohort_day: r for r in rows if r.day_offset == 0}
+    cohorts = {r.cohort_day for r in rows}
+    assert set(day0) == cohorts
+    for r in day0.values():
+        assert r.active_users == r.cohort_users and r.retention == 1.0
+    # offsets never negative: nothing is active before its first day
+    assert min(r.day_offset for r in rows) == 0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any ordered pair, containment(src→dst) ≥ jaccard(src,dst):
+    c/|A| ≥ c/|A∪B|. So every jaccard>0.8 pair whose containment the
+    directional query reports must score at least that jaccard — and the
+    near-subset pairs it uniquely finds are allowed to be jaccard-invisible."""
+    jac = {
+        (r.d1, r.d2): r.jac
+        for r in ngram_jaccard_nearup(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.src, r.dst): r.containment
+        for r in containment_nearup(spark, sf_dir).collect()
+    }
+    assert cont, "containment produced no pairs"
+    for (d1, d2), j in jac.items():
+        for key in [(d1, d2), (d2, d1)]:
+            if key in cont:
+                assert cont[key] >= j - 1e-12

@@ -338,3 +338,11 @@ def test_market_share_posture(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     # nation/region dims never sort-merge against the fact
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_steps_checkpointed_single_scan(spark, sf_dir):
+    """Each funnel step frame is eagerly checkpointed, so the final
+    assembly replays one-row-per-user RDDs instead of re-running the
+    filtered fact scan per consumer (without this: 6 fact scans)."""
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    assert plan.count("Scan parquet") <= 1
