@@ -19,11 +19,12 @@ from functools import cache
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import txn_queries
-from .llm import dedup, multimodal, sampling, similarity, textstats
+from .llm import dedup, multimodal, sampling, similarity, textstats, training
 from .ops import (
     aggregates,
     collections,
     events,
+    fuzzy,
     joins,
     macros,
     relational,
@@ -46,10 +47,12 @@ _MODULES = [
     macros,
     skew,
     udfs,
+    fuzzy,
     dedup,
     similarity,
     textstats,
     sampling,
+    training,
     multimodal,
     streaming_pipeline,
     ir_demo,
@@ -152,6 +155,9 @@ _ORDER = [
     "vocab_oov_rate",
     "funnel_conversion",
     "cohort_retention",
+    "fuzzy_name_pairs",
+    "dataset_split",
+    "negative_sampling",
     "string_predicates",
     "string_functions",
     "null_semantics",
