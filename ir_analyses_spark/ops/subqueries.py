@@ -182,10 +182,13 @@ WHERE p_size < 5
 
 def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (adapted: TESTDATA customers carry no phone, so
-    the country code becomes the nation key): per-nation totals of
-    customers holding an above-global-average positive balance who placed
-    NO orders —
-    an uncorrelated scalar AVG threshold (computed once, broadcast into
+    the country code becomes the nation key; and since EVERY synthetic
+    customer has orders, "placed no orders" would be structurally empty —
+    the anti-join tests nothing — so the predicate is "placed no
+    URGENT-class order", which is ~10% selective and exercises the output
+    path at every SF): per-nation totals of customers holding an
+    above-global-average positive balance with no urgent orders — an
+    uncorrelated scalar AVG threshold (computed once, broadcast into
     the filter) composed with a NOT EXISTS anti-join. The average runs
     through the decimal-accumulator trick (ops/helpers.py) spelled
     identically in both engines, so the threshold double is bit-equal and
@@ -203,7 +206,9 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM _subq_customer c2 WHERE c2.c_acctbal > 0.0
           )
           AND NOT EXISTS (
-            SELECT 1 FROM _subq_orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM _subq_orders
+            WHERE o_custkey = c_custkey
+              AND SUBSTRING(o_orderpriority, 1, 1) = '1'
           )
         GROUP BY c_nationkey
         ORDER BY cc
@@ -221,7 +226,9 @@ WHERE c_acctbal > (
     FROM customer c2 WHERE c2.c_acctbal > 0.0
   )
   AND NOT EXISTS (
-    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND SUBSTRING(o_orderpriority, 1, 1) = '1'
   )
 GROUP BY c_nationkey
 ORDER BY cc
