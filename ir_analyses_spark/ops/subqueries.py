@@ -119,7 +119,12 @@ def concentrated_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: part types whose retail value exceeds a fraction
     of the GLOBAL total — an uncorrelated scalar subquery in HAVING,
     planned as one extra scalar aggregate broadcast into the filter (two
-    aggregations over one scan, not a cartesian)."""
+    aggregations over one scan, not a cartesian).
+
+    Threshold note: with 6 part types the shares converge to 1/6 ≈ 0.1667
+    as SF grows; the old 0.18 cut returned 0 rows at sf ≥ 0.01 (a vacuous
+    HAVING that never exercised the filter's keep path). 0.168 keeps 2–3
+    types above the line at every test SF."""
     _register(spark, sf_dir, ["part"])
     return spark.sql("""
         SELECT p_type,
@@ -128,7 +133,7 @@ def concentrated_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _subq_part
         GROUP BY p_type
         HAVING SUM(CAST(p_retailprice AS DECIMAL(38,6))) > (
-          SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.18 FROM _subq_part
+          SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.168 FROM _subq_part
         )
         ORDER BY type_value DESC, p_type
     """)
@@ -140,7 +145,7 @@ SELECT p_type,
 FROM part
 GROUP BY p_type
 HAVING SUM(CAST(p_retailprice AS DECIMAL(38,6))) > (
-  SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.18 FROM part
+  SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.168 FROM part
 )
 ORDER BY type_value DESC, p_type
 """
