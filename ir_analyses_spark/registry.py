@@ -77,8 +77,11 @@ _MODULES = [
 #:   conservatively ALL streaming-module queries), then the 22
 #:   stale-evidence queries VERDICT r3 listed (modules changed in r3
 #:   after their last r1/r2 green row: textstats, similarity, aggregates,
-#:   windows, udfs), then backfill — r1/r2-green entries with unchanged
-#:   code earning a newer row (string/date/math, set ops).
+#:   windows, udfs), then session-2 first-row queries (macro Q8/Q9/Q19,
+#:   containment, TF-IDF, txn time travel) — these displaced the six
+#:   unchanged-code r1/r2-green backfill entries, whose existing evidence
+#:   is not older than their code and therefore loses nothing by waiting
+#:   in the tail.
 #: - The tail holds entries hash-green in r3 (or earlier) whose defining
 #:   modules are unchanged since their last green row.
 _ORDER = [
