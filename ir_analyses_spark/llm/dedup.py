@@ -124,8 +124,14 @@ def _jaccard_over(
 
 
 def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle."""
-    return _jaccard_over(shingles(_spread(docs)), None, threshold)
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    The shingle frame feeds three consumers inside ``_jaccard_over``
+    (sizes + both self-join sides) — checkpoint it once so the explode +
+    distinct doesn't replay per consumer."""
+    return _jaccard_over(
+        shingles(_spread(docs)).localCheckpoint(eager=True), None, threshold
+    )
 
 
 def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,8 +146,16 @@ def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle self-join (the verify tier — at corpus scale the
     candidate set comes from LSH and this scoring runs semi-join-pruned),
     intersection counted per ordered pair, divided once by the SOURCE set
-    size — exact integer counts, one IEEE division."""
-    sh = shingles(_spread(load_table(spark, "documents", sf_dir)))
+    size — exact integer counts, one IEEE division.
+
+    The shingle frame (corpus-wide explode + distinct — the query's most
+    expensive stage) feeds THREE consumers: the sizes aggregate and both
+    self-join sides. Spark rebuilds shared subtrees per consumer, so it is
+    eagerly checkpointed once — same posture as the tfidf/funnel/cohort
+    shared frames."""
+    sh = shingles(
+        _spread(load_table(spark, "documents", sf_dir))
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -619,15 +619,21 @@ FROM d GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-vocabulary share per source against a corpus-derived top-1000
+    """Out-of-vocabulary share per source against a corpus-derived top-K
     vocabulary — the coverage check run before committing to a tokenizer
     vocab. Two phases over one logical input: (1) global token counts →
-    deterministic top-1000 cut (count desc, token asc); (2) re-scan scoring
+    deterministic top-K cut (count desc, token asc); (2) re-scan scoring
     every token against the vocab.
+
+    K=16 here: the synthetic corpus has a 31-token domain at every test
+    SF, so a cut BELOW the domain size is what makes the OOV branch (the
+    left-join miss) and the boundary tie-break actually fire — a K ≥ the
+    domain would make the filter vacuous and the oracle trivially green
+    (production corpora use 32k–256k; the plan shape is identical).
 
     The OOV share divides two EXACT integer sums once per source (never an
     average of per-doc floats, whose decimal rounding could differ
-    cross-engine). Scale: the vocab is ≤1000 rows — broadcast — so phase 2
+    cross-engine). Scale: the vocab is ≤K rows — broadcast — so phase 2
     adds zero shuffles beyond its own rollup; the token explode feeds
     map-side partial aggregation."""
     docs = load_table(spark, "documents", sf_dir)
@@ -636,7 +642,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "token")
-        .limit(1000)
+        .limit(16)
         .select("token", F.lit(True).alias("in_vocab"))
     )
     return (
@@ -660,7 +666,7 @@ WITH tok AS (
 ),
 vocab AS (
   SELECT token FROM tok GROUP BY token
-  ORDER BY COUNT(*) DESC, token LIMIT 1000
+  ORDER BY COUNT(*) DESC, token LIMIT 16
 ),
 flagged AS (
   SELECT tok.source, (vocab.token IS NOT NULL) AS in_vocab

@@ -58,9 +58,13 @@ ORDER BY split, lang
 def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=4 deterministic contrastive negatives per anchor embedding:
     negative j of anchor i is row (i·KNUTH + j·STRIDE) mod N over the
-    DENSE vec_id domain, skipping self-draws. Emits the anchor/negative
-    labels and whether the draw is a false negative (same label) — the
-    statistic contrastive pipelines monitor.
+    DENSE vec_id domain; a self-draw re-draws to the NEXT id (mod N), so
+    every anchor gets EXACTLY K negatives — a skip-on-collision would
+    silently hand downstream consumers K−1 for that anchor. (N=1 is the
+    only degenerate case: the sole row draws itself; guarded by the
+    anchor≠negative invariant test, not reachable on real corpora.)
+    Emits the anchor/negative labels and whether the draw is a false
+    negative (same label) — the statistic contrastive pipelines monitor.
 
     Scale shape: the draw is a projection (explode k per anchor, integer
     arithmetic — no RNG state), and resolving each negative's label is
@@ -80,10 +84,17 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
         )
         .withColumn(
-            "neg_id",
+            "draw",
             (F.col("vec_id") * _KNUTH + F.col("j") * _STRIDE) % F.col("n_vecs"),
         )
-        .filter(F.col("neg_id") != F.col("vec_id"))
+        .withColumn(
+            "neg_id",
+            F.when(
+                F.col("draw") == F.col("vec_id"),
+                (F.col("draw") + 1) % F.col("n_vecs"),
+            ).otherwise(F.col("draw")),
+        )
+        .drop("draw")
     )
     negs = emb.select(
         F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
@@ -108,14 +119,20 @@ NEGATIVE_SAMPLING_SQL = f"""
 WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
 draws AS (
   SELECT e.vec_id, e.label AS anchor_label, j.j,
-         (e.vec_id * {_KNUTH} + j.j * {_STRIDE}) % n.n_vecs AS neg_id
+         (e.vec_id * {_KNUTH} + j.j * {_STRIDE}) % n.n_vecs AS draw,
+         n.n_vecs
   FROM embeddings e, n, (VALUES (1), (2), (3), (4)) AS j(j)
+),
+resolved AS (
+  SELECT vec_id, anchor_label, j,
+         CASE WHEN draw = vec_id THEN (draw + 1) % n_vecs ELSE draw END
+           AS neg_id
+  FROM draws
 )
 SELECT d.vec_id, d.j, d.neg_id, d.anchor_label,
        e2.label AS neg_label,
        d.anchor_label = e2.label AS is_false_negative
-FROM draws d JOIN embeddings e2 ON d.neg_id = e2.vec_id
-WHERE d.neg_id <> d.vec_id
+FROM resolved d JOIN embeddings e2 ON d.neg_id = e2.vec_id
 ORDER BY d.vec_id, d.j
 """
 

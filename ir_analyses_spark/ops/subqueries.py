@@ -121,10 +121,16 @@ def concentrated_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned as one extra scalar aggregate broadcast into the filter (two
     aggregations over one scan, not a cartesian).
 
-    Threshold note: with 6 part types the shares converge to 1/6 ≈ 0.1667
-    as SF grows; the old 0.18 cut returned 0 rows at sf ≥ 0.01 (a vacuous
-    HAVING that never exercised the filter's keep path). 0.168 keeps 2–3
-    types above the line at every test SF."""
+    Threshold note: the cut is EXACTLY the uniform share — total/6 for the
+    6 part types. By a mean argument, unless every share equals 1/6 to the
+    last decimal digit (measure-zero for real data), at least one type is
+    strictly above the line and at least one below — so the HAVING keeps
+    AND drops rows at ANY scale factor. Fixed constants fail this as SF
+    grows: 0.18 went vacuous-drop at sf ≥ 0.01, and 0.168 (> 1/6) was
+    measured down to a single survivor at sf0.1 (max share 0.1691 → 1/6),
+    heading for zero. Measured margin to the cut is ≥ 3.5e-4 relative at
+    every test SF — far beyond any decimal-division rounding skew between
+    engines."""
     _register(spark, sf_dir, ["part"])
     return spark.sql("""
         SELECT p_type,
@@ -133,7 +139,7 @@ def concentrated_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _subq_part
         GROUP BY p_type
         HAVING SUM(CAST(p_retailprice AS DECIMAL(38,6))) > (
-          SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.168 FROM _subq_part
+          SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) / 6 FROM _subq_part
         )
         ORDER BY type_value DESC, p_type
     """)
@@ -145,7 +151,7 @@ SELECT p_type,
 FROM part
 GROUP BY p_type
 HAVING SUM(CAST(p_retailprice AS DECIMAL(38,6))) > (
-  SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) * 0.168 FROM part
+  SELECT SUM(CAST(p_retailprice AS DECIMAL(38,6))) / 6 FROM part
 )
 ORDER BY type_value DESC, p_type
 """

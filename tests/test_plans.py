@@ -336,8 +336,14 @@ def test_market_share_posture(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "market_share")
     assert "LeftSemi" in plan
     assert plan.count("lineitem.parquet") == 1
-    # nation/region dims never sort-merge against the fact
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # The three explicit dim broadcasts (supplier⋈nation, customer⋈nation,
+    # ⋈region) must survive as broadcast hash joins…
+    assert plan.count("BroadcastHashJoin") >= 3
+    # …and a dropped broadcast hint shows up as an EXTRA sort-merge join:
+    # only the genuinely large fact-side joins may SMJ (an `x or y`
+    # disjunct here would pass for any plan with ≥1 BHJ — tautology).
+    assert plan.count("SortMergeJoin") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_funnel_steps_checkpointed_single_scan(spark, sf_dir):
@@ -345,4 +351,13 @@ def test_funnel_steps_checkpointed_single_scan(spark, sf_dir):
     assembly replays one-row-per-user RDDs instead of re-running the
     filtered fact scan per consumer (without this: 6 fact scans)."""
     plan = plan_of(spark, sf_dir, "funnel_conversion")
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_cohort_frames_checkpointed_single_scan(spark, sf_dir):
+    """The cohort frame is eagerly checkpointed before joining back to
+    events, so the final plan replays the checkpointed RDD instead of
+    scanning events.parquet a second time (SCALE.md documents this for
+    BOTH funnel and cohort — this is the cohort half of that pin)."""
+    plan = plan_of(spark, sf_dir, "cohort_retention")
     assert plan.count("Scan parquet") <= 1

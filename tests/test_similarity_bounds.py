@@ -258,3 +258,29 @@ def test_hot_block_low_threshold_refuses(spark):
         neardup_pairs_bounded(hot, threshold=0.30, block_cap=10).count()
     # hot at high threshold: the LSH path runs
     assert neardup_pairs_bounded(hot, threshold=0.9, block_cap=10).count() > 0
+
+
+def test_negative_sampling_collision_redraws_exactly_k(spark, tmp_path):
+    """Self-draw re-draw path (review finding: the old skip was dead code
+    at every test SF and, where it COULD fire, silently yielded K-1
+    negatives). N=3 forces it everywhere: 2654435761 ≡ 1 and 40503 ≡ 0
+    (mod 3), so (v·KNUTH + j·STRIDE) mod 3 == v for EVERY anchor and
+    draw — each must resolve to (v+1) mod 3, never be dropped."""
+    from ir_analyses_spark.llm.training import negative_sampling
+
+    spark.createDataFrame(
+        [(0, [0.0], 10), (1, [1.0], 11), (2, [2.0], 10)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = negative_sampling(spark, str(tmp_path)).collect()
+    # exactly K=4 negatives per anchor — no skip-induced shortfall
+    assert len(rows) == 3 * 4
+    for r in rows:
+        assert r["neg_id"] != r["vec_id"]
+        assert r["neg_id"] == (r["vec_id"] + 1) % 3
+    # label resolution survives the redraw (anchor 1 → neg 2, labels 11/10)
+    by_anchor = {(r["vec_id"], r["j"]): r for r in rows}
+    assert by_anchor[(1, 1)]["neg_label"] == 10
+    assert by_anchor[(1, 1)]["is_false_negative"] is False
+    assert by_anchor[(2, 1)]["neg_label"] == 10
+    assert by_anchor[(2, 1)]["is_false_negative"] is True

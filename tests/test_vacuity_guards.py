@@ -1,0 +1,121 @@
+"""Vacuity guards: a filtering query whose predicate never fires (or
+always fires) passes its cross-engine oracle trivially while testing none
+of its advertised semantics. This bug class has now appeared three times —
+Q22's URGENT anti-join (vacuous until 2af3644), Q11's 0.18-then-0.168
+threshold (vacuous at growing SF until the /6 fix), and vocab_oov_rate's
+top-1000 cut over a 31-token domain (identically-zero OOV until the
+top-16 fix). These guards assert BOTH the keep and the drop path produce
+rows at the correctness scale factors, so a data regeneration or constant
+tweak that re-introduces vacuity fails loudly here instead of silently
+greening the parity sweep.
+
+The guards run the ORACLE SQL in DuckDB (milliseconds, no Spark session):
+oracle parity already pins Spark == oracle, so oracle-side non-vacuity is
+engine non-vacuity.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _con(sf: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def _oracle(name: str) -> str:
+    from ir_analyses_spark.registry import all_oracles
+
+    return all_oracles()[name]
+
+
+@pytest.fixture(scope="module", params=["0.001", "0.01"])
+def con(request):
+    return _con(request.param)
+
+
+def test_q11_threshold_splits_the_domain(con):
+    """concentrated_part_types must keep ≥1 AND drop ≥1 of the 6 part
+    types — the HAVING > total/6 cut is above-mean by construction, so
+    both sides are non-empty unless shares are exactly uniform."""
+    kept = con.execute(_oracle("concentrated_part_types")).fetchall()
+    n_types = con.execute(
+        "SELECT COUNT(DISTINCT p_type) FROM part"
+    ).fetchone()[0]
+    assert 1 <= len(kept) < n_types
+
+
+def test_q22_anti_join_splits_customers(con):
+    """idle_customer_balances: the NOT-EXISTS branch must exclude SOME
+    positive-balance customers (those holding an order under the
+    predicate) and keep others — an order-status predicate matching no
+    orders would make the anti-join a no-op."""
+    sql = _oracle("idle_customer_balances")
+    kept_total = sum(r[1] for r in con.execute(sql).fetchall())
+    # widen: same query without the NOT EXISTS must count MORE customers
+    relaxed = re.sub(
+        r"AND NOT EXISTS \((?:[^()]|\([^()]*\))*\)", "", sql, flags=re.S
+    )
+    assert relaxed != sql, "anti-join clause not found — guard is stale"
+    relaxed_total = sum(r[1] for r in con.execute(relaxed).fetchall())
+    assert 0 < kept_total < relaxed_total
+
+
+def test_q21_exists_and_not_exists_both_fire(con):
+    """suppliers_with_waiting_orders: rows survive (EXISTS keeps some)
+    and the NOT-EXISTS drops some — dropping it must change the result."""
+    sql = _oracle("suppliers_with_waiting_orders")
+    base = con.execute(sql).fetchall()
+    relaxed = re.sub(r"AND NOT EXISTS \((?:[^()]|\([^()]*\))*\)", "", sql, flags=re.S)
+    assert relaxed != sql
+    relaxed_rows = con.execute(relaxed).fetchall()
+    assert len(base) > 0
+    assert base != relaxed_rows
+
+
+def test_small_quantity_revenue_filter_fires(con):
+    """Q17 shape: the 0.4·avg correlated cut must keep a strict, non-empty
+    subset of the joined rows."""
+    n_kept = con.execute(
+        "SELECT COUNT(*) FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_size < 10 AND l_quantity < ("
+        "  SELECT 0.4 * AVG(l2.l_quantity) FROM lineitem l2"
+        "  WHERE l2.l_partkey = p_partkey)"
+    ).fetchone()[0]
+    n_all = con.execute(
+        "SELECT COUNT(*) FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_size < 10"
+    ).fetchone()[0]
+    assert 0 < n_kept < n_all
+
+
+def test_vocab_oov_both_branches_fire(con):
+    """vocab_oov_rate: every source must see in-vocab AND out-of-vocab
+    tokens — the top-K cut must sit strictly inside the token domain."""
+    rows = con.execute(_oracle("vocab_oov_rate")).fetchall()
+    assert rows
+    for source, n_tokens, n_oov, oov_share in rows:
+        assert 0 < n_oov < n_tokens, f"{source}: OOV branch vacuous"
+
+
+def test_containment_and_jaccard_nonempty(con):
+    """The near-dup detectors must find pairs at correctness SF (the
+    corpus is seeded with near-duplicates) — and containment must catch
+    directional pairs, not just mirror the symmetric Jaccard output."""
+    cont = con.execute(_oracle("containment_nearup")).fetchall()
+    jac = con.execute(_oracle("ngram_jaccard_nearup")).fetchall()
+    assert cont and jac
