@@ -99,7 +99,6 @@ _ORDER = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "stream_tumbling_batch",
-    "stream_sliding_batch",
     "stream_session_batch",
     "stateful_user_totals",
     "stream_dedup_watermark",
@@ -127,8 +126,11 @@ _ORDER = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_cosine_nearup",
+    # -- semantics changed in r4 session 3 (review fixes): the old values
+    #    were never driver-certified, the new ones must be --
+    "vocab_oov_rate",  # top-16 cut replaced the vacuous top-1000
+    "negative_sampling",  # self-draw redraw replaced the skip
     # (ops/aggregates.py)
-    "approx_sketches",  # rows-only by design (error-bound test in-repo)
     "rollup_agg",
     "column_profile",  # new in r4 (same module: fresh driver row)
     "distinct_agg",
@@ -151,16 +153,21 @@ _ORDER = [
     "tfidf_top_terms",
     "txn_time_travel",
     # ---- 50-query window boundary (driver budget) ----
-    # tail: green in r3 (or r1/r2 with code unchanged since); newest rows
-    # first so a budget overrun still hits the freshest-needed entries
+    # tail: first the r4-new queries without driver rows yet (in-repo
+    # parity is their evidence until the next rotation; a budget overrun
+    # hits them first), then displaced-but-green r3 rows, then r1/r2-green
+    # entries whose code is unchanged since their row
     "promo_revenue_ratio",
     "token_length_histogram",
-    "vocab_oov_rate",
     "funnel_conversion",
     "cohort_retention",
     "fuzzy_name_pairs",
     "dataset_split",
-    "negative_sampling",
+    # displaced from the window in session 3 (both keep green r3 rows or
+    # better in-repo evidence): rows-only approx_sketches, and the sliding
+    # twin of the in-window tumbling agg
+    "stream_sliding_batch",
+    "approx_sketches",  # rows-only by design (error-bound test in-repo)
     "string_predicates",
     "string_functions",
     "null_semantics",
