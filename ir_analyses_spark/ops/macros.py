@@ -3,12 +3,21 @@ synthetic star schema — the "whole query" tier above the per-operator
 inventory (SURVEY §2B), exercising join ordering, semi-join rewrites, and
 aggregate pushdown the way real analytics do.
 
-Shapes (adapted to the columns TESTDATA actually has):
+Shapes (adapted to the columns TESTDATA actually has). Together with
+subqueries.py and pricing_summary/join_multiway_topk, every one of the 22
+TPC-H query shapes has an adapted, oracle-gated twin in the registry:
 - regional_revenue  — Q5 shape: 6-table join chain with a region filter and
   per-nation revenue rollup; the classic "does the optimizer broadcast the
   dims and defer the fact shuffle" test.
 - order_priority_counts — Q4 shape: EXISTS → left-semi join rewrite.
 - top_unshipped_parts — Q12/Q3 hybrid: anti-join + conditional agg + top-k.
+- shipping_priority_topk (Q3), returned_item_report (Q10),
+  market_share (Q8), product_profit (Q9), promo_revenue_ratio (Q14),
+  disjunctive_pushdown (Q19), forecast_revenue_change (Q6),
+  volume_shipping (Q7), late_shipment_priority (Q12),
+  customer_order_distribution (Q13).
+- subqueries.py carries the correlated tier: Q2, Q11, Q15, Q16, Q17,
+  Q18, Q20, Q21, Q22.
 """
 
 from __future__ import annotations
@@ -418,6 +427,186 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta from dropping a discount band (TPC-H Q6 shape): a
+    pure scan-aggregate with three range predicates — the baseline "do the
+    filters reach the parquet scan" query. All three predicates are
+    scan-pushable (`PushedFilters` shows the shipdate window, discount
+    band, and quantity cap), so at 100 TB this reads only row groups whose
+    min/max stats overlap the band and never shuffles more than one
+    partial-agg row per task.
+
+    Discount domain is 11 distinct steps 0.00–0.10; the 0.04–0.06 band +
+    qty<24 + year-1997 keeps 138/1162/12018 rows at sf0.001/0.01/0.1 —
+    non-vacuous keep AND drop at every SF."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"))
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations by ship year, both directions
+    (TPC-H Q7 shape): the supplier side and the customer side each resolve
+    a nation name via a BROADCAST dim join, and the two-direction pair
+    predicate — (A→B) OR (B→A) — is a residual filter on the joined frame
+    (an OR across two tables can't push into either scan; what CAN push is
+    each nation dim's pre-filter to the two candidate names, which prunes
+    both broadcast sides to 2 rows before the fact ever joins)."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["nation", "customer", "supplier", "orders", "lineitem"]}
+    two = ["NATION_1", "NATION_2"]
+    supp_n = t["supplier"].join(
+        F.broadcast(
+            t["nation"].filter(F.col("n_name").isin(two)).select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = t["customer"].join(
+        F.broadcast(
+            t["nation"].filter(F.col("n_name").isin(two)).select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
+            | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(vol).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other line counts by shipping-latency bucket (TPC-H Q12
+    shape, adapted: TESTDATA has no l_shipmode/l_receiptdate, so the
+    grouping key is a FAST/SLOW bucket on datediff(shipdate, orderdate)
+    at a 60-day cut — measured delay spans −1300…+1400 days with median
+    ≈50, so both buckets are populated at every SF). The CASE-counting
+    pair (high-priority vs low-priority lines per bucket) is the Q12
+    core: conditional aggregation after an orders⋈lineitem join, one
+    fact shuffle, integer counts — hash-exact cross-engine."""
+    t = {n: load_table(spark, n, sf_dir) for n in ["orders", "lineitem"]}
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60, "SLOW"
+    ).otherwise("FAST")
+    return (
+        t["lineitem"].select("l_orderkey", "l_shipdate")
+        .join(t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("latency_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("latency_bucket")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT CASE WHEN DATEDIFF('day', o_orderdate, l_shipdate) >= 60
+            THEN 'SLOW' ELSE 'FAST' END AS latency_bucket,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY latency_bucket
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count (TPC-H Q13 shape): a LEFT
+    OUTER join with the filter IN THE JOIN CONDITION (orders placed in
+    2001 — every synthetic customer has orders overall, so a WHERE-side
+    filter would silently turn the outer join inner; measured, ~41% of
+    customers have NO 2001 order, so the c_count=0 bucket is real at
+    every SF), then a second aggregation over the first — the classic
+    two-level rollup where the outer-join null branch must survive into
+    the histogram."""
+    t = {n: load_table(spark, n, sf_dir) for n in ["customer", "orders"]}
+    return (
+        t["customer"].select("c_custkey")
+        .join(
+            t["orders"]
+            .filter(F.year("o_orderdate") == 2001)
+            .select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND YEAR(o_orderdate) = 2001
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "regional_revenue": regional_revenue,
     "order_priority_counts": order_priority_counts,
@@ -428,6 +617,10 @@ QUERIES = {
     "product_profit": product_profit,
     "promo_revenue_ratio": promo_revenue_ratio,
     "disjunctive_pushdown": disjunctive_pushdown,
+    "forecast_revenue_change": forecast_revenue_change,
+    "volume_shipping": volume_shipping,
+    "late_shipment_priority": late_shipment_priority,
+    "customer_order_distribution": customer_order_distribution,
 }
 
 ORACLES = {
@@ -440,4 +633,8 @@ ORACLES = {
     "product_profit": PRODUCT_PROFIT_SQL,
     "promo_revenue_ratio": PROMO_REVENUE_RATIO_SQL,
     "disjunctive_pushdown": DISJUNCTIVE_PUSHDOWN_SQL,
+    "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "volume_shipping": VOLUME_SHIPPING_SQL,
+    "late_shipment_priority": LATE_SHIPMENT_PRIORITY_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
 }

@@ -246,12 +246,180 @@ ORDER BY cc
 """
 
 
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum quarterly revenue (TPC-H Q15 shape):
+    a CTE computes per-supplier revenue once, and an uncorrelated scalar
+    MAX over the SAME CTE selects the top row(s) — Catalyst evaluates the
+    CTE's aggregate, broadcasts the one-row MAX into the filter, and never
+    re-scans lineitem for the threshold. The equality compares two doubles
+    produced by the IDENTICAL decimal-accumulator expression in both
+    engines (helpers.py discipline), so the cut is bit-exact; ties emit
+    one row per tying supplier, deterministic as a set."""
+    _register(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+          FROM _subq_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM _subq_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """)
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) excluding a
+    supplier denylist (TPC-H Q16 shape, adapted: TESTDATA has no partsupp,
+    so observed (part, supplier) pairs come from lineitem; no s_comment,
+    so the denylist is low-balance suppliers — s_acctbal < 2000 excludes
+    3/10, 30/100, 265/1000 at the three SFs, non-vacuous everywhere).
+    The NOT IN lowers to a null-aware anti-join (s_suppkey is non-null, so
+    it degenerates to the plain anti-join — the scale-safe plan); the
+    COUNT(DISTINCT) runs as the standard two-shuffle expand."""
+    _register(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM _subq_lineitem JOIN _subq_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13, 17, 21)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM _subq_supplier WHERE s_acctbal < 2000
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+
+
+SUPPLIER_PART_VARIETY_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind the largest orders by total quantity (TPC-H Q18
+    shape): an IN over a GROUP BY … HAVING subquery — Catalyst lowers it
+    to a semi-join against the pre-aggregated order totals, so lineitem
+    aggregates ONCE for the threshold and once for the output sum, never
+    per outer row. Threshold 250 sits near the p99 of per-order quantity
+    (25/204/2285 qualifying orders at the three SFs — selective but never
+    empty). SUM(l_quantity) is a sum of small integral doubles — exact in
+    any order, no decimal detour needed."""
+    _register(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               SUM(l_quantity) AS total_qty
+        FROM _subq_customer
+        JOIN _subq_orders   ON c_custkey = o_custkey
+        JOIN _subq_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM _subq_lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved significant volume of a part family in a year
+    (TPC-H Q20 shape, adapted: no partsupp, so "availability" is shipped
+    quantity from lineitem): a NESTED IN chain — suppliers IN (heavy
+    shippers of parts IN (the red family)) — that must lower to two
+    stacked semi-joins with the part-family filter pushed inside the
+    innermost subquery, never a per-supplier re-scan. Threshold 300 on
+    the year's summed quantity keeps 4/44/412 suppliers at the three SFs
+    (and drops some at each) — both branches always fire."""
+    _register(spark, sf_dir, ["supplier", "lineitem", "part"])
+    return spark.sql("""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM _subq_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM _subq_lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM _subq_part WHERE p_name LIKE 'red%'
+            )
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey HAVING SUM(l_quantity) > 300
+        )
+        ORDER BY s_suppkey
+    """)
+
+
+PROMO_STOCK_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey HAVING SUM(l_quantity) > 300
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "suppliers_with_waiting_orders": suppliers_with_waiting_orders,
     "concentrated_part_types": concentrated_part_types,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "idle_customer_balances": idle_customer_balances,
+    "top_supplier_revenue": top_supplier_revenue,
+    "supplier_part_variety": supplier_part_variety,
+    "large_volume_customers": large_volume_customers,
+    "promo_stock_suppliers": promo_stock_suppliers,
 }
 
 ORACLES = {
@@ -260,4 +428,8 @@ ORACLES = {
     "concentrated_part_types": CONCENTRATED_PART_TYPES_SQL,
     "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
     "idle_customer_balances": IDLE_CUSTOMER_BALANCES_SQL,
+    "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
+    "supplier_part_variety": SUPPLIER_PART_VARIETY_SQL,
+    "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
+    "promo_stock_suppliers": PROMO_STOCK_SUPPLIERS_SQL,
 }

@@ -159,6 +159,16 @@ _ORDER = [
     # entries whose code is unchanged since their row
     "promo_revenue_ratio",
     "token_length_histogram",
+    # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H
+    # query shapes have an adapted, oracle-gated twin
+    "forecast_revenue_change",
+    "volume_shipping",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "large_volume_customers",
+    "promo_stock_suppliers",
     "funnel_conversion",
     "cohort_retention",
     "fuzzy_name_pairs",

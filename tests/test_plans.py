@@ -361,3 +361,35 @@ def test_cohort_frames_checkpointed_single_scan(spark, sf_dir):
     BOTH funnel and cohort — this is the cohort half of that pin)."""
     plan = plan_of(spark, sf_dir, "cohort_retention")
     assert plan.count("Scan parquet") <= 1
+
+
+def test_volume_shipping_posture(spark, sf_dir):
+    """Q7 shape: both nation dims pre-filter to the 2 candidate names
+    BEFORE broadcasting (PushedFilters carries the In(n_name,…)), the
+    two-direction OR stays ONE residual filter (never a union of two
+    plans), and no join degrades to a nested loop."""
+    plan = plan_of(spark, sf_dir, "volume_shipping")
+    assert re.search(r"PushedFilters: \[[^\]]*In\(n_name", plan)
+    assert "Union" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_stock_suppliers_nested_semi_joins(spark, sf_dir):
+    """Q20 shape: the nested IN chain must lower to two stacked semi-joins
+    (supplier ⋉ heavy-shippers ⋉ red-parts) — a per-supplier re-execution
+    of the subquery would show up as extra scans or a nested loop."""
+    plan = plan_of(spark, sf_dir, "promo_stock_suppliers")
+    assert plan.count("LeftSemi") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    # supplier + lineitem + part: one scan each
+    assert plan.count("Scan parquet") == 3
+
+
+def test_customer_order_distribution_outer_preserved(spark, sf_dir):
+    """Q13 shape: the 2001 filter lives in the JOIN CONDITION, so the
+    left-outer join must SURVIVE planning (a WHERE-side filter would let
+    Catalyst rewrite it to inner and silently drop the c_count=0
+    bucket)."""
+    plan = plan_of(spark, sf_dir, "customer_order_distribution")
+    assert "LeftOuter" in plan

@@ -119,3 +119,57 @@ def test_containment_and_jaccard_nonempty(con):
     cont = con.execute(_oracle("containment_nearup")).fetchall()
     jac = con.execute(_oracle("ngram_jaccard_nearup")).fetchall()
     assert cont and jac
+
+
+def test_q6_band_keeps_and_drops(con):
+    """forecast_revenue_change: the 3-predicate band must keep a strict,
+    non-empty subset of lineitem."""
+    n_kept = con.execute(
+        "SELECT COUNT(*) FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        "  AND l_shipdate < TIMESTAMP '1998-01-01'"
+        "  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24"
+    ).fetchone()[0]
+    n_all = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert 0 < n_kept < n_all
+
+
+def test_q13_zero_bucket_real(con):
+    """customer_order_distribution: the c_count=0 bucket (customers with
+    no 2001 order) must exist alongside nonzero buckets — it's the outer
+    join's null branch, and the whole point of the left-outer shape."""
+    rows = con.execute(_oracle("customer_order_distribution")).fetchall()
+    counts = {r[0] for r in rows}
+    assert 0 in counts and counts - {0}
+
+
+def test_q16_denylist_excludes_someone(con):
+    """supplier_part_variety: dropping the NOT IN must grow some group's
+    distinct-supplier count — the denylist has to bite."""
+    sql = _oracle("supplier_part_variety")
+    relaxed = re.sub(
+        r"AND l_suppkey NOT IN \((?:[^()]|\([^()]*\))*\)", "", sql, flags=re.S
+    )
+    assert relaxed != sql
+    assert con.execute(sql).fetchall() != con.execute(relaxed).fetchall()
+
+
+def test_q18_threshold_selective_nonempty(con):
+    """large_volume_customers: the HAVING>250 subquery must qualify some
+    but not all orders."""
+    n_q = con.execute(
+        "SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)"
+    ).fetchone()[0]
+    n_all = con.execute(
+        "SELECT COUNT(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()[0]
+    assert 0 < n_q < n_all
+
+
+def test_q20_nested_in_selective_nonempty(con):
+    """promo_stock_suppliers: the nested IN must admit some suppliers and
+    reject others."""
+    n_kept = len(con.execute(_oracle("promo_stock_suppliers")).fetchall())
+    n_all = con.execute("SELECT COUNT(*) FROM supplier").fetchone()[0]
+    assert 0 < n_kept < n_all
