@@ -153,12 +153,225 @@ ORDER BY cells.cohort_day, day_offset
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type) — the behavior-model table
+    recommendation and anomaly pipelines consume.
+
+    lag() over (user_id ORDER BY ts, event_id) pairs each event with its
+    predecessor — ONE shuffle by user_id, linear state; the pair counts
+    then map-side combine, and the row-normalizing denominator comes from
+    a window SUM over the tiny (type×type) grid, not a second pass over
+    the fact. Probability = exact-int / exact-int in one double division —
+    engine-exact. Event timestamps are globally unique in TESTDATA, but
+    event_id still tiebreaks the order so the query stays deterministic on
+    any data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "p",
+            F.col("n").cast("double") / F.sum("n").over(grid).cast("double"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 daily user journeys: the ordered first-3-event-type path per
+    (user, day), counted and ranked — the "what do people actually do
+    first" report. Path assembly is rank-then-pivot (row_number ≤ 3 over
+    the user-day window, conditional MIN per slot), which keeps the whole
+    query in codegen — no collect_list/UDF — and shares ONE shuffle by
+    (user_id, day) between ranking and assembly; the final top-20 is a
+    heap TakeOrderedAndProject with a path tiebreak, never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    slot = F.row_number().over(w)
+    ranked = ev.withColumn("rn", slot).filter(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.min(F.when(F.col("rn") == 1, F.col("event_type"))),
+                F.min(F.when(F.col("rn") == 2, F.col("event_type"))),
+                F.min(F.when(F.col("rn") == 3, F.col("event_type"))),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), "path")
+        .limit(20)
+    )
+
+
+SESSION_PATHS_TOPK_SQL = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, day,
+         CONCAT_WS('>',
+           MIN(CASE WHEN rn = 1 THEN event_type END),
+           MIN(CASE WHEN rn = 2 THEN event_type END),
+           MIN(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id, day
+)
+SELECT path, COUNT(*) AS n_user_days
+FROM paths
+GROUP BY path
+ORDER BY n_user_days DESC, path
+LIMIT 20
+"""
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each user scored into recency / frequency /
+    monetary quartiles (ntile(4) with a user_id tiebreak so the cut is
+    deterministic on ties), then rolled up to segment-level counts and
+    purchase totals — the classic CRM cube.
+
+    The quartiles are computed WITHIN the user's acquisition cohort
+    (first-event day). Analytically that's the standard tenure control —
+    a 2019 signup and a last-week signup shouldn't compete on frequency —
+    and mechanically it's the same move sequence_packing makes: a GLOBAL
+    ntile is a single-partition sort (the scale-killer), while the
+    per-cohort window is an embarrassingly parallel pass sharing one
+    shuffle. ONE pass over events builds the per-user triple (the
+    reference day is the global max timestamp — a one-row broadcast, not
+    a second scan); monetary totals go through the decimal accumulator so
+    the rollup is partition-order-proof."""
+    from pyspark.sql import Window
+
+    from .helpers import dsum
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.to_date(F.min("ts")).alias("cohort_day"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("ref_ts"), F.to_date("last_ts")),
+        )
+    )
+    # low recency_days = recent = best → ascending; high freq/monetary =
+    # best → descending, matching the conventional R/F/M 1..4 scoring
+    r_w = Window.partitionBy("cohort_day").orderBy("recency_days", "user_id")
+    f_w = Window.partitionBy("cohort_day").orderBy(
+        F.col("frequency").desc(), "user_id"
+    )
+    m_w = Window.partitionBy("cohort_day").orderBy(
+        F.col("monetary").desc(), "user_id"
+    )
+    scored = per_user.select(
+        "user_id",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_tile"),
+        F.ntile(4).over(f_w).alias("f_tile"),
+        F.ntile(4).over(m_w).alias("m_tile"),
+    )
+    return (
+        scored.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dsum("monetary").alias("segment_value"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
+
+
+USER_RFM_SEGMENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MIN(ts) AS DATE) AS cohort_day,
+         DATEDIFF('day', CAST(MAX(ts) AS DATE),
+                  (SELECT CAST(MAX(ts) AS DATE) FROM events))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM events
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, monetary,
+         NTILE(4) OVER (PARTITION BY cohort_day
+                        ORDER BY recency_days, user_id) AS r_tile,
+         NTILE(4) OVER (PARTITION BY cohort_day
+                        ORDER BY frequency DESC, user_id) AS f_tile,
+         NTILE(4) OVER (PARTITION BY cohort_day
+                        ORDER BY monetary DESC, user_id) AS m_tile
+  FROM per_user
+)
+SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_users,
+       CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+         AS segment_value
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "event_transition_matrix": event_transition_matrix,
+    "session_paths_topk": session_paths_topk,
+    "user_rfm_segments": user_rfm_segments,
 }
 
 ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
+    "session_paths_topk": SESSION_PATHS_TOPK_SQL,
+    "user_rfm_segments": USER_RFM_SEGMENTS_SQL,
 }

@@ -1,0 +1,155 @@
+"""Iterative graph analytics as DataFrame loops — the tier llm/dedup.py's
+connected-components opened (min-label propagation to fixpoint); this
+module adds weighted PageRank, the other canonical "iterate a join+agg
+until done" workload.
+
+Scale discipline shared with dedup_components: each round is ONE shuffle
+keyed by the destination node; the rank frame (2 narrow columns) is the
+only thing that iterates — edges are computed once and reused; a fixed
+iteration count keeps the plan finite and lets the DuckDB oracle express
+the identical computation as unrolled CTEs. Per-edge contributions cast
+to DECIMAL(38,18) before the SUM, so the fold is associative and
+partition-order-proof — the same helpers.py discipline that makes every
+other float aggregate in this repo hash-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+
+#: damping factor (the standard 0.85) and fixed iteration count
+_DAMPING = 0.85
+_N_ITER = 3
+
+
+def _decimal_sum(col) -> F.Column:
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph: nodes are nations,
+    an edge supp_nation → cust_nation is weighted by the number of
+    lineitems shipped between them; 3 damped iterations (d=0.85) from a
+    uniform start.
+
+    Scale shape: the edge list builds ONCE — supplier and customer each
+    resolve a nation via a broadcast dim join, the fact shuffles once for
+    the (src, dst) weight rollup — then every iteration moves only the
+    (node, rank) pairs: join rank→edges on src (broadcast at this node
+    count; hash join keyed on src at web scale), partial+final decimal
+    aggregate by dst, left join back to the node list so rank sinks keep
+    the teleport term. Nothing in the loop depends on partitioning order:
+    w/out_w ratios and rank multiplications are per-row IEEE doubles,
+    and the per-destination fold is the decimal accumulator.
+
+    The REPORTED rank is rounded to 9 decimals (same contract as
+    pct_rank in ops/windows.py): the double→decimal(38,18) cast inside
+    the accumulator goes through the JVM's shortest-string representation
+    while DuckDB converts the full binary expansion, so the engines can
+    disagree in the 17th significant digit; the damping factor keeps that
+    bounded at ulp scale across iterations, and 9 reported decimals are
+    ~8 digits of slack away from it."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["nation", "customer", "supplier", "orders", "lineitem"]}
+    supp_n = t["supplier"].join(
+        F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("src"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "src")
+    cust_n = t["customer"].join(
+        F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("dst"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "dst")
+    edges = (
+        t["lineitem"].select("l_orderkey", "l_suppkey")
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # ratio is exact-int / exact-int → one deterministic double per edge
+    edges = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("ratio")
+    ).localCheckpoint(eager=True)  # 3 consumers below — compute once
+
+    nodes = t["nation"].select(F.col("n_name").alias("node"))
+    n_nodes = nodes.count()  # dim-table count: tiny, driver-side by design
+    teleport = (1.0 - _DAMPING) / n_nodes
+    rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(_N_ITER):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(_decimal_sum(F.col("rank") * F.col("ratio")).alias("inflow"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(_DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return rank.select("node", F.round("rank", 9).alias("rank")).orderBy(
+        F.col("rank").desc(), "node"
+    )
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+pr{k} AS (
+  SELECT n.node,
+         {(1.0 - _DAMPING)!r} / (SELECT COUNT(*) FROM nodes)
+           + {_DAMPING!r} * COALESCE(c.inflow, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(p.rank * e.ratio AS DECIMAL(38,18))) AS DOUBLE)
+             AS inflow
+    FROM edges e JOIN pr{k - 1} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+
+
+TRADE_PAGERANK_SQL = f"""
+WITH nodes AS (SELECT n_name AS node FROM nation),
+raw_edges AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst,
+         CAST(w AS DOUBLE)
+           / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS ratio
+  FROM raw_edges
+),
+pr0 AS (
+  SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes
+),{",".join(_pr_iter_sql(k) for k in range(1, _N_ITER + 1))}
+SELECT node, ROUND(rank, 9) AS rank FROM pr{_N_ITER}
+ORDER BY ROUND(rank, 9) DESC, node
+"""
+
+
+QUERIES = {
+    "trade_pagerank": trade_pagerank,
+}
+
+ORACLES = {
+    "trade_pagerank": TRADE_PAGERANK_SQL,
+}

@@ -25,6 +25,7 @@ from .ops import (
     collections,
     events,
     fuzzy,
+    graph,
     joins,
     macros,
     relational,
@@ -48,6 +49,7 @@ _MODULES = [
     skew,
     udfs,
     fuzzy,
+    graph,
     dedup,
     similarity,
     textstats,
@@ -169,6 +171,11 @@ _ORDER = [
     "supplier_part_variety",
     "large_volume_customers",
     "promo_stock_suppliers",
+    # session 3: product-analytics + iterative-graph tier
+    "event_transition_matrix",
+    "session_paths_topk",
+    "user_rfm_segments",
+    "trade_pagerank",
     "funnel_conversion",
     "cohort_retention",
     "fuzzy_name_pairs",

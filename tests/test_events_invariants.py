@@ -53,3 +53,50 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         for key in [(d1, d2), (d2, d1)]:
             if key in cont:
                 assert cont[key] >= j - 1e-12
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each prev_type's outgoing probabilities must sum to 1 (exact-int
+    numerators over their own total)."""
+    from collections import defaultdict
+
+    from ir_analyses_spark.ops.events import event_transition_matrix
+
+    rows = event_transition_matrix(spark, "/root/testdata/sf0.001").collect()
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_prev[r["prev_type"]] += r["p"]
+    assert by_prev
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 1e-9, prev
+
+
+def test_rfm_tiles_bounded_and_cover_users(spark):
+    """Every tile is 1..4 and segment user counts sum to the number of
+    distinct users."""
+    from ir_analyses_spark.io.sources import load_table
+    from ir_analyses_spark.ops.events import user_rfm_segments
+
+    sf = "/root/testdata/sf0.001"
+    rows = user_rfm_segments(spark, sf).collect()
+    for r in rows:
+        assert 1 <= r["r_tile"] <= 4
+        assert 1 <= r["f_tile"] <= 4
+        assert 1 <= r["m_tile"] <= 4
+    n_users = (
+        load_table(spark, "events", sf).select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_pagerank_mass_conserved_no_dangling(spark):
+    """On a graph where every node has out-edges (sf0.01: all 25 nations
+    ship), total rank mass stays 1 per iteration — teleport + damped
+    inflow redistributes, never leaks."""
+    from ir_analyses_spark.ops.graph import trade_pagerank
+
+    rows = trade_pagerank(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 25
+    assert all(r["rank"] > 0 for r in rows)
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6

@@ -393,3 +393,32 @@ def test_customer_order_distribution_outer_preserved(spark, sf_dir):
     bucket)."""
     plan = plan_of(spark, sf_dir, "customer_order_distribution")
     assert "LeftOuter" in plan
+
+
+def test_session_paths_heap_topk(spark, sf_dir):
+    """The path report must take its top-20 as a heap, never a global
+    sort of the path distribution."""
+    plan = plan_of(spark, sf_dir, "session_paths_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_windows_never_single_partition(spark, sf_dir):
+    """The three ntile windows are PARTITIONED by acquisition cohort — a
+    global ntile would appear as an `Exchange SinglePartition` feeding a
+    Window, the single-task sort that dies at real user counts."""
+    plan = plan_of(spark, sf_dir, "user_rfm_segments")
+    # every ntile window carries the cohort partition spec...
+    ntile_windows = re.findall(r"Window \[ntile[^\n]*", plan)
+    assert len(ntile_windows) == 3
+    assert all("cohort_day" in w for w in ntile_windows)
+    # ...sharing ONE cohort hash exchange (the sorts chain shuffle-free);
+    # the only SinglePartition is the one-row max(ts) scalar broadcast
+    assert plan.count("Exchange hashpartitioning(cohort_day") == 1
+
+
+def test_transition_matrix_single_fact_shuffle(spark, sf_dir):
+    """The lag window and the pair rollup must not re-scan events: one
+    scan, and the only exchanges are the user_id hash for the window, the
+    pair-count agg, and the tiny grid normalization."""
+    plan = plan_of(spark, sf_dir, "event_transition_matrix")
+    assert plan.count("Scan parquet") == 1
