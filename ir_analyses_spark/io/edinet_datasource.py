@@ -27,7 +27,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: the documents.json result fields the reference consumes
 #: (reference utils/api.py:75-88)
@@ -66,6 +71,62 @@ class EdinetFixtureReader(DataSourceReader):
             yield tuple(rec.get(k) for k in _FIELDS) + (partition.date,)
 
 
+class EdinetFixtureStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: EDINET publishes one
+    ``documents.json`` per date, so the natural streaming offset is "the
+    last date ingested" — each micro-batch picks up exactly the date
+    files that appeared since. Offsets are the date STRINGS themselves
+    (lexicographic == chronological for ISO dates), which makes
+    ``readBetweenOffsets`` — the crash-recovery replay path Structured
+    Streaming calls when a batch must be re-read from the WAL — a pure
+    deterministic re-listing: same offset pair, same rows, so a restarted
+    query cannot double-ingest or skip a date. Live deployment swaps the
+    directory listing for the dated documents.json GET (io/edinet_http.py)
+    — the offset/replay contract is unchanged."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("option 'path' is required")
+
+    def _dates(self) -> list[str]:
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.root)
+            if f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last_date": ""}
+
+    def _rows_for(self, dates: list[str]) -> Iterator[tuple]:
+        for date in dates:
+            with open(
+                os.path.join(self.root, f"{date}.json"), encoding="utf-8"
+            ) as f:
+                payload = json.load(f)
+            for rec in payload.get("results", []):
+                yield tuple(rec.get(k) for k in _FIELDS) + (date,)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        new = [d for d in self._dates() if d > start["last_date"]]
+        if not new:
+            return iter(()), start
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, and generators can't be
+        # copied (a date's document list is bounded — a few thousand rows)
+        return list(self._rows_for(new)), {"last_date": new[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay of a WAL-committed range after a restart
+        replay = [
+            d
+            for d in self._dates()
+            if start["last_date"] < d <= end["last_date"]
+        ]
+        return list(self._rows_for(replay))
+
+
 class EdinetFixtureDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -76,3 +137,6 @@ class EdinetFixtureDataSource(DataSource):
 
     def reader(self, schema) -> EdinetFixtureReader:
         return EdinetFixtureReader(self.options)
+
+    def simpleStreamReader(self, schema) -> EdinetFixtureStreamReader:
+        return EdinetFixtureStreamReader(self.options)

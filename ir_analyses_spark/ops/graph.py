@@ -28,6 +28,55 @@ def _decimal_sum(col) -> F.Column:
     return F.sum(col.cast("decimal(38,18)")).cast("double")
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    n_iter: int = _N_ITER,
+    damping: float = _DAMPING,
+) -> DataFrame:
+    """Generic weighted PageRank: ``nodes`` is one ``node`` column,
+    ``edges`` is (``src``, ``dst``, ``w``) with integer-valued weights.
+    Returns (node, rank) after ``n_iter`` damped iterations from a
+    uniform start, rank rounded to 9 decimals (see trade_pagerank for
+    why the report rounds).
+
+    The loop is the scale contract: edges normalize and checkpoint ONCE;
+    every iteration moves only the (node, rank) pairs through one shuffle
+    keyed on dst with a decimal-accumulator fold; rank sinks keep the
+    teleport term via the left join back to ``nodes``. The node count is
+    the only driver-side action (one scalar)."""
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # ratio is exact-int / exact-int → one deterministic double per edge
+    ratio_edges = edges.join(out_w, "src").select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("out_w").cast("double")).alias(
+            "ratio"
+        ),
+    ).localCheckpoint(eager=True)  # n_iter consumers below — compute once
+
+    n_nodes = nodes.count()  # one scalar, driver-side by design
+    teleport = (1.0 - damping) / n_nodes
+    rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contrib = (
+            ratio_edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(_decimal_sum(F.col("rank") * F.col("ratio")).alias("inflow"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return rank.select("node", F.round("rank", 9).alias("rank")).orderBy(
+        F.col("rank").desc(), "node"
+    )
+
+
 def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation trade graph: nodes are nations,
     an edge supp_nation → cust_nation is weighted by the number of
@@ -76,32 +125,8 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # ratio is exact-int / exact-int → one deterministic double per edge
-    edges = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("ratio")
-    ).localCheckpoint(eager=True)  # 3 consumers below — compute once
-
     nodes = t["nation"].select(F.col("n_name").alias("node"))
-    n_nodes = nodes.count()  # dim-table count: tiny, driver-side by design
-    teleport = (1.0 - _DAMPING) / n_nodes
-    rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(_N_ITER):
-        contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(_decimal_sum(F.col("rank") * F.col("ratio")).alias("inflow"))
-        )
-        rank = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.lit(_DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
-            ).alias("rank"),
-        )
-    return rank.select("node", F.round("rank", 9).alias("rank")).orderBy(
-        F.col("rank").desc(), "node"
-    )
+    return pagerank(nodes, edges)
 
 
 def _pr_iter_sql(k: int) -> str:

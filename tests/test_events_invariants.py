@@ -3,6 +3,7 @@ containment dedup — properties the oracle equality alone doesn't spell out."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ir_analyses_spark.ops.events import funnel_conversion, cohort_retention
@@ -100,3 +101,63 @@ def test_pagerank_mass_conserved_no_dangling(spark):
     assert len(rows) == 25
     assert all(r["rank"] > 0 for r in rows)
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
+def _py_pagerank(nodes, edges, n_iter=3, damping=0.85):
+    """Pure-Python twin of ops.graph.pagerank with matching arithmetic:
+    float ratio/multiply per edge, DECIMAL(38,18)-quantized associative
+    fold (Decimal(repr(x)) == the JVM's BigDecimal.valueOf shortest-repr
+    conversion), float teleport+damp combine."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-18)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    ratio = [(s, d, w / out_w[s]) for s, d, w in edges]
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    teleport = (1.0 - damping) / len(nodes)
+    for _ in range(n_iter):
+        inflow = {}
+        for s, d, r in ratio:
+            term = Decimal(repr(rank[s] * r)).quantize(q, ROUND_HALF_UP)
+            inflow[d] = inflow.get(d, Decimal(0)) + term
+        rank = {
+            n: teleport + damping * float(inflow.get(n, Decimal(0)))
+            for n in nodes
+        }
+    return rank
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 1234])
+def test_pagerank_matches_python_model_on_random_graphs(spark, seed):
+    """Differential check of the generic pagerank operator on randomized
+    graphs (including dangling nodes and isolated nodes) against a
+    pure-Python implementation of the same arithmetic."""
+    import random
+
+    from ir_analyses_spark.ops.graph import pagerank
+
+    rng = random.Random(seed)
+    n = rng.randint(3, 8)
+    nodes = [f"n{i}" for i in range(n)]
+    edges = [
+        (a, b, rng.randint(1, 5))
+        for a in nodes
+        for b in nodes
+        if a != b and rng.random() < 0.4
+    ]
+    if not edges:
+        edges = [(nodes[0], nodes[1], 1)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame([(x,) for x in nodes], "node string"),
+            spark.createDataFrame(edges, "src string, dst string, w long"),
+        ).collect()
+    }
+    want = _py_pagerank(nodes, edges)
+    assert set(got) == set(want)
+    for node in nodes:
+        assert abs(got[node] - want[node]) < 1e-9, (node, got[node], want[node])
+        assert got[node] >= 0.15 / n - 1e-9  # teleport floor

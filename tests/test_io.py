@@ -1030,3 +1030,67 @@ def test_sniff_encoding_truncated_multibyte_sample(tmp_path):
     assert assert_raises, "fixture must cut a multibyte sequence"
     p.write_bytes(data)
     assert sources.sniff_encoding(str(p)) == "UTF-8"
+
+
+def test_edinet_stream_reader_incremental(spark, tmp_path):
+    """Streaming S4: the date-offset stream reader ingests each date
+    exactly once across restarts — run to availableNow, add a date, rerun
+    on the SAME checkpoint, and only the new date arrives; the WAL replay
+    path (readBetweenOffsets) re-lists deterministically."""
+    import json
+
+    from ir_analyses_spark.io.edinet_datasource import (
+        EdinetFixtureDataSource,
+        EdinetFixtureStreamReader,
+    )
+
+    d = tmp_path / "lists"
+    d.mkdir()
+
+    def put(date, n):
+        payload = {
+            "results": [
+                {
+                    "docID": f"S{date}-{i}",
+                    "edinetCode": "E1",
+                    "filerName": "f",
+                    "docDescription": "desc",
+                    "submitDateTime": f"{date} 15:00",
+                }
+                for i in range(n)
+            ]
+        }
+        (d / f"{date}.json").write_text(json.dumps(payload), encoding="utf-8")
+
+    put("2024-02-09", 2)
+    put("2024-02-13", 1)
+    spark.dataSource.register(EdinetFixtureDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("edinet_fixture")
+            .option("path", str(d))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+
+    put("2024-02-20", 4)  # a new date appears; old dates unchanged
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 7  # 3 + the new 4, nothing re-ingested
+    assert got.filter("date = '2024-02-20'").count() == 4
+
+    # WAL replay: same offset pair → identical rows, any number of times
+    r = EdinetFixtureStreamReader({"path": str(d)})
+    a = list(r.readBetweenOffsets({"last_date": "2024-02-09"}, {"last_date": "2024-02-20"}))
+    b = list(r.readBetweenOffsets({"last_date": "2024-02-09"}, {"last_date": "2024-02-20"}))
+    assert a == b and len(a) == 5  # the 02-13 row + the four 02-20 rows
