@@ -370,6 +370,17 @@ def read(
             return True
 
         files = [f for f in files if _may_hit(f)]
+    return _read_files(spark, table, files, schema, snap.partition_by)
+
+
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    files: list[dict],
+    schema: StructType,
+    partition_by: str | None,
+) -> DataFrame:
+    """Read a manifest file subset under an explicit schema."""
     if not files:
         return spark.createDataFrame([], schema)
     # group by commit directory: files in one commit share a basePath, so
@@ -384,7 +395,7 @@ def read(
         by_commit.setdefault("/".join(parts[:2]), []).append(
             os.path.join(table, f["path"])
         )
-    phys = _phys_schema(schema, snap.partition_by)
+    phys = _phys_schema(schema, partition_by)
     pieces = []
     for commit_dir, paths in sorted(by_commit.items()):
         rdr = spark.read.schema(phys).option(
@@ -395,6 +406,102 @@ def read(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.select(*[f.name for f in schema.fields])
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions (Delta CDF
+    semantics, computed ON DEMAND from the manifest diff — no change
+    files are ever written, so every write path stays untouched).
+
+    Mechanics: manifests name immutable files, so a row can only change
+    by its file being REPLACED — the diff of the two file sets is the
+    complete superset of changed rows. Only the removed files (pre-image
+    side) and added files (post-image side) are read — carried-over files
+    never scan, which at 100 TB means a change feed over a
+    partition-scoped merge reads just the touched partitions. The keyed
+    full-outer comparison then classifies rows:
+
+    - key only on the post side → ``insert``
+    - key only on the pre side → ``delete``
+    - both sides, any non-key column differing (null-safe) →
+      ``update_preimage`` + ``update_postimage``
+    - both sides, all columns equal → dropped (a rewrite that didn't
+      change the row — compaction, or the untouched remainder of a
+      rewritten file)
+
+    Output: the table schema (the TO version's — evolved columns
+    null-fill on the pre side) plus ``_change_type`` and
+    ``_commit_version`` (the TO version). Like Delta's MERGE, keys must
+    be non-null: a null key never joins, so a null-keyed rewrite reports
+    as delete + insert rather than an update pair (documented, not
+    silent — the same rows ARE all reported)."""
+    snap_a = snapshot(table, from_version)
+    snap_b = snapshot(table, to_version)
+    if snap_b.schema_json is None:
+        raise FileNotFoundError(f"no committed version at {table}")
+    if snap_a.partition_by != snap_b.partition_by:
+        raise ValueError(
+            "read_changes across a partition-layout change is ambiguous: "
+            f"{snap_a.partition_by!r} → {snap_b.partition_by!r}"
+        )
+    schema = StructType.fromJson(json.loads(snap_b.schema_json))
+    paths_a = {f["path"] for f in snap_a.files}
+    paths_b = {f["path"] for f in snap_b.files}
+    pre = _read_files(
+        spark, table,
+        [f for f in snap_a.files if f["path"] not in paths_b],
+        schema, snap_b.partition_by,
+    )
+    post = _read_files(
+        spark, table,
+        [f for f in snap_b.files if f["path"] not in paths_a],
+        schema, snap_b.partition_by,
+    )
+    cols = [f.name for f in schema.fields]
+    non_keys = [c for c in cols if c not in keys]
+    old = pre.select(
+        *[F.col(c).alias(f"__old_{c}") for c in cols],
+        F.lit(True).alias("__old_present"),
+    )
+    new = post.select(
+        *[F.col(c).alias(f"__new_{c}") for c in cols],
+        F.lit(True).alias("__new_present"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__old_{k}") == F.col(f"__new_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = old.join(new, cond, "full_outer")
+    differs = F.lit(False)
+    for c in non_keys:
+        differs = differs | ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+
+    def _emit(frame: DataFrame, side: str, change: str) -> DataFrame:
+        return frame.select(
+            *[F.col(f"__{side}_{c}").alias(c) for c in cols],
+            F.lit(change).alias("_change_type"),
+            F.lit(snap_b.version).alias("_commit_version"),
+        )
+
+    inserts = joined.filter(F.col("__old_present").isNull())
+    deletes = joined.filter(F.col("__new_present").isNull())
+    updated = joined.filter(
+        F.col("__old_present").isNotNull()
+        & F.col("__new_present").isNotNull()
+        & differs
+    )
+    return (
+        _emit(inserts, "new", "insert")
+        .unionByName(_emit(deletes, "old", "delete"))
+        .unionByName(_emit(updated, "old", "update_preimage"))
+        .unionByName(_emit(updated, "new", "update_postimage"))
+    )
 
 
 def overwrite(

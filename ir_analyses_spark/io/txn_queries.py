@@ -143,10 +143,62 @@ FROM merged GROUP BY prio
 """
 
 
+def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (Delta CDF semantics) computed from the
+    manifest diff of two commits: overwrite a base slice of orders (v1),
+    MERGE an updates slice that doubles prices and introduces new keys
+    (v2), then ``read_changes(v1→v2)`` must report exactly the inserts
+    (update keys absent from base) and the update pre/post-image pairs
+    (keys present in both with a price that actually changed — price-0
+    rows rewrite identically and must NOT appear). The oracle restates
+    the classification straight from the source table, so a diff that
+    leaks unchanged rewritten rows, drops a side of an update pair, or
+    misclassifies an insert breaks the hash."""
+    table = tempfile.mkdtemp(prefix="txn_change_feed_")
+    orders = _orders(spark, sf_dir)
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    txn.overwrite(base, table)
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+    )
+    txn.merge_upsert(updates, table, keys=["o_orderkey"])
+    return txn.read_changes(
+        spark, table, keys=["o_orderkey"], from_version=1, to_version=2
+    )
+
+
+TXN_CHANGE_FEED_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT u.o_orderkey, u.price,
+       'insert' AS _change_type, 2 AS _commit_version
+FROM upd u LEFT JOIN base b ON u.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL
+UNION ALL
+SELECT b.o_orderkey, b.price, 'update_preimage', 2
+FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey
+WHERE b.price <> u.price
+UNION ALL
+SELECT u.o_orderkey, u.price, 'update_postimage', 2
+FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey
+WHERE b.price <> u.price
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
     "txn_time_travel": txn_time_travel,
+    "txn_change_feed": txn_change_feed,
 }
 
 ORACLES = {
@@ -167,6 +219,7 @@ ORACLES = {
                    AND substr(o_orderpriority, 1, 1) IN ('1', '2'))
     """,
     "txn_time_travel": TXN_TIME_TRAVEL_SQL,
+    "txn_change_feed": TXN_CHANGE_FEED_SQL,
     "txn_exactly_once_rollup": """
         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
                COUNT(*) AS cnt,

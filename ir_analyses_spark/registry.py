@@ -171,6 +171,8 @@ _ORDER = [
     "supplier_part_variety",
     "large_volume_customers",
     "promo_stock_suppliers",
+    # session 3: change feed over the txn format
+    "txn_change_feed",
     # session 3: product-analytics + iterative-graph tier
     "event_transition_matrix",
     "session_paths_topk",

@@ -476,3 +476,71 @@ def test_partition_column_type_pinned_by_manifest_schema(spark, tmp_path):
         (1, "2024-01-01", 10),
         (2, "2024-01-02", 20),
     ]
+
+
+def test_read_changes_insert_update_delete(spark, tmp_path):
+    """The change feed classifies all three change kinds from the manifest
+    diff and suppresses unchanged rows that merely got rewritten."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    txn.overwrite(base, t)  # v1
+    # transform: drop k=3 (delete), double k=2 (update), add k=9 (insert),
+    # keep k=1/k=4 byte-identical (must NOT appear in the feed)
+    txn.transform_commit(
+        spark,
+        t,
+        lambda cur: cur.filter("k <> 3")
+        .withColumn("v", F.when(F.col("k") == 2, F.col("v") * 2).otherwise(F.col("v")))
+        .unionByName(spark.createDataFrame([(9, 90.0)], "k long, v double")),
+    )  # v2
+    feed = txn.read_changes(spark, t, keys=["k"], from_version=1, to_version=2)
+    got = {(r["k"], r["_change_type"]): r["v"] for r in feed.collect()}
+    assert got == {
+        (9, "insert"): 90.0,
+        (3, "delete"): 30.0,
+        (2, "update_preimage"): 20.0,
+        (2, "update_postimage"): 40.0,
+    }
+    assert all(r["_commit_version"] == 2 for r in feed.collect())
+
+
+def test_read_changes_compaction_is_silent(spark, tmp_path):
+    """OPTIMIZE rewrites every file but changes no row — the change feed
+    across a compaction commit must be EMPTY."""
+    t = str(tmp_path / "t")
+    txn.overwrite(
+        spark.range(100).withColumn("v", F.col("id") * 2).repartition(8), t
+    )  # v1: 8 files
+    txn.compact(spark, t, target_file_bytes=1 << 30)  # v2: rewritten layout
+    feed = txn.read_changes(spark, t, keys=["id"], from_version=1, to_version=2)
+    assert feed.count() == 0
+
+
+def test_read_changes_partition_scoped_merge_reads_only_touched(spark, tmp_path):
+    """On a partition-scoped merge, untouched partitions carry over
+    file-verbatim, so the change feed's pre/post reads touch ONLY the
+    rewritten partition's files — and report only its changed rows."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        "k long, p string, v double",
+    )
+    txn.overwrite(base, t, partition_by="p")  # v1
+    txn.merge_upsert(
+        spark.createDataFrame([(2, "a", 22.0)], "k long, p string, v double"),
+        t,
+        keys=["k"],
+        partition_col="p",
+    )  # v2: only partition 'a' rewrites
+    sa = txn.snapshot(t, 1)
+    sb = txn.snapshot(t, 2)
+    diff_files = {f["path"] for f in sa.files} ^ {f["path"] for f in sb.files}
+    assert all("p=b" not in path for path in diff_files)  # b carried verbatim
+    feed = txn.read_changes(spark, t, keys=["k"], from_version=1, to_version=2)
+    got = {(r["k"], r["_change_type"]): r["v"] for r in feed.collect()}
+    assert got == {
+        (2, "update_preimage"): 2.0,
+        (2, "update_postimage"): 22.0,
+    }
