@@ -123,15 +123,44 @@ def _jaccard_over(
     )
 
 
+#: refuse the quadratic shared-shingle self-join beyond this many pair
+#: rows (Σ df(g)² over shingle values). Measured on the synthetic corpus:
+#: ~6M at the correctness SFs (0.001/0.01), 561M at sf0.1 — the latter
+#: OOM-killed a 32-thread local JVM in the (d1, d2) hash aggregate.
+_PAIR_BLOWUP_BUDGET = 100_000_000
+
+
+def _require_bounded_self_join(sh: DataFrame, op: str) -> None:
+    """The all-pairs verifiers are quadratic in per-shingle doc frequency;
+    on a corpus where that blows past the budget they must FAIL LOUDLY
+    (same contract as ``neardup_pairs_bounded``'s hot-block refusal — an
+    explicit error beats an executor OOM), steering the caller to the
+    LSH-pruned verify path (`minhash_lsh_nearup` / the corpus pipelines),
+    which scores the same arithmetic over a bounded candidate set."""
+    blowup = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("b"))
+        .collect()[0]["b"]
+    )
+    if blowup and blowup > _PAIR_BLOWUP_BUDGET:
+        raise RuntimeError(
+            f"{op}: shared-shingle self-join would produce ~{blowup:,} "
+            f"pair rows (> budget {_PAIR_BLOWUP_BUDGET:,}) — this exact "
+            "all-pairs form is the VERIFY tier; generate candidates with "
+            "the banded-LSH path and score those instead"
+        )
+
+
 def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
     The shingle frame feeds three consumers inside ``_jaccard_over``
     (sizes + both self-join sides) — checkpoint it once so the explode +
     distinct doesn't replay per consumer."""
-    return _jaccard_over(
-        shingles(_spread(docs)).localCheckpoint(eager=True), None, threshold
-    )
+    sh = shingles(_spread(docs)).localCheckpoint(eager=True)
+    _require_bounded_self_join(sh, "ngram_jaccard")
+    return _jaccard_over(sh, None, threshold)
 
 
 def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +175,11 @@ def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle self-join (the verify tier — at corpus scale the
     candidate set comes from LSH and this scoring runs semi-join-pruned),
     intersection counted per ordered pair, divided once by the SOURCE set
-    size — exact integer counts, one IEEE division.
+    size — exact integer counts, one IEEE division. A blowup guard
+    refuses corpora whose Σ df² exceeds the pair budget (measured: the
+    sf0.1 synthetic corpus's 31-token vocabulary makes shingles so common
+    the self-join emits 561M pair rows and OOMs the JVM — an explicit
+    refusal pointing at the LSH path beats a dead executor).
 
     The shingle frame (corpus-wide explode + distinct — the query's most
     expensive stage) feeds THREE consumers: the sizes aggregate and both
@@ -156,6 +189,7 @@ def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(
         _spread(load_table(spark, "documents", sf_dir))
     ).localCheckpoint(eager=True)
+    _require_bounded_self_join(sh, "containment_nearup")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

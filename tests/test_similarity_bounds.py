@@ -284,3 +284,17 @@ def test_negative_sampling_collision_redraws_exactly_k(spark, tmp_path):
     assert by_anchor[(1, 1)]["is_false_negative"] is False
     assert by_anchor[(2, 1)]["neg_label"] == 10
     assert by_anchor[(2, 1)]["is_false_negative"] is True
+
+
+def test_quadratic_verifiers_refuse_blowup(spark, monkeypatch):
+    """The exact all-pairs verifiers must refuse (not OOM) when the
+    shared-shingle self-join would exceed the pair budget — found the
+    hard way: the sf0.1 corpus's 31-token vocabulary drives Σ df² to
+    561M and killed the JVM mid-sweep."""
+    from ir_analyses_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "_PAIR_BLOWUP_BUDGET", 1_000)
+    with pytest.raises(RuntimeError, match="VERIFY tier"):
+        dedup.containment_nearup(spark, "/root/testdata/sf0.001")
+    with pytest.raises(RuntimeError, match="VERIFY tier"):
+        dedup.ngram_jaccard_nearup(spark, "/root/testdata/sf0.001")

@@ -544,3 +544,47 @@ def test_read_changes_partition_scoped_merge_reads_only_touched(spark, tmp_path)
         (2, "update_preimage"): 2.0,
         (2, "update_postimage"): 22.0,
     }
+
+
+def test_txn_table_stream_tails_appends(spark, tmp_path):
+    """A streaming query tails an append-only txn table by commit version:
+    availableNow drains what's committed, a later append + rerun on the
+    SAME checkpoint delivers only the new rows, and a rewrite commit makes
+    the stream refuse rather than double-read."""
+    from ir_analyses_spark.io.txn_stream import TxnTableStreamDataSource
+
+    t = str(tmp_path / "t")
+    txn.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"), t)
+    txn.append(spark.createDataFrame([(3, 30.0)], "k long, v double"), t)
+    spark.dataSource.register(TxnTableStreamDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("txn_table")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    txn.append(spark.createDataFrame([(4, 40.0), (5, 50.0)], "k long, v double"), t)
+    run_once()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
+
+    # a rewrite (merge) between offsets must refuse, not double-read
+    txn.merge_upsert(
+        spark.createDataFrame([(1, 11.0)], "k long, v double"), t, keys=["k"]
+    )
+    from ir_analyses_spark.io.txn_stream import TxnTableStreamReader
+
+    r = TxnTableStreamReader({"path": t})
+    with pytest.raises(ValueError, match="rewrite"):
+        r.partitions({"version": 3}, {"version": 4})
