@@ -680,6 +680,57 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+def token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters rollup (Spark 4.1 ``approx_top_k_*``, the
+    Datasketches frequent-items family): per-language token sketches
+    accumulated in one pass, COMBINEd into a single corpus sketch, top-25
+    tokens estimated out with a deterministic (count DESC, token) rank.
+
+    Exactness contract (what lets a sketch op carry an exact oracle,
+    same pattern as the HLL partition-independence test): the sketch
+    purges only when it tracks more than ``maxItemsTracked`` items, so
+    with capacity 1024 ≥ |vocab| every count is exact and the oracle is
+    a plain GROUP BY count — pinned by the capacity guard in
+    tests/test_vacuity_guards.py. At real corpus scale the capacity is
+    sized against the accepted ε·N count error instead; what survives
+    the scale-up is the MERGE property (accumulate per shard → combine),
+    which is exactly what plain top-k-by-groupBy lacks: sketches add,
+    estimates don't.
+
+    Scale shape: accumulate is a partial aggregate (one sketch per
+    language per partition shuffles, never token rows); combine touches
+    #languages sketch blobs; the final rank orders ≤ capacity rows on
+    one partition — all data-proportional work is map-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    per_lang = tok.groupBy("lang").agg(
+        F.expr("approx_top_k_accumulate(token, 1024)").alias("sk")
+    )
+    combined = per_lang.agg(F.expr("approx_top_k_combine(sk)").alias("sk"))
+    flat = combined.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 512)")).alias("e")
+    ).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").alias("cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return flat.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= 25)
+
+
+TOKEN_TOPK_SKETCH_SQL = """
+SELECT token, cnt, rank FROM (
+  SELECT token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  GROUP BY token
+) WHERE rank <= 25
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
@@ -694,6 +745,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "token_length_histogram": token_length_histogram,
     "vocab_oov_rate": vocab_oov_rate,
+    "token_topk_sketch": token_topk_sketch,
 }
 
 ORACLES = {
@@ -710,4 +762,5 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
     "vocab_oov_rate": VOCAB_OOV_RATE_SQL,
+    "token_topk_sketch": TOKEN_TOPK_SKETCH_SQL,
 }

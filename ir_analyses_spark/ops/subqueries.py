@@ -410,6 +410,135 @@ ORDER BY s_suppkey
 """
 
 
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (SQL:1999 / Spark 4): for every
+    nation, its top-2 customers by account balance — the subquery in the
+    FROM clause references the outer row, and carries ORDER BY + LIMIT.
+
+    Scale shape: Catalyst decorrelates the per-row LIMIT into a single
+    rank-filter over customer partitioned by nation (one shuffle on
+    c_nationkey, map-side pre-ranking under AQE) joined back to the dim —
+    NEVER a nested re-scan of customer per nation. The tie-break on
+    c_custkey makes the top-2 deterministic, so the oracle (DuckDB's own
+    LATERAL) hash-matches exactly."""
+    _register(spark, sf_dir, ["nation", "customer"])
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_name, t.bal
+        FROM _subq_nation n,
+        LATERAL (
+          SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+          FROM _subq_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+    """)
+
+
+LATERAL_TOPK_PER_GROUP_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_name, t.bal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+def recursive_inventory_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4.1 WITH RECURSIVE): a double-clamped
+    inventory balance walked quarter by quarter — each step refills on a
+    seasonal 0x/1x/2x-of-average-demand schedule (quarter index mod 3),
+    subtracts that quarter's actual demand, and clamps into [0, cap]. The LOWER clamp alone would
+    still be window-expressible (the Lindley/reflection identity turns a
+    max(0, ·) recursion into running-min prefix sums); the UPPER clamp at
+    ``cap`` breaks that closed form, so this is a genuinely sequential
+    recurrence — exactly the workload WITH RECURSIVE exists for.
+
+    Exactness: all arithmetic is integer cents (the o_totalprice →
+    DECIMAL(30,2) → ×100 → BIGINT ladder is exact; ``DIV`` is integer
+    division, ``//`` on the DuckDB side), so the two engines agree
+    bit-for-bit at every step of the recursion. Constants are
+    data-derived (cap = start = demand avg ×3/4; the seasonal refill
+    swings ±avg against a 0.75-avg band) so BOTH clamps bind at every SF
+    — a never-firing bound would make the LEAST/GREATEST vacuous;
+    pinned by tests/test_subquery_shapes.py.
+
+    Scale shape: the recursion runs over the AGGREGATED quarterly series
+    (~28 rows after one groupBy shuffle of orders) — per-step state is
+    one row, the joined side is a broadcast of the tiny seq frame; the
+    data-sized work is a single scan. Depth ≈ #quarters stays far under
+    spark.sql.cteRecursionLevelLimit (100)."""
+    _register(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        WITH RECURSIVE demand AS (
+          SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
+                        CAST(QUARTER(o_orderdate) AS STRING)) AS qtr,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS demand_c
+          FROM _subq_orders GROUP BY 1
+        ),
+        consts AS (
+          SELECT SUM(demand_c) DIV COUNT(*) AS refill_c,
+                 (SUM(demand_c) * 3) DIV (COUNT(*) * 4) AS cap_c
+          FROM demand
+        ),
+        seq AS (
+          SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
+          FROM demand
+        ),
+        bal (i, qtr, balance_c) AS (
+          SELECT 0, CAST('start' AS STRING),
+                 (SELECT cap_c FROM consts)
+          UNION ALL
+          SELECT s.i, s.qtr,
+                 LEAST(GREATEST(b.balance_c
+                                + (SELECT refill_c FROM consts) * (s.i % 3)
+                                - s.demand_c, 0),
+                       (SELECT cap_c FROM consts))
+          FROM bal b JOIN seq s ON s.i = b.i + 1
+        )
+        SELECT qtr, balance_c FROM bal WHERE i > 0
+    """)
+
+
+RECURSIVE_INVENTORY_CHAIN_SQL = """
+WITH RECURSIVE demand AS (
+  SELECT CONCAT(CAST(YEAR(o_orderdate) AS VARCHAR), '-Q',
+                CAST(QUARTER(o_orderdate) AS VARCHAR)) AS qtr,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS demand_c
+  FROM orders GROUP BY 1
+),
+consts AS (
+  -- DuckDB's SUM(BIGINT) widens to HUGEINT; pin both constants (and with
+  -- them the whole recursion) back to BIGINT so the output dtype matches
+  SELECT CAST(SUM(demand_c) // COUNT(*) AS BIGINT) AS refill_c,
+         CAST((SUM(demand_c) * 3) // (COUNT(*) * 4) AS BIGINT) AS cap_c
+  FROM demand
+),
+seq AS (
+  SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
+  FROM demand
+),
+bal (i, qtr, balance_c) AS (
+  SELECT 0, CAST('start' AS VARCHAR),
+         (SELECT cap_c FROM consts)
+  UNION ALL
+  SELECT s.i, s.qtr,
+         LEAST(GREATEST(b.balance_c
+                        + (SELECT refill_c FROM consts) * (s.i % 3)
+                        - s.demand_c, 0),
+               (SELECT cap_c FROM consts))
+  FROM bal b JOIN seq s ON s.i = b.i + 1
+)
+SELECT qtr, balance_c FROM bal WHERE i > 0
+"""
+
+
 QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "suppliers_with_waiting_orders": suppliers_with_waiting_orders,
@@ -420,9 +549,13 @@ QUERIES = {
     "supplier_part_variety": supplier_part_variety,
     "large_volume_customers": large_volume_customers,
     "promo_stock_suppliers": promo_stock_suppliers,
+    "lateral_topk_per_group": lateral_topk_per_group,
+    "recursive_inventory_chain": recursive_inventory_chain,
 }
 
 ORACLES = {
+    "lateral_topk_per_group": LATERAL_TOPK_PER_GROUP_SQL,
+    "recursive_inventory_chain": RECURSIVE_INVENTORY_CHAIN_SQL,
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "suppliers_with_waiting_orders": SUPPLIERS_WITH_WAITING_ORDERS_SQL,
     "concentrated_part_types": CONCENTRATED_PART_TYPES_SQL,

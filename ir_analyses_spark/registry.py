@@ -159,6 +159,12 @@ _ORDER = [
     # parity is their evidence until the next rotation; a budget overrun
     # hits them first), then displaced-but-green r3 rows, then r1/r2-green
     # entries whose code is unchanged since their row
+    # session 4: SQL-surface closure — LATERAL correlated join and native
+    # WITH RECURSIVE (Spark 4.1) — oracle-gated, enter the window next
+    # rotation
+    "lateral_topk_per_group",
+    "recursive_inventory_chain",
+    "token_topk_sketch",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H

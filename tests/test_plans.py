@@ -422,3 +422,30 @@ def test_transition_matrix_single_fact_shuffle(spark, sf_dir):
     pair-count agg, and the tiny grid normalization."""
     plan = plan_of(spark, sf_dir, "event_transition_matrix")
     assert plan.count("Scan parquet") == 1
+
+
+def test_lateral_topk_decorrelates_to_window_rank(spark, sf_dir):
+    """LATERAL (…ORDER BY…LIMIT 2) must decorrelate into ONE ranked
+    window over customer (partitioned by the correlation key) joined to
+    the dim — never a per-nation re-scan (extra Scans) or a nested
+    loop."""
+    plan = plan_of(spark, sf_dir, "lateral_topk_per_group")
+    assert "row_number()" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # nation + customer: one scan each
+    assert plan.count("Scan parquet") == 2
+
+
+def test_recursive_chain_is_native_recursion(spark, sf_dir):
+    """WITH RECURSIVE must plan as Spark 4.1's native UnionLoop operator
+    (the recursion executes inside the engine), not fall back to some
+    driver-side emulation. The loop body's subplan is not printed by
+    explain, so scan placement can't be text-asserted — the
+    data-proportional work staying outside the loop is covered by the
+    recursion operating on the ~28-row aggregated series (row counts
+    pinned in the vacuity guard)."""
+    plan = plan_of(spark, sf_dir, "recursive_inventory_chain")
+    assert "UnionLoop" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

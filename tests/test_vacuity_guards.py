@@ -173,3 +173,61 @@ def test_q20_nested_in_selective_nonempty(con):
     n_kept = len(con.execute(_oracle("promo_stock_suppliers")).fetchall())
     n_all = con.execute("SELECT COUNT(*) FROM supplier").fetchone()[0]
     assert 0 < n_kept < n_all
+
+
+def test_recursive_chain_both_clamps_bind(con):
+    """recursive_inventory_chain: the LEAST/GREATEST band must actually
+    clamp — some quarter pinned at 0, some at cap, and some strictly
+    interior. A never-firing bound would collapse the recurrence into a
+    window-expressible prefix sum (lower clamp alone has the Lindley
+    reflection closed form) and the recursion would certify nothing."""
+    rows = con.execute(_oracle("recursive_inventory_chain")).fetchall()
+    cap = con.execute(
+        "SELECT (SUM(d) * 3) // (COUNT(*) * 4) FROM ("
+        "  SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100"
+        "             AS BIGINT)) AS d"
+        "  FROM orders GROUP BY CONCAT(CAST(YEAR(o_orderdate) AS VARCHAR),"
+        "                              '-Q',"
+        "                              CAST(QUARTER(o_orderdate) AS VARCHAR)))"
+    ).fetchone()[0]
+    vals = [v for (_, v) in rows]
+    assert len(rows) > 10, "quarterly series unexpectedly short"
+    assert any(v == 0 for v in vals), "lower clamp never fired"
+    assert any(v == cap for v in vals), "upper clamp never fired"
+    assert any(0 < v < cap for v in vals), "no interior state"
+    assert all(0 <= v <= cap for v in vals)
+
+
+def test_lateral_limit_actually_cuts(con):
+    """lateral_topk_per_group: every nation must have MORE than 2
+    customers at the test SFs, so the per-group LIMIT 2 genuinely
+    discards rows (otherwise the lateral subquery is a plain join)."""
+    n_nations = con.execute("SELECT COUNT(*) FROM nation").fetchone()[0]
+    rows = con.execute(_oracle("lateral_topk_per_group")).fetchall()
+    assert len(rows) == 2 * n_nations
+    min_per_nation = con.execute(
+        "SELECT MIN(c) FROM (SELECT COUNT(*) AS c FROM customer "
+        "GROUP BY c_nationkey)"
+    ).fetchone()[0]
+    assert min_per_nation > 2
+
+
+def test_token_topk_sketch_capacity_and_cut(con):
+    """token_topk_sketch: the exact-oracle contract holds only while the
+    sketch never purges (|vocab| ≤ 1024 tracked items), and the top-25 is
+    only a real cut if the vocabulary exceeds 25. Also pin that rank 25
+    and 26 are not count-tied, so the boundary is deterministic even
+    across engines' differing tie orders."""
+    n_vocab = con.execute(
+        "SELECT COUNT(DISTINCT token) FROM "
+        "(SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)"
+    ).fetchone()[0]
+    assert 25 < n_vocab <= 1024
+    boundary = con.execute(
+        "WITH c AS (SELECT token, COUNT(*) AS cnt FROM "
+        "  (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)"
+        "  GROUP BY token),"
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) rn FROM c)"
+        "SELECT (SELECT cnt FROM r WHERE rn = 25), (SELECT cnt FROM r WHERE rn = 26)"
+    ).fetchone()
+    assert boundary[0] != boundary[1]
