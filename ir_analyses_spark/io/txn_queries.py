@@ -194,11 +194,107 @@ WHERE b.price <> u.price
 """
 
 
+def txn_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the change feed: a per-priority
+    aggregate (cnt, total) is built ONCE from the v1 snapshot, then kept
+    current across two further commits by folding each commit's
+    ``read_changes`` rows into signed deltas — insert/update_postimage
+    count +1/+price, delete/update_preimage count −1/−price — and
+    merging them in. The table itself is never re-scanned after v1: the
+    feed reads only replaced/added files, so at 100 TB maintaining the
+    downstream aggregate costs IO proportional to the CHANGED partitions,
+    not the table (the Delta-CDF consumption pattern; the decimal delta
+    fold is associative, so incremental == recompute exactly).
+
+    Lifecycle: v1 overwrite (base slice of orders) → v2 MERGE (doubled
+    prices, new keys) → v3 transform deleting priority class '3'
+    entirely — so the maintained aggregate must apply inserts, update
+    pairs, AND deletes, including dropping a group whose count reaches
+    zero. Oracle = the aggregate recomputed from the restated v3 state."""
+    table = tempfile.mkdtemp(prefix="txn_change_apply_")
+    orders = _orders(spark, sf_dir)
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    txn.overwrite(base, table)
+    maintained = (
+        txn.read(spark, table, at_version=1)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("price").cast("decimal(30,2)")).alias("total"),
+        )
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+    )
+    txn.merge_upsert(updates, table, keys=["o_orderkey"])
+    txn.transform_commit(spark, table, lambda cur: cur.filter(F.col("prio") != "3"))
+    feed = txn.read_changes(
+        spark, table, keys=["o_orderkey"], from_version=1, to_version=2
+    ).unionByName(
+        txn.read_changes(
+            spark, table, keys=["o_orderkey"], from_version=2, to_version=3
+        )
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = feed.groupBy("prio").agg(
+        F.sum(sign).alias("d_cnt"),
+        F.sum(sign.cast("decimal(30,2)") * F.col("price").cast("decimal(30,2)")).alias(
+            "d_total"
+        ),
+    )
+    zero = F.lit(0).cast("decimal(30,2)")
+    merged = (
+        maintained.join(deltas, "prio", "full_outer")
+        .select(
+            "prio",
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+            (F.coalesce("total", zero) + F.coalesce("d_total", zero)).alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return merged.select(
+        "prio", "cnt", F.col("total").cast("double").alias("total")
+    )
+
+
+TXN_CHANGE_APPLY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+  SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio,
+         CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+  WHERE u.o_orderkey IS NULL
+),
+v3 AS (SELECT * FROM v2 WHERE prio <> '3')
+SELECT prio, COUNT(*) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total
+FROM v3 GROUP BY prio
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
     "txn_time_travel": txn_time_travel,
     "txn_change_feed": txn_change_feed,
+    "txn_change_apply": txn_change_apply,
 }
 
 ORACLES = {
@@ -220,6 +316,7 @@ ORACLES = {
     """,
     "txn_time_travel": TXN_TIME_TRAVEL_SQL,
     "txn_change_feed": TXN_CHANGE_FEED_SQL,
+    "txn_change_apply": TXN_CHANGE_APPLY_SQL,
     "txn_exactly_once_rollup": """
         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
                COUNT(*) AS cnt,

@@ -165,6 +165,7 @@ _ORDER = [
     "lateral_topk_per_group",
     "recursive_inventory_chain",
     "token_topk_sketch",
+    "txn_change_apply",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H
