@@ -289,12 +289,79 @@ FROM v3 GROUP BY prio
 """
 
 
+def txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-history metadata query (DESCRIBE HISTORY): run the full
+    lifecycle — overwrite (v1), MERGE with inserts+updates (v2), a
+    transform deleting priority class '3' (v3), then a compaction (v4) —
+    and read the history back from MANIFESTS ONLY (``txn.history``: zero
+    data IO; per-file row counts were harvested from parquet footers at
+    write time). The history is bounded metadata (#versions rows), so
+    driver-side construction is the correct shape — this is the one
+    place a "collect" is the design, same as Delta's DESCRIBE HISTORY.
+
+    Oracle: operations are the deterministic lifecycle script; row
+    counts restate each version's state from the source table —
+    compaction must preserve v3's count exactly while rewriting files."""
+    table = tempfile.mkdtemp(prefix="txn_history_")
+    orders = _orders(spark, sf_dir)
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    txn.overwrite(base, table)
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+    )
+    txn.merge_upsert(updates, table, keys=["o_orderkey"])
+    txn.transform_commit(spark, table, lambda cur: cur.filter(F.col("prio") != "3"))
+    txn.compact(spark, table)
+    rows = [
+        (h["version"], h["operation"], h["n_rows"])
+        for h in txn.history(table)
+    ]
+    return spark.createDataFrame(
+        rows, "version INT, operation STRING, n_rows BIGINT"
+    )
+
+
+TXN_HISTORY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+  SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, prio FROM upd
+  UNION ALL
+  SELECT b.o_orderkey, b.prio FROM base b
+  LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+  WHERE u.o_orderkey IS NULL
+),
+v3 AS (SELECT * FROM v2 WHERE prio <> '3')
+SELECT 1 AS version, 'overwrite' AS operation,
+       (SELECT COUNT(*) FROM base) AS n_rows
+UNION ALL
+SELECT 2, 'merge_upsert', (SELECT COUNT(*) FROM v2)
+UNION ALL
+SELECT 3, 'transform', (SELECT COUNT(*) FROM v3)
+UNION ALL
+SELECT 4, 'compact', (SELECT COUNT(*) FROM v3)
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
     "txn_time_travel": txn_time_travel,
     "txn_change_feed": txn_change_feed,
     "txn_change_apply": txn_change_apply,
+    "txn_history": txn_history,
 }
 
 ORACLES = {
@@ -317,6 +384,7 @@ ORACLES = {
     "txn_time_travel": TXN_TIME_TRAVEL_SQL,
     "txn_change_feed": TXN_CHANGE_FEED_SQL,
     "txn_change_apply": TXN_CHANGE_APPLY_SQL,
+    "txn_history": TXN_HISTORY_SQL,
     "txn_exactly_once_rollup": """
         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
                COUNT(*) AS cnt,

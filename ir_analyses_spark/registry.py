@@ -166,6 +166,7 @@ _ORDER = [
     "recursive_inventory_chain",
     "token_topk_sketch",
     "txn_change_apply",
+    "txn_history",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H

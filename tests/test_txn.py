@@ -588,3 +588,40 @@ def test_txn_table_stream_tails_appends(spark, tmp_path):
     r = TxnTableStreamReader({"path": t})
     with pytest.raises(ValueError, match="rewrite"):
         r.partitions({"version": 3}, {"version": 4})
+
+
+def test_history_is_manifest_only_and_row_exact(spark, tmp_path):
+    """DESCRIBE HISTORY across a lifecycle: operations label every commit
+    kind, row counts come from footers harvested at write time (no data
+    IO at history time), and compaction changes the layout but never the
+    count. A version with no recorded counts must answer None, not 0."""
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    txn.overwrite(df.repartition(4), t)
+    txn.append(spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ), t)
+    txn.merge_upsert(
+        spark.range(140, 160).select(
+            F.col("id").alias("k"), F.lit(99).cast("bigint").alias("v")
+        ),
+        t, keys=["k"],
+    )
+    txn.compact(spark, t)
+    h = txn.history(t)
+    assert [r["version"] for r in h] == [1, 2, 3, 4]
+    assert [r["operation"] for r in h] == [
+        "overwrite", "append", "merge_upsert", "compact"
+    ]
+    assert [r["n_rows"] for r in h] == [100, 150, 160, 160]
+    assert h[0]["n_files"] >= 4 and h[3]["n_files"] < h[2]["n_files"]
+    # a manifest whose files lack counts (pre-upgrade table) → None
+    import json as _json
+    path = t + "/_txnlog/" + f"{2:020d}.json"
+    m = _json.load(open(path))
+    for f in m["files"]:
+        f.pop("rows", None)
+    _json.dump(m, open(path, "w"))
+    assert txn.history(t)[1]["n_rows"] is None
