@@ -212,6 +212,186 @@ def decode_png(content: bytes) -> dict:
     }
 
 
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_px: int) -> list[int]:
+    """GIF-variant LZW decode: LSB-first variable-width codes, clear/end
+    control codes, KwKwK handling. Code WIDTH tracks a per-received-code
+    counter (giflib's RunningCode), NOT the table length — the decoder's
+    table lags the encoder's registrations by exactly one code, so a
+    length-keyed bump would change width one code too late and desync the
+    stream at every 2^w boundary."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    counter = end + 1
+    acc = nbits = pos = 0
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = mcs + 1
+            counter = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK: code registered but unseen
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        if prev is not None:
+            table.append(prev + (entry[0],))
+        out.extend(entry)
+        prev = entry
+        counter += 1
+        if counter == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_px:
+            break
+    return out[:n_px]
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-variant LZW encode (the independent twin of the decoder above —
+    real dictionary compression, not the uncompressed-GIF trick): width
+    bumps on the same per-emitted-code counter the decoder uses."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_reg = end + 1
+    counter = end + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def emit(code: int) -> None:
+        nonlocal counter, width
+        put(code)
+        counter += 1
+        if counter == (1 << width) and width < 12:
+            width += 1
+
+    put(clear)
+    buf: tuple[int, ...] = ()
+    for k in indices:
+        nk = buf + (int(k),)
+        if nk in table:
+            buf = nk
+            continue
+        emit(table[buf])
+        if next_reg < 4096:
+            table[nk] = next_reg
+            next_reg += 1
+        else:  # table full: reset (payloads here never reach this)
+            put(clear)
+            table = {(i,): i for i in range(clear)}
+            next_reg = end + 1
+            counter = end + 1
+            width = mcs + 1
+        buf = (int(k),)
+    if buf:
+        emit(table[buf])
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> dict:
+    """REAL GIF decoder (87a/89a, non-interlaced): logical-screen +
+    color-table parse, extension-block skip, sub-block reassembly, full
+    variable-width LZW decompression (``_gif_lzw_decode``), palette
+    lookup to RGB. Pure stdlib ``struct`` + numpy — the palette
+    indirection makes GIF the one format here whose pixel values are
+    defined by a lookup table rather than stored channels."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            content, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        b0 = content[pos]
+        pos += 1
+        if b0 == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        if b0 == 0x21:  # extension: label byte, then sub-blocks
+            pos += 1
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise NotImplementedError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                content, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        mcs = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos]:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        break
+    if palette is None:
+        raise ValueError("GIF image without a color table")
+    idx = np.array(_gif_lzw_decode(bytes(data), mcs, w * h), dtype=np.int64)
+    if idx.size != w * h or idx.max(initial=0) >= len(palette):
+        raise ValueError("GIF index stream does not cover the image")
+    img = palette[idx].astype(np.int64)  # (n_px, 3) RGB rows top-down
+    sums = img.sum(axis=0)
+    return {
+        "media_kind": "gif",
+        "width": int(w),
+        "height": int(h),
+        "px00_r": int(img[0, 0]),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+        "sample_rate": None,
+        "n_samples": None,
+        "sum_abs": None,
+        "peak": None,
+    }
+
+
 def _zigzag_order() -> list[int]:
     """The JPEG zigzag scan as (row, col) → natural index, generated
     algorithmically (diagonal walk) rather than hand-typed."""
@@ -466,6 +646,8 @@ def decode_media(content: bytes) -> dict:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     try:
         import PIL.Image  # type: ignore  # noqa: F401
     except ImportError as exc:
@@ -627,11 +809,15 @@ MEDIA_CODEC_SCHEMA = (
 
 def synthesize_media(doc_id: int, n: int) -> bytes:
     """Deterministic REAL media payload for a document, split by
-    ``doc_id % 4``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
+    ``doc_id % 5``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
     PNG (scanlines forward-filtered with filter type ``row % 5``, so the
     decoder must reconstruct every PNG filter to round-trip), 3 → baseline
     JPEG built from constant 8×8 YCbCr tiles with unit quant tables (DC
-    DPCM + Huffman must round-trip every tile exactly). Every byte follows
+    DPCM + Huffman must round-trip every tile exactly), 4 → GIF89a with a
+    16-color global palette and REAL variable-width LZW compression (the
+    encoder builds a genuine dictionary; pixel period 16 vs palette 16
+    forces multi-symbol strings, KwKwK cases, and two width bumps on
+    payloads this size). Every byte follows
     from (doc_id, n) via integer formulas, so the oracle can predict the
     decoded features without parsing — while the Spark path must
     round-trip genuine files. The writers here are hand-rolled
@@ -641,7 +827,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
 
     import numpy as np
 
-    if doc_id % 4 == 0:
+    if doc_id % 5 == 0:
         w = n % 13 + 4
         h = doc_id % 11 + 4
         p = np.arange(w * h, dtype=np.int64)
@@ -659,7 +845,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
                           2835, 2835, 0, 0)
             + pix
         )
-    if doc_id % 4 == 1:
+    if doc_id % 5 == 1:
         rate = 8000 + (doc_id % 5) * 1000
         cnt = n % 200 + 50
         i = np.arange(cnt, dtype=np.int64)
@@ -669,7 +855,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
             + b"data" + struct.pack("<I", len(data)) + data
         )
-    if doc_id % 4 == 3:
+    if doc_id % 5 == 3:
         # baseline JPEG: constant 8×8 tiles in YCbCr; a constant tile's
         # only nonzero coefficient is DC = 8·(value−128), which unit
         # quant + the orthonormal IDCT return bit-exactly
@@ -685,6 +871,38 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
                 blocks.append(block)
             comp_coefs.append(blocks)
         return encode_jpeg_baseline(8 * tiles_x, 8 * tiles_y, comp_coefs)
+    if doc_id % 5 == 4:
+        # GIF89a: 16-color global palette, pixel p -> palette index
+        # (doc_id + 7p) % 16, REAL LZW-compressed index stream
+        w = n % 10 + 4
+        h = doc_id % 7 + 4
+        pal = bytearray()
+        for i in range(16):
+            pal += bytes(
+                (
+                    (doc_id * 11 + i * 37) % 256,
+                    (doc_id * 13 + i * 41) % 256,
+                    (doc_id * 17 + i * 43) % 256,
+                )
+            )
+        idx = [(doc_id + p * 7) % 16 for p in range(w * h)]
+        lzw = _gif_lzw_encode(idx, 4)
+        blocks = bytearray()
+        for off in range(0, len(lzw), 255):
+            chunk_b = lzw[off : off + 255]
+            blocks.append(len(chunk_b))
+            blocks += chunk_b
+        blocks.append(0)
+        return (
+            b"GIF89a"
+            # GCT present, colres 7, size 3 -> 2^(3+1) = 16 entries
+            + struct.pack("<HHBBB", w, h, 0xF3, 0, 0)
+            + bytes(pal)
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes((4,))
+            + bytes(blocks)
+            + b"\x3b"
+        )
     # PNG: top-down RGB rows, forward-filtered with filter type row % 5
     import zlib
 
@@ -924,7 +1142,8 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(dec, MEDIA_CODEC_SCHEMA)
 
 
-# Closed-form twin of synthesize_media ∘ decode: pixel/sample index ranges
+# Closed-form twin of synthesize_media ∘ decode (5-way doc_id % 5 split;
+# GIF sums run over palette-mapped indices): pixel/sample index ranges
 # materialize from a constant range(0, 256) (superset of every per-doc
 # count) filtered per row — max pixels 16*14=224 (BMP) / 14*12=168 (PNG),
 # max samples 249, max JPEG tiles 9. JPEG sums are over the YCbCr planes
@@ -935,7 +1154,7 @@ WITH base AS (
 ),
 bmp AS (
   SELECT doc_id, n % 13 + 4 AS w, doc_id % 11 + 4 AS h
-  FROM base WHERE doc_id % 4 = 0
+  FROM base WHERE doc_id % 5 = 0
 ),
 bmp_feats AS (
   SELECT b.doc_id, 'bmp' AS media_kind,
@@ -952,7 +1171,7 @@ bmp_feats AS (
 ),
 wav AS (
   SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate, n % 200 + 50 AS cnt
-  FROM base WHERE doc_id % 4 = 1
+  FROM base WHERE doc_id % 5 = 1
 ),
 wav_feats AS (
   SELECT w.doc_id, 'wav' AS media_kind,
@@ -972,7 +1191,7 @@ wav_feats AS (
 ),
 png AS (
   SELECT doc_id, n % 11 + 4 AS w, doc_id % 9 + 4 AS h
-  FROM base WHERE doc_id % 4 = 2
+  FROM base WHERE doc_id % 5 = 2
 ),
 png_feats AS (
   SELECT g.doc_id, 'png' AS media_kind,
@@ -989,7 +1208,27 @@ png_feats AS (
 ),
 jpg AS (
   SELECT doc_id, n % 3 + 1 AS tx, doc_id % 3 + 1 AS ty
-  FROM base WHERE doc_id % 4 = 3
+  FROM base WHERE doc_id % 5 = 3
+),
+gif AS (
+  SELECT doc_id, n % 10 + 4 AS w, doc_id % 7 + 4 AS h
+  FROM base WHERE doc_id % 5 = 4
+),
+gif_feats AS (
+  SELECT g.doc_id, 'gif' AS media_kind,
+         CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+         CAST((g.doc_id * 11 + (g.doc_id % 16) * 37) % 256 AS INT) AS px00_r,
+         CAST(SUM((g.doc_id * 11 + ((g.doc_id + i * 7) % 16) * 37) % 256)
+              AS BIGINT) AS sum_r,
+         CAST(SUM((g.doc_id * 13 + ((g.doc_id + i * 7) % 16) * 41) % 256)
+              AS BIGINT) AS sum_g,
+         CAST(SUM((g.doc_id * 17 + ((g.doc_id + i * 7) % 16) * 43) % 256)
+              AS BIGINT) AS sum_b,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
+  FROM gif g, UNNEST(range(0, 256)) AS t(i)
+  WHERE i < g.w * g.h
+  GROUP BY g.doc_id, g.w, g.h
 ),
 jpg_feats AS (
   SELECT j.doc_id, 'jpeg' AS media_kind,
@@ -1006,6 +1245,7 @@ jpg_feats AS (
 )
 SELECT * FROM bmp_feats UNION ALL SELECT * FROM wav_feats
 UNION ALL SELECT * FROM png_feats UNION ALL SELECT * FROM jpg_feats
+UNION ALL SELECT * FROM gif_feats
 """
 
 

@@ -81,29 +81,31 @@ def test_wav_decode_parses_files_written_by_stdlib_wave():
 
 
 def test_decode_media_dispatches_on_magic_bytes():
-    bmp = synthesize_media(4, 57)   # doc_id % 4 == 0
-    wav = synthesize_media(5, 57)   # doc_id % 4 == 1
-    png = synthesize_media(6, 57)   # doc_id % 4 == 2
-    jpg = synthesize_media(7, 57)   # doc_id % 4 == 3
+    bmp = synthesize_media(5, 57)   # doc_id % 5 == 0
+    wav = synthesize_media(6, 57)   # doc_id % 5 == 1
+    png = synthesize_media(7, 57)   # doc_id % 5 == 2
+    jpg = synthesize_media(8, 57)   # doc_id % 5 == 3
+    gif = synthesize_media(9, 57)   # doc_id % 5 == 4
     assert decode_media(bmp)["media_kind"] == "bmp"
     assert decode_media(wav)["media_kind"] == "wav"
     assert decode_media(png)["media_kind"] == "png"
     assert decode_media(jpg)["media_kind"] == "jpeg"
+    assert decode_media(gif)["media_kind"] == "gif"
     with pytest.raises(NotImplementedError):
-        decode_media(b"GIF89a no gif codec wired")
+        decode_media(b"\x00\x00\x00\x18ftypmp42 no mp4 codec in this build")
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff jpeg-shaped garbage")
 
 
 def test_synthesized_payloads_are_real_files():
     # the synthesizer's WAV must be readable by the stdlib parser directly
-    with wave.open(io.BytesIO(synthesize_media(9, 123))) as wf:
+    with wave.open(io.BytesIO(synthesize_media(11, 123))) as wf:
         assert wf.getnchannels() == 1
         assert wf.getsampwidth() == 2
         assert wf.getnframes() == 123 % 200 + 50
-    feats = decode_bmp(synthesize_media(8, 123))
+    feats = decode_bmp(synthesize_media(10, 123))
     assert feats["width"] == 123 % 13 + 4
-    assert feats["height"] == 8 % 11 + 4
+    assert feats["height"] == 10 % 11 + 4
 
 
 def test_png_decode_reconstructs_all_five_filters():
@@ -113,7 +115,7 @@ def test_png_decode_reconstructs_all_five_filters():
     filter-reconstruction bug shifts the sums."""
     from ir_analyses_spark.llm.multimodal import decode_png
 
-    for doc_id, n in [(2, 57), (6, 123), (10, 200), (14, 7)]:
+    for doc_id, n in [(2, 57), (7, 123), (12, 200), (17, 7)]:
         w = n % 11 + 4
         h = doc_id % 9 + 4
         feats = decode_png(synthesize_media(doc_id, n))
@@ -123,7 +125,7 @@ def test_png_decode_reconstructs_all_five_filters():
         assert feats["sum_r"] == sum((doc_id * 19 + p * 3) % 256 for p in px)
         assert feats["sum_g"] == sum((doc_id * 23 + p * 13) % 256 for p in px)
         assert feats["sum_b"] == sum((doc_id * 29 + p * 17) % 256 for p in px)
-    assert any((d % 9 + 4) >= 5 for d in (2, 6, 10, 14)), "no Paeth row hit"
+    assert any((d % 9 + 4) >= 5 for d in (2, 7, 12, 17)), "no Paeth row hit"
 
 
 def test_png_decode_golden_hand_built():
@@ -192,7 +194,7 @@ def test_jpeg_roundtrip_matches_generative_formulas():
     DPCM + Huffman path is exercised, not just the first block)."""
     from ir_analyses_spark.llm.multimodal import decode_jpeg
 
-    for doc_id, n in [(3, 57), (7, 123), (11, 200), (19, 8)]:
+    for doc_id, n in [(3, 57), (8, 123), (13, 200), (23, 8)]:
         tx, ty = n % 3 + 1, doc_id % 3 + 1
         feats = decode_jpeg(synthesize_media(doc_id, n))
         assert (feats["width"], feats["height"]) == (8 * tx, 8 * ty)
@@ -274,7 +276,7 @@ def test_jpeg_skips_app_segments():
 
     from ir_analyses_spark.llm.multimodal import decode_jpeg
 
-    plain = synthesize_media(7, 57)
+    plain = synthesize_media(8, 57)
     app0 = _struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     com = _struct.pack(">HH", 0xFFFE, 2 + 11) + b"hello jpeg!"
     spliced = plain[:2] + app0 + com + plain[2:]
@@ -370,3 +372,59 @@ def test_corpus_is_ascii():
             "WHERE OCTET_LENGTH(ENCODE(text)) <> LENGTH(text)"
         ).fetchone()
         assert n == 0, f"{path}: {n} non-ASCII documents break the media oracles"
+
+
+def test_gif_roundtrip_matches_generative_formulas():
+    """The hand-rolled LZW encoder and the independent decoder must agree
+    with the closed-form palette math; payload sizes force dictionary
+    strings, KwKwK codes, and at least one width bump."""
+    from ir_analyses_spark.llm.multimodal import decode_gif
+
+    for doc_id, n in [(4, 57), (9, 123), (14, 200), (24, 7)]:
+        w, h = n % 10 + 4, doc_id % 7 + 4
+        feats = decode_gif(synthesize_media(doc_id, n))
+        assert feats["media_kind"] == "gif"
+        assert (feats["width"], feats["height"]) == (w, h)
+        px = range(w * h)
+        assert feats["px00_r"] == (doc_id * 11 + (doc_id % 16) * 37) % 256
+        assert feats["sum_r"] == sum(
+            (doc_id * 11 + ((doc_id + p * 7) % 16) * 37) % 256 for p in px
+        )
+        assert feats["sum_g"] == sum(
+            (doc_id * 13 + ((doc_id + p * 7) % 16) * 41) % 256 for p in px
+        )
+        assert feats["sum_b"] == sum(
+            (doc_id * 17 + ((doc_id + p * 7) % 16) * 43) % 256 for p in px
+        )
+
+
+def test_gif_lzw_kwkwk_and_width_growth():
+    """LZW edge cases, unit level: a run of one repeated symbol forces the
+    KwKwK (code == table size) path immediately; a long mixed stream
+    crosses the 32- and 64-code boundaries, so encoder and decoder must
+    bump code width on the same per-code counter (a table-length-keyed
+    bump desyncs here)."""
+    from ir_analyses_spark.llm.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    run = [3] * 50
+    assert _gif_lzw_decode(_gif_lzw_encode(run, 4), 4, len(run)) == run
+    mixed = [(p * p + 3 * p) % 16 for p in range(400)]
+    assert _gif_lzw_decode(_gif_lzw_encode(mixed, 4), 4, len(mixed)) == mixed
+
+
+def test_gif_decoder_skips_extension_blocks():
+    """A GIF89a with a graphic-control extension before the image
+    descriptor (the layout real encoders emit) must decode identically —
+    the block walk has to skip extensions by sub-block framing."""
+    import struct
+
+    raw = synthesize_media(4, 57)
+    head_end = 13 + 48  # header+LSD + 16-entry GCT
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = raw[:head_end] + gce + raw[head_end:]
+    from ir_analyses_spark.llm.multimodal import decode_gif
+
+    assert decode_gif(with_ext) == decode_gif(raw)
