@@ -30,6 +30,7 @@ from .ops import (
     macros,
     relational,
     skew,
+    sqlfn,
     subqueries,
     udfs,
     windows,
@@ -47,6 +48,7 @@ _MODULES = [
     collections,
     macros,
     skew,
+    sqlfn,
     udfs,
     fuzzy,
     graph,
@@ -167,6 +169,8 @@ _ORDER = [
     "token_topk_sketch",
     "txn_change_apply",
     "txn_history",
+    "sql_udf_pricing",
+    "pipe_syntax_rollup",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H

@@ -449,3 +449,23 @@ def test_recursive_chain_is_native_recursion(spark, sf_dir):
     assert "UnionLoop" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_udf_inlines_into_plan(spark, sf_dir):
+    """SQL UDFs must INLINE: the physical plan is plain column arithmetic
+    with a partial/final hash aggregate — no eval operator, no Python
+    worker, no serialization boundary. That inlining is what makes a SQL
+    function library free at scale, unlike Python UDFs."""
+    plan = plan_of(spark, sf_dir, "sql_udf_pricing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(l_quantity", plan)
+
+
+def test_pipe_syntax_plans_like_nested_sql(spark, sf_dir):
+    """Pipe syntax is pure sugar: the status filter must push to the scan
+    and the aggregate must be partial/final — identical physics to the
+    nested-SQL restatement."""
+    plan = plan_of(spark, sf_dir, "pipe_syntax_rollup")
+    assert plan.count("HashAggregate") >= 2
+    assert re.search(r"PushedFilters: \[[^\]]*Not\(EqualTo\(o_orderstatus", plan)
