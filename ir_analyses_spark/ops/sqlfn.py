@@ -102,12 +102,96 @@ ORDER BY prio
 """
 
 
+def collated_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated strings (Spark 4 ``COLLATE UTF8_LCASE``): group and
+    count-distinct under case-insensitive comparison semantics, on a
+    deterministically case-mangled column (even part keys lowercase their
+    type). The engine-level collation must agree exactly with the
+    explicit ``lower()`` normalization the oracle uses — true for this
+    ASCII domain; the GROUP key is re-canonicalized as ``lower(any_value(...))`` on
+    output because the collation makes 'PROMO' and 'promo' EQUAL but
+    leaves which spelling survives as the group label unspecified —
+    ``lower()`` of ANY member of a CI class is one deterministic value,
+    the one collation behavior a portable query must not depend on."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("_sqlfn_part")
+    return spark.sql(
+        """
+        SELECT lower(any_value(mangled)) AS p_type_ci,
+               COUNT(*) AS n_parts,
+               COUNT(DISTINCT p_brand COLLATE UTF8_LCASE) AS n_brands_ci
+        FROM (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                      ELSE p_type END AS mangled,
+                 CASE WHEN p_partkey % 3 = 0 THEN lower(p_brand)
+                      ELSE p_brand END AS p_brand
+          FROM _sqlfn_part
+        )
+        GROUP BY mangled COLLATE UTF8_LCASE
+        """
+    )
+
+
+COLLATED_STRING_OPS_SQL = """
+SELECT lower(mangled) AS p_type_ci,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT lower(p_brand)) AS n_brands_ci
+FROM (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+              ELSE p_type END AS mangled,
+         CASE WHEN p_partkey % 3 = 0 THEN lower(p_brand)
+              ELSE p_brand END AS p_brand
+  FROM part
+)
+GROUP BY lower(mangled)
+"""
+
+
+def pivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` clause (vs the DataFrame ``pivot_agg`` twin): brand ×
+    part-type count matrix. The IN list is literal by construction — SQL
+    PIVOT cannot discover columns at runtime — so the six type names are
+    hard-coded and guarded non-vacuous by tests/test_vacuity_guards.py.
+    The input is pre-projected to exactly (brand, type): PIVOT groups by
+    every non-pivoted column, and a stray column silently explodes the
+    row grain."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("_sqlfn_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               COALESCE(promo, 0) AS promo, COALESCE(economy, 0) AS economy,
+               COALESCE(medium, 0) AS medium, COALESCE(small, 0) AS small,
+               COALESCE(large, 0) AS large, COALESCE(standard, 0) AS standard
+        FROM (SELECT p_brand, p_type FROM _sqlfn_part)
+        PIVOT (COUNT(*) FOR p_type IN (
+          'PROMO' AS promo, 'ECONOMY' AS economy, 'MEDIUM' AS medium,
+          'SMALL' AS small, 'LARGE' AS large, 'STANDARD' AS standard))
+        """
+    )
+
+
+PIVOT_SQL_CLAUSE_SQL = """
+SELECT p_brand,
+       COUNT(*) FILTER (WHERE p_type = 'PROMO') AS promo,
+       COUNT(*) FILTER (WHERE p_type = 'ECONOMY') AS economy,
+       COUNT(*) FILTER (WHERE p_type = 'MEDIUM') AS medium,
+       COUNT(*) FILTER (WHERE p_type = 'SMALL') AS small,
+       COUNT(*) FILTER (WHERE p_type = 'LARGE') AS large,
+       COUNT(*) FILTER (WHERE p_type = 'STANDARD') AS standard
+FROM part
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "sql_udf_pricing": sql_udf_pricing,
     "pipe_syntax_rollup": pipe_syntax_rollup,
+    "collated_string_ops": collated_string_ops,
+    "pivot_sql_clause": pivot_sql_clause,
 }
 
 ORACLES = {
     "sql_udf_pricing": SQL_UDF_PRICING_SQL,
     "pipe_syntax_rollup": PIPE_SYNTAX_ROLLUP_SQL,
+    "collated_string_ops": COLLATED_STRING_OPS_SQL,
+    "pivot_sql_clause": PIVOT_SQL_CLAUSE_SQL,
 }

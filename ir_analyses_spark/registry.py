@@ -171,6 +171,8 @@ _ORDER = [
     "txn_history",
     "sql_udf_pricing",
     "pipe_syntax_rollup",
+    "collated_string_ops",
+    "pivot_sql_clause",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H

@@ -231,3 +231,26 @@ def test_token_topk_sketch_capacity_and_cut(con):
         "SELECT (SELECT cnt FROM r WHERE rn = 25), (SELECT cnt FROM r WHERE rn = 26)"
     ).fetchone()
     assert boundary[0] != boundary[1]
+
+
+def test_pivot_sql_clause_literal_types_all_exist(con):
+    """pivot_sql_clause hard-codes the six part types in its IN list (SQL
+    PIVOT cannot discover columns at runtime); a data regeneration that
+    changes the type domain must fail here, not silently produce all-zero
+    pivot columns."""
+    types = {
+        r[0] for r in con.execute("SELECT DISTINCT p_type FROM part").fetchall()
+    }
+    assert types == {"PROMO", "ECONOMY", "MEDIUM", "SMALL", "LARGE", "STANDARD"}
+
+
+def test_collation_mangling_mixes_case(con):
+    """collated_string_ops only tests collation if the mangled column
+    actually mixes spellings of the same value — i.e. some types appear in
+    BOTH cases, so case-sensitive grouping would produce more groups."""
+    n_cs, n_ci = con.execute(
+        "SELECT COUNT(DISTINCT mangled), COUNT(DISTINCT lower(mangled)) FROM "
+        "(SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END"
+        " AS mangled FROM part)"
+    ).fetchone()
+    assert n_ci < n_cs
