@@ -355,6 +355,57 @@ SELECT 4, 'compact', (SELECT COUNT(*) FROM v3)
 """
 
 
+def txn_pyds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write THROUGH the Spark DataSource API
+    (``df.write.format("txn_table")`` → ``io/txn_stream.py``
+    ``TxnTableArrowWriter``): two appended slices of orders, committed by
+    the writer's two-phase protocol (executor tasks write invisible
+    files + report footer row counts, the driver publishes one manifest
+    per job). The snapshot read must equal the plain union — and the
+    history must show two appends whose manifest row counts match,
+    folded into the output so the driver hash covers BOTH the data and
+    the metadata path."""
+    from .txn_stream import TxnTableStreamDataSource
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    table = tempfile.mkdtemp(prefix="txn_pyds_write_")
+    orders = _orders(spark, sf_dir)
+    for r in (0, 1):
+        orders.filter(F.col("o_orderkey") % 3 == r).select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        ).write.format("txn_table").mode("append").option("path", table).save()
+    hist = txn.history(table)
+    rows = txn.read(spark, table)
+    meta = spark.createDataFrame(
+        [(h["version"], h["operation"], h["n_rows"]) for h in hist],
+        "version INT, operation STRING, n_rows BIGINT",
+    )
+    return rows.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows_read"),
+        F.sum(F.col("price").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total_price"),
+    ).crossJoin(
+        meta.groupBy().agg(
+            F.count(F.lit(1)).alias("n_commits"),
+            F.max("n_rows").alias("final_manifest_rows"),
+        )
+    )
+
+
+TXN_PYDS_WRITE_SQL = """
+WITH s AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT COUNT(*) AS n_rows_read,
+       CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total_price,
+       2 AS n_commits,
+       COUNT(*) AS final_manifest_rows
+FROM s
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
@@ -362,6 +413,7 @@ QUERIES = {
     "txn_change_feed": txn_change_feed,
     "txn_change_apply": txn_change_apply,
     "txn_history": txn_history,
+    "txn_pyds_write": txn_pyds_write,
 }
 
 ORACLES = {
@@ -385,6 +437,7 @@ ORACLES = {
     "txn_change_feed": TXN_CHANGE_FEED_SQL,
     "txn_change_apply": TXN_CHANGE_APPLY_SQL,
     "txn_history": TXN_HISTORY_SQL,
+    "txn_pyds_write": TXN_PYDS_WRITE_SQL,
     "txn_exactly_once_rollup": """
         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
                COUNT(*) AS cnt,

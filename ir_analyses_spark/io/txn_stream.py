@@ -1,7 +1,11 @@
-"""Streaming SOURCE over the transaction-log table format (``io/txn.py``)
-— the read-side twin of the exactly-once streaming sinks: a Structured
-Streaming query can now tail a txn table the way Delta readers tail a
-Delta table.
+"""Spark DataSource integration for the transaction-log table format
+(``io/txn.py``): a streaming SOURCE (tail a txn table the way Delta
+readers tail a Delta table) and a BATCH WRITER
+(``df.write.format("txn_table")``) whose two-phase commit maps exactly
+onto the manifest log — executor tasks write invisible files and return
+commit messages, the driver's ``commit()`` publishes ONE manifest (the
+atomic point), and ``abort()`` removes every written file, so a failed
+job leaves the table byte-identical.
 
 Offsets are COMMIT VERSIONS — the natural streaming clock of a
 manifest-log table. Each micro-batch is the file-set diff between two
@@ -31,8 +35,10 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -106,6 +112,96 @@ class TxnTableStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
 
+
+class _TxnWriteMessage(WriterCommitMessage):
+    def __init__(self, rel_path: str | None, rows: int):
+        self.rel_path = rel_path
+        self.rows = rows
+
+
+class TxnTableArrowWriter(DataSourceArrowWriter):
+    """Arrow-batched batch writer with manifest-log two-phase commit.
+
+    Each task streams its RecordBatches into one parquet file under a
+    per-JOB commit directory (invisible: no manifest names it yet) and
+    reports (path, row count) as its commit message — the row count
+    rides into the manifest so ``txn.history`` stays data-IO-free. The
+    driver's ``commit()`` then runs the same optimistic-concurrency loop
+    every txn writer uses; ``abort()`` deletes the job's files. Schema
+    enforcement mirrors ``txn.append``: an append must match the table
+    schema EXACTLY (a silently evolving writer would brick later scans),
+    and partitioned tables are refused (hive layout re-encoding is not
+    wired through arrow batches — same gate as the stream reader)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("option 'path' is required")
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        import uuid as _uuid
+
+        self.commit_dir = os.path.join("_data", _uuid.uuid4().hex)
+
+    def write(self, iterator) -> _TxnWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TxnWriteMessage(None, 0)
+        tbl = pa.Table.from_batches(batches)
+        rel = os.path.join(self.commit_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        full = os.path.join(self.table, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(tbl, full)
+        return _TxnWriteMessage(rel.replace(os.sep, "/"), tbl.num_rows)
+
+    def commit(self, messages) -> None:
+        entries = [
+            {"path": m.rel_path, "partition": None, "rows": m.rows}
+            for m in messages
+            if m is not None and m.rel_path is not None
+        ]
+
+        def build(snap: txn.Snapshot) -> dict:
+            if snap.partition_by is not None:
+                raise ValueError(
+                    "txn_table writer does not support partitioned tables"
+                )
+            if self.overwrite or snap.schema_json is None:
+                files = entries
+            else:
+                old = StructType.fromJson(json.loads(snap.schema_json))
+                new = StructType.fromJson(json.loads(self.schema_json))
+                if [(f.name, f.dataType) for f in old.fields] != [
+                    (f.name, f.dataType) for f in new.fields
+                ]:
+                    raise ValueError(
+                        f"append schema mismatch: table has {old.simpleString()}, "
+                        f"write has {new.simpleString()}"
+                    )
+                files = snap.files + entries
+            return {
+                "version": snap.version + 1,
+                "schema": self.schema_json,
+                "partition_by": None,
+                "files": files,
+                "applied_batches": [] if self.overwrite else snap.applied_batches,
+                "operation": "overwrite" if self.overwrite else "append",
+            }
+
+        txn._commit(self.table, build)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.table, self.commit_dir), ignore_errors=True)
+
+
+
 class TxnTableStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -117,3 +213,6 @@ class TxnTableStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TxnTableArrowWriter:
+        return TxnTableArrowWriter(self.options, schema, overwrite)

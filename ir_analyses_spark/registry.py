@@ -173,6 +173,7 @@ _ORDER = [
     "pipe_syntax_rollup",
     "collated_string_ops",
     "pivot_sql_clause",
+    "txn_pyds_write",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H

@@ -625,3 +625,58 @@ def test_history_is_manifest_only_and_row_exact(spark, tmp_path):
         f.pop("rows", None)
     _json.dump(m, open(path, "w"))
     assert txn.history(t)[1]["n_rows"] is None
+
+
+def test_datasource_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format('txn_table'): executor tasks write invisible files,
+    the driver commit publishes ONE manifest; append enforces exact
+    schema; overwrite replaces; a failed task aborts the whole job with
+    every written file removed and the version unchanged."""
+    from ir_analyses_spark.io.txn_stream import TxnTableStreamDataSource
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    t = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id % 7 AS v").write.format(
+        "txn_table"
+    ).mode("append").option("path", t).save()
+    spark.range(100, 150).selectExpr("id AS k", "id % 7 AS v").write.format(
+        "txn_table"
+    ).mode("append").option("path", t).save()
+    assert txn.read(spark, t).count() == 150
+    assert [(h["operation"], h["n_rows"]) for h in txn.history(t)] == [
+        ("append", 100), ("append", 150)
+    ]
+    spark.range(5).selectExpr("id AS k", "id % 7 AS v").write.format(
+        "txn_table"
+    ).mode("overwrite").option("path", t).save()
+    assert txn.read(spark, t).count() == 5
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS v").write.format(
+            "txn_table"
+        ).mode("append").option("path", t).save()
+    # failed task -> abort: version pinned, no unreferenced files survive
+    from pyspark.sql.types import LongType
+
+    v_before = txn.snapshot(t).version
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    with pytest.raises(Exception):
+        spark.range(5).repartition(5).select(
+            boom(F.col("id")).alias("k"), (F.col("id") % 7).alias("v")
+        ).write.format("txn_table").mode("append").option("path", t).save()
+    assert txn.snapshot(t).version == v_before
+    import glob
+
+    referenced = set()
+    for v in range(1, v_before + 1):
+        referenced |= {f["path"] for f in txn.snapshot(t, v).files}
+    on_disk = {
+        os.path.relpath(p, t).replace(os.sep, "/")
+        for p in glob.glob(t + "/_data/*/*.parquet")
+    }
+    assert on_disk - referenced == set()
