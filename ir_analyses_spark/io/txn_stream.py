@@ -36,6 +36,8 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -202,17 +204,159 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
 
 
 
+
+class TxnTableBatchReader(DataSourceReader):
+    """Batch reader: ``spark.read.format("txn_table")``, with TIME TRAVEL
+    via ``.option("version", N)``. The driver resolves ONE manifest and
+    plans one input partition per data file; executors stream the files
+    as arrow batches (same column-pruned read the stream reader uses).
+    Unpartitioned tables only — the gate the module docstring explains."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("option 'path' is required")
+        version = options.get("version")
+        self._snap = txn.snapshot(
+            self.table, int(version) if version is not None else None
+        )
+        if self._snap.schema_json is None:
+            raise FileNotFoundError(f"no committed version at {self.table}")
+        if self._snap.partition_by is not None:
+            raise ValueError(
+                "txn_table batch reads of partitioned tables are not "
+                "supported via the DataSource — use txn.read"
+            )
+        self._schema = schema
+
+    def partitions(self) -> list[_FilePartition]:
+        return [
+            _FilePartition(os.path.join(self.table, f["path"]))
+            for f in self._snap.files
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            partition.path, columns=[f.name for f in self._schema.fields]
+        )
+        yield from table.to_batches()
+
+
+
+
+class TxnTableStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming SINK: ``writeStream.format("txn_table")``.
+
+    Same task-level mechanics as the batch writer, but ``commit`` carries
+    the micro-batch id, which lands in the manifest's applied-batch
+    LEDGER in the SAME atomic publication as the files — so a replayed
+    batch (checkpoint recovery re-running a committed epoch) is detected
+    inside the OCC loop and becomes a no-op commit instead of an
+    append-again double-count. This is the DataSource-API form of the
+    guarantee the foreachBatch sinks implement by hand; appends only
+    (complete/update output modes would need a rewriting commit)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("option 'path' is required")
+        self.schema_json = schema.json()
+        import uuid as _uuid
+
+        self.job_dir = os.path.join("_data", _uuid.uuid4().hex)
+
+    def write(self, iterator) -> _TxnWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TxnWriteMessage(None, 0)
+        tbl = pa.Table.from_batches(batches)
+        rel = os.path.join(self.job_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        full = os.path.join(self.table, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(tbl, full)
+        return _TxnWriteMessage(rel.replace(os.sep, "/"), tbl.num_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = [
+            {"path": m.rel_path, "partition": None, "rows": m.rows}
+            for m in messages
+            if m is not None and m.rel_path is not None
+        ]
+
+        def build(snap: txn.Snapshot) -> dict | None:
+            if batchId in snap.applied_batches:
+                return None  # replayed epoch: exactly-once no-op
+            if snap.partition_by is not None:
+                raise ValueError(
+                    "txn_table stream writer does not support partitioned tables"
+                )
+            if snap.schema_json is not None:
+                old = StructType.fromJson(json.loads(snap.schema_json))
+                new = StructType.fromJson(json.loads(self.schema_json))
+                if [(f.name, f.dataType) for f in old.fields] != [
+                    (f.name, f.dataType) for f in new.fields
+                ]:
+                    raise ValueError(
+                        f"stream append schema mismatch: table has "
+                        f"{old.simpleString()}, write has {new.simpleString()}"
+                    )
+            ledger = sorted(
+                set(snap.applied_batches) | {batchId}, reverse=True
+            )[: txn._LEDGER_KEEP]
+            return {
+                "version": snap.version + 1,
+                "schema": self.schema_json,
+                "partition_by": None,
+                "files": snap.files + entries,
+                "applied_batches": ledger,
+                "operation": "stream_append",
+            }
+
+        txn._commit(self.table, build)
+
+    def abort(self, messages, batchId: int) -> None:
+        # the writer instance persists across epochs and they share
+        # self.job_dir, so a whole-directory rmtree here would delete
+        # files already COMMITTED by earlier micro-batches — remove only
+        # this epoch's reported files; files from failed tasks that never
+        # reported a message are orphans for vacuum's age-gated sweep
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                try:
+                    os.remove(os.path.join(self.table, m.rel_path))
+                except OSError:
+                    pass
+
+
+
 class TxnTableStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "txn_table"
 
     def schema(self) -> StructType:
-        snap = txn.snapshot(self.options["path"])
+        version = self.options.get("version")
+        snap = txn.snapshot(
+            self.options["path"],
+            int(version) if version is not None else None,
+        )
         return StructType.fromJson(json.loads(snap.schema_json))
+
+    def reader(self, schema) -> TxnTableBatchReader:
+        return TxnTableBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> TxnTableArrowWriter:
         return TxnTableArrowWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> TxnTableStreamWriter:
+        return TxnTableStreamWriter(self.options, schema)

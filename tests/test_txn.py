@@ -680,3 +680,75 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
         for p in glob.glob(t + "/_data/*/*.parquet")
     }
     assert on_disk - referenced == set()
+
+
+def test_datasource_batch_reader_time_travel(spark, tmp_path):
+    """spark.read.format('txn_table'): current snapshot by default, pinned
+    historical version via option('version', N) — the DataSource read
+    path must agree exactly with txn.read."""
+    from ir_analyses_spark.io.txn_stream import TxnTableStreamDataSource
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    t = str(tmp_path / "t")
+    spark.range(30).selectExpr("id AS k", "id % 3 AS v").write.format(
+        "txn_table"
+    ).mode("append").option("path", t).save()
+    spark.range(30, 50).selectExpr("id AS k", "id % 3 AS v").write.format(
+        "txn_table"
+    ).mode("append").option("path", t).save()
+    cur = spark.read.format("txn_table").option("path", t).load()
+    v1 = spark.read.format("txn_table").option("path", t).option("version", 1).load()
+    assert cur.count() == 50 and v1.count() == 30
+    assert sorted(r["k"] for r in v1.collect()) == list(range(30))
+
+
+def test_datasource_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('txn_table'): micro-batches commit files + the
+    epoch id in ONE manifest publication; a second availableNow run on
+    the same checkpoint appends only new input, and a hand-replayed
+    committed epoch is a ledger no-op (version and rows unchanged)."""
+    from ir_analyses_spark.io.txn_stream import (
+        TxnTableStreamDataSource,
+        TxnTableStreamWriter,
+    )
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).selectExpr("id AS k", "id % 3 AS v").write.parquet(
+        src + "/a.parquet"
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(src + "/*.parquet")
+            .writeStream.format("txn_table")
+            .option("path", t)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert txn.read(spark, t).count() == 10
+    spark.range(10, 25).selectExpr("id AS k", "id % 3 AS v").write.parquet(
+        src + "/b.parquet"
+    )
+    run_once()
+    assert txn.read(spark, t).count() == 25
+    assert sorted(r["k"] for r in txn.read(spark, t).collect()) == list(range(25))
+    ops = [h["operation"] for h in txn.history(t)]
+    assert all(op == "stream_append" for op in ops)
+    # replayed epoch: same batchId commits as a no-op inside the OCC loop
+    snap_before = txn.snapshot(t)
+    applied = snap_before.applied_batches[0]
+    from pyspark.sql.types import StructType as _St
+
+    w = TxnTableStreamWriter(
+        {"path": t}, _St.fromJson(__import__("json").loads(snap_before.schema_json))
+    )
+    w.commit([], applied)
+    assert txn.snapshot(t).version == snap_before.version
