@@ -406,6 +406,66 @@ FROM s
 """
 
 
+def stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once streaming SINK under the driver's oracle gate: a
+    real file stream over a 3-file staging of an orders slice
+    (maxFilesPerTrigger=1 → three micro-batches) writes through
+    ``writeStream.format("txn_table")`` — each epoch's files commit with
+    the epoch id in one manifest publication — and the final snapshot
+    plus the manifest history (one stream_append per epoch, counts
+    summing to the slice) is what gets hashed. Oracle = the slice
+    restated; a double-applied epoch or a torn commit breaks the count
+    and the sum."""
+    from .txn_stream import TxnTableStreamDataSource
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    src = tempfile.mkdtemp(prefix="stream_txn_src_")
+    table = tempfile.mkdtemp(prefix="stream_txn_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="stream_txn_ckpt_")
+    base = _orders(spark, sf_dir).filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    base.repartition(3).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema("o_orderkey long, prio string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("txn_table")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("txn stream sink did not finish in 300s")
+    hist = txn.history(table)
+    if any(h["operation"] != "stream_append" for h in hist):
+        raise RuntimeError(f"unexpected operations in history: {hist}")
+    rows = txn.read(spark, table)
+    return rows.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total_price"),
+    ).crossJoin(
+        F.broadcast(spark.createDataFrame([(len(hist),)], "n_epochs INT"))
+    )
+
+
+STREAM_TXN_SINK_SQL = """
+SELECT substr(o_orderpriority, 1, 1) AS prio,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(30,2)))
+            AS DOUBLE) AS total_price,
+       3 AS n_epochs
+FROM orders WHERE o_orderkey % 4 = 1
+GROUP BY prio
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
@@ -414,6 +474,7 @@ QUERIES = {
     "txn_change_apply": txn_change_apply,
     "txn_history": txn_history,
     "txn_pyds_write": txn_pyds_write,
+    "stream_txn_sink": stream_txn_sink,
 }
 
 ORACLES = {
@@ -438,6 +499,7 @@ ORACLES = {
     "txn_change_apply": TXN_CHANGE_APPLY_SQL,
     "txn_history": TXN_HISTORY_SQL,
     "txn_pyds_write": TXN_PYDS_WRITE_SQL,
+    "stream_txn_sink": STREAM_TXN_SINK_SQL,
     "txn_exactly_once_rollup": """
         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS omonth,
                COUNT(*) AS cnt,

@@ -174,6 +174,7 @@ _ORDER = [
     "collated_string_ops",
     "pivot_sql_clause",
     "txn_pyds_write",
+    "stream_txn_sink",
     "promo_revenue_ratio",
     "token_length_histogram",
     # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H
