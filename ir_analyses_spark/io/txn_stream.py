@@ -121,6 +121,62 @@ class _TxnWriteMessage(WriterCommitMessage):
         self.rows = rows
 
 
+
+def _new_job_dir() -> str:
+    """Per-job commit directory under txn's data root. MUST live under
+    ``txn._DATA_DIR`` — vacuum's orphan sweep walks only that root, so a
+    file from a failed/speculative task that never reported a commit
+    message is reclaimable by the age-gated sweep."""
+    import uuid as _uuid
+
+    return os.path.join(txn._DATA_DIR, _uuid.uuid4().hex)
+
+
+def _write_task_file(table: str, rel_dir: str, iterator) -> _TxnWriteMessage:
+    """Executor-side task write shared by the batch and stream writers:
+    RecordBatches stream INCREMENTALLY through one pq.ParquetWriter (peak
+    memory = one batch, not the whole partition) into a single file that
+    stays invisible until a manifest names it."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    writer = None
+    rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
+    full = os.path.join(table, rel)
+    rows = 0
+    try:
+        for batch in iterator:
+            if not batch.num_rows:
+                continue
+            if writer is None:
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                writer = pq.ParquetWriter(full, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return _TxnWriteMessage(None, 0)
+    return _TxnWriteMessage(rel.replace(os.sep, "/"), rows)
+
+
+def _check_append_schema(old_json: str, new_json: str, what: str) -> None:
+    """Exact (name, type, order) schema equality for appends — mirrors
+    ``txn.append``'s refusal to silently evolve: committing files the
+    manifest schema cannot read bricks every later scan."""
+    old = StructType.fromJson(json.loads(old_json))
+    new = StructType.fromJson(json.loads(new_json))
+    if [(f.name, f.dataType) for f in old.fields] != [
+        (f.name, f.dataType) for f in new.fields
+    ]:
+        raise ValueError(
+            f"{what} schema mismatch: table has {old.simpleString()}, "
+            f"write has {new.simpleString()}"
+        )
+
+
 class TxnTableArrowWriter(DataSourceArrowWriter):
     """Arrow-batched batch writer with manifest-log two-phase commit.
 
@@ -141,25 +197,10 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             raise ValueError("option 'path' is required")
         self.schema_json = schema.json()
         self.overwrite = overwrite
-        import uuid as _uuid
-
-        self.commit_dir = os.path.join("_data", _uuid.uuid4().hex)
+        self.commit_dir = _new_job_dir()
 
     def write(self, iterator) -> _TxnWriteMessage:
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _TxnWriteMessage(None, 0)
-        tbl = pa.Table.from_batches(batches)
-        rel = os.path.join(self.commit_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        full = os.path.join(self.table, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(tbl, full)
-        return _TxnWriteMessage(rel.replace(os.sep, "/"), tbl.num_rows)
+        return _write_task_file(self.table, self.commit_dir, iterator)
 
     def commit(self, messages) -> None:
         entries = [
@@ -176,15 +217,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             if self.overwrite or snap.schema_json is None:
                 files = entries
             else:
-                old = StructType.fromJson(json.loads(snap.schema_json))
-                new = StructType.fromJson(json.loads(self.schema_json))
-                if [(f.name, f.dataType) for f in old.fields] != [
-                    (f.name, f.dataType) for f in new.fields
-                ]:
-                    raise ValueError(
-                        f"append schema mismatch: table has {old.simpleString()}, "
-                        f"write has {new.simpleString()}"
-                    )
+                _check_append_schema(snap.schema_json, self.schema_json, "append")
                 files = snap.files + entries
             return {
                 "version": snap.version + 1,
@@ -212,12 +245,17 @@ class TxnTableBatchReader(DataSourceReader):
     as arrow batches (same column-pruned read the stream reader uses).
     Unpartitioned tables only — the gate the module docstring explains."""
 
-    def __init__(self, options: dict, schema: StructType):
+    def __init__(
+        self, options: dict, schema: StructType, snap: "txn.Snapshot | None" = None
+    ):
         self.table = options.get("path")
         if not self.table:
             raise ValueError("option 'path' is required")
         version = options.get("version")
-        self._snap = txn.snapshot(
+        # reuse the snapshot schema() already resolved: re-resolving here
+        # would race a concurrent commit and plan a DIFFERENT version's
+        # files under the first version's read schema
+        self._snap = snap or txn.snapshot(
             self.table, int(version) if version is not None else None
         )
         if self._snap.schema_json is None:
@@ -258,30 +296,21 @@ class TxnTableStreamWriter(DataSourceStreamArrowWriter):
     guarantee the foreachBatch sinks implement by hand; appends only
     (complete/update output modes would need a rewriting commit)."""
 
-    def __init__(self, options: dict, schema: StructType):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "txn_table streaming sink is append-only: complete/update "
+                "output modes would need a truncating per-epoch commit — "
+                "use outputMode('append')"
+            )
         self.table = options.get("path")
         if not self.table:
             raise ValueError("option 'path' is required")
         self.schema_json = schema.json()
-        import uuid as _uuid
-
-        self.job_dir = os.path.join("_data", _uuid.uuid4().hex)
+        self.job_dir = _new_job_dir()
 
     def write(self, iterator) -> _TxnWriteMessage:
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _TxnWriteMessage(None, 0)
-        tbl = pa.Table.from_batches(batches)
-        rel = os.path.join(self.job_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        full = os.path.join(self.table, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(tbl, full)
-        return _TxnWriteMessage(rel.replace(os.sep, "/"), tbl.num_rows)
+        return _write_task_file(self.table, self.job_dir, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         entries = [
@@ -298,15 +327,9 @@ class TxnTableStreamWriter(DataSourceStreamArrowWriter):
                     "txn_table stream writer does not support partitioned tables"
                 )
             if snap.schema_json is not None:
-                old = StructType.fromJson(json.loads(snap.schema_json))
-                new = StructType.fromJson(json.loads(self.schema_json))
-                if [(f.name, f.dataType) for f in old.fields] != [
-                    (f.name, f.dataType) for f in new.fields
-                ]:
-                    raise ValueError(
-                        f"stream append schema mismatch: table has "
-                        f"{old.simpleString()}, write has {new.simpleString()}"
-                    )
+                _check_append_schema(
+                    snap.schema_json, self.schema_json, "stream append"
+                )
             ledger = sorted(
                 set(snap.applied_batches) | {batchId}, reverse=True
             )[: txn._LEDGER_KEEP]
@@ -342,15 +365,24 @@ class TxnTableStreamDataSource(DataSource):
         return "txn_table"
 
     def schema(self) -> StructType:
+        table = self.options.get("path")
+        if not table:
+            raise ValueError("option 'path' is required")
         version = self.options.get("version")
-        snap = txn.snapshot(
-            self.options["path"],
-            int(version) if version is not None else None,
+        # resolve ONCE and pin: reader() reuses this snapshot so a commit
+        # landing between schema inference and planning cannot split the
+        # read across two versions
+        self._snap = txn.snapshot(
+            table, int(version) if version is not None else None
         )
-        return StructType.fromJson(json.loads(snap.schema_json))
+        if self._snap.schema_json is None:
+            raise FileNotFoundError(f"no committed version at {table}")
+        return StructType.fromJson(json.loads(self._snap.schema_json))
 
     def reader(self, schema) -> TxnTableBatchReader:
-        return TxnTableBatchReader(self.options, schema)
+        return TxnTableBatchReader(
+            self.options, schema, getattr(self, "_snap", None)
+        )
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)
@@ -359,4 +391,4 @@ class TxnTableStreamDataSource(DataSource):
         return TxnTableArrowWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> TxnTableStreamWriter:
-        return TxnTableStreamWriter(self.options, schema)
+        return TxnTableStreamWriter(self.options, schema, overwrite)

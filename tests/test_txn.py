@@ -677,8 +677,9 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
         referenced |= {f["path"] for f in txn.snapshot(t, v).files}
     on_disk = {
         os.path.relpath(p, t).replace(os.sep, "/")
-        for p in glob.glob(t + "/_data/*/*.parquet")
+        for p in glob.glob(t + "/data/*/*.parquet")
     }
+    assert on_disk, "writer files must land under txn's vacuumable data root"
     assert on_disk - referenced == set()
 
 
@@ -730,7 +731,9 @@ def test_datasource_stream_writer_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("txn stream sink test did not finish in 120s")
 
     run_once()
     assert txn.read(spark, t).count() == 10
@@ -748,7 +751,9 @@ def test_datasource_stream_writer_exactly_once(spark, tmp_path):
     from pyspark.sql.types import StructType as _St
 
     w = TxnTableStreamWriter(
-        {"path": t}, _St.fromJson(__import__("json").loads(snap_before.schema_json))
+        {"path": t},
+        _St.fromJson(__import__("json").loads(snap_before.schema_json)),
+        overwrite=False,
     )
     w.commit([], applied)
     assert txn.snapshot(t).version == snap_before.version
