@@ -48,8 +48,9 @@ from . import txn
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, partition: dict | None = None):
         self.path = path
+        self.partition = partition
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
@@ -243,7 +244,15 @@ class TxnTableBatchReader(DataSourceReader):
     via ``.option("version", N)``. The driver resolves ONE manifest and
     plans one input partition per data file; executors stream the files
     as arrow batches (same column-pruned read the stream reader uses).
-    Unpartitioned tables only — the gate the module docstring explains."""
+
+    Partitioned tables work too: hive-layout files drop the partition
+    column from their pages, so each planned partition carries the
+    manifest's {col: value} and ``read`` re-injects it as a constant
+    arrow column CAST to the declared type (manifest values are the
+    string directory-encoding; the schema is the source of truth for the
+    type, exactly like ``txn._read_files``'s explicit-schema read). A
+    file committed WITHOUT partition metadata into a partitioned table
+    carries every column physically and reads as-is."""
 
     def __init__(
         self, options: dict, schema: StructType, snap: "txn.Snapshot | None" = None
@@ -260,26 +269,39 @@ class TxnTableBatchReader(DataSourceReader):
         )
         if self._snap.schema_json is None:
             raise FileNotFoundError(f"no committed version at {self.table}")
-        if self._snap.partition_by is not None:
-            raise ValueError(
-                "txn_table batch reads of partitioned tables are not "
-                "supported via the DataSource — use txn.read"
-            )
         self._schema = schema
 
     def partitions(self) -> list[_FilePartition]:
         return [
-            _FilePartition(os.path.join(self.table, f["path"]))
+            _FilePartition(os.path.join(self.table, f["path"]), f.get("partition"))
             for f in self._snap.files
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
-        table = pq.read_table(
-            partition.path, columns=[f.name for f in self._schema.fields]
-        )
-        yield from table.to_batches()
+        names = [f.name for f in self._schema.fields]
+        part = partition.partition or {}
+        file_cols = [n for n in names if n not in part]
+        table = pq.read_table(partition.path, columns=file_cols)
+        if not part:
+            yield from table.to_batches()
+            return
+        types = {f.name: to_arrow_type(f.dataType) for f in self._schema.fields}
+        for batch in table.to_batches():
+            cols = []
+            for n in names:
+                if n in part:
+                    v = part[n]
+                    const = pa.array(
+                        [v] * batch.num_rows, type=pa.string()
+                    ).cast(types[n])
+                    cols.append(const)
+                else:
+                    cols.append(batch.column(n))
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 

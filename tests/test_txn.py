@@ -757,3 +757,22 @@ def test_datasource_stream_writer_exactly_once(spark, tmp_path):
     )
     w.commit([], applied)
     assert txn.snapshot(t).version == snap_before.version
+
+
+def test_datasource_batch_reader_partitioned_reinjection(spark, tmp_path):
+    """Partitioned txn tables through spark.read.format('txn_table'): the
+    hive-layout files drop the partition column, so the reader must
+    re-inject each file's manifest partition value as a constant column
+    CAST to the declared type (bigint here — a string leak would flip the
+    schema), agreeing with txn.read row-for-row."""
+    from ir_analyses_spark.io.txn_stream import TxnTableStreamDataSource
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    t = str(tmp_path / "t")
+    df = spark.range(60).selectExpr("id AS k", "CAST(id % 3 AS BIGINT) AS grp")
+    txn.overwrite(df, t, partition_by="grp")
+    got = spark.read.format("txn_table").option("path", t).load()
+    assert got.schema["grp"].dataType.simpleString() == "bigint"
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, txn.read(spark, t).collect())
+    )
