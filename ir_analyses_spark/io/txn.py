@@ -347,6 +347,44 @@ def _commit(table: str, build, max_retries: int = 20) -> Snapshot:
     raise ConcurrentWriteRetryExceeded(table)
 
 
+def partition_matches(f: dict, allowed: dict[str, set]) -> bool:
+    """Manifest-level partition membership — conservative: a file with no
+    recorded partition, or partitioned by another column, is KEPT (its
+    membership is unknown). ``allowed`` values are in ``_pstr`` form."""
+    if f["partition"] is None:
+        return True  # unknown membership: must keep
+    for c, vs in allowed.items():
+        v = f["partition"].get(c, _ABSENT)
+        if v is _ABSENT:
+            return True  # partitioned by another column: keep
+        if _pstr(v) not in vs:
+            return False
+    return True
+
+
+def stats_may_hit(f: dict, range_filter: dict[str, tuple]) -> bool:
+    """Min/max file skipping — conservative: a file without stats for the
+    column, or with an incomparable bound, is KEPT. Bounds compare in the
+    stats' stored domain (non-primitives are strings, see _footer_stats)."""
+    stats = f.get("stats") or {}
+    for col, (lo, hi) in range_filter.items():
+        rng = stats.get(col)
+        if rng is None:
+            continue  # no stats → cannot skip
+        if lo is not None and isinstance(rng[1], str):
+            lo = lo if isinstance(lo, str) else str(lo)
+        if hi is not None and isinstance(rng[0], str):
+            hi = hi if isinstance(hi, str) else str(hi)
+        try:
+            if (hi is not None and rng[0] > hi) or (
+                lo is not None and rng[1] < lo
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable → cannot skip, keep the file
+    return True
+
+
 def read(
     spark: SparkSession,
     table: str,
@@ -374,43 +412,9 @@ def read(
     files = snap.files
     if partition_values:
         allowed = {c: {_pstr(v) for v in vs} for c, vs in partition_values.items()}
-
-        def _matches(f: dict) -> bool:
-            if f["partition"] is None:
-                return True  # unknown membership: must keep
-            for c, vs in allowed.items():
-                v = f["partition"].get(c, _ABSENT)
-                if v is _ABSENT:
-                    return True  # partitioned by another column: keep
-                if _pstr(v) not in vs:
-                    return False
-            return True
-
-        files = [f for f in files if _matches(f)]
+        files = [f for f in files if partition_matches(f, allowed)]
     if range_filter:
-
-        def _may_hit(f: dict) -> bool:
-            stats = f.get("stats") or {}
-            for col, (lo, hi) in range_filter.items():
-                rng = stats.get(col)
-                if rng is None:
-                    continue  # no stats → cannot skip
-                # stats for non-primitive types are stored as strings
-                # (_footer_stats); compare bounds in the same domain
-                if lo is not None and isinstance(rng[1], str):
-                    lo = lo if isinstance(lo, str) else str(lo)
-                if hi is not None and isinstance(rng[0], str):
-                    hi = hi if isinstance(hi, str) else str(hi)
-                try:
-                    if (hi is not None and rng[0] > hi) or (
-                        lo is not None and rng[1] < lo
-                    ):
-                        return False
-                except TypeError:
-                    continue  # incomparable → cannot skip, keep the file
-            return True
-
-        files = [f for f in files if _may_hit(f)]
+        files = [f for f in files if stats_may_hit(f, range_filter)]
     return _read_files(spark, table, files, schema, snap.partition_by)
 
 

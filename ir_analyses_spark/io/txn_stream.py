@@ -270,11 +270,18 @@ class TxnTableBatchReader(DataSourceReader):
         if self._snap.schema_json is None:
             raise FileNotFoundError(f"no committed version at {self.table}")
         self._schema = schema
+        self._allowed: dict[str, set] = {}
+        self._ranges: dict[str, tuple] = {}
 
     def partitions(self) -> list[_FilePartition]:
+        files = self._snap.files
+        if self._allowed:
+            files = [f for f in files if txn.partition_matches(f, self._allowed)]
+        if self._ranges:
+            files = [f for f in files if txn.stats_may_hit(f, self._ranges)]
         return [
             _FilePartition(os.path.join(self.table, f["path"]), f.get("partition"))
-            for f in self._snap.files
+            for f in files
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -302,6 +309,59 @@ class TxnTableBatchReader(DataSourceReader):
                 else:
                     cols.append(batch.column(n))
             yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
+class TxnTablePushdownReader(TxnTableBatchReader):
+    """The batch reader + Spark-driven manifest skipping. Merely DEFINING
+    ``pushFilters`` makes Spark assert the
+    ``spark.sql.python.filterPushdown.enabled`` conf, so this lives in a
+    subclass the DataSource hands out only when the active session has
+    the conf on — vanilla sessions keep working, engine sessions (which
+    set it in ENGINE_SQL_CONF) get the pruning."""
+
+    def pushFilters(self, filters):
+        """Spark's pushed predicates drive MANIFEST-LEVEL file skipping:
+        equality/IN on the partition column prunes by the manifest's
+        partition metadata, and comparison predicates on stats columns
+        prune by the per-file min/max harvested at commit time — before
+        a single data byte is read. Pruning is conservative (files kept
+        unless provably excluded), so EVERY filter is returned as
+        residual for Spark to re-apply; correctness never depends on the
+        skip."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(flt, EqualTo):
+                if col == self._snap.partition_by:
+                    self._allowed.setdefault(col, set()).add(txn._pstr(flt.value))
+                self._merge_range(col, flt.value, flt.value)
+            elif isinstance(flt, In) and col == self._snap.partition_by:
+                self._allowed.setdefault(col, set()).update(
+                    txn._pstr(v) for v in flt.value
+                )
+            elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                self._merge_range(col, flt.value, None)
+            elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                self._merge_range(col, None, flt.value)
+        return filters  # all residual: the skip is an optimization only
+
+    def _merge_range(self, col: str, lo, hi) -> None:
+        cur_lo, cur_hi = self._ranges.get(col, (None, None))
+        self._ranges[col] = (
+            lo if cur_lo is None else (cur_lo if lo is None else max(cur_lo, lo)),
+            hi if cur_hi is None else (cur_hi if hi is None else min(cur_hi, hi)),
+        )
 
 
 
@@ -402,9 +462,16 @@ class TxnTableStreamDataSource(DataSource):
         return StructType.fromJson(json.loads(self._snap.schema_json))
 
     def reader(self, schema) -> TxnTableBatchReader:
-        return TxnTableBatchReader(
-            self.options, schema, getattr(self, "_snap", None)
-        )
+        from pyspark.sql import SparkSession
+
+        cls = TxnTableBatchReader
+        active = SparkSession.getActiveSession()
+        if active is not None and (
+            active.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            == "true"
+        ):
+            cls = TxnTablePushdownReader
+        return cls(self.options, schema, getattr(self, "_snap", None))
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)

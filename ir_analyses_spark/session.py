@@ -48,6 +48,10 @@ ENGINE_SQL_CONF: dict[str, str] = {
     "spark.sql.codegen.maxFields": "256",
     "spark.sql.legacy.javaCharsets": "true",
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # manifest-level file skipping driven by Spark's own pushed predicates
+    # (io/txn_stream.py TxnTablePushdownReader); the reader degrades to
+    # no-pushdown on sessions without this conf
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"

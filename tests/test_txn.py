@@ -776,3 +776,59 @@ def test_datasource_batch_reader_partitioned_reinjection(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, txn.read(spark, t).collect())
     )
+
+
+def test_datasource_pushdown_prunes_files_conservatively(spark, tmp_path):
+    """Spark-pushed predicates drive manifest-level skipping in the
+    Python DataSource: partition equality prunes to that partition's
+    files, a stats-column range prunes to intersecting files — and every
+    filter is returned as residual, so results stay exact even though
+    the skip is conservative. Sessions without the pushdown conf get the
+    plain reader and still read correctly."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from ir_analyses_spark.io.txn_stream import (
+        TxnTablePushdownReader,
+        TxnTableStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    t = str(tmp_path / "t")
+    df = spark.range(90).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS grp")
+    txn.overwrite(df.repartition(6), t, partition_by="grp")
+    schema = txn.read(spark, t).schema
+    total = len(TxnTablePushdownReader({"path": t}, schema).partitions())
+    pruned = TxnTablePushdownReader({"path": t}, schema)
+    residual = pruned.pushFilters([EqualTo(("grp",), "1")])
+    assert list(residual), "all filters must come back as residual"
+    assert 0 < len(pruned.partitions()) < total
+    got = (
+        spark.read.format("txn_table").option("path", t).load()
+        .filter(F.col("grp") == "1")
+    )
+    assert got.count() == 30
+    # stats-based range skipping over sorted shards
+    t2 = str(tmp_path / "t2")
+    d2 = (
+        spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(5, "k").sortWithinPartitions("k")
+    )
+    txn.overwrite(d2, t2, stats_cols=["k"])
+    s2 = txn.read(spark, t2).schema
+    r = TxnTablePushdownReader({"path": t2}, s2)
+    r.pushFilters([GreaterThan(("k",), 900)])
+    assert len(r.partitions()) == 1
+    q = spark.read.format("txn_table").option("path", t2).load().filter(
+        F.col("k") > 900
+    )
+    assert q.count() == 99
+    # conf off -> plain reader path still reads correctly
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        assert (
+            spark.read.format("txn_table").option("path", t).load()
+            .filter(F.col("grp") == "2").count()
+            == 30
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
