@@ -680,7 +680,19 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
         for p in glob.glob(t + "/data/*/*.parquet")
     }
     assert on_disk, "writer files must land under txn's vacuumable data root"
-    assert on_disk - referenced == set()
+    # abort() removes the job dir, but a straggler task can finish its
+    # file AFTER the rmtree (speculative/in-flight attempts) — such
+    # leftovers are exactly the never-referenced orphans vacuum's
+    # age-gated sweep reclaims. Assert the sweep actually gets them.
+    leftovers = on_disk - referenced
+    if leftovers:
+        txn.vacuum(t, keep_versions=10, orphan_min_age_seconds=0.0)
+        on_disk_after = {
+            os.path.relpath(p, t).replace(os.sep, "/")
+            for p in glob.glob(t + "/data/*/*.parquet")
+        }
+        assert on_disk_after - referenced == set()
+        assert txn.read(spark, t).count() == 5  # table state untouched
 
 
 def test_datasource_batch_reader_time_travel(spark, tmp_path):
