@@ -854,6 +854,7 @@ def compact(
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> Snapshot:
     """OPTIMIZE: rewrite the current snapshot into ~target-sized files and
     commit the new layout as one version. Readers of the old snapshot are
@@ -862,7 +863,16 @@ def compact(
     whole-directory swap. Pass ``stats_cols`` to re-harvest min/max
     skipping stats for the rewritten files (a compaction without it
     drops them — skipping then degrades to scan-everything, safe but
-    slower)."""
+    slower).
+
+    ``zorder_by=(col_a, col_b)`` is Delta's ``OPTIMIZE ZORDER BY``: the
+    rewrite range-shards and locally sorts by the Morton interleave of
+    the two columns (``sinks.zorder_value`` — pure codegen), so every
+    rewritten file covers a small RECTANGLE of (a, b) space and the
+    manifest's min/max stats (pass both columns in ``stats_cols``) prune
+    selective predicates on EITHER column. Unpartitioned tables only —
+    z-ordering across hive partitions would break per-partition merge
+    pruning."""
     snap = snapshot(table)
     if snap.schema_json is None:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -873,7 +883,41 @@ def compact(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read(spark, table, at_version=snap.version)
-    if snap.partition_by:
+    if zorder_by is not None:
+        if snap.partition_by:
+            raise ValueError(
+                "zorder_by on a partitioned table is unsupported: the "
+                "z-shards would span partition values"
+            )
+        col_a, col_b = zorder_by
+        from .sinks import zorder_value
+
+        lo_a, hi_a, lo_b, hi_b = df.select(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+        bits = 16
+        top = (1 << bits) - 1
+
+        def _scaled(c, lo, hi):
+            span = (hi - lo) or 1
+            return F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                / F.lit(float(span))
+                * top
+            ).cast("long")
+
+        df = (
+            df.withColumn(
+                "_z",
+                zorder_value(
+                    _scaled(col_a, lo_a, hi_a), _scaled(col_b, lo_b, hi_b), bits
+                ),
+            )
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif snap.partition_by:
         # partition layout (and per-file partition metadata — the basis of
         # merge pruning) must survive compaction: group each partition
         # value into one task so the dynamic writer emits one file per
@@ -892,7 +936,7 @@ def compact(
             "partition_by": s.partition_by,
             "files": entries,
             "applied_batches": s.applied_batches,
-            "operation": "compact",
+            "operation": "zorder" if zorder_by is not None else "compact",
         }
 
     return _commit(table, build)

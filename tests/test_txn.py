@@ -844,3 +844,40 @@ def test_datasource_pushdown_prunes_files_conservatively(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_compact_zorder_rectangles_enable_two_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on the txn format: after a z-ordered compaction
+    with stats re-harvest, BOTH columns' manifest stats must be selective
+    enough that a point-range predicate on EITHER column prunes files —
+    the property a 1-D sort only gives its own sort column. Values are
+    preserved exactly, operation is labeled, and replays of readers on
+    the old snapshot are untouched."""
+    t = str(tmp_path / "t")
+    n = 20000
+    df = spark.range(n).selectExpr(
+        "id AS a", f"CAST(pmod(id * 2654435761, {n}) AS BIGINT) AS b"
+    )
+    txn.overwrite(df.repartition(8), t, stats_cols=["a", "b"])
+    before = sorted(map(tuple, txn.read(spark, t).collect()))
+    txn.compact(
+        spark, t, target_file_bytes=16 * 1024,
+        stats_cols=["a", "b"], zorder_by=("a", "b"),
+    )
+    assert txn.history(t)[-1]["operation"] == "zorder"
+    after = sorted(map(tuple, txn.read(spark, t).collect()))
+    assert after == before
+    snap = txn.snapshot(t)
+    n_files = len(snap.files)
+    assert n_files >= 4, "need multiple shards to observe skipping"
+
+    def kept(col, lo, hi):
+        return sum(
+            1 for f in snap.files if txn.stats_may_hit(f, {col: (lo, hi)})
+        )
+
+    # a narrow band on EITHER column must exclude most files
+    assert kept("a", 0, n // 16) < n_files
+    assert kept("b", 0, n // 16) < n_files
+    assert kept("a", 0, n // 16) <= n_files // 2 + 1
+    assert kept("b", 0, n // 16) <= n_files // 2 + 1
