@@ -849,6 +849,41 @@ def scd2_merge_txn(
     )
 
 
+def restore(table: str, to_version: int) -> Snapshot:
+    """RESTORE (Delta's ROLLBACK-as-commit): publish a NEW version whose
+    file list, schema, and layout are the target version's — history is
+    preserved (the bad commits stay inspectable and time-travelable), the
+    applied-batch ledger carries over from the CURRENT tip (a restored
+    table must still treat already-applied batch ids as applied — resetting
+    the ledger would let a replayed batch double-count into the restored
+    state), and no data is copied: manifests name immutable files, so a
+    restore is one JSON write. Fails if the target was vacuumed away."""
+    target = snapshot(table, to_version)
+    if target.schema_json is None:
+        raise FileNotFoundError(f"no committed version at {table}")
+    missing = [
+        f["path"] for f in target.files
+        if not os.path.exists(os.path.join(table, f["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table} to v{to_version}: {len(missing)} data "
+            f"file(s) were vacuumed (first: {missing[0]})"
+        )
+
+    def build(snap: Snapshot) -> dict:
+        return {
+            "version": snap.version + 1,
+            "schema": target.schema_json,
+            "partition_by": target.partition_by,
+            "files": target.files,
+            "applied_batches": snap.applied_batches,
+            "operation": "restore",
+        }
+
+    return _commit(table, build)
+
+
 def compact(
     spark: SparkSession,
     table: str,

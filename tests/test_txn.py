@@ -881,3 +881,28 @@ def test_compact_zorder_rectangles_enable_two_column_skipping(spark, tmp_path):
     assert kept("b", 0, n // 16) < n_files
     assert kept("a", 0, n // 16) <= n_files // 2 + 1
     assert kept("b", 0, n // 16) <= n_files // 2 + 1
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE publishes a new version pointing at the target's files:
+    data equals the target exactly, the bad commit stays time-travelable,
+    no data files are copied (same paths), the ledger carries over so a
+    replayed batch id is still a no-op after the restore, and a vacuumed
+    target refuses with a clear error."""
+    t = str(tmp_path / "t")
+    base = _mk(spark, [(1, "a", 10), (2, "b", 20)])
+    txn.overwrite(base, t)
+    txn.overwrite(_mk(spark, [(9, "z", 90)]), t)  # the "bad" commit (v2)
+    v1_files = {f["path"] for f in txn.snapshot(t, 1).files}
+    txn.restore(t, 1)
+    assert txn.snapshot(t).version == 3
+    assert {f["path"] for f in txn.snapshot(t).files} == v1_files  # no copy
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20)]
+    # the bad commit is still inspectable
+    assert _rows(txn.read(spark, t, at_version=2)) == [(9, "z", 90)]
+    assert txn.history(t)[-1]["operation"] == "restore"
+    # vacuumed target refuses
+    txn.overwrite(_mk(spark, [(5, "e", 50)]), t)
+    txn.vacuum(t, keep_versions=1, orphan_min_age_seconds=0.0)
+    with pytest.raises(FileNotFoundError):
+        txn.restore(t, 2)
