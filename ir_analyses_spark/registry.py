@@ -161,9 +161,13 @@ _ORDER = [
     # parity is their evidence until the next rotation; a budget overrun
     # hits them first), then displaced-but-green r3 rows, then r1/r2-green
     # entries whose code is unchanged since their row
-    # session 4: SQL-surface closure — LATERAL correlated join and native
-    # WITH RECURSIVE (Spark 4.1) — oracle-gated, enter the window next
-    # rotation
+    # session 4: SQL-surface closure (LATERAL, native WITH RECURSIVE,
+    # SQL-defined scalar/table functions, pipe syntax, collated strings,
+    # SQL PIVOT), the approx_top_k heavy-hitters sketch, and the txn
+    # format's consumer/metadata/DataSource tier (change-feed apply,
+    # DESCRIBE HISTORY, Python-DataSource batch write + streaming sink) —
+    # all oracle-gated with bare-session runs recorded in COVERAGE.md;
+    # they enter the driver window next rotation
     "lateral_topk_per_group",
     "recursive_inventory_chain",
     "token_topk_sketch",
