@@ -731,6 +731,121 @@ SELECT token, cnt, rank FROM (
 """
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, the real iterative loop (3 merge rounds) —
+    ``bpe_pair_counts`` is one iteration's statistics; this runs the
+    algorithm: per round, count adjacent symbol pairs weighted by word
+    frequency, take the argmax pair (count DESC, then lexicographic — a
+    total order, so every round is deterministic), apply the merge to
+    every word, repeat. Output: the learned merge table, one row per
+    round — exactly what a tokenizer trainer persists.
+
+    Representation trick that keeps BOTH engines exact without lookaround
+    regex (DuckDB's RE2 has none): symbols are wrapped as ``(sym)`` and a
+    merge is the LITERAL replace of ``(a)(b)`` with ``(ab)``. Parens
+    can't occur inside symbol text, so a match always aligns to symbol
+    boundaries, and left-to-right non-overlapping literal replace is
+    precisely BPE's greedy leftmost merge ("a a a" → "aa a").
+
+    Scale shape: the corpus is touched ONCE (the distinct-token count —
+    one shuffle of tokens); every round then works on the VOCABULARY
+    frequency table (|V| rows, the classic word-count BPE trainer), with
+    the argmax pair broadcast into the merge step. Rounds are a driver
+    loop over small DataFrames — same pattern as ``ops/graph.pagerank``.
+    Oracle: 3 unrolled CTE rounds, bit-exact integer counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = vocab.select(
+        "token", "cnt", F.regexp_replace("token", "(.)", "($1)").alias("seq")
+    ).localCheckpoint(eager=True)  # corpus scan happens once, not per round
+    merges = []
+    for rnd in (1, 2, 3):
+        symbols = F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\(")
+        pairs = (
+            seqs.select("cnt", symbols.alias("l"))
+            .filter(F.size("l") >= 2)
+            .select(
+                "cnt",
+                F.explode(F.sequence(F.lit(0), F.size("l") - 2)).alias("i"),
+                "l",
+            )
+            .select(
+                "cnt",
+                F.element_at("l", F.col("i") + 1).alias("a"),
+                F.element_at("l", F.col("i") + 2).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.col("pc").desc(), "a", "b").limit(1)
+        merges.append(
+            best.select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(best))
+            .select(
+                "token",
+                "cnt",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit("("), F.col("a"), F.lit(")("), F.col("b"), F.lit(")")
+                    ),
+                    F.concat(F.lit("("), F.col("a"), F.col("b"), F.lit(")")),
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)  # stop round-k plan nesting round k-1
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_round_sql(k: int) -> str:
+    return f"""
+pairs{k} AS (
+  SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT cnt, string_split(trim(seq, '()'), ')(') AS l FROM seqs{k - 1}) s,
+       UNNEST(range(1, len(l))) AS t(i)
+  GROUP BY 1, 2
+),
+best{k} AS (SELECT a, b, pc FROM pairs{k} ORDER BY pc DESC, a, b LIMIT 1),
+seqs{k} AS (
+  SELECT token, cnt,
+         replace(seq, '(' || best{k}.a || ')(' || best{k}.b || ')',
+                 '(' || best{k}.a || best{k}.b || ')') AS seq
+  FROM seqs{k - 1}, best{k}
+)"""
+
+
+BPE_TRAIN_MERGES_SQL = f"""
+WITH vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+seqs0 AS (
+  SELECT token, cnt, regexp_replace(token, '(.)', '(\\1)', 'g') AS seq
+  FROM vocab
+),{",".join(_bpe_round_sql(k) for k in (1, 2, 3))}
+SELECT 1 AS round, a AS left_sym, b AS right_sym, pc AS pair_count FROM best1
+UNION ALL
+SELECT 2, a, b, pc FROM best2
+UNION ALL
+SELECT 3, a, b, pc FROM best3
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
@@ -746,6 +861,7 @@ QUERIES = {
     "token_length_histogram": token_length_histogram,
     "vocab_oov_rate": vocab_oov_rate,
     "token_topk_sketch": token_topk_sketch,
+    "bpe_train_merges": bpe_train_merges,
 }
 
 ORACLES = {
@@ -763,4 +879,5 @@ ORACLES = {
     "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
     "vocab_oov_rate": VOCAB_OOV_RATE_SQL,
     "token_topk_sketch": TOKEN_TOPK_SKETCH_SQL,
+    "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
 }

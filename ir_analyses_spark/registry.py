@@ -171,6 +171,7 @@ _ORDER = [
     "lateral_topk_per_group",
     "recursive_inventory_chain",
     "token_topk_sketch",
+    "bpe_train_merges",
     "txn_change_apply",
     "txn_history",
     "sql_udf_pricing",

@@ -254,3 +254,17 @@ def test_collation_mangling_mixes_case(con):
         " AS mangled FROM part)"
     ).fetchone()
     assert n_ci < n_cs
+
+
+def test_bpe_merge_rounds_progress(con):
+    """bpe_train_merges: the three rounds must pick three DISTINCT pairs
+    with positive, monotone non-increasing counts (a merged pair cannot
+    re-form, and any pair a merge creates inherits at most the merged
+    pair's count, so a violation means the merge was never applied)."""
+    rows = con.execute(_oracle("bpe_train_merges")).fetchall()
+    assert len(rows) == 3
+    pairs = [(r[1], r[2]) for r in rows]
+    assert len(set(pairs)) == 3
+    counts = [r[3] for r in rows]
+    assert all(c > 0 for c in counts)
+    assert counts == sorted(counts, reverse=True)
