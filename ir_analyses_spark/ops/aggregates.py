@@ -413,6 +413,66 @@ FROM lineitem
 """
 
 
+def outlier_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (Tukey IQR fences): per event type, the
+    DISCRETE quartiles of ``value`` (percentile_disc picks actual data
+    points — both engines' disc definitions align, unlike interpolated
+    quantiles whose arithmetic can differ by an ulp and flip a boundary
+    comparison), fences at q1/q3 ± 1.5·IQR, and the outlier count. All
+    fence arithmetic is IEEE doubles over exact data values in a fixed
+    order, so the flags are engine-exact.
+
+    Scale shape: one partial/final aggregate for the quartiles (disc
+    percentile is a sort-based agg per group — 5 small groups here; at a
+    huge group count you'd switch to approx_percentile and accept the
+    sketch bound), the tiny fence table broadcast back onto the scan, and
+    the count folds map-side. The raw stream is never collected."""
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    fenced = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "value",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.min("lo").alias("lo_fence"),
+            F.max("hi").alias("hi_fence"),
+        )
+    )
+
+
+OUTLIER_IQR_FLAGS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                       OR e.value > q3 + 1.5 * (q3 - q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MIN(q1 - 1.5 * (q3 - q1)) AS lo_fence,
+       MAX(q3 + 1.5 * (q3 - q1)) AS hi_fence
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "column_profile": column_profile,
@@ -428,6 +488,7 @@ QUERIES = {
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "exact_median": exact_median,
     "minmax_extremes": minmax_extremes,
+    "outlier_iqr_flags": outlier_iqr_flags,
 }
 
 ORACLES = {
@@ -444,4 +505,5 @@ ORACLES = {
     # approx_sketches: estimator-specific, rows-only check by design
     "exact_median": EXACT_MEDIAN_SQL,
     "minmax_extremes": MINMAX_EXTREMES_SQL,
+    "outlier_iqr_flags": OUTLIER_IQR_FLAGS_SQL,
 }

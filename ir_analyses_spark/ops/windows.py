@@ -293,6 +293,71 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
 
 
+def ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA, α = 1/4) over the quarterly order
+    series — the one-step-ahead forecast every capacity-planning
+    dashboard runs, and a genuinely SEQUENTIAL recurrence: s_t depends on
+    s_{t-1}, so it runs as a native WITH RECURSIVE chain (same shape as
+    recursive_inventory_chain, frontier of one row per step).
+
+    Exactness: the recursion fixes the evaluation ORDER, every step is
+    (x + 3·s)/4 on doubles — multiply, add, divide are each correctly
+    rounded IEEE ops, identical in both engines when applied in the same
+    order — and the inputs are exact integer cents ≤ 2^53. So the floats
+    hash-match bit-for-bit with NO rounding concession (contrast
+    trade_pagerank, whose partition-order-varying SUM needs decimal
+    accumulators + 9-dp rounding)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_win_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE demand AS (
+          SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
+                        CAST(QUARTER(o_orderdate) AS STRING)) AS qtr,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS demand_c
+          FROM _win_orders GROUP BY 1
+        ),
+        seq AS (
+          SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
+          FROM demand
+        ),
+        sm (i, qtr, demand_c, ewma) AS (
+          SELECT i, qtr, demand_c, CAST(demand_c AS DOUBLE)
+          FROM seq WHERE i = 1
+          UNION ALL
+          SELECT s.i, s.qtr, s.demand_c,
+                 (CAST(s.demand_c AS DOUBLE) + 3 * m.ewma) / 4
+          FROM sm m JOIN seq s ON s.i = m.i + 1
+        )
+        SELECT qtr, demand_c, ewma FROM sm
+        """
+    )
+
+
+EWMA_FORECAST_SQL = """
+WITH RECURSIVE demand AS (
+  SELECT CONCAT(CAST(YEAR(o_orderdate) AS VARCHAR), '-Q',
+                CAST(QUARTER(o_orderdate) AS VARCHAR)) AS qtr,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS demand_c
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
+  FROM demand
+),
+sm (i, qtr, demand_c, ewma) AS (
+  SELECT i, qtr, demand_c, CAST(demand_c AS DOUBLE)
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.i, s.qtr, s.demand_c,
+         (CAST(s.demand_c AS DOUBLE) + 3 * m.ewma) / 4
+  FROM sm m JOIN seq s ON s.i = m.i + 1
+)
+SELECT qtr, demand_c, ewma FROM sm
+"""
+
+
 QUERIES = {
     "window_ranking": window_ranking,
     "window_lag_lead": window_lag_lead,
@@ -300,6 +365,7 @@ QUERIES = {
     "window_range_interval": window_range_interval,
     "window_sessionize": window_sessionize,
     "timeseries_gapfill": timeseries_gapfill,
+    "ewma_forecast": ewma_forecast,
 }
 
 ORACLES = {
@@ -309,4 +375,5 @@ ORACLES = {
     "window_range_interval": WINDOW_RANGE_INTERVAL_SQL,
     "window_sessionize": WINDOW_SESSIONIZE_SQL,
     "timeseries_gapfill": TIMESERIES_GAPFILL_SQL,
+    "ewma_forecast": EWMA_FORECAST_SQL,
 }

@@ -172,6 +172,8 @@ _ORDER = [
     "recursive_inventory_chain",
     "token_topk_sketch",
     "bpe_train_merges",
+    "ewma_forecast",
+    "outlier_iqr_flags",
     "txn_change_apply",
     "txn_history",
     "sql_udf_pricing",

@@ -268,3 +268,14 @@ def test_bpe_merge_rounds_progress(con):
     counts = [r[3] for r in rows]
     assert all(c > 0 for c in counts)
     assert counts == sorted(counts, reverse=True)
+
+
+def test_iqr_fences_flag_some_but_not_all(con):
+    """outlier_iqr_flags: every event type must flag SOME outliers and
+    keep most rows inside the fences — all-zero (fences too wide /
+    comparison broken) or near-total flagging would pass the oracle
+    trivially while testing nothing."""
+    rows = con.execute(_oracle("outlier_iqr_flags")).fetchall()
+    assert rows
+    for _etype, n, n_out, _lo, _hi in rows:
+        assert 0 < n_out < n // 4
