@@ -805,6 +805,91 @@ FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the compression step every
+    large-scale vector index runs before storage): each embedding maps
+    its own [min, max] onto 0..255, and the query reports the integer
+    checksum of the codes, the code range, and the max dequantization
+    error — the acceptance metrics a quantized-index build logs.
+
+    Engine-exactness choices: code = floor(t·255 + 0.5) instead of
+    round() (Spark's round is HALF_UP, DuckDB's differs on computed .5
+    ties; floor is identical everywhere), all element math is per-element
+    IEEE doubles (no cross-element fold), the checksum is an INTEGER sum
+    (order-independent), and the error metric is a MAX (also
+    order-independent) — nothing depends on array traversal order.
+    Constant vectors (span 0) quantize to code 0 by definition.
+
+    Scale shape: single-scan per-row projection — no shuffle, no Python.
+    The array HOFs here evaluate per ELEMENT outside whole-stage codegen,
+    which is fine at one row per vector (64 lambda evals/row); contrast
+    _minhash_wide, whose per-SHINGLE volume is why that path avoids HOFs
+    entirely."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    mn = F.array_min(x)
+    mx = F.array_max(x)
+    span = mx - mn
+    codes = F.transform(
+        x,
+        lambda v: F.when(span == 0, F.lit(0)).otherwise(
+            F.floor((v - mn) / span * 255 + 0.5)
+        ).cast("long"),
+    )
+    dq = F.transform(
+        codes, lambda q: mn + q.cast("double") * span / 255
+    )
+    err = F.array_max(
+        F.zip_with(x, dq, lambda a, b: F.abs(a - b))
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "q_sum"
+        ),
+        F.array_min(codes).alias("q_min"),
+        F.array_max(codes).alias("q_max"),
+        err.alias("max_abs_err"),
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, x,
+         list_min(x) AS mn,
+         list_max(x) - list_min(x) AS span
+  FROM base
+),
+coded AS (
+  SELECT vec_id, x, mn, span,
+         list_transform(
+           x,
+           v -> CASE WHEN span = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(FLOOR((v - mn) / span * 255 + 0.5) AS BIGINT)
+                END
+         ) AS codes
+  FROM scaled
+)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       list_min(codes) AS q_min,
+       list_max(codes) AS q_max,
+       list_max(
+         list_transform(
+           list_zip(x, list_transform(codes,
+                                      q -> mn + CAST(q AS DOUBLE) * span / 255)),
+           p -> ABS(p[1] - p[2])
+         )
+       ) AS max_abs_err
+FROM coded
+"""
+
+
 QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -813,6 +898,7 @@ QUERIES = {
     "ann_ml_brp_lsh": ann_ml_brp_lsh,
     "kmeans_assign": kmeans_assign,
     "semantic_dedup": semantic_dedup,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
@@ -822,4 +908,5 @@ ORACLES = {
     "embedding_cosine_nearup": EMBEDDING_COSINE_NEARDUP_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
 }

@@ -174,6 +174,7 @@ _ORDER = [
     "bpe_train_merges",
     "ewma_forecast",
     "outlier_iqr_flags",
+    "embedding_quantize_int8",
     "txn_change_apply",
     "txn_history",
     "sql_udf_pricing",
