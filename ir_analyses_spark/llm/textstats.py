@@ -846,6 +846,53 @@ SELECT 3, a, b, pc FROM best3
 """
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the embedding/RAG prep step:
+    fixed 200-char chunks, stride 150 → 50-char overlap so no boundary
+    sentence is lost). Emits one row per chunk with its offset, actual
+    length (the tail chunk is shorter), and content hash — the manifest a
+    chunk-level embedding job consumes.
+
+    Scale shape: a bounded-range explode (offsets precomputed from
+    length, never a while-loop UDF) over a single scan; each chunk row
+    carries only its 200-char slice + hash, so the shuffle-free
+    projection parallelizes embarrassingly. Chunk count per doc =
+    ceil(max(len-50, 1)/150), exact in integer arithmetic."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunked = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.posexplode(
+            F.sequence(
+                F.lit(1),
+                F.length("text"),
+                F.lit(150),
+            )
+        ).alias("chunk_id", "offset"),
+        F.col("text"),
+    )
+    chunk = F.substring(F.col("text"), F.col("offset").cast("int"), 200)
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        "offset",
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNKING_SQL = """
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       1 + i * 150 AS offset,
+       LENGTH(substring(text, CAST(1 + i * 150 AS INT), 200)) AS chunk_len,
+       MD5(substring(text, CAST(1 + i * 150 AS INT), 200)) AS chunk_md5
+FROM documents,
+     UNNEST(range(0, (LENGTH(text) + 149) // 150)) AS t(i)
+WHERE 1 + i * 150 <= LENGTH(text)
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
@@ -862,6 +909,7 @@ QUERIES = {
     "vocab_oov_rate": vocab_oov_rate,
     "token_topk_sketch": token_topk_sketch,
     "bpe_train_merges": bpe_train_merges,
+    "doc_chunking": doc_chunking,
 }
 
 ORACLES = {
@@ -880,4 +928,5 @@ ORACLES = {
     "vocab_oov_rate": VOCAB_OOV_RATE_SQL,
     "token_topk_sketch": TOKEN_TOPK_SKETCH_SQL,
     "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
+    "doc_chunking": DOC_CHUNKING_SQL,
 }

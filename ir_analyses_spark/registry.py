@@ -175,6 +175,7 @@ _ORDER = [
     "ewma_forecast",
     "outlier_iqr_flags",
     "embedding_quantize_int8",
+    "doc_chunking",
     "txn_change_apply",
     "txn_history",
     "sql_udf_pricing",

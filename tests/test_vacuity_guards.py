@@ -279,3 +279,20 @@ def test_iqr_fences_flag_some_but_not_all(con):
     assert rows
     for _etype, n, n_out, _lo, _hi in rows:
         assert 0 < n_out < n // 4
+
+
+def test_doc_chunking_multi_chunk_and_short_tail(con):
+    """doc_chunking: the corpus must actually produce multi-chunk docs
+    (otherwise the stride logic is untested) and short tail chunks
+    (otherwise the length-clamp is untested); offsets step by exactly the
+    150 stride."""
+    rows = con.execute(_oracle("doc_chunking")).fetchall()
+    by_doc: dict = {}
+    for doc_id, chunk_id, offset, chunk_len, _md5 in rows:
+        by_doc.setdefault(doc_id, []).append((chunk_id, offset, chunk_len))
+    assert any(len(v) > 1 for v in by_doc.values())
+    assert any(cl < 200 for v in by_doc.values() for (_, _, cl) in v)
+    for v in by_doc.values():
+        v.sort()
+        for (c1, o1, _), (c2, o2, _) in zip(v, v[1:]):
+            assert c2 == c1 + 1 and o2 - o1 == 150
