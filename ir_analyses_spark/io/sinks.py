@@ -695,27 +695,48 @@ def write_zordered(
     ONE extra scalar aggregate — no shuffle added beyond the range
     exchange every sorted layout needs.
     """
+    (
+        zorder_layout(df, col_a, col_b, n_shards, bits)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_layout(
+    df: DataFrame, col_a: str, col_b: str, n_shards: int, bits: int = 16
+) -> DataFrame:
+    """The reusable z-layout pipeline (shared by ``write_zordered`` and
+    ``txn.compact(zorder_by=…)``): scale both columns to ``bits``-bit
+    ranks, Morton-interleave, range-shard and locally sort. An EMPTY frame
+    returns unchanged (no min/max to scale by); non-numeric columns raise
+    a clear error instead of a deep TypeError."""
     lo_a, hi_a, lo_b, hi_b = df.select(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        return df  # empty input: nothing to lay out
+    try:
+        lo_af, span_af = float(lo_a), float(hi_a - lo_a) or 1.0
+        lo_bf, span_bf = float(lo_b), float(hi_b - lo_b) or 1.0
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"z-order requires numeric columns, got {col_a!r}/{col_b!r}"
+        ) from exc
     top = (1 << bits) - 1
 
-    def scaled(c, lo, hi):
-        span = (hi - lo) or 1
+    def scaled(c, lo, span):
         return F.floor(
-            (F.col(c).cast("double") - F.lit(float(lo)))
-            / F.lit(float(span))
-            * top
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
         ).cast("long")
 
-    z = zorder_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
-    (
+    z = zorder_value(
+        scaled(col_a, lo_af, span_af), scaled(col_b, lo_bf, span_bf), bits
+    )
+    return (
         df.withColumn("_z", z)
         .repartitionByRange(n_shards, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
 
 

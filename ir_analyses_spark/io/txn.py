@@ -925,33 +925,10 @@ def compact(
                 "z-shards would span partition values"
             )
         col_a, col_b = zorder_by
-        from .sinks import zorder_value
+        from .sinks import zorder_layout
 
-        lo_a, hi_a, lo_b, hi_b = df.select(
-            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-        ).first()
-        bits = 16
-        top = (1 << bits) - 1
-
-        def _scaled(c, lo, hi):
-            span = (hi - lo) or 1
-            return F.floor(
-                (F.col(c).cast("double") - F.lit(float(lo)))
-                / F.lit(float(span))
-                * top
-            ).cast("long")
-
-        df = (
-            df.withColumn(
-                "_z",
-                zorder_value(
-                    _scaled(col_a, lo_a, hi_a), _scaled(col_b, lo_b, hi_b), bits
-                ),
-            )
-            .repartitionByRange(n_files, F.col("_z"))
-            .sortWithinPartitions("_z")
-            .drop("_z")
-        )
+        # shared layout pipeline (empty-safe, clear error on non-numeric)
+        df = zorder_layout(df, col_a, col_b, n_files)
     elif snap.partition_by:
         # partition layout (and per-file partition metadata — the basis of
         # merge pruning) must survive compaction: group each partition

@@ -291,9 +291,15 @@ class TxnTableBatchReader(DataSourceReader):
 
         names = [f.name for f in self._schema.fields]
         part = partition.partition or {}
-        file_cols = [n for n in names if n not in part]
+        pf = pq.ParquetFile(partition.path)
+        in_file = set(pf.schema_arrow.names)
+        # a pre-evolution file lacks later ADDED columns — read what the
+        # file has and null-fill the rest (txn._read_files' explicit-schema
+        # behavior), never ask pyarrow for a column the footer can't name
+        file_cols = [n for n in names if n not in part and n in in_file]
         table = pq.read_table(partition.path, columns=file_cols)
-        if not part:
+        synth = {n for n in names if n not in file_cols}
+        if not synth:
             yield from table.to_batches()
             return
         types = {f.name: to_arrow_type(f.dataType) for f in self._schema.fields}
@@ -301,11 +307,13 @@ class TxnTableBatchReader(DataSourceReader):
             cols = []
             for n in names:
                 if n in part:
-                    v = part[n]
-                    const = pa.array(
-                        [v] * batch.num_rows, type=pa.string()
-                    ).cast(types[n])
-                    cols.append(const)
+                    cols.append(
+                        pa.array(
+                            [part[n]] * batch.num_rows, type=pa.string()
+                        ).cast(types[n])
+                    )
+                elif n in synth:  # evolved column absent from this file
+                    cols.append(pa.nulls(batch.num_rows, type=types[n]))
                 else:
                     cols.append(batch.column(n))
             yield pa.RecordBatch.from_arrays(cols, names=names)
@@ -337,6 +345,15 @@ class TxnTablePushdownReader(TxnTableBatchReader):
             LessThanOrEqual,
         )
 
+        def _dir_form(v):
+            # manifest partition values are Spark's DIRECTORY encoding;
+            # str() matches it only for strings and integers (str(True) is
+            # 'True' vs dir 'true'; floats/dates have format drift) — any
+            # other type must NOT prune (conservative keep-all)
+            if isinstance(v, bool) or not isinstance(v, (str, int)):
+                return None
+            return txn._pstr(v)
+
         for flt in filters:
             attr = getattr(flt, "attribute", None)
             if not attr or len(attr) != 1:
@@ -344,12 +361,14 @@ class TxnTablePushdownReader(TxnTableBatchReader):
             col = attr[0]
             if isinstance(flt, EqualTo):
                 if col == self._snap.partition_by:
-                    self._allowed.setdefault(col, set()).add(txn._pstr(flt.value))
+                    d = _dir_form(flt.value)
+                    if d is not None:
+                        self._allowed.setdefault(col, set()).add(d)
                 self._merge_range(col, flt.value, flt.value)
             elif isinstance(flt, In) and col == self._snap.partition_by:
-                self._allowed.setdefault(col, set()).update(
-                    txn._pstr(v) for v in flt.value
-                )
+                ds = [_dir_form(v) for v in flt.value]
+                if all(d is not None for d in ds):
+                    self._allowed.setdefault(col, set()).update(ds)
             elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
                 self._merge_range(col, flt.value, None)
             elif isinstance(flt, (LessThan, LessThanOrEqual)):
@@ -462,16 +481,23 @@ class TxnTableStreamDataSource(DataSource):
         return StructType.fromJson(json.loads(self._snap.schema_json))
 
     def reader(self, schema) -> TxnTableBatchReader:
-        from pyspark.sql import SparkSession
-
-        cls = TxnTableBatchReader
-        active = SparkSession.getActiveSession()
-        if active is not None and (
-            active.conf.get("spark.sql.python.filterPushdown.enabled", "false")
-            == "true"
-        ):
-            cls = TxnTablePushdownReader
-        return cls(self.options, schema, getattr(self, "_snap", None))
+        # DataSource.reader() runs in Spark's Python PLANNER WORKER, where
+        # no SparkSession/SparkContext exists — the conf CANNOT be probed
+        # here (a getActiveSession() check compiles but always sees None,
+        # silently disabling pushdown). The choice is therefore
+        # option-driven: pushdown by default — it requires
+        # spark.sql.python.filterPushdown.enabled, which ENGINE_SQL_CONF
+        # sets and whose absence produces Spark's own actionable
+        # DATA_SOURCE_PUSHDOWN_DISABLED error — and
+        # .option("pushdown", "false") opts a conf-less session back into
+        # the plain reader.
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return TxnTableBatchReader(
+                self.options, schema, getattr(self, "_snap", None)
+            )
+        return TxnTablePushdownReader(
+            self.options, schema, getattr(self, "_snap", None)
+        )
 
     def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)

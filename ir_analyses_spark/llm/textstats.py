@@ -781,34 +781,27 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.sum("cnt").alias("pc"))
         )
-        best = pairs.orderBy(F.col("pc").desc(), "a", "b").limit(1)
-        merges.append(
-            best.select(
-                F.lit(rnd).alias("round"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("pc").alias("pair_count"),
-            )
+        # the argmax is ONE row of bounded metadata — collect it (the same
+        # judgment as txn.history's driver-side build) so the merge step
+        # uses literals; a broadcast-crossJoin of the uncollected best
+        # would re-run the whole pair aggregation when the merge table is
+        # later collected, doubling every round's jobs
+        best = (
+            pairs.orderBy(F.col("pc").desc(), "a", "b").limit(1).first()
         )
-        seqs = (
-            seqs.crossJoin(F.broadcast(best))
-            .select(
-                "token",
-                "cnt",
-                F.replace(
-                    F.col("seq"),
-                    F.concat(
-                        F.lit("("), F.col("a"), F.lit(")("), F.col("b"), F.lit(")")
-                    ),
-                    F.concat(F.lit("("), F.col("a"), F.col("b"), F.lit(")")),
-                ).alias("seq"),
-            )
-            .localCheckpoint(eager=True)  # stop round-k plan nesting round k-1
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+        merges.append((rnd, best.a, best.b, int(best.pc)))
+        seqs = seqs.select(
+            "token",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"({best.a})({best.b})"),
+                F.lit(f"({best.a}{best.b})"),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)  # stop round-k plan nesting round k-1
+    return spark.createDataFrame(
+        merges, "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
 
 
 def _bpe_round_sql(k: int) -> str:
@@ -851,21 +844,28 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed 200-char chunks, stride 150 → 50-char overlap so no boundary
     sentence is lost). Emits one row per chunk with its offset, actual
     length (the tail chunk is shorter), and content hash — the manifest a
-    chunk-level embedding job consumes.
+    chunk-level embedding job consumes. A chunk only exists if it brings
+    content beyond the previous chunk's window (otherwise the tail would
+    re-embed a wholly contained duplicate slice); an empty document
+    yields one empty chunk rather than a crash or an engine divergence.
 
     Scale shape: a bounded-range explode (offsets precomputed from
     length, never a while-loop UDF) over a single scan; each chunk row
     carries only its 200-char slice + hash, so the shuffle-free
     projection parallelizes embarrassingly. Chunk count per doc =
-    ceil(max(len-50, 1)/150), exact in integer arithmetic."""
+    ceil(max(len−50, 1)/150), exact in integer arithmetic and identical
+    in both engines by construction of the range bound."""
     docs = load_table(spark, "documents", sf_dir)
+    # last offset: the biggest 1+150k still bringing NEW content — i.e.
+    # 1+150k ≤ len−50, floored at 1 so every doc (even empty) yields one
+    # chunk; a plain "while offset ≤ len" rule would emit a tail chunk
+    # wholly contained in its predecessor whenever the tail ≤ overlap
     chunked = docs.select(
         "doc_id",
-        F.length("text").alias("n"),
         F.posexplode(
             F.sequence(
                 F.lit(1),
-                F.length("text"),
+                F.greatest(F.length("text") - 50, F.lit(1)),
                 F.lit(150),
             )
         ).alias("chunk_id", "offset"),
@@ -888,8 +888,7 @@ SELECT doc_id,
        LENGTH(substring(text, CAST(1 + i * 150 AS INT), 200)) AS chunk_len,
        MD5(substring(text, CAST(1 + i * 150 AS INT), 200)) AS chunk_md5
 FROM documents,
-     UNNEST(range(0, (LENGTH(text) + 149) // 150)) AS t(i)
-WHERE 1 + i * 150 <= LENGTH(text)
+     UNNEST(range(0, (GREATEST(LENGTH(text) - 50, 1) + 149) // 150)) AS t(i)
 """
 
 

@@ -685,6 +685,10 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
     # leftovers are exactly the never-referenced orphans vacuum's
     # age-gated sweep reclaims. Assert the sweep actually gets them.
     leftovers = on_disk - referenced
+    # stragglers are at most the still-in-flight task tail, never the
+    # whole aborted job — a no-op abort() would leave every written file
+    # and fail here before the vacuum check
+    assert len(leftovers) <= 3
     if leftovers:
         txn.vacuum(t, keep_versions=10, orphan_min_age_seconds=0.0)
         on_disk_after = {
@@ -693,6 +697,20 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
         }
         assert on_disk_after - referenced == set()
         assert txn.read(spark, t).count() == 5  # table state untouched
+    # deterministic pin of abort's own contract, no scheduler race: a
+    # hand-driven task write followed by abort must remove the job dir
+    from ir_analyses_spark.io.txn_stream import TxnTableArrowWriter
+
+    w = TxnTableArrowWriter(
+        {"path": t}, spark.range(1).selectExpr("id AS k", "id AS v").schema,
+        overwrite=False,
+    )
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"k": [1], "v": [2]})]))
+    assert os.path.exists(os.path.join(t, msg.rel_path))
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(t, w.commit_dir))
 
 
 def test_datasource_batch_reader_time_travel(spark, tmp_path):
@@ -819,6 +837,17 @@ def test_datasource_pushdown_prunes_files_conservatively(spark, tmp_path):
         .filter(F.col("grp") == "1")
     )
     assert got.count() == 30
+    # END-TO-END: the planner must hand Spark only the pruned partitions —
+    # input-partition count of the filtered scan < the full table's (this
+    # is the assertion that caught reader() silently never choosing the
+    # pushdown class: DataSource.reader() runs in a session-less planner
+    # worker, so the choice is option-driven, default on)
+    n_full = (
+        spark.read.format("txn_table").option("path", t).load()
+        .rdd.getNumPartitions()
+    )
+    n_pruned = got.rdd.getNumPartitions()
+    assert 0 < n_pruned < n_full
     # stats-based range skipping over sorted shards
     t2 = str(tmp_path / "t2")
     d2 = (
@@ -834,11 +863,14 @@ def test_datasource_pushdown_prunes_files_conservatively(spark, tmp_path):
         F.col("k") > 900
     )
     assert q.count() == 99
-    # conf off -> plain reader path still reads correctly
+    # conf off -> option("pushdown", "false") selects the plain reader
+    # and reads correctly (without the option, Spark raises its own
+    # actionable DATA_SOURCE_PUSHDOWN_DISABLED)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
     try:
         assert (
-            spark.read.format("txn_table").option("path", t).load()
+            spark.read.format("txn_table").option("path", t)
+            .option("pushdown", "false").load()
             .filter(F.col("grp") == "2").count()
             == 30
         )
