@@ -469,3 +469,20 @@ def test_pipe_syntax_plans_like_nested_sql(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pipe_syntax_rollup")
     assert plan.count("HashAggregate") >= 2
     assert re.search(r"PushedFilters: \[[^\]]*Not\(EqualTo\(o_orderstatus", plan)
+
+
+def test_outlier_iqr_broadcasts_fences(spark, sf_dir):
+    """The 5-row fence table must broadcast back onto the event scan —
+    a shuffled join keyed on event_type would move the whole stream for
+    a dim of single-digit rows."""
+    plan = plan_of(spark, sf_dir, "outlier_iqr_flags")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["embedding_quantize_int8", "doc_chunking"])
+def test_projection_ops_no_shuffle(spark, sf_dir, name):
+    """Per-row projection operators (quantization, chunking) must plan as
+    a single scan with zero exchanges — any shuffle here is a bug."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Exchange" not in plan
