@@ -708,13 +708,23 @@ def zorder_layout(
     """The reusable z-layout pipeline (shared by ``write_zordered`` and
     ``txn.compact(zorder_by=…)``): scale both columns to ``bits``-bit
     ranks, Morton-interleave, range-shard and locally sort. An EMPTY frame
-    returns unchanged (no min/max to scale by); non-numeric columns raise
-    a clear error instead of a deep TypeError."""
-    lo_a, hi_a, lo_b, hi_b = df.select(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    returns unchanged (no min/max to scale by); non-numeric or all-NULL
+    z-columns raise a clear error instead of a deep TypeError or a
+    silent not-actually-zordered commit."""
+    lo_a, hi_a, lo_b, hi_b, n_rows = df.select(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b),
+        F.count(F.lit(1)),
     ).first()
-    if lo_a is None or lo_b is None:
+    if n_rows == 0:
         return df  # empty input: nothing to lay out
+    if lo_a is None or lo_b is None:
+        # rows exist but a z-column is ALL NULL — silently skipping the
+        # layout would commit a 'zorder'-labeled version that is neither
+        # z-ordered nor resharded
+        raise ValueError(
+            f"z-order column {col_a if lo_a is None else col_b!r} is "
+            "entirely NULL"
+        )
     try:
         lo_af, span_af = float(lo_a), float(hi_a - lo_a) or 1.0
         lo_bf, span_bf = float(lo_b), float(hi_b - lo_b) or 1.0

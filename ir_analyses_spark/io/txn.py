@@ -56,7 +56,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
@@ -614,6 +614,15 @@ def append(
                         f"{f.name}: {have.dataType} -> {f.dataType}"
                     )
             if merge_schema:
+                # an ADDED column is null for every pre-evolution file, so
+                # it must be recorded nullable no matter what the appended
+                # frame declared (a lit()-built column arrives
+                # non-nullable, and readers null-filling old files against
+                # a non-nullable field crash in the JVM arrow accessor)
+                added = [
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    for f in added
+                ]
                 out_schema = StructType(old.fields + added).json()
             elif added or len(df.schema.fields) != len(old.fields):
                 raise TypeError(

@@ -53,6 +53,43 @@ class _FilePartition(InputPartition):
         self.partition = partition
 
 
+def _read_file_batches(path: str, schema: StructType, partition: dict | None):
+    """Executor-side file → arrow batches, shared by the batch and stream
+    readers: ONE footer open (column projection reuses the same handle),
+    pre-evolution files read by column INTERSECTION with declared-type
+    null-fill, and hive-partition values re-injected as typed constants.
+    Mirrors ``txn._read_files``'s explicit-schema semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    names = [f.name for f in schema.fields]
+    part = partition or {}
+    with pq.ParquetFile(path) as pf:
+        in_file = set(pf.schema_arrow.names)
+        file_cols = [n for n in names if n not in part and n in in_file]
+        table = pf.read(columns=file_cols)
+    synth = {n for n in names if n not in file_cols}
+    if not synth:
+        yield from table.to_batches()
+        return
+    types = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+    for batch in table.to_batches():
+        cols = []
+        for n in names:
+            if n in part:
+                cols.append(
+                    pa.array([part[n]] * batch.num_rows, type=pa.string()).cast(
+                        types[n]
+                    )
+                )
+            elif n in synth:  # evolved column absent from this file
+                cols.append(pa.nulls(batch.num_rows, type=types[n]))
+            else:
+                cols.append(batch.column(n))
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
 class TxnTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.table = options.get("path")
@@ -105,14 +142,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
 
     # -- executor-side read ---------------------------------------------
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
         # arrow batches stream straight into Spark's arrow pipe — no
-        # per-row Python; column order must match the declared schema
-        table = pq.read_table(
-            partition.path, columns=[f.name for f in self._schema.fields]
-        )
-        yield from table.to_batches()
+        # per-row Python; shared helper handles pre-evolution files by
+        # column intersection + null-fill (same as the batch reader)
+        yield from _read_file_batches(partition.path, self._schema, None)
 
 
 
@@ -285,47 +318,22 @@ class TxnTableBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        names = [f.name for f in self._schema.fields]
-        part = partition.partition or {}
-        pf = pq.ParquetFile(partition.path)
-        in_file = set(pf.schema_arrow.names)
-        # a pre-evolution file lacks later ADDED columns — read what the
-        # file has and null-fill the rest (txn._read_files' explicit-schema
-        # behavior), never ask pyarrow for a column the footer can't name
-        file_cols = [n for n in names if n not in part and n in in_file]
-        table = pq.read_table(partition.path, columns=file_cols)
-        synth = {n for n in names if n not in file_cols}
-        if not synth:
-            yield from table.to_batches()
-            return
-        types = {f.name: to_arrow_type(f.dataType) for f in self._schema.fields}
-        for batch in table.to_batches():
-            cols = []
-            for n in names:
-                if n in part:
-                    cols.append(
-                        pa.array(
-                            [part[n]] * batch.num_rows, type=pa.string()
-                        ).cast(types[n])
-                    )
-                elif n in synth:  # evolved column absent from this file
-                    cols.append(pa.nulls(batch.num_rows, type=types[n]))
-                else:
-                    cols.append(batch.column(n))
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+        yield from _read_file_batches(
+            partition.path, self._schema, partition.partition
+        )
 
 
 class TxnTablePushdownReader(TxnTableBatchReader):
-    """The batch reader + Spark-driven manifest skipping. Merely DEFINING
-    ``pushFilters`` makes Spark assert the
-    ``spark.sql.python.filterPushdown.enabled`` conf, so this lives in a
-    subclass the DataSource hands out only when the active session has
-    the conf on — vanilla sessions keep working, engine sessions (which
-    set it in ENGINE_SQL_CONF) get the pruning."""
+    """The batch reader + Spark-driven manifest skipping. This is the
+    DEFAULT reader class (see ``TxnTableStreamDataSource.reader``):
+    merely DEFINING ``pushFilters`` makes Spark require
+    ``spark.sql.python.filterPushdown.enabled`` (on in ENGINE_SQL_CONF;
+    a session without it gets Spark's own actionable
+    DATA_SOURCE_PUSHDOWN_DISABLED error), and
+    ``.option("pushdown", "false")`` selects the plain base class for
+    sessions that keep the conf off. The split exists because the choice
+    cannot be conf-driven: ``reader()`` executes in Spark's session-less
+    Python planner worker."""
 
     def pushFilters(self, filters):
         """Spark's pushed predicates drive MANIFEST-LEVEL file skipping:
@@ -478,7 +486,15 @@ class TxnTableStreamDataSource(DataSource):
         )
         if self._snap.schema_json is None:
             raise FileNotFoundError(f"no committed version at {table}")
-        return StructType.fromJson(json.loads(self._snap.schema_json))
+        declared = StructType.fromJson(json.loads(self._snap.schema_json))
+        # read schemas are ALWAYS nullable (Spark's own file sources do
+        # the same): pre-nullability-fix manifests can carry non-nullable
+        # fields whose null-filled reads would crash the arrow accessor
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [StructField(f.name, f.dataType, True, f.metadata) for f in declared]
+        )
 
     def reader(self, schema) -> TxnTableBatchReader:
         # DataSource.reader() runs in Spark's Python PLANNER WORKER, where

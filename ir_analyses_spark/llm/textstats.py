@@ -789,6 +789,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             pairs.orderBy(F.col("pc").desc(), "a", "b").limit(1).first()
         )
+        if best is None:
+            break  # nothing left to merge (fully merged / 1-char tokens)
         merges.append((rnd, best.a, best.b, int(best.pc)))
         seqs = seqs.select(
             "token",

@@ -685,10 +685,10 @@ def test_datasource_writer_two_phase_commit(spark, tmp_path):
     # leftovers are exactly the never-referenced orphans vacuum's
     # age-gated sweep reclaims. Assert the sweep actually gets them.
     leftovers = on_disk - referenced
-    # stragglers are at most the still-in-flight task tail, never the
-    # whole aborted job — a no-op abort() would leave every written file
-    # and fail here before the vacuum check
-    assert len(leftovers) <= 3
+    # leftovers can only be straggler tasks that finished after abort's
+    # rmtree; how many is scheduler timing, so no count bound here — the
+    # no-op-abort regression is pinned DETERMINISTICALLY by the
+    # hand-driven write/abort below, and any leftover must be vacuumable:
     if leftovers:
         txn.vacuum(t, keep_versions=10, orphan_min_age_seconds=0.0)
         on_disk_after = {
@@ -938,3 +938,33 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     txn.vacuum(t, keep_versions=1, orphan_min_age_seconds=0.0)
     with pytest.raises(FileNotFoundError):
         txn.restore(t, 2)
+
+
+def test_stream_reader_null_fills_pre_evolution_files(spark, tmp_path):
+    """A txn_table stream crossing an additive schema evolution must read
+    pre-evolution files with the evolved schema, null-filling the added
+    column (the shared executor read helper) — not crash asking pyarrow
+    for a column the old footer can't name."""
+    from ir_analyses_spark.io.txn_stream import TxnTableStreamDataSource
+
+    spark.dataSource.register(TxnTableStreamDataSource)
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10), (2, "b", 20)]), t)
+    evolved = _mk(spark, [(3, "c", 30)]).withColumn("w", F.lit(7).cast("long"))
+    txn.append(evolved, t, merge_schema=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txn_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {
+        (r["k"], r["w"]) for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, None), (2, None), (3, 7)}
