@@ -171,10 +171,114 @@ ORDER BY ROUND(rank, 9) DESC, node
 """
 
 
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the undirected nation trade graph (the
+    clustering-coefficient / community-density primitive): canonicalize
+    each traded pair to (lo, hi) with lo < hi, then count closed triples
+    via two joins with the a < b < c ordering constraint — every triangle
+    is produced exactly once, no post-hoc dedup.
+
+    Scale shape: the classic distributed algorithm — the canonical edge
+    list is built once (same broadcast-dim resolution as trade_pagerank,
+    one fact shuffle), the first join keys on the shared LOW endpoint
+    (edges partition by ``a``), the closing-edge join keys on (b, c);
+    degeneracy ordering (orienting edges low-degree → high-degree) is the
+    production refinement for skewed degree distributions and slots into
+    the same two-join plan. Output: one exact count per nation of
+    triangles it participates in, plus the node's degree — ORDER-free,
+    integer-exact."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["nation", "customer", "supplier", "orders", "lineitem"]}
+    supp_n = t["supplier"].join(
+        F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("src"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "src")
+    cust_n = t["customer"].join(
+        F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("dst"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "dst")
+    traded = (
+        t["lineitem"].select("l_orderkey", "l_suppkey")
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = traded.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("x2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z2"))
+    tri = (
+        e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z")))
+        .join(e3, (F.col("y") == F.col("y2")) & (F.col("z") == F.col("z2")))
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.selectExpr("x AS node").unionAll(tri.selectExpr("y AS node"))
+        .unionAll(tri.selectExpr("z AS node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    degree = (
+        edges.selectExpr("a AS node").unionAll(edges.selectExpr("b AS node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degree.join(per_node, "node", "left").select(
+        "node", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+TRADE_TRIANGLES_SQL = """
+WITH traded AS (
+  SELECT DISTINCT
+         LEAST(n1.n_name, n2.n_name) AS a,
+         GREATEST(n1.n_name, n2.n_name) AS b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM traded e1
+  JOIN traded e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN traded e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+degree AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM traded UNION ALL SELECT b FROM traded
+  ) GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(p.n_triangles, 0) AS n_triangles
+FROM degree d LEFT JOIN per_node p ON d.node = p.node
+"""
+
+
 QUERIES = {
     "trade_pagerank": trade_pagerank,
+    "trade_triangles": trade_triangles,
 }
 
 ORACLES = {
     "trade_pagerank": TRADE_PAGERANK_SQL,
+    "trade_triangles": TRADE_TRIANGLES_SQL,
 }

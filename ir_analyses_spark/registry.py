@@ -176,6 +176,7 @@ _ORDER = [
     "outlier_iqr_flags",
     "embedding_quantize_int8",
     "doc_chunking",
+    "trade_triangles",
     "txn_change_apply",
     "txn_history",
     "sql_udf_pricing",
