@@ -28,6 +28,37 @@ def _decimal_sum(col) -> F.Column:
     return F.sum(col.cast("decimal(38,18)")).cast("double")
 
 
+def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): nation → nation lineitem-count trade edges, shared by
+    pagerank / triangles / BFS. Suppliers and customers resolve nations via
+    broadcast dim joins; the fact shuffles ONCE for the (src, dst) rollup."""
+    t = {n: load_table(spark, n, sf_dir) for n in
+         ["nation", "customer", "supplier", "orders", "lineitem"]}
+    supp_n = t["supplier"].join(
+        F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("src"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "src")
+    cust_n = t["customer"].join(
+        F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("dst"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "dst")
+    return (
+        t["lineitem"].select("l_orderkey", "l_suppkey")
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -100,32 +131,10 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree in the 17th significant digit; the damping factor keeps that
     bounded at ulp scale across iterations, and 9 reported decimals are
     ~8 digits of slack away from it."""
-    t = {n: load_table(spark, n, sf_dir) for n in
-         ["nation", "customer", "supplier", "orders", "lineitem"]}
-    supp_n = t["supplier"].join(
-        F.broadcast(t["nation"].select(
-            F.col("n_nationkey").alias("sn_key"),
-            F.col("n_name").alias("src"),
-        )),
-        F.col("s_nationkey") == F.col("sn_key"),
-    ).select("s_suppkey", "src")
-    cust_n = t["customer"].join(
-        F.broadcast(t["nation"].select(
-            F.col("n_nationkey").alias("cn_key"),
-            F.col("n_name").alias("dst"),
-        )),
-        F.col("c_nationkey") == F.col("cn_key"),
-    ).select("c_custkey", "dst")
-    edges = (
-        t["lineitem"].select("l_orderkey", "l_suppkey")
-        .join(t["orders"].select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+    edges = _nation_trade_edges(spark, sf_dir)
+    nodes = load_table(spark, "nation", sf_dir).select(
+        F.col("n_name").alias("node")
     )
-    nodes = t["nation"].select(F.col("n_name").alias("node"))
     return pagerank(nodes, edges)
 
 
@@ -187,30 +196,8 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-join plan. Output: one exact count per nation of
     triangles it participates in, plus the node's degree — ORDER-free,
     integer-exact."""
-    t = {n: load_table(spark, n, sf_dir) for n in
-         ["nation", "customer", "supplier", "orders", "lineitem"]}
-    supp_n = t["supplier"].join(
-        F.broadcast(t["nation"].select(
-            F.col("n_nationkey").alias("sn_key"),
-            F.col("n_name").alias("src"),
-        )),
-        F.col("s_nationkey") == F.col("sn_key"),
-    ).select("s_suppkey", "src")
-    cust_n = t["customer"].join(
-        F.broadcast(t["nation"].select(
-            F.col("n_nationkey").alias("cn_key"),
-            F.col("n_name").alias("dst"),
-        )),
-        F.col("c_nationkey") == F.col("cn_key"),
-    ).select("c_custkey", "dst")
-    traded = (
-        t["lineitem"].select("l_orderkey", "l_suppkey")
-        .join(t["orders"].select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
-        .select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
+    traded = _nation_trade_edges(spark, sf_dir).select("src", "dst").filter(
+        F.col("src") != F.col("dst")
     )
     edges = traded.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -273,12 +260,102 @@ FROM degree d LEFT JOIN per_node p ON d.node = p.node
 """
 
 
+def trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop distance (single-source shortest paths, unit
+    weights) over the SPARSIFIED trade graph: only edges at or above the
+    90th-percentile weight survive (the full graph is near-complete, so
+    un-thresholded BFS would vacuously put everything at hop 1 — the
+    same never-fires trap the vacuity guards exist for; the disc
+    percentile keeps the cut engine-exact). Seed = lexicographically
+    first surviving source; 4 min-relaxation rounds as a DataFrame loop,
+    nations not reached within 4 hops (or disconnected) report NULL.
+
+    Scale shape: each round is ONE shuffle joining the frontier to the
+    edge list keyed on src + a min-fold by destination — the
+    dedup_components discipline; hop counts are exact integers, so every
+    round is partition-order-proof. Oracle = 4 unrolled relax CTEs."""
+    w = _nation_trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    cut = w.select(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY w)").alias("q")
+    )
+    sparse = (
+        w.crossJoin(F.broadcast(cut)).filter(F.col("w") >= F.col("q"))
+        .select("src", "dst")
+    )
+    und = sparse.union(
+        sparse.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)  # 4 consumers: compute once
+    seed = und.agg(F.min("src").alias("node")).withColumn("hop", F.lit(0))
+    dist = seed
+    for _ in range(4):
+        relaxed = (
+            und.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    nations = load_table(spark, "nation", sf_dir).select(
+        F.col("n_name").alias("node")
+    )
+    return nations.join(dist, "node", "left").select("node", "hop")
+
+
+TRADE_BFS_HOPS_SQL = """
+WITH w AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+  GROUP BY 1, 2
+),
+cut AS (SELECT quantile_disc(w, 0.9) AS q FROM w),
+sp AS (SELECT src, dst FROM w, cut WHERE w.w >= cut.q),
+und AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp),
+d0 AS (SELECT MIN(src) AS node, 0 AS hop FROM und),
+r1 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM d0
+    UNION ALL SELECT e.dst, d.hop + 1 FROM und e JOIN d0 d ON e.src = d.node
+  ) GROUP BY node
+),
+r2 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM r1
+    UNION ALL SELECT e.dst, d.hop + 1 FROM und e JOIN r1 d ON e.src = d.node
+  ) GROUP BY node
+),
+r3 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM r2
+    UNION ALL SELECT e.dst, d.hop + 1 FROM und e JOIN r2 d ON e.src = d.node
+  ) GROUP BY node
+),
+r4 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM r3
+    UNION ALL SELECT e.dst, d.hop + 1 FROM und e JOIN r3 d ON e.src = d.node
+  ) GROUP BY node
+)
+SELECT n.n_name AS node, r4.hop
+FROM nation n LEFT JOIN r4 ON n.n_name = r4.node
+"""
+
+
 QUERIES = {
     "trade_pagerank": trade_pagerank,
     "trade_triangles": trade_triangles,
+    "trade_bfs_hops": trade_bfs_hops,
 }
 
 ORACLES = {
     "trade_pagerank": TRADE_PAGERANK_SQL,
     "trade_triangles": TRADE_TRIANGLES_SQL,
+    "trade_bfs_hops": TRADE_BFS_HOPS_SQL,
 }

@@ -177,6 +177,7 @@ _ORDER = [
     "embedding_quantize_int8",
     "doc_chunking",
     "trade_triangles",
+    "trade_bfs_hops",
     "txn_change_apply",
     "txn_history",
     "sql_udf_pricing",

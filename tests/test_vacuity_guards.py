@@ -296,3 +296,15 @@ def test_doc_chunking_multi_chunk_and_short_tail(con):
         v.sort()
         for (c1, o1, _), (c2, o2, _) in zip(v, v[1:]):
             assert c2 == c1 + 1 and o2 - o1 == 150
+
+
+def test_bfs_hops_structure_nontrivial(con):
+    """trade_bfs_hops: the 90th-percentile sparsification must leave a
+    graph where BFS is non-vacuous — some node strictly beyond hop 1,
+    and some nation unreachable (NULL). A near-complete graph (every
+    node at hop 1) would make the relaxation loop dead weight."""
+    rows = con.execute(_oracle("trade_bfs_hops")).fetchall()
+    hops = [h for (_n, h) in rows]
+    assert any(h is not None and h >= 2 for h in hops)
+    assert any(h is None for h in hops)
+    assert sum(1 for h in hops if h == 0) == 1
