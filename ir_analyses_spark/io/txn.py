@@ -168,8 +168,15 @@ def history(table: str) -> list[dict]:
     evidence is reported as absent, never as 0."""
     out = []
     for v in _list_versions(table):
-        with open(_log_path(table, v)) as fh:
-            m = json.load(fh)
+        try:
+            with open(_log_path(table, v)) as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            # a concurrent vacuum(keep_versions=N) may retire an old
+            # manifest between the version listing and this open; per the
+            # retention contract history simply truncates to the surviving
+            # versions instead of erroring
+            continue
         files = m.get("files", [])
         if not files:
             rows: int | None = 0

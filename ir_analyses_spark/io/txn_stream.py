@@ -403,7 +403,15 @@ class TxnTableStreamWriter(DataSourceStreamArrowWriter):
     inside the OCC loop and becomes a no-op commit instead of an
     append-again double-count. This is the DataSource-API form of the
     guarantee the foreachBatch sinks implement by hand; appends only
-    (complete/update output modes would need a rewriting commit)."""
+    (complete/update output modes would need a rewriting commit).
+
+    Replay-window caveat (same one the additive_merge ledger carries):
+    the manifest ledger is truncated to the ``txn._LEDGER_KEEP`` (128)
+    newest batch ids, so an epoch replayed only after 128+ SUBSEQUENT
+    commits would no longer be recognized and would re-apply. Structured
+    Streaming's checkpoint makes that practically unreachable — recovery
+    replays at most the one in-flight epoch, never one 128 commits old —
+    but the no-op guarantee is bounded by the ledger, not unconditional."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         if overwrite:

@@ -247,11 +247,17 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_px: int) -> list[int]:
             break
         if code < len(table):
             entry = table[code]
-        elif code == len(table) and prev is not None:
+        elif code == len(table) and prev is not None and code < 4096:
             entry = prev + (prev[0],)  # KwKwK: code registered but unseen
         else:
             raise ValueError(f"corrupt LZW code {code}")
-        if prev is not None:
+        # stop registering at 4096 entries, mirroring the encoder's
+        # next_reg < 4096 gate: real-world encoders emit deferred-clear
+        # streams that simply stop registering once the table is full, and
+        # a decoder table that kept growing would loosen the
+        # code == len(table) KwKwK check into accepting phantom codes from
+        # a corrupt external stream
+        if prev is not None and len(table) < 4096:
             table.append(prev + (entry[0],))
         out.extend(entry)
         prev = entry
