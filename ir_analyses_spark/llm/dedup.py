@@ -163,6 +163,61 @@ def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     return _jaccard_over(sh, None, threshold)
 
 
+def _assert_lsh_equals_exact(
+    lsh_edges: DataFrame, docs: DataFrame, threshold: float = 0.8
+) -> None:
+    """Recall gate for the CHAINED dedup consumers (``dedup_components``,
+    ``neardup_dedup_pipeline``): assert the LSH-verified edge set equals
+    the exact-Jaccard edge set BEFORE the transitive closure runs.
+
+    Why: those queries' DuckDB oracles compute the exact-Jaccard closure,
+    while the Spark side sources edges from ``minhash_lsh_nearup`` — so
+    without this gate, oracle equality held only with the LSH recall
+    probability (~1 − 1e-7 per true pair at 21 bands × 3 rows, J ≥ 0.8).
+    A recall miss on a regenerated or larger corpus would then surface as
+    an inscrutable three-query hash mismatch. With the gate, the same
+    event is a LOUD, self-diagnosing error naming the dropped pair —
+    determinism restored at every scale the exact verifier can afford.
+
+    Scale posture: the exact edge set is the quadratic shared-shingle
+    self-join, so the gate engages only while Σ df(g)² fits the pair
+    budget (it does at the correctness SFs; at corpus scale the gate is
+    skipped and the 1 − O(1e-7) recall bound — plus this function run at
+    a sampled SF — is the operating contract, as for any production LSH
+    dedup)."""
+    sh = shingles(_spread(docs)).localCheckpoint(eager=True)
+    blowup = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("b"))
+        .collect()[0]["b"]
+    )
+    if blowup is None or blowup > _PAIR_BLOWUP_BUDGET:
+        return  # exact twin unaffordable here: LSH recall bound applies
+    exact = _jaccard_over(sh, None, threshold).select("d1", "d2")
+    lsh = lsh_edges.select("d1", "d2")
+    diff = (
+        exact.join(lsh, ["d1", "d2"], "left_anti")
+        .withColumn("side", F.lit("missed_by_lsh"))
+        .unionByName(
+            lsh.join(exact, ["d1", "d2"], "left_anti")
+            .withColumn("side", F.lit("not_in_exact"))
+        )
+        .limit(5)
+        .collect()
+    )
+    if diff:
+        pairs = [(r["side"], r["d1"], r["d2"]) for r in diff]
+        raise RuntimeError(
+            "LSH edge set diverged from the exact-Jaccard edge set: "
+            f"{pairs} — 'missed_by_lsh' is the (probability ~1e-7/pair) "
+            "banding recall miss, 'not_in_exact' means the exact-verify "
+            "arithmetic drifted between the two paths. The component "
+            "closure was NOT run; fix the edge source before trusting "
+            "clustered dedup output."
+        )
+
+
 def containment_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTIONAL near-duplicate pairs by shingle containment
     |S(src) ∩ S(dst)| / |S(src)| > 0.9 — catches a document nearly
@@ -585,6 +640,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collisions instead of a full shingle self-join
     edges = minhash_lsh_nearup(spark, sf_dir).select("d1", "d2")
     edges = edges.localCheckpoint(eager=True)
+    # deterministic-oracle gate: where the exact twin is affordable, an
+    # LSH recall miss must fail LOUDLY here, never surface downstream as
+    # a silent closure/oracle mismatch
+    _assert_lsh_equals_exact(edges, load_table(spark, "documents", sf_dir))
 
     # undirected adjacency incl. self-loops
     adj = (
@@ -625,15 +684,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared CTE chain: shingles → exact-Jaccard edges → transitive closure
 #: (used by the components oracle and the dedup-pipeline oracle)
 #:
-#: TRIAGE NOTE: the Spark side sources edges from minhash_lsh_nearup while
-#: these oracles compute the EXACT-Jaccard closure, so equality holds only
-#: with the LSH recall probability (~1 - 1e-7 per true pair at 21 bands × 3
-#: rows for J ≥ 0.8). A mismatch in dedup_components /
-#: neardup_dedup_pipeline on a regenerated or larger corpus should first be
-#: triaged as a scale-dependent LSH recall miss (a true pair whose
-#: signature never collided in any band), NOT as a code bug — recompute the
-#: edge set with the exact ``_jaccard_pairs`` path at the failing SF and
-#: compare before touching the operators.
+#: DETERMINISM: the Spark side sources edges from minhash_lsh_nearup while
+#: these oracles compute the EXACT-Jaccard closure. At every SF where the
+#: exact twin fits the pair budget (all correctness SFs included),
+#: ``_assert_lsh_equals_exact`` runs BEFORE the closure, so a banding
+#: recall miss (probability ~1e-7 per true pair) raises a self-diagnosing
+#: error naming the dropped pair instead of surfacing as a silent oracle
+#: mismatch — oracle equality no longer rides on the recall event.
+#: Beyond the budget the gate steps aside and the recall bound is the
+#: operating contract (pinned by tests/test_dedup_gate.py).
 _COMPONENTS_CTES = """
 WITH RECURSIVE
 sh AS (

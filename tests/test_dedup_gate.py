@@ -1,0 +1,68 @@
+"""The chained-dedup determinism gate (VERDICT r4 item 3): an LSH recall
+miss must fail LOUDLY in ``_assert_lsh_equals_exact`` before the component
+closure runs, never surface as a silent dedup_components /
+neardup_dedup_pipeline oracle mismatch. These tests INJECT the failure
+modes (a dropped true edge; a phantom edge) and pin that the gate catches
+each, plus the two pass-through contracts (clean edges pass; beyond the
+pair budget the gate steps aside instead of running the quadratic twin).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.io.sources import load_table
+from ir_analyses_spark.llm import dedup
+
+
+@pytest.fixture(scope="module")
+def edge_fixture(spark, sf_dir):
+    """(docs, verified LSH edges) — computed once; every test in this file
+    perturbs the edge frame, not the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    edges = dedup.minhash_lsh_nearup(spark, sf_dir).select("d1", "d2")
+    edges = edges.localCheckpoint(eager=True)
+    # vacuity guard: a corpus with no near-dup pairs would make every test
+    # below pass without exercising the gate at all
+    assert edges.count() > 0, "fixture corpus has no near-dup edges"
+    return docs, edges
+
+
+def test_gate_passes_on_true_edges(edge_fixture):
+    docs, edges = edge_fixture
+    dedup._assert_lsh_equals_exact(edges, docs)  # must not raise
+
+
+def test_gate_catches_dropped_edge(edge_fixture):
+    """Simulated banding recall miss: remove one true pair from the LSH
+    output — the exact twin still has it, so the gate must name it on the
+    'missed_by_lsh' side."""
+    docs, edges = edge_fixture
+    victim = edges.orderBy("d1", "d2").first()
+    crippled = edges.filter(
+        ~((F.col("d1") == victim["d1"]) & (F.col("d2") == victim["d2"]))
+    )
+    with pytest.raises(RuntimeError, match="missed_by_lsh"):
+        dedup._assert_lsh_equals_exact(crippled, docs)
+
+
+def test_gate_catches_phantom_edge(edge_fixture):
+    """The other drift direction: an edge the exact arithmetic would never
+    emit (verify-threshold drift between the two code paths) must be named
+    on the 'not_in_exact' side."""
+    docs, edges = edge_fixture
+    spark = edges.sparkSession
+    phantom = spark.createDataFrame([(-1, -2)], "d1 long, d2 long")
+    with pytest.raises(RuntimeError, match="not_in_exact"):
+        dedup._assert_lsh_equals_exact(edges.unionByName(phantom), docs)
+
+
+def test_gate_steps_aside_beyond_budget(edge_fixture, monkeypatch):
+    """At corpus scale the quadratic exact twin is unaffordable; the gate
+    must return silently (recall bound becomes the contract) — even for an
+    edge set it would otherwise reject."""
+    docs, edges = edge_fixture
+    monkeypatch.setattr(dedup, "_PAIR_BLOWUP_BUDGET", 1)
+    crippled = edges.limit(0)
+    dedup._assert_lsh_equals_exact(crippled, docs)  # must not raise
