@@ -180,39 +180,85 @@ ORDER BY ROUND(rank, 9) DESC, node
 """
 
 
-def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle counting on the undirected nation trade graph (the
-    clustering-coefficient / community-density primitive): canonicalize
-    each traded pair to (lo, hi) with lo < hi, then count closed triples
-    via two joins with the a < b < c ordering constraint — every triangle
-    is produced exactly once, no post-hoc dedup.
+def _degree_oriented(edges: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges (a, b) by the total order
+    (degree, node): each edge points from its lower-degree endpoint to the
+    higher (node name breaks ties), returning (src, dst, dst_key) with
+    ``dst_key`` the destination's (degree, node) struct so the wedge join
+    can compare order positions without a second degree lookup.
 
-    Scale shape: the classic distributed algorithm — the canonical edge
-    list is built once (same broadcast-dim resolution as trade_pagerank,
-    one fact shuffle), the first join keys on the shared LOW endpoint
-    (edges partition by ``a``), the closing-edge join keys on (b, c);
-    degeneracy ordering (orienting edges low-degree → high-degree) is the
-    production refinement for skewed degree distributions and slots into
-    the same two-join plan. Output: one exact count per nation of
-    triangles it participates in, plus the node's degree — ORDER-free,
-    integer-exact."""
-    traded = _nation_trade_edges(spark, sf_dir).select("src", "dst").filter(
-        F.col("src") != F.col("dst")
+    This is THE skew defense for distributed triangle counting: after
+    orientation every vertex's out-degree is at most O(√m) (a vertex with
+    out-degree k has k neighbors of degree ≥ its own ≥ k, so k² ≤ 2m),
+    which caps the wedge join at O(m^1.5) REGARDLESS of how skewed the
+    raw degree distribution is. Orienting by lexicographic endpoint
+    instead lets one low-sorting hub of degree d contribute C(d, 2)
+    wedges — the quadratic blowup ``tests/test_graph_orientation.py``
+    demonstrates on a star fixture."""
+    degree = (
+        edges.selectExpr("a AS node").unionAll(edges.selectExpr("b AS node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     )
+    da = degree.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = degree.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    keyed = edges.join(da, "a").join(db, "b")
+    key_a = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+    key_b = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+    a_first = key_a < key_b
+    return keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, key_b).otherwise(key_a).alias("dst_key"),
+    )
+
+
+def _oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """(u, v, w): two out-edges u→v, u→w of the same source with v before
+    w in the orientation order — each candidate triangle generated exactly
+    once, from its order-minimal vertex."""
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("dst_key").alias("v_key"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u2"), F.col("dst").alias("w"),
+        F.col("dst_key").alias("w_key"),
+    )
+    return (
+        e1.join(
+            e2,
+            (F.col("u") == F.col("u2")) & (F.col("v_key") < F.col("w_key")),
+        )
+        .select("u", "v", "w")
+    )
+
+
+def triangle_counts(traded: DataFrame) -> DataFrame:
+    """Exact per-node triangle participation + degree over a directed
+    trade frame (src, dst) — self-loop-free input; (a, b)/(b, a)/
+    multi-edges collapse to one undirected edge.
+
+    Plan: canonicalize once, orient by (degree, node), wedge-join the
+    oriented out-edges, close each wedge against the oriented edge list.
+    In the orientation's total order every triangle has exactly one
+    vertex with out-edges to both others, and the closing edge v→w is
+    oriented that way precisely because the wedge asserted
+    key(v) < key(w) — so each triangle is produced exactly once, no
+    post-hoc dedup. The oriented frame feeds three consumers (both wedge
+    sides + the closure probe), hence the eager checkpoint."""
     edges = traded.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct().localCheckpoint(eager=True)
-    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = edges.select(F.col("a").alias("x2"), F.col("b").alias("z"))
-    e3 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z2"))
-    tri = (
-        e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z")))
-        .join(e3, (F.col("y") == F.col("y2")) & (F.col("z") == F.col("z2")))
-        .select("x", "y", "z")
+    oriented = _degree_oriented(edges).localCheckpoint(eager=True)
+    closing = oriented.select(
+        F.col("src").alias("v2"), F.col("dst").alias("w2")
     )
+    tri = _oriented_wedges(oriented).join(
+        closing, (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2"))
+    ).select("u", "v", "w")
     per_node = (
-        tri.selectExpr("x AS node").unionAll(tri.selectExpr("y AS node"))
-        .unionAll(tri.selectExpr("z AS node"))
+        tri.selectExpr("u AS node").unionAll(tri.selectExpr("v AS node"))
+        .unionAll(tri.selectExpr("w AS node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     degree = (
@@ -222,6 +268,27 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree.join(per_node, "node", "left").select(
         "node", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the undirected nation trade graph (the
+    clustering-coefficient / community-density primitive), DEGREE-ORIENTED:
+    edges point low-degree → high-degree endpoint, wedges enumerate only
+    pairs of OUT-edges, and the closing join probes the oriented edge list
+    — the production plan for skewed graphs (out-degrees are √m-bounded,
+    so no hub ever explodes the wedge join). See :func:`triangle_counts`.
+
+    Scale shape: the canonical edge list is built once (same
+    broadcast-dim resolution as trade_pagerank, one fact shuffle); the
+    orientation adds one node-keyed degree join; the wedge join keys on
+    the shared source and the closure on (v, w). Output: one exact count
+    per nation of triangles it participates in, plus the node's degree —
+    ORDER-free, integer-exact, and identical to the unoriented two-join
+    form (the DuckDB oracle keeps that form as the cross-engine twin)."""
+    traded = _nation_trade_edges(spark, sf_dir).select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    )
+    return triangle_counts(traded)
 
 
 TRADE_TRIANGLES_SQL = """
