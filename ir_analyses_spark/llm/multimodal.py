@@ -18,12 +18,16 @@ codec layer is split by what this container can honestly run:
   generative formula — a true differential check of the parser (a wrong
   offset, padding, endianness, row order, filter reconstruction, Huffman
   table or coefficient ordering diverges the hash).
-- **Stubbed codecs** (ffmpeg-class formats — MP4, MP3…): no av libraries
-  in this container, so ``decode_media`` dispatches on magic bytes and
-  raises NotImplementedError past BMP/WAV/PNG/JPEG;
-  ``fake_decode_features`` is the deterministic stand-in those paths'
-  tests and oracle use. Swapping in a real decoder changes one function
-  body, no plumbing.
+- **Real container metadata** (``decode_mp4``): ISO-BMFF/MP4 box walk —
+  ftyp dispatch, moov/mvhd timescale+duration (versions 0 and 1, 32- and
+  64-bit box sizes), per-trak tkhd dimensions (16.16 fixed point), hdlr
+  handler routing, stsd codec fourcc. Pure stdlib ``struct``; the
+  generative twin (``encode_mp4_meta``) shares no parsing code.
+- **Stubbed codecs** (ffmpeg-class SAMPLE decode — MP4 frame data, MP3
+  audio…): no av libraries in this container, so past container metadata
+  ``decode_media`` raises NotImplementedError; ``fake_decode_features``
+  is the deterministic stand-in those paths' tests and oracle use.
+  Swapping in a real decoder changes one function body, no plumbing.
 """
 
 from __future__ import annotations
@@ -638,10 +642,221 @@ def decode_jpeg(content: bytes) -> dict:
     }
 
 
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF box
+    sequence in ``buf[start:end]``, handling the three size encodings the
+    spec allows: plain 32-bit, ``size == 1`` + 64-bit largesize, and
+    ``size == 0`` (box extends to the end of the enclosing scope)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISO-BMFF largesize header")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed ISO-BMFF box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: bytes):
+    """(payload_start, payload_end) of the first child box of ``btype``
+    in the scope, or None."""
+    for t, s, e in _walk_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def decode_mp4(content: bytes) -> dict:
+    """REAL ISO-BMFF/MP4 METADATA decoder: top-level box walk → moov →
+    mvhd movie timescale + duration (FullBox versions 0 AND 1 — v1 widens
+    the timestamps to 64 bits and shifts every later field), trak count,
+    the video trak located by its mdia/hdlr handler ('vide'), its tkhd
+    presentation dimensions (16.16 fixed point at version-dependent
+    offsets), and the coding fourcc from the first stsd sample entry.
+    Pure stdlib ``struct`` — no av library; SAMPLE decode (actual frames)
+    stays honestly out of scope in this container.
+
+    Feature mapping into MEDIA_CODEC_SCHEMA: media_kind carries the
+    codec (``mp4:<fourcc>``), width/height the video track dims,
+    sample_rate ← movie timescale, n_samples ← movie duration (in
+    timescale units), peak ← track count; pixel/audio sums stay NULL —
+    they would need sample decode."""
+    import struct
+
+    moov = _find_box(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    ms, me = moov
+    mvhd = _find_box(content, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("moov without mvhd")
+    s = mvhd[0]
+    version = content[s]
+    if version == 0:
+        _ct, _mt, timescale, duration = struct.unpack_from(">IIII", content, s + 4)
+    elif version == 1:
+        _ct, _mt, timescale, duration = struct.unpack_from(">QQIQ", content, s + 4)
+    else:
+        raise ValueError(f"unknown mvhd version {version}")
+    n_tracks = 0
+    vid: tuple[int, int, str] | None = None
+    for t, ts_, te in _walk_boxes(content, ms, me):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        tkhd = _find_box(content, ts_, te, b"tkhd")
+        mdia = _find_box(content, ts_, te, b"mdia")
+        if tkhd is None or mdia is None:
+            raise ValueError("trak missing tkhd/mdia")
+        hdlr = _find_box(content, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None:
+            raise ValueError("mdia missing hdlr")
+        # hdlr payload: FullBox(4) + pre_defined(4) + handler_type(4)
+        if content[hdlr[0] + 8 : hdlr[0] + 12] != b"vide" or vid is not None:
+            continue
+        tv = content[tkhd[0]]
+        if tv not in (0, 1):
+            raise ValueError(f"unknown tkhd version {tv}")
+        # v0: 4 FullBox + 4+4 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
+        #     + 2+2+2+2 layer/group/volume/rsvd + 36 matrix = 76
+        # v1: the three 32-bit timestamps widen to 64 → +12
+        off = tkhd[0] + (76 if tv == 0 else 88)
+        wfx, hfx = struct.unpack_from(">II", content, off)
+        minf = _find_box(content, mdia[0], mdia[1], b"minf")
+        stbl = _find_box(content, minf[0], minf[1], b"stbl") if minf else None
+        stsd = _find_box(content, stbl[0], stbl[1], b"stsd") if stbl else None
+        if stsd is None:
+            raise ValueError("video trak missing stsd")
+        ss = stsd[0]
+        (n_entries,) = struct.unpack_from(">I", content, ss + 4)
+        if n_entries < 1:
+            raise ValueError("empty stsd sample description")
+        # first sample entry: size(4) + coding fourcc(4)
+        fourcc = content[ss + 12 : ss + 16].decode("ascii", "replace")
+        vid = (wfx >> 16, hfx >> 16, fourcc)
+    if vid is None:
+        raise NotImplementedError(
+            "MP4 without a video track: audio-only sample metadata not "
+            "wired in this container"
+        )
+    return {
+        "media_kind": f"mp4:{vid[2]}",
+        "width": int(vid[0]),
+        "height": int(vid[1]),
+        "px00_r": None,
+        "sum_r": None,
+        "sum_g": None,
+        "sum_b": None,
+        "sample_rate": int(timescale),
+        "n_samples": int(duration),
+        "sum_abs": None,
+        "peak": int(n_tracks),
+    }
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_meta(timescale: int, duration: int, tracks: list[dict]) -> bytes:
+    """Hand-rolled ISO-BMFF writer (the synthesis twin of ``decode_mp4``,
+    sharing no parsing code): ftyp + moov(mvhd + trak(tkhd +
+    mdia(mdhd + hdlr + minf/stbl/stsd))) + a deterministic mdat stub.
+    ``tracks`` entries carry handler (b'vide'/b'soun'), fourcc, width,
+    height. Version-0 boxes throughout; the decoder's v1/largesize paths
+    are exercised by independently hand-built fixtures in
+    tests/test_multimodal_codec.py."""
+    import struct
+
+    matrix = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    traks = b""
+    for tid, t in enumerate(tracks, start=1):
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # v0; enabled|in_movie|in_preview
+            + struct.pack(">IIIII", 0, 0, tid, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(
+                ">HHHH", 0, 0, 0x0100 if t["handler"] == b"soun" else 0, 0
+            )
+            + matrix
+            + struct.pack(">II", t["width"] << 16, t["height"] << 16),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00" + t["handler"]
+            + b"\x00" * 12 + b"synth\x00",
+        )
+        if t["handler"] == b"vide":
+            entry_body = (
+                b"\x00" * 6
+                + struct.pack(">H", 1)  # data_reference_index
+                + b"\x00" * 16
+                + struct.pack(">HH", t["width"], t["height"])
+                + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+                + b"\x00" * 4
+                + struct.pack(">H", 1)  # frame_count
+                + b"\x00" * 32  # compressorname
+                + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+            )
+        else:
+            entry_body = (
+                b"\x00" * 6
+                + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(">HHI", 2, 16, 0)  # channels, samplesize
+                + struct.pack(">I", timescale << 16)
+            )
+        entry = _mp4_box(t["fourcc"], entry_body)
+        stsd = _mp4_box(
+            b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry
+        )
+        mdia = _mp4_box(
+            b"mdia",
+            mdhd + hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stsd)),
+        )
+        traks += _mp4_box(b"trak", tkhd + mdia)
+    mdat = _mp4_box(
+        b"mdat", bytes((timescale + duration + i) % 256 for i in range(16))
+    )
+    return ftyp + _mp4_box(b"moov", mvhd + traks) + mdat
+
+
 def decode_media(content: bytes) -> dict:
-    """Codec dispatch on magic bytes. BMP, WAV, PNG and baseline JPEG
-    decode for real (pure stdlib + numpy); formats needing ffmpeg-class
-    decoders (MP4, …) raise NotImplementedError in this container —
+    """Codec dispatch on magic bytes. BMP, WAV, PNG, baseline JPEG, GIF
+    decode for real, and MP4/ISO-BMFF decodes container METADATA for real
+    (pure stdlib + numpy); sample decode of ffmpeg-class formats (MP4
+    frames, MP3, …) raises NotImplementedError in this container —
     ``fake_decode_features`` is their deterministic stand-in.
     """
     if content[:2] == b"BM":
@@ -652,6 +867,8 @@ def decode_media(content: bytes) -> dict:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[4:8] == b"ftyp":
+        return decode_mp4(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
     try:
@@ -815,7 +1032,7 @@ MEDIA_CODEC_SCHEMA = (
 
 def synthesize_media(doc_id: int, n: int) -> bytes:
     """Deterministic REAL media payload for a document, split by
-    ``doc_id % 5``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
+    ``doc_id % 6``: 0 → 24-bit BMP, 1 → 16-bit mono PCM WAV, 2 → 8-bit RGB
     PNG (scanlines forward-filtered with filter type ``row % 5``, so the
     decoder must reconstruct every PNG filter to round-trip), 3 → baseline
     JPEG built from constant 8×8 YCbCr tiles with unit quant tables (DC
@@ -823,17 +1040,22 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
     16-color global palette and REAL variable-width LZW compression (the
     encoder builds a genuine dictionary; pixel period 16 vs palette 16
     forces multi-symbol strings, KwKwK cases, and two width bumps on
-    payloads this size). Every byte follows
-    from (doc_id, n) via integer formulas, so the oracle can predict the
-    decoded features without parsing — while the Spark path must
-    round-trip genuine files. The writers here are hand-rolled
-    (struct/RIFF/chunk+CRC/entropy-coded byte layout), NOT the parsers
-    used by the decode step."""
+    payloads this size), 5 → MP4/ISO-BMFF (real box layout: ftyp, moov,
+    mvhd, trak/tkhd/mdia/hdlr/stbl/stsd — the decoder must walk the
+    container to recover timescale, duration, dims, fourcc, track count;
+    NB ``% 6 == 5`` forces ODD doc_ids, so the MP4 formulas key on
+    ``doc_id // 6`` and ``doc_id // 2`` where plain ``% 2`` / ``% 4``
+    would be constant over the subset — the vacuity trap). Every byte
+    follows from (doc_id, n) via integer formulas, so the oracle can
+    predict the decoded features without parsing — while the Spark path
+    must round-trip genuine files. The writers here are hand-rolled
+    (struct/RIFF/chunk+CRC/entropy-coded/box byte layout), NOT the
+    parsers used by the decode step."""
     import struct
 
     import numpy as np
 
-    if doc_id % 5 == 0:
+    if doc_id % 6 == 0:
         w = n % 13 + 4
         h = doc_id % 11 + 4
         p = np.arange(w * h, dtype=np.int64)
@@ -851,7 +1073,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
                           2835, 2835, 0, 0)
             + pix
         )
-    if doc_id % 5 == 1:
+    if doc_id % 6 == 1:
         rate = 8000 + (doc_id % 5) * 1000
         cnt = n % 200 + 50
         i = np.arange(cnt, dtype=np.int64)
@@ -861,7 +1083,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
             + b"data" + struct.pack("<I", len(data)) + data
         )
-    if doc_id % 5 == 3:
+    if doc_id % 6 == 3:
         # baseline JPEG: constant 8×8 tiles in YCbCr; a constant tile's
         # only nonzero coefficient is DC = 8·(value−128), which unit
         # quant + the orthonormal IDCT return bit-exactly
@@ -877,7 +1099,7 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
                 blocks.append(block)
             comp_coefs.append(blocks)
         return encode_jpeg_baseline(8 * tiles_x, 8 * tiles_y, comp_coefs)
-    if doc_id % 5 == 4:
+    if doc_id % 6 == 4:
         # GIF89a: 16-color global palette, pixel p -> palette index
         # (doc_id + 7p) % 16, REAL LZW-compressed index stream
         w = n % 10 + 4
@@ -908,6 +1130,25 @@ def synthesize_media(doc_id: int, n: int) -> bytes:
             + bytes((4,))
             + bytes(blocks)
             + b"\x3b"
+        )
+    if doc_id % 6 == 5:
+        # MP4: metadata-bearing container; formulas key on doc_id // 6
+        # and doc_id // 2 (see docstring — doc_id is always odd here)
+        fourcc = [b"avc1", b"hev1", b"vp09", b"av01"][(doc_id // 2) % 4]
+        tracks = [
+            {
+                "handler": b"vide",
+                "fourcc": fourcc,
+                "width": 16 * (doc_id % 8 + 1),
+                "height": 16 * (n % 6 + 1),
+            }
+        ]
+        if (doc_id // 6) % 2 == 1:
+            tracks.append(
+                {"handler": b"soun", "fourcc": b"mp4a", "width": 0, "height": 0}
+            )
+        return encode_mp4_meta(
+            600 * (doc_id % 5 + 1), (doc_id * 97 + n * 31) % 100000, tracks
         )
     # PNG: top-down RGB rows, forward-filtered with filter type row % 5
     import zlib
@@ -1110,13 +1351,14 @@ def encode_jpeg_baseline(w: int, h: int, comp_coefs: list[list]) -> bytes:
 
 def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for the REAL codec path: synthesize genuine
-    BMP/WAV/PNG/JPEG bytes per document (first mapInPandas), then parse
-    them back with the real decoders (second mapInPandas — the binary
-    column crosses Arrow between the stages, same plumbing a production
-    decode pipeline uses). The oracle computes the same features from the
-    generative formulas in closed form, so any parser defect (padding,
-    row order, endianness, header offsets, PNG filter reconstruction,
-    JPEG Huffman/DPCM/zigzag/IDCT handling) breaks the match."""
+    BMP/WAV/PNG/JPEG/GIF/MP4 bytes per document (first mapInPandas), then
+    parse them back with the real decoders (second mapInPandas — the
+    binary column crosses Arrow between the stages, same plumbing a
+    production decode pipeline uses). The oracle computes the same
+    features from the generative formulas in closed form, so any parser
+    defect (padding, row order, endianness, header offsets, PNG filter
+    reconstruction, JPEG Huffman/DPCM/zigzag/IDCT handling, LZW width
+    bumps, ISO-BMFF box offsets) breaks the match."""
     import pandas as pd
 
     docs = load_table(spark, "documents", sf_dir).select(
@@ -1148,8 +1390,10 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(dec, MEDIA_CODEC_SCHEMA)
 
 
-# Closed-form twin of synthesize_media ∘ decode (5-way doc_id % 5 split;
-# GIF sums run over palette-mapped indices): pixel/sample index ranges
+# Closed-form twin of synthesize_media ∘ decode (6-way doc_id % 6 split;
+# GIF sums run over palette-mapped indices; MP4 features are direct
+# formulas — container metadata needs no per-pixel aggregation): pixel/
+# sample index ranges
 # materialize from a constant range(0, 256) (superset of every per-doc
 # count) filtered per row — max pixels 16*14=224 (BMP) / 14*12=168 (PNG),
 # max samples 249, max JPEG tiles 9. JPEG sums are over the YCbCr planes
@@ -1160,7 +1404,7 @@ WITH base AS (
 ),
 bmp AS (
   SELECT doc_id, n % 13 + 4 AS w, doc_id % 11 + 4 AS h
-  FROM base WHERE doc_id % 5 = 0
+  FROM base WHERE doc_id % 6 = 0
 ),
 bmp_feats AS (
   SELECT b.doc_id, 'bmp' AS media_kind,
@@ -1177,7 +1421,7 @@ bmp_feats AS (
 ),
 wav AS (
   SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate, n % 200 + 50 AS cnt
-  FROM base WHERE doc_id % 5 = 1
+  FROM base WHERE doc_id % 6 = 1
 ),
 wav_feats AS (
   SELECT w.doc_id, 'wav' AS media_kind,
@@ -1197,7 +1441,7 @@ wav_feats AS (
 ),
 png AS (
   SELECT doc_id, n % 11 + 4 AS w, doc_id % 9 + 4 AS h
-  FROM base WHERE doc_id % 5 = 2
+  FROM base WHERE doc_id % 6 = 2
 ),
 png_feats AS (
   SELECT g.doc_id, 'png' AS media_kind,
@@ -1214,11 +1458,11 @@ png_feats AS (
 ),
 jpg AS (
   SELECT doc_id, n % 3 + 1 AS tx, doc_id % 3 + 1 AS ty
-  FROM base WHERE doc_id % 5 = 3
+  FROM base WHERE doc_id % 6 = 3
 ),
 gif AS (
   SELECT doc_id, n % 10 + 4 AS w, doc_id % 7 + 4 AS h
-  FROM base WHERE doc_id % 5 = 4
+  FROM base WHERE doc_id % 6 = 4
 ),
 gif_feats AS (
   SELECT g.doc_id, 'gif' AS media_kind,
@@ -1248,10 +1492,26 @@ jpg_feats AS (
   FROM jpg j, UNNEST(range(0, 9)) AS t(i)
   WHERE i < j.tx * j.ty
   GROUP BY j.doc_id, j.tx, j.ty
+),
+mp4_feats AS (
+  SELECT doc_id,
+         'mp4:' || CASE (doc_id // 2) % 4
+                     WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                     WHEN 2 THEN 'vp09' ELSE 'av01' END AS media_kind,
+         CAST(16 * (doc_id % 8 + 1) AS INT) AS width,
+         CAST(16 * (n % 6 + 1) AS INT) AS height,
+         CAST(NULL AS INT) AS px00_r,
+         CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+         CAST(NULL AS BIGINT) AS sum_b,
+         CAST(600 * (doc_id % 5 + 1) AS INT) AS sample_rate,
+         CAST((doc_id * 97 + n * 31) % 100000 AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS sum_abs,
+         CAST((doc_id // 6) % 2 + 1 AS INT) AS peak
+  FROM base WHERE doc_id % 6 = 5
 )
 SELECT * FROM bmp_feats UNION ALL SELECT * FROM wav_feats
 UNION ALL SELECT * FROM png_feats UNION ALL SELECT * FROM jpg_feats
-UNION ALL SELECT * FROM gif_feats
+UNION ALL SELECT * FROM gif_feats UNION ALL SELECT * FROM mp4_feats
 """
 
 

@@ -81,31 +81,35 @@ def test_wav_decode_parses_files_written_by_stdlib_wave():
 
 
 def test_decode_media_dispatches_on_magic_bytes():
-    bmp = synthesize_media(5, 57)   # doc_id % 5 == 0
-    wav = synthesize_media(6, 57)   # doc_id % 5 == 1
-    png = synthesize_media(7, 57)   # doc_id % 5 == 2
-    jpg = synthesize_media(8, 57)   # doc_id % 5 == 3
-    gif = synthesize_media(9, 57)   # doc_id % 5 == 4
+    bmp = synthesize_media(6, 57)    # doc_id % 6 == 0
+    wav = synthesize_media(7, 57)    # doc_id % 6 == 1
+    png = synthesize_media(8, 57)    # doc_id % 6 == 2
+    jpg = synthesize_media(9, 57)    # doc_id % 6 == 3
+    gif = synthesize_media(10, 57)   # doc_id % 6 == 4
+    mp4 = synthesize_media(11, 57)   # doc_id % 6 == 5
     assert decode_media(bmp)["media_kind"] == "bmp"
     assert decode_media(wav)["media_kind"] == "wav"
     assert decode_media(png)["media_kind"] == "png"
     assert decode_media(jpg)["media_kind"] == "jpeg"
     assert decode_media(gif)["media_kind"] == "gif"
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x00\x00\x18ftypmp42 no mp4 codec in this build")
+    assert decode_media(mp4)["media_kind"].startswith("mp4:")
+    with pytest.raises(ValueError):
+        # ftyp dispatches to the real box walk, which must reject a
+        # container with no moov rather than fake-decode it
+        decode_media(b"\x00\x00\x00\x10ftypmp42 then trailing junk")
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff jpeg-shaped garbage")
 
 
 def test_synthesized_payloads_are_real_files():
     # the synthesizer's WAV must be readable by the stdlib parser directly
-    with wave.open(io.BytesIO(synthesize_media(11, 123))) as wf:
+    with wave.open(io.BytesIO(synthesize_media(13, 123))) as wf:
         assert wf.getnchannels() == 1
         assert wf.getsampwidth() == 2
         assert wf.getnframes() == 123 % 200 + 50
-    feats = decode_bmp(synthesize_media(10, 123))
+    feats = decode_bmp(synthesize_media(12, 123))
     assert feats["width"] == 123 % 13 + 4
-    assert feats["height"] == 10 % 11 + 4
+    assert feats["height"] == 12 % 11 + 4
 
 
 def test_png_decode_reconstructs_all_five_filters():
@@ -115,7 +119,7 @@ def test_png_decode_reconstructs_all_five_filters():
     filter-reconstruction bug shifts the sums."""
     from ir_analyses_spark.llm.multimodal import decode_png
 
-    for doc_id, n in [(2, 57), (7, 123), (12, 200), (17, 7)]:
+    for doc_id, n in [(2, 57), (8, 123), (14, 200), (20, 7)]:
         w = n % 11 + 4
         h = doc_id % 9 + 4
         feats = decode_png(synthesize_media(doc_id, n))
@@ -125,7 +129,7 @@ def test_png_decode_reconstructs_all_five_filters():
         assert feats["sum_r"] == sum((doc_id * 19 + p * 3) % 256 for p in px)
         assert feats["sum_g"] == sum((doc_id * 23 + p * 13) % 256 for p in px)
         assert feats["sum_b"] == sum((doc_id * 29 + p * 17) % 256 for p in px)
-    assert any((d % 9 + 4) >= 5 for d in (2, 7, 12, 17)), "no Paeth row hit"
+    assert any((d % 9 + 4) >= 5 for d in (2, 8, 14, 20)), "no Paeth row hit"
 
 
 def test_png_decode_golden_hand_built():
@@ -194,7 +198,7 @@ def test_jpeg_roundtrip_matches_generative_formulas():
     DPCM + Huffman path is exercised, not just the first block)."""
     from ir_analyses_spark.llm.multimodal import decode_jpeg
 
-    for doc_id, n in [(3, 57), (8, 123), (13, 200), (23, 8)]:
+    for doc_id, n in [(3, 57), (9, 123), (15, 200), (21, 8)]:
         tx, ty = n % 3 + 1, doc_id % 3 + 1
         feats = decode_jpeg(synthesize_media(doc_id, n))
         assert (feats["width"], feats["height"]) == (8 * tx, 8 * ty)
@@ -203,7 +207,7 @@ def test_jpeg_roundtrip_matches_generative_formulas():
         assert feats["sum_r"] == 64 * sum((doc_id * 37 + t * 29) % 256 for t in tiles)
         assert feats["sum_g"] == 64 * sum((doc_id * 41 + t * 31) % 256 for t in tiles)
         assert feats["sum_b"] == 64 * sum((doc_id * 43 + t * 37) % 256 for t in tiles)
-    assert any((n % 3 + 1) * (d % 3 + 1) > 1 for d, n in [(3, 57), (7, 123), (11, 200), (19, 8)])
+    assert any((n % 3 + 1) * (d % 3 + 1) > 1 for d, n in [(3, 57), (9, 123), (15, 200), (21, 8)])
 
 
 def test_jpeg_ac_coefficients_run_lengths_and_zrl():
@@ -276,7 +280,7 @@ def test_jpeg_skips_app_segments():
 
     from ir_analyses_spark.llm.multimodal import decode_jpeg
 
-    plain = synthesize_media(8, 57)
+    plain = synthesize_media(9, 57)
     app0 = _struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     com = _struct.pack(">HH", 0xFFFE, 2 + 11) + b"hello jpeg!"
     spliced = plain[:2] + app0 + com + plain[2:]
@@ -380,7 +384,7 @@ def test_gif_roundtrip_matches_generative_formulas():
     strings, KwKwK codes, and at least one width bump."""
     from ir_analyses_spark.llm.multimodal import decode_gif
 
-    for doc_id, n in [(4, 57), (9, 123), (14, 200), (24, 7)]:
+    for doc_id, n in [(4, 57), (10, 123), (16, 200), (22, 7)]:
         w, h = n % 10 + 4, doc_id % 7 + 4
         feats = decode_gif(synthesize_media(doc_id, n))
         assert feats["media_kind"] == "gif"
@@ -428,3 +432,119 @@ def test_gif_decoder_skips_extension_blocks():
     from ir_analyses_spark.llm.multimodal import decode_gif
 
     assert decode_gif(with_ext) == decode_gif(raw)
+
+
+def test_mp4_metadata_roundtrip_matches_formulas():
+    """The hand-rolled ISO-BMFF writer and the independent box-walk
+    decoder must agree with the closed-form formulas across every branch
+    of the MP4 synthesis: all four fourccs, 1- and 2-track layouts, and
+    varying timescale/duration/dims. (doc_id % 6 == 5 forces odd ids, so
+    the formulas deliberately key on doc_id // 2 and doc_id // 6 — this
+    loop's ids cover each resulting value.)"""
+    from ir_analyses_spark.llm.multimodal import decode_mp4
+
+    seen_fourcc, seen_tracks = set(), set()
+    for doc_id, n in [(5, 57), (11, 123), (17, 200), (23, 8), (29, 77), (35, 3)]:
+        feats = decode_mp4(synthesize_media(doc_id, n))
+        fourcc = ["avc1", "hev1", "vp09", "av01"][(doc_id // 2) % 4]
+        assert feats["media_kind"] == f"mp4:{fourcc}"
+        assert feats["width"] == 16 * (doc_id % 8 + 1)
+        assert feats["height"] == 16 * (n % 6 + 1)
+        assert feats["sample_rate"] == 600 * (doc_id % 5 + 1)
+        assert feats["n_samples"] == (doc_id * 97 + n * 31) % 100000
+        assert feats["peak"] == (doc_id // 6) % 2 + 1
+        assert feats["px00_r"] is None and feats["sum_abs"] is None
+        seen_fourcc.add(fourcc)
+        seen_tracks.add(feats["peak"])
+    assert seen_fourcc == {"avc1", "hev1", "vp09", "av01"}  # vacuity guard
+    assert seen_tracks == {1, 2}
+
+
+def _fullbox(version: int) -> bytes:
+    return bytes([version, 0, 0, 0])
+
+
+def test_mp4_golden_hand_built_v1_largesize_audio_first():
+    """Independent fixture exercising every decoder path the synthesizer's
+    version-0 writer does NOT: a 64-bit largesize ftyp, a free box before
+    moov, version-1 mvhd (64-bit timestamps), the audio trak FIRST (the
+    handler walk must skip it), and a version-1 tkhd on the video trak."""
+    import struct
+
+    from ir_analyses_spark.llm.multimodal import decode_mp4
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def largebox(btype, payload):
+        return b"\x00\x00\x00\x01" + btype + struct.pack(">Q", 16 + len(payload)) + payload
+
+    matrix = b"\x00" * 36
+    mvhd = box(
+        b"mvhd",
+        _fullbox(1)
+        + struct.pack(">QQIQ", 7, 7, 48000, 123456789)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + struct.pack(">I", 3),
+    )
+
+    def trak(handler, fourcc, w, h, tkhd_version):
+        if tkhd_version == 0:
+            tkhd = box(
+                b"tkhd",
+                _fullbox(0) + struct.pack(">IIIII", 0, 0, 1, 0, 99)
+                + b"\x00" * 8 + b"\x00" * 8 + matrix
+                + struct.pack(">II", w << 16, h << 16),
+            )
+        else:
+            tkhd = box(
+                b"tkhd",
+                _fullbox(1) + struct.pack(">QQIIQ", 0, 0, 2, 0, 99)
+                + b"\x00" * 8 + b"\x00" * 8 + matrix
+                + struct.pack(">II", w << 16, h << 16),
+            )
+        hdlr = box(b"hdlr", _fullbox(0) + b"\x00" * 4 + handler + b"\x00" * 12)
+        entry = box(fourcc, b"\x00" * 78)
+        stsd = box(b"stsd", _fullbox(0) + struct.pack(">I", 1) + entry)
+        mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd)))
+        return box(b"trak", tkhd + mdia)
+
+    mp4 = (
+        largebox(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isom")
+        + box(b"free", b"skip me")
+        + box(
+            b"moov",
+            mvhd
+            + trak(b"soun", b"mp4a", 0, 0, 0)
+            + trak(b"vide", b"hvc1", 1920, 1080, 1),
+        )
+    )
+    feats = decode_mp4(mp4)
+    assert feats["media_kind"] == "mp4:hvc1"
+    assert (feats["width"], feats["height"]) == (1920, 1080)
+    assert feats["sample_rate"] == 48000
+    assert feats["n_samples"] == 123456789
+    assert feats["peak"] == 2
+
+
+def test_mp4_rejects_malformed_and_gates_audio_only():
+    import struct
+
+    import pytest as _pytest
+
+    from ir_analyses_spark.llm.multimodal import decode_mp4, encode_mp4_meta
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    with _pytest.raises(ValueError, match="moov"):
+        decode_mp4(box(b"ftyp", b"isom") + box(b"mdat", b"x"))
+    # box claiming to extend past the buffer must fail loudly
+    with _pytest.raises(ValueError, match="box size"):
+        decode_mp4(struct.pack(">I", 4096) + b"moov" + b"\x00" * 8)
+    # audio-only container: honest gate, not a fake video row
+    audio_only = encode_mp4_meta(
+        8000, 100, [{"handler": b"soun", "fourcc": b"mp4a", "width": 0, "height": 0}]
+    )
+    with _pytest.raises(NotImplementedError, match="video track"):
+        decode_mp4(audio_only)
