@@ -75,34 +75,40 @@ def main() -> None:
             ).save()
         except Exception:
             pass  # warm-up is best-effort; the timed run will surface errors
-    # Second warm-up pass at the TARGET SF: plan-shape warm-up at the tiny
-    # SF leaves one fixed cost unabsorbed — JVM JIT tier-up of the generated
-    # code at real row volume (measured on pricing_summary at sf0.1: first
-    # run ~1.9-2.0 s, every later run ~1.25 s; a plain scan of the same
-    # table does NOT absorb it, a single run of the same plan does, so it
-    # is per-plan compilation, not IO caching). Like codegen compilation,
-    # JIT is a constant charged once per plan on a long-running cluster;
-    # the timed loop below measures the data-proportional steady state.
-    # The emitted record carries "warmup" so rounds are comparable
-    # methodology-aware (r1-r3 lacked this pass).
-    for name in HEADLINE:
-        try:
-            queries[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass
-
-    timings: dict[str, float] = {}
+    # Timed protocol (r5, per VERDICT r4 item 4): THREE timed repetitions
+    # per query at the target SF, no separate target-SF warmup pass.
+    #   - rep 1 is a cold-at-target-SF run — exactly the r1-r3 methodology
+    #     (it still pays JVM JIT tier-up of the generated code at real row
+    #     volume; measured on pricing_summary at sf0.1: first run
+    #     ~1.9-2.0 s, later runs ~1.25 s — per-plan compilation, not IO).
+    #   - the per-query MEDIAN of the 3 reps is the steady-state headline
+    #     (what r4's extra warmup pass measured), and the median also
+    #     damps the documented ±25% page-cache/co-tenant noise.
+    # One record therefore carries BOTH numbers: "value" (median,
+    # steady state) and "value_first_run" (r3-comparable cold pass), so
+    # cross-round deltas decompose into methodology vs real gains.
+    _N_REPS = 3
+    reps: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one bad query must not lose the record
-            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+    for rep in range(_N_REPS):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            fn = queries[name]
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                reps.setdefault(name, []).append(time.perf_counter() - t0)
+            except Exception as exc:  # one bad query must not lose the record
+                errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+    timings = {name: round(_median(ts), 3) for name, ts in reps.items()}
+    first_run = {name: round(ts[0], 3) for name, ts in reps.items()}
 
     record = {
         "metric": "headline_queries_total_wall",
@@ -110,13 +116,23 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
-        "warmup": "plans at tiny SF + one steady-state pass at target SF",
+        "warmup": "plans at tiny SF; timed = median of 3 reps at target SF",
+        "value_first_run": round(sum(first_run.values()), 3),
+        "queries_first_run": first_run,
+        "methodology_note": (
+            "value/queries are per-query medians of 3 target-SF reps "
+            "(steady state, noise-damped); value_first_run/"
+            "queries_first_run are the cold first reps - the r1-r3 "
+            "methodology - so round deltas separate methodology from "
+            "real gains"
+        ),
     }
     if errors:
         # a partial sum reads as a faster-looking total to any tool that
         # compares "value" across rounds — null it so an errored run can
         # never be mistaken for a full-run record
         record["value"] = None
+        record["value_first_run"] = None
         record["errors"] = errors
     print(json.dumps(record))
     if errors:
