@@ -107,8 +107,23 @@ def main() -> None:
         mid = len(xs) // 2
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2.0
 
-    timings = {name: round(_median(ts), 3) for name, ts in reps.items()}
-    first_run = {name: round(ts[0], 3) for name, ts in reps.items()}
+    # ADVICE r5: a query that errored on rep 2/3 has 1-2 timings — that is
+    # NOT a steady-state median, and _best_prior_timings in a later round
+    # would ingest it as one. Full-rep queries only; partials are recorded
+    # under an explicit key that the cross-round reader never consumes.
+    timings = {
+        name: round(_median(ts), 3)
+        for name, ts in reps.items()
+        if len(ts) == _N_REPS
+    }
+    first_run = {
+        name: round(ts[0], 3) for name, ts in reps.items() if len(ts) == _N_REPS
+    }
+    partial = {
+        name: [round(t, 3) for t in ts]
+        for name, ts in reps.items()
+        if len(ts) < _N_REPS
+    }
 
     record = {
         "metric": "headline_queries_total_wall",
@@ -127,6 +142,8 @@ def main() -> None:
             "real gains"
         ),
     }
+    if partial:
+        record["partial"] = partial
     if errors:
         # a partial sum reads as a faster-looking total to any tool that
         # compares "value" across rounds — null it so an errored run can
@@ -188,6 +205,11 @@ def _best_prior_timings() -> dict[str, float]:
         except (TypeError, ValueError):
             same_sf = False
         if not same_sf:
+            continue
+        if rec.get("errors"):
+            # pre-r6 records from errored runs may carry 1-2-rep values in
+            # "queries" (the writer now segregates those under "partial");
+            # never read an errored run's timings as steady-state medians
             continue
         for name, t in (rec.get("queries") or {}).items():
             if isinstance(t, (int, float)):

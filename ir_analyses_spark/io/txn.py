@@ -174,8 +174,14 @@ def history(table: str) -> list[dict]:
         except FileNotFoundError:
             # a concurrent vacuum(keep_versions=N) may retire an old
             # manifest between the version listing and this open; per the
-            # retention contract history simply truncates to the surviving
-            # versions instead of erroring
+            # retention contract history truncates to the surviving
+            # versions — but ONLY for versions the log no longer lists.
+            # A manifest that is still listed yet unreadable was lost
+            # out-of-band (retention should have kept it): that must
+            # surface as an error, never silently vanish from history
+            # ("evidence is reported as absent, never as 0").
+            if v in _list_versions(table):
+                raise
             continue
         files = m.get("files", [])
         if not files:

@@ -689,8 +689,10 @@ def decode_mp4(content: bytes) -> dict:
     Feature mapping into MEDIA_CODEC_SCHEMA: media_kind carries the
     codec (``mp4:<fourcc>``), width/height the video track dims,
     sample_rate ← movie timescale, n_samples ← movie duration (in
-    timescale units), peak ← track count; pixel/audio sums stay NULL —
-    they would need sample decode."""
+    timescale units — BIGINT in the schema, because v1 mvhd durations
+    are 64-bit and v0 uses 0xFFFFFFFF as the "unknown" sentinel, both
+    past int32), peak ← track count; pixel/audio sums stay NULL — they
+    would need sample decode."""
     import struct
 
     moov = _find_box(content, 0, len(content), b"moov")
@@ -779,6 +781,16 @@ def encode_mp4_meta(timescale: int, duration: int, tracks: list[dict]) -> bytes:
     are exercised by independently hand-built fixtures in
     tests/test_multimodal_codec.py."""
     import struct
+
+    if not 0 < timescale < 65536:
+        # the audio sample entry stores samplerate as 16.16 fixed point
+        # (timescale << 16 into a u32), which cannot represent rates
+        # >= 65536 — e.g. the common 90 kHz MP4 timescale. Refuse loudly
+        # rather than emit a struct.error or a silently wrong rate.
+        raise ValueError(
+            f"timescale {timescale} outside the 16.16 samplerate range "
+            "(1..65535) this version-0 writer can encode"
+        )
 
     matrix = struct.pack(
         ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
@@ -1026,7 +1038,7 @@ FROM documents, UNNEST(range(1, {_N_FRAMES} + 1)) AS t(i)
 MEDIA_CODEC_SCHEMA = (
     "doc_id bigint, media_kind string, width int, height int, px00_r int, "
     "sum_r bigint, sum_g bigint, sum_b bigint, "
-    "sample_rate int, n_samples int, sum_abs bigint, peak int"
+    "sample_rate int, n_samples bigint, sum_abs bigint, peak int"
 )
 
 
@@ -1413,7 +1425,7 @@ bmp_feats AS (
          CAST(SUM((b.doc_id * 13 + i * 5) % 256) AS BIGINT) AS sum_r,
          CAST(SUM((b.doc_id * 17 + i * 11) % 256) AS BIGINT) AS sum_g,
          CAST(SUM((b.doc_id * 31 + i * 7) % 256) AS BIGINT) AS sum_b,
-         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
          CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
   FROM bmp b, UNNEST(range(0, 256)) AS t(i)
   WHERE i < b.w * b.h
@@ -1430,7 +1442,7 @@ wav_feats AS (
          CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
          CAST(NULL AS BIGINT) AS sum_b,
          CAST(w.rate AS INT) AS sample_rate,
-         CAST(w.cnt AS INT) AS n_samples,
+         CAST(w.cnt AS BIGINT) AS n_samples,
          CAST(SUM(ABS((w.doc_id * 7919 + i * 104729) % 65536 - 32768)) AS BIGINT)
            AS sum_abs,
          CAST(MAX(ABS((w.doc_id * 7919 + i * 104729) % 65536 - 32768)) AS INT)
@@ -1450,7 +1462,7 @@ png_feats AS (
          CAST(SUM((g.doc_id * 19 + i * 3) % 256) AS BIGINT) AS sum_r,
          CAST(SUM((g.doc_id * 23 + i * 13) % 256) AS BIGINT) AS sum_g,
          CAST(SUM((g.doc_id * 29 + i * 17) % 256) AS BIGINT) AS sum_b,
-         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
          CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
   FROM png g, UNNEST(range(0, 256)) AS t(i)
   WHERE i < g.w * g.h
@@ -1474,7 +1486,7 @@ gif_feats AS (
               AS BIGINT) AS sum_g,
          CAST(SUM((g.doc_id * 17 + ((g.doc_id + i * 7) % 16) * 43) % 256)
               AS BIGINT) AS sum_b,
-         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
          CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
   FROM gif g, UNNEST(range(0, 256)) AS t(i)
   WHERE i < g.w * g.h
@@ -1487,7 +1499,7 @@ jpg_feats AS (
          CAST(64 * SUM((j.doc_id * 37 + i * 29) % 256) AS BIGINT) AS sum_r,
          CAST(64 * SUM((j.doc_id * 41 + i * 31) % 256) AS BIGINT) AS sum_g,
          CAST(64 * SUM((j.doc_id * 43 + i * 37) % 256) AS BIGINT) AS sum_b,
-         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
          CAST(NULL AS BIGINT) AS sum_abs, CAST(NULL AS INT) AS peak
   FROM jpg j, UNNEST(range(0, 9)) AS t(i)
   WHERE i < j.tx * j.ty
@@ -1504,7 +1516,7 @@ mp4_feats AS (
          CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
          CAST(NULL AS BIGINT) AS sum_b,
          CAST(600 * (doc_id % 5 + 1) AS INT) AS sample_rate,
-         CAST((doc_id * 97 + n * 31) % 100000 AS INT) AS n_samples,
+         CAST((doc_id * 97 + n * 31) % 100000 AS BIGINT) AS n_samples,
          CAST(NULL AS BIGINT) AS sum_abs,
          CAST((doc_id // 6) % 2 + 1 AS INT) AS peak
   FROM base WHERE doc_id % 6 = 5

@@ -65,40 +65,139 @@ _MODULES = [
 
 #: Explicit registry order. The driver's correctness sweep has a bounded
 #: budget (each round records rows for exactly the first 50 registry
-#: entries), so ordering is part of the verification contract. Round-4
-#: rotation, per VERDICT.md r3 item 1 — "no green row older than the code
-#: it certifies":
+#: entries), so ordering is part of the verification contract.
 #:
-#: - Positions 0–49 lead with the flagship + the queries new this round
-#:   (``summary_chart_frame``; the txn-format pair; ``kmeans_assign`` /
-#:   ``semantic_dedup``; the Q2/Q22 subquery pair — and, since
-#:   ``ops/subqueries.py`` changed when the pair was added, its three
-#:   r3-green entries re-certify too), then the queries whose defining
-#:   modules changed during r4 (``llm/multimodal.py``: PNG + JPEG codecs
-#:   + 4-way synthesizer split; ``queries/summary.py``:
-#:   ``guarded_ratio_margin`` + max_by tiebreak; ``streaming/pipeline.py``
-#:   + ``io/sinks.py``: committed-marker sinks + txn twins —
-#:   conservatively ALL streaming-module queries), then the 22
-#:   stale-evidence queries VERDICT r3 listed (modules changed in r3
-#:   after their last r1/r2 green row: textstats, similarity, aggregates,
-#:   windows, udfs), then session-2 first-row queries (macro Q8/Q9/Q19,
-#:   containment, TF-IDF, txn time travel) — these displaced the six
-#:   unchanged-code r1/r2-green backfill entries, whose existing evidence
-#:   is not older than their code and therefore loses nothing by waiting
-#:   in the tail.
-#: - The tail holds entries hash-green in r3 (or earlier) whose defining
-#:   modules are unchanged since their last green row.
+#: Round-6 rotation — the CERTIFICATION round VERDICT r4 item 1 called
+#: for (round 5 was cut short before it could rotate, so its window
+#: re-certified the r4 head instead):
+#:
+#: - Positions 0–36: every query that has NEVER had a driver row — the
+#:   r4 tail additions (TPC-H closure shapes, SQL-surface block, graph
+#:   tier, events analytics, txn consumer/metadata/DataSource tier, the
+#:   new LLM/analytics ops). Until now their only evidence was the
+#:   in-repo 147-query DuckDB sweep + bare-session sf0.01 replays.
+#: - Positions 37–49: the 13 highest-risk STALE entries (defining module
+#:   changed after their last green row): all six ``llm/dedup.py``
+#:   queries (the module took a semantic change in r5 — the LSH-vs-exact
+#:   edge gate for the chained-dedup oracles — so their r3 rows certify
+#:   retired code), ``pricing_summary`` (flagship TPC-H Q1; r3 row,
+#:   ``ops/aggregates.py`` changed in r4), ``regional_revenue`` (bench
+#:   headline; r1 row!, ``ops/macros.py`` changed r3+r4),
+#:   ``window_sessionize``/``timeseries_gapfill`` (r3 rows,
+#:   ``ops/windows.py`` changed in r4), ``cube_agg`` (same),
+#:   ``json_extract_ops`` (r1 row, ``ops/relational.py`` changed since),
+#:   and ``media_codec_features`` (r5-green but ``llm/multimodal.py``
+#:   takes the ADVICE r5 fix this round: mvhd n_samples int→bigint — a
+#:   schema change, so the r5 row cannot certify it).
+#: - The tail leads with the next-rotation stale set (r7's window head),
+#:   then entries whose newest green row is not older than their
+#:   defining module's last change.
 _ORDER = [
-    # -- flagship every round; its module changed in r4 --
-    "ir_summary_pipeline",
-    "summary_chart_frame",  # new in r4: UI chart-frame reshape (O3)
-    "guarded_ratio_margin",  # queries/summary.py changed in r4
-    # -- multimodal module changed in r4 (PNG codec, %3 synthesizer) --
+    # ---- never-driver-checked tier (37): first rows ----
+    # ops/subqueries.py: TPC-H Q2/Q22-style pair siblings + closure shapes
+    "lateral_topk_per_group",
+    "recursive_inventory_chain",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "large_volume_customers",
+    "promo_stock_suppliers",
+    # ops/sqlfn.py: SQL-surface block
+    "sql_udf_pricing",
+    "pipe_syntax_rollup",
+    "collated_string_ops",
+    "pivot_sql_clause",
+    # ops/macros.py: remaining TPC-H shapes
+    "promo_revenue_ratio",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    # ops/aggregates.py + ops/windows.py additions
+    "outlier_iqr_flags",
+    "ewma_forecast",
+    # ops/graph.py: iterative-graph tier
+    "trade_pagerank",
+    "trade_triangles",
+    "trade_bfs_hops",
+    # ops/events.py: product-analytics tier
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transition_matrix",
+    "session_paths_topk",
+    "user_rfm_segments",
+    # ops/fuzzy.py / llm additions
+    "fuzzy_name_pairs",
+    "token_topk_sketch",
+    "bpe_train_merges",
+    "doc_chunking",
+    "token_length_histogram",
+    "embedding_quantize_int8",
+    "dataset_split",
+    # io/txn_queries.py: txn consumer/metadata/DataSource tier
+    "txn_change_feed",
+    "txn_change_apply",
+    "txn_history",
+    "txn_pyds_write",
+    "stream_txn_sink",
+    # ---- stale-evidence tier (13): re-certification ----
+    # llm/dedup.py changed in r4 AND r5 (LSH-vs-exact edge gate) after
+    # these queries' r3 rows
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "simhash_nearup",
+    "dedup_components",
+    "neardup_dedup_pipeline",
+    "ngram_jaccard_nearup",
+    # flagship TPC-H Q1 (r3 row; ops/aggregates.py changed in r4)
+    "pricing_summary",
+    # bench headline (r1 row; ops/macros.py changed in r3+r4)
+    "regional_revenue",
+    # ops/windows.py changed in r4 after these r3 rows
+    "window_sessionize",
+    "timeseries_gapfill",
+    # ops/aggregates.py changed in r4 after the r3 row
+    "cube_agg",
+    # ops/relational.py changed after the r1 row
+    "json_extract_ops",
+    # llm/multimodal.py takes the r5 ADVICE schema fix this round
     "media_codec_features",
+    # ---- 50-query window boundary (driver budget) ----
+    # tail head: the remaining stale set = round-7's window head
+    "pivot_coalesce_priority",
+    "order_priority_counts",
+    "top_unshipped_parts",
+    "shipping_priority_topk",
+    "returned_item_report",
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "minmax_extremes",
+    "window_range_interval",
+    "corpus_clean_pipeline",
+    "repetition_metrics",
+    "corpus_mixture",
+    "bpe_pair_counts",
+    "doc_frequency",
+    "pii_scrub",
+    "stream_sliding_batch",
+    "approx_sketches",  # rows-only by design (error-bound test in-repo)
+    "hll_mergeable_rollup",  # rows-only by design
+    "ann_ml_brp_lsh",  # rows-only by design (recall-bounded vs exact twin)
+    # multimodal siblings of the in-window codec query: same module takes
+    # the r6 ADVICE fix, but their values are provably untouched by it
+    # (the fix widens the MP4 n_samples column type and guards a fixture
+    # encoder; these three never read that column) — documented stale
     "multimodal_features",
     "media_resize",
     "media_frame_sample",
-    # -- streaming/sinks modules changed in r4 (committed-marker sinks) --
+    # io/txn.py takes the r6 ADVICE history() fix; txn_history is in the
+    # window, these r5-green siblings don't read history() — documented
+    "txn_snapshot_merge",
+    "txn_exactly_once_rollup",
+    "txn_time_travel",
+    # r5-green, modules unchanged since
+    "ir_summary_pipeline",
+    "summary_chart_frame",
+    "guarded_ratio_margin",
     "stream_incremental_rollup",
     "stream_static_enrich",
     "stream_stream_interval_join",
@@ -106,114 +205,40 @@ _ORDER = [
     "stream_session_batch",
     "stateful_user_totals",
     "stream_dedup_watermark",
-    # -- new in r4: transaction-log table format (io/txn.py) --
-    "txn_snapshot_merge",
-    "txn_exactly_once_rollup",
-    # -- new in r4: clustering + semantic dedup (llm/similarity.py) --
     "kmeans_assign",
     "semantic_dedup",
-    # -- ops/subqueries.py changed in r4 (Q2/Q22 added): re-certify its
-    #    r3-green entries + first rows for the new pair --
     "cheapest_supplier_per_part",
     "idle_customer_balances",
     "small_quantity_revenue",
     "suppliers_with_waiting_orders",
     "concentrated_part_types",
-    # -- VERDICT r3 stale-evidence list: modules changed in r3 after the
-    #    last green driver row (llm/textstats.py) --
     "text_stats",
     "quality_score",
     "language_id",
     "doc_fingerprint",
-    # (llm/similarity.py)
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_cosine_nearup",
-    # -- semantics changed in r4 session 3 (review fixes): the old values
-    #    were never driver-certified, the new ones must be --
-    "vocab_oov_rate",  # top-16 cut replaced the vacuous top-1000
-    "negative_sampling",  # self-draw redraw replaced the skip
-    # (ops/aggregates.py)
+    "vocab_oov_rate",
+    "negative_sampling",
     "rollup_agg",
-    "column_profile",  # new in r4 (same module: fresh driver row)
+    "column_profile",
     "distinct_agg",
     "pivot_agg",
     "dedup_by_key",
     "latest_per_group",
     "exact_median",
-    # (ops/windows.py)
     "window_ranking",
     "window_lag_lead",
     "window_running_frames",
-    # (ops/udfs.py)
     "pandas_udf_vectorized",
-    # -- new in r4 session 2: first driver rows beat re-greening unchanged
-    #    r1/r2-green code (those keep valid evidence and move to the tail) --
     "market_share",
     "product_profit",
     "disjunctive_pushdown",
     "containment_nearup",
     "tfidf_top_terms",
-    "txn_time_travel",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail: first the r4-new queries without driver rows yet (in-repo
-    # parity is their evidence until the next rotation; a budget overrun
-    # hits them first), then displaced-but-green r3 rows, then r1/r2-green
-    # entries whose code is unchanged since their row
-    # session 4: SQL-surface closure (LATERAL, native WITH RECURSIVE,
-    # SQL-defined scalar/table functions, pipe syntax, collated strings,
-    # SQL PIVOT), the approx_top_k heavy-hitters sketch, and the txn
-    # format's consumer/metadata/DataSource tier (change-feed apply,
-    # DESCRIBE HISTORY, Python-DataSource batch write + streaming sink) —
-    # all oracle-gated with bare-session runs recorded in COVERAGE.md;
-    # they enter the driver window next rotation
-    "lateral_topk_per_group",
-    "recursive_inventory_chain",
-    "token_topk_sketch",
-    "bpe_train_merges",
-    "ewma_forecast",
-    "outlier_iqr_flags",
-    "embedding_quantize_int8",
-    "doc_chunking",
-    "trade_triangles",
-    "trade_bfs_hops",
-    "txn_change_apply",
-    "txn_history",
-    "sql_udf_pricing",
-    "pipe_syntax_rollup",
-    "collated_string_ops",
-    "pivot_sql_clause",
-    "txn_pyds_write",
-    "stream_txn_sink",
-    "promo_revenue_ratio",
-    "token_length_histogram",
-    # session 3: the remaining TPC-H shapes — with these, all 22 TPC-H
-    # query shapes have an adapted, oracle-gated twin
-    "forecast_revenue_change",
-    "volume_shipping",
-    "late_shipment_priority",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "supplier_part_variety",
-    "large_volume_customers",
-    "promo_stock_suppliers",
-    # session 3: change feed over the txn format
-    "txn_change_feed",
-    # session 3: product-analytics + iterative-graph tier
-    "event_transition_matrix",
-    "session_paths_topk",
-    "user_rfm_segments",
-    "trade_pagerank",
-    "funnel_conversion",
-    "cohort_retention",
-    "fuzzy_name_pairs",
-    "dataset_split",
-    # displaced from the window in session 3 (both keep green r3 rows or
-    # better in-repo evidence): rows-only approx_sketches, and the sliding
-    # twin of the in-window tumbling agg
-    "stream_sliding_batch",
-    "approx_sketches",  # rows-only by design (error-bound test in-repo)
+    # r1/r2-green, modules unchanged since their rows
     "string_predicates",
     "string_functions",
     "null_semantics",
@@ -225,11 +250,6 @@ _ORDER = [
     "set_operations",
     "map_ops",
     "explode_tokens",
-    "json_extract_ops",
-    "pivot_coalesce_priority",
-    "regional_revenue",
-    "order_priority_counts",
-    "top_unshipped_parts",
     "join_left_outer",
     "join_semi_anti",
     "join_theta_bands",
@@ -239,39 +259,15 @@ _ORDER = [
     "filter_pushdown_project",
     "array_agg_ops",
     "case_conditional",
-    "cube_agg",
-    "grouping_sets_agg",
-    "unpivot_melt",
-    "minmax_extremes",
-    "window_range_interval",
-    "window_sessionize",
-    "timeseries_gapfill",
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     "apply_in_pandas_topk",
     "salted_twophase_agg",
     "salted_skew_join",
-    "pricing_summary",
-    "exact_dedup",
-    "minhash_lsh_nearup",
-    "simhash_nearup",
-    "dedup_components",
-    "neardup_dedup_pipeline",
-    "corpus_clean_pipeline",
-    "ngram_jaccard_nearup",  # deliberately-quadratic exact verifier
-    "repetition_metrics",
-    "corpus_mixture",
-    "bpe_pair_counts",
-    "doc_frequency",
-    "pii_scrub",
     "sequence_packing",
     "variant_json_ops",
     "benchmark_decontaminate",
     "stratified_sample",
-    "hll_mergeable_rollup",  # rows-only by design
-    "ann_ml_brp_lsh",  # rows-only by design (recall-bounded vs exact twin)
-    "shipping_priority_topk",
-    "returned_item_report",
 ]
 
 

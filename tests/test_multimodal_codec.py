@@ -548,3 +548,32 @@ def test_mp4_rejects_malformed_and_gates_audio_only():
     )
     with _pytest.raises(NotImplementedError, match="video track"):
         decode_mp4(audio_only)
+
+
+def test_mp4_duration_past_int32_and_writer_timescale_guard():
+    """ADVICE r5: v0 mvhd durations go up to 0xFFFFFFFF (the "unknown"
+    sentinel) and v1 durations are 64-bit, so n_samples must survive
+    values past int32 (MEDIA_CODEC_SCHEMA declares it bigint); and the
+    version-0 writer must refuse timescales its 16.16 samplerate field
+    cannot represent instead of raising struct.error."""
+    import pytest as _pytest
+
+    from ir_analyses_spark.llm.multimodal import decode_mp4, encode_mp4_meta
+
+    sentinel = 0xFFFFFFFF  # v0 "duration unknown" — 4294967295 > 2**31-1
+    mp4 = encode_mp4_meta(
+        3000,
+        sentinel,
+        [{"handler": b"vide", "fourcc": b"avc1", "width": 64, "height": 48}],
+    )
+    feats = decode_mp4(mp4)
+    assert feats["n_samples"] == sentinel
+    # 90 kHz is a common MP4 timescale but unrepresentable in the 16.16
+    # audio samplerate field — the writer must fail loudly, not corrupt
+    for bad in (90000, 65536, 0, -1):
+        with _pytest.raises(ValueError, match="16.16"):
+            encode_mp4_meta(
+                bad,
+                100,
+                [{"handler": b"soun", "fourcc": b"mp4a", "width": 0, "height": 0}],
+            )

@@ -968,3 +968,46 @@ def test_stream_reader_null_fills_pre_evolution_files(spark, tmp_path):
         (r["k"], r["w"]) for r in spark.read.parquet(out).collect()
     }
     assert rows == {(1, None), (2, None), (3, 7)}
+
+
+def test_history_distinguishes_vacuum_truncation_from_lost_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5: a manifest retired by concurrent vacuum (gone from the
+    log listing) truncates history benignly, but a manifest the listing
+    still advertises yet cannot be opened was lost out-of-band and must
+    raise — silent disappearance would violate the module's own
+    'evidence is reported as absent, never as 0' posture."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    txn.append(_mk(spark, [(2, "b", 20)]), t)
+    txn.append(_mk(spark, [(3, "c", 30)]), t)
+    assert [r["version"] for r in txn.history(t)] == [1, 2, 3]
+
+    # concurrent-vacuum shape: the open() races a retention pass that
+    # unlinks v1 AFTER the version listing was taken → benign truncation
+    real_open = open
+    v1 = txn._log_path(t, 1)
+
+    def racing_open(path, *a, **kw):
+        if os.fspath(path) == v1 and os.path.exists(v1):
+            os.unlink(v1)  # the "vacuum" wins the race mid-open
+            raise FileNotFoundError(v1)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", racing_open)
+    assert [r["version"] for r in txn.history(t)] == [2, 3]
+    monkeypatch.undo()
+
+    # lost-manifest shape: v2 still listed, but open fails (fs fault /
+    # out-of-band delete with a stale-but-authoritative listing) → raise
+    v2 = txn._log_path(t, 2)
+
+    def faulty_open(path, *a, **kw):
+        if os.fspath(path) == v2:
+            raise FileNotFoundError(v2)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", faulty_open)
+    with pytest.raises(FileNotFoundError):
+        txn.history(t)
