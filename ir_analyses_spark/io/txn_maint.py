@@ -1,0 +1,147 @@
+"""Delta-style maintenance SQL surface over the txn table format.
+
+The reference stack administers its store through ad-hoc scripts; Delta
+Lake exposes table maintenance as SQL statements (``DESCRIBE HISTORY``,
+``OPTIMIZE … ZORDER BY``, ``VACUUM``, ``RESTORE``). Spark has no
+extension point for NEW SQL statements from Python, so this module is
+the thin front door: ``run_maintenance_sql(spark, stmt)`` parses the
+Delta-shaped statement and dispatches to the real implementations in
+``io/txn.py``, returning each command's result as a DataFrame exactly
+like Delta's commands do. ``txnctl.py`` at the repo root wraps the same
+dispatch as a CLI (the operator twin of ``backfill.py`` for ETL).
+
+Grammar (case-insensitive keywords; the table is a quoted path —
+``'/data/t'`` or Delta's ``delta.`/data/t``` backtick form):
+
+    DESCRIBE HISTORY '<table>'
+    OPTIMIZE '<table>' [ZORDER BY (col_a, col_b)]
+                       [TARGET FILE SIZE <bytes>]
+    VACUUM '<table>' [RETAIN <n> VERSIONS]
+    RESTORE [TABLE] '<table>' TO VERSION AS OF <n>
+
+Documented divergence from Delta: our retention unit is VERSIONS, not
+HOURS — the txn format's vacuum contract is version-count based
+(``txn.vacuum(keep_versions=…)``), and a lying clock can't silently
+widen deletion the way time-based retention can.
+
+Every command routes through the SAME commit/OCC machinery queries use,
+so concurrent readers/writers keep snapshot isolation mid-maintenance
+(pinned by tests/test_txn.py); at 100 TB each command is manifest-bound
+JSON work plus, for OPTIMIZE, one distributed rewrite of current files.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import txn
+
+_TABLE = r"(?:delta\.`(?P<bt>[^`]+)`|'(?P<sq>[^']+)'|\"(?P<dq>[^\"]+)\")"
+
+
+def _table_of(m: re.Match) -> str:
+    return next(g for g in (m.group("bt"), m.group("sq"), m.group("dq")) if g)
+
+
+_HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+{_TABLE}\s*;?\s*$", re.I)
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+{_TABLE}"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>\w+)\s*,\s*(?P<zb>\w+)\s*\))?"
+    r"(?:\s+TARGET\s+FILE\s+SIZE\s+(?P<bytes>\d+))?\s*;?\s*$",
+    re.I,
+)
+_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+{_TABLE}(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.I,
+)
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?{_TABLE}"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
+    re.I,
+)
+
+_HISTORY_SCHEMA = (
+    "version bigint, operation string, n_files int, n_rows bigint, "
+    "partition_by string, n_applied_batches int"
+)
+
+
+def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
+    """Parse one Delta-style maintenance statement and execute it.
+
+    Returns the command result as a DataFrame (Delta's convention):
+    DESCRIBE HISTORY → one row per version, newest last; OPTIMIZE /
+    VACUUM / RESTORE → a single metrics row. Raises ``ValueError`` with
+    the supported grammar on anything unrecognized — a maintenance
+    surface must never silently no-op a mistyped destructive command.
+    """
+    if m := _HISTORY.match(stmt):
+        rows = txn.history(_table_of(m))
+        return spark.createDataFrame(
+            [
+                (
+                    r["version"],
+                    r["operation"],
+                    r["n_files"],
+                    r["n_rows"],
+                    r["partition_by"],
+                    r["n_applied_batches"],
+                )
+                for r in rows
+            ],
+            _HISTORY_SCHEMA,
+        )
+    if m := _OPTIMIZE.match(stmt):
+        table = _table_of(m)
+        before = txn.snapshot(table)
+        kwargs: dict[str, Any] = {}
+        if m.group("za"):
+            za, zb = m.group("za"), m.group("zb")
+            kwargs["zorder_by"] = (za, zb)
+            # z-order without re-harvested stats would silently drop the
+            # very skipping it exists to enable
+            kwargs["stats_cols"] = [za, zb]
+        if m.group("bytes"):
+            kwargs["target_file_bytes"] = int(m.group("bytes"))
+        after = txn.compact(spark, table, **kwargs)
+        return spark.createDataFrame(
+            [
+                (
+                    table,
+                    after.version,
+                    len(before.files),
+                    len(after.files),
+                    f"{za},{zb}" if m.group("za") else None,
+                )
+            ],
+            "table string, version bigint, files_before int, "
+            "files_after int, zorder_by string",
+        )
+    if m := _VACUUM.match(stmt):
+        table = _table_of(m)
+        kwargs = {}
+        if m.group("keep"):
+            kwargs["keep_versions"] = int(m.group("keep"))
+        res = txn.vacuum(table, **kwargs)
+        return spark.createDataFrame(
+            [(table, res["removed_files"], res["removed_versions"])],
+            "table string, removed_files int, removed_versions int",
+        )
+    if m := _RESTORE.match(stmt):
+        table = _table_of(m)
+        snap = txn.restore(table, int(m.group("version")))
+        return spark.createDataFrame(
+            [(table, int(m.group("version")), snap.version)],
+            "table string, restored_version bigint, new_version bigint",
+        )
+    raise ValueError(
+        "unrecognized maintenance statement; supported:\n"
+        "  DESCRIBE HISTORY '<table>'\n"
+        "  OPTIMIZE '<table>' [ZORDER BY (a, b)] [TARGET FILE SIZE <bytes>]\n"
+        "  VACUUM '<table>' [RETAIN <n> VERSIONS]\n"
+        "  RESTORE [TABLE] '<table>' TO VERSION AS OF <n>\n"
+        f"got: {stmt!r}"
+    )
