@@ -10,6 +10,8 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
+# (registry count r6: 148 — the one addition, ann_ivfpq_topk, lives in
+# its own module llm/pq.py so no certified query's module changed)
 
 from __future__ import annotations
 
@@ -19,7 +21,7 @@ from functools import cache
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import txn_queries
-from .llm import dedup, multimodal, sampling, similarity, textstats, training
+from .llm import dedup, multimodal, pq, sampling, similarity, textstats, training
 from .ops import (
     aggregates,
     collections,
@@ -54,6 +56,7 @@ _MODULES = [
     graph,
     dedup,
     similarity,
+    pq,
     textstats,
     sampling,
     training,
@@ -162,7 +165,10 @@ _ORDER = [
     # llm/multimodal.py takes the r5 ADVICE schema fix this round
     "media_codec_features",
     # ---- 50-query window boundary (driver budget) ----
-    # tail head: the remaining stale set = round-7's window head
+    # tail head: new in r6 (first row due in r7 — lives in its OWN module
+    # llm/pq.py precisely so adding it does not stale similarity.py's
+    # r5-green rows), then the remaining stale set = round-7's window head
+    "ann_ivfpq_topk",
     "pivot_coalesce_priority",
     "order_priority_counts",
     "top_unshipped_parts",
