@@ -1,0 +1,106 @@
+"""Tokenizer APPLICATION — encode the corpus with trained BPE merges
+(SURVEY §2B LLM ext: token counting graduates from the whitespace/regex
+heuristics in ``textstats.py`` to a learned subword vocabulary).
+
+Own module (not ``textstats.py``) for the same evidence-ledger reason as
+``pq.py``: a new operator in a new module leaves the six r5-certified
+textstats queries' green rows current. The trainer is REUSED by import —
+``textstats.bpe_train_merges`` — so the merge table this encoder applies
+is exactly the one the certified trainer emits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from . import textstats
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the 3 trained BPE merges and report
+    per-document token statistics: whitespace token count, post-merge BPE
+    symbol count, and character count — the numbers a training-data
+    pipeline budgets sequence packing and cost with. All-integer output,
+    so the oracle hash is arithmetic-free.
+
+    Scale shape — the tokenizer-apply trick: merges are applied to the
+    DISTINCT-token vocabulary (|V| rows), never to the corpus; documents
+    then resolve token → symbol count through a broadcast join of that
+    encoded vocabulary, and the per-doc rollup is one map-side-combined
+    shuffle on doc_id. The corpus text is scanned, exploded, and
+    aggregated exactly once — the same reason real tokenizers cache
+    per-word encodings. Merge application itself is the trainer's
+    paren-wrapped literal replace (``(a)(b)`` → ``(ab)``), which is BPE's
+    greedy leftmost merge with no lookaround regex — bit-identical in
+    both engines (see ``textstats.bpe_train_merges``).
+
+    The merge table is ≤3 rows of bounded metadata — collected
+    driver-side with the same judgment as the trainer's per-round argmax
+    (it parameterizes literal expressions; it is not data)."""
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in textstats.bpe_train_merges(spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    seq = F.regexp_replace("token", "(.)", "($1)")
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    enc = vocab.select(
+        "token",
+        F.size(
+            F.split(F.trim(seq, F.lit("()")), r"\)\(")
+        ).cast("long").alias("n_sym"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        toks.join(F.broadcast(enc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sym").alias("n_bpe_symbols"),
+            F.sum(F.length("token")).alias("n_chars"),
+        )
+    )
+
+
+BPE_ENCODE_CORPUS_SQL = f"""
+WITH vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+seqs0 AS (
+  SELECT token, cnt, regexp_replace(token, '(.)', '(\\1)', 'g') AS seq
+  FROM vocab
+),{",".join(textstats._bpe_round_sql(k) for k in (1, 2, 3))},
+enc AS (
+  SELECT token,
+         CAST(len(string_split(trim(seq, '()'), ')(')) AS BIGINT) AS n_sym
+  FROM seqs3
+),
+toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_symbols,
+       CAST(SUM(length(t.token)) AS BIGINT) AS n_chars
+FROM toks t JOIN enc e ON t.token = e.token
+GROUP BY t.doc_id
+"""
+
+QUERIES = {
+    "bpe_encode_corpus": bpe_encode_corpus,
+}
+
+ORACLES = {
+    "bpe_encode_corpus": BPE_ENCODE_CORPUS_SQL,
+}

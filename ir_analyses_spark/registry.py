@@ -21,7 +21,16 @@ from functools import cache
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import txn_queries
-from .llm import dedup, multimodal, pq, sampling, similarity, textstats, training
+from .llm import (
+    dedup,
+    multimodal,
+    pq,
+    sampling,
+    similarity,
+    textstats,
+    tokenize,
+    training,
+)
 from .ops import (
     aggregates,
     collections,
@@ -58,6 +67,7 @@ _MODULES = [
     similarity,
     pq,
     textstats,
+    tokenize,
     sampling,
     training,
     multimodal,
@@ -169,6 +179,7 @@ _ORDER = [
     # llm/pq.py precisely so adding it does not stale similarity.py's
     # r5-green rows), then the remaining stale set = round-7's window head
     "ann_ivfpq_topk",
+    "bpe_encode_corpus",
     "pivot_coalesce_priority",
     "order_priority_counts",
     "top_unshipped_parts",
