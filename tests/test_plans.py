@@ -486,3 +486,28 @@ def test_projection_ops_no_shuffle(spark, sf_dir, name):
     a single scan with zero exchanges — any shuffle here is a bug."""
     plan = plan_of(spark, sf_dir, name)
     assert "Exchange" not in plan
+
+
+def test_ivfpq_codebook_and_lut_broadcast(spark, sf_dir):
+    """IVF-PQ's scale contract in the plan: the codebook reaches the
+    encode join and the per-query LUT reaches the ADC join as BROADCAST
+    build sides (both are bounded: ≤256 codewords × 8 subspaces, 5 query
+    LUT rows), the coarse centroid scoring is a broadcast nested loop,
+    and nothing falls back to a shuffled CartesianProduct — the shapes
+    that die at 10^9 vectors."""
+    plan = plan_of(spark, sf_dir, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_vocab_broadcast_single_corpus_agg(spark, sf_dir):
+    """The tokenizer-apply trick must be visible in the plan: documents
+    resolve token → symbol count through a BROADCAST join of the encoded
+    vocabulary (never a sort-merge of the exploded corpus against it),
+    and the per-doc rollup is a partial/final hash aggregate — map-side
+    combine before the one doc_id shuffle."""
+    plan = plan_of(spark, sf_dir, "bpe_encode_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
