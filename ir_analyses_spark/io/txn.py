@@ -166,22 +166,43 @@ def history(table: str) -> list[dict]:
     (the Delta `DESCRIBE HISTORY` contract). ``n_rows`` is None when any
     file of a (pre-upgrade) version lacks a recorded count — absent
     evidence is reported as absent, never as 0."""
+    versions = _list_versions(table)
+    # Versions are DENSE by construction (_commit assigns strictly +1 and
+    # retries on collision) and vacuum retires only a PREFIX, so a legal
+    # log listing is always one contiguous integer range. A hole means a
+    # manifest was lost out-of-band for a version retention would have
+    # kept — that must surface as an error, never silently vanish from
+    # history (review-hardened: the deleted-before-the-call shape never
+    # reaches the open() below, so the loop's race guard cannot see it).
+    if versions and versions != list(range(versions[0], versions[0] + len(versions))):
+        raise FileNotFoundError(
+            f"history hole at {table}: surviving manifest versions "
+            f"{versions} are not contiguous — manifest(s) lost out-of-band"
+        )
     out = []
-    for v in _list_versions(table):
+    for v in versions:
         try:
             with open(_log_path(table, v)) as fh:
                 m = json.load(fh)
         except FileNotFoundError:
-            # a concurrent vacuum(keep_versions=N) may retire an old
-            # manifest between the version listing and this open; per the
-            # retention contract history truncates to the surviving
-            # versions — but ONLY for versions the log no longer lists.
-            # A manifest that is still listed yet unreadable was lost
-            # out-of-band (retention should have kept it): that must
-            # surface as an error, never silently vanish from history
-            # ("evidence is reported as absent, never as 0").
-            if v in _list_versions(table):
+            # a concurrent vacuum(keep_versions=N) may retire old
+            # manifests between the version listing and this open; per
+            # the retention contract history truncates to the surviving
+            # versions. But vacuum only ever deletes a PREFIX of the
+            # version sequence, so a benign race leaves the CURRENT
+            # listing a contiguous suffix. Two loss shapes must raise
+            # instead of silently vanishing ("evidence is reported as
+            # absent, never as 0" — review-hardened twice):
+            #   - still listed yet unreadable (fs fault);
+            #   - a HOLE: this version gone while an OLDER one survives
+            #     in the current listing — retention cannot produce that,
+            #     only out-of-band deletion can.
+            current = _list_versions(table)
+            if v in current or any(o["version"] in current for o in out):
                 raise
+            # benign prefix truncation: versions already emitted in this
+            # pass were retired too — drop them with it
+            out = [o for o in out if o["version"] in current]
             continue
         files = m.get("files", [])
         if not files:

@@ -69,6 +69,17 @@ _HISTORY_SCHEMA = (
 )
 
 
+def _require_table(table: str) -> str:
+    """A maintenance surface must fail loudly on a typo'd table path —
+    DESCRIBE HISTORY / VACUUM against a nonexistent table would otherwise
+    'succeed' with an empty/zero result and the operator would believe
+    the real table was inspected/vacuumed (review-caught; Delta raises
+    here too). OPTIMIZE/RESTORE already raise via snapshot()."""
+    if not txn._list_versions(table):
+        raise FileNotFoundError(f"no committed txn table at {table}")
+    return table
+
+
 def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
     """Parse one Delta-style maintenance statement and execute it.
 
@@ -79,7 +90,7 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
     surface must never silently no-op a mistyped destructive command.
     """
     if m := _HISTORY.match(stmt):
-        rows = txn.history(_table_of(m))
+        rows = txn.history(_require_table(_table_of(m)))
         return spark.createDataFrame(
             [
                 (
@@ -105,7 +116,13 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
             # very skipping it exists to enable
             kwargs["stats_cols"] = [za, zb]
         if m.group("bytes"):
-            kwargs["target_file_bytes"] = int(m.group("bytes"))
+            target = int(m.group("bytes"))
+            if target <= 0:
+                # \d+ admits 0, which would reach compact's
+                # ceil(total / target) as a ZeroDivisionError traceback —
+                # reject at the grammar, like every other operator typo
+                raise ValueError("TARGET FILE SIZE must be a positive byte count")
+            kwargs["target_file_bytes"] = target
         after = txn.compact(spark, table, **kwargs)
         return spark.createDataFrame(
             [
@@ -121,7 +138,7 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
             "files_after int, zorder_by string",
         )
     if m := _VACUUM.match(stmt):
-        table = _table_of(m)
+        table = _require_table(_table_of(m))
         kwargs = {}
         if m.group("keep"):
             kwargs["keep_versions"] = int(m.group("keep"))

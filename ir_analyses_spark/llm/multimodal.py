@@ -782,14 +782,18 @@ def encode_mp4_meta(timescale: int, duration: int, tracks: list[dict]) -> bytes:
     tests/test_multimodal_codec.py."""
     import struct
 
-    if not 0 < timescale < 65536:
-        # the audio sample entry stores samplerate as 16.16 fixed point
+    if not 0 < timescale < 2**32:
+        raise ValueError(f"timescale {timescale} outside the mvhd u32 range")
+    if timescale >= 65536 and any(t["handler"] == b"soun" for t in tracks):
+        # ONLY audio sample entries store samplerate as 16.16 fixed point
         # (timescale << 16 into a u32), which cannot represent rates
-        # >= 65536 — e.g. the common 90 kHz MP4 timescale. Refuse loudly
-        # rather than emit a struct.error or a silently wrong rate.
+        # >= 65536. Refuse loudly rather than emit a struct.error or a
+        # silently wrong rate — but don't reject video-only encodes: the
+        # common 90 kHz VIDEO timescale is a plain u32 in mvhd/mdhd and
+        # perfectly encodable (review-caught over-rejection).
         raise ValueError(
             f"timescale {timescale} outside the 16.16 samplerate range "
-            "(1..65535) this version-0 writer can encode"
+            "(1..65535) this version-0 writer can encode for audio tracks"
         )
 
     matrix = struct.pack(

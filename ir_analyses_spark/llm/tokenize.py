@@ -71,6 +71,34 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _enc_round_sql(k: int) -> str:
+    """One oracle merge round for the ENCODER. Same pairs/argmax CTEs as
+    ``textstats._bpe_round_sql`` but the merge application LEFT JOINs the
+    (possibly EMPTY) ``best{k}`` row: a corpus that trains fewer than 3
+    merges has an empty ``best{k}``, and the trainer's comma join would
+    annihilate ``seqs{k}`` — emptying the encoder's whole output while
+    the Spark side correctly applies the fewer merges (review-caught
+    divergence). The trainer's own SQL tolerates the empty round because
+    it only UNIONs ``best{k}`` rows; the encoder consumes ``seqs3`` and
+    must carry sequences through merge-less rounds unchanged."""
+    return f"""
+pairs{k} AS (
+  SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT cnt, string_split(trim(seq, '()'), ')(') AS l FROM seqs{k - 1}) s,
+       UNNEST(range(1, len(l))) AS t(i)
+  GROUP BY 1, 2
+),
+best{k} AS (SELECT a, b, pc FROM pairs{k} ORDER BY pc DESC, a, b LIMIT 1),
+seqs{k} AS (
+  SELECT token, cnt,
+         CASE WHEN best{k}.a IS NULL THEN seq
+              ELSE replace(seq, '(' || best{k}.a || ')(' || best{k}.b || ')',
+                           '(' || best{k}.a || best{k}.b || ')')
+         END AS seq
+  FROM seqs{k - 1} LEFT JOIN best{k} ON TRUE
+)"""
+
+
 BPE_ENCODE_CORPUS_SQL = f"""
 WITH vocab AS (
   SELECT token, COUNT(*) AS cnt FROM (
@@ -80,7 +108,7 @@ WITH vocab AS (
 seqs0 AS (
   SELECT token, cnt, regexp_replace(token, '(.)', '(\\1)', 'g') AS seq
   FROM vocab
-),{",".join(textstats._bpe_round_sql(k) for k in (1, 2, 3))},
+),{",".join(_enc_round_sql(k) for k in (1, 2, 3))},
 enc AS (
   SELECT token,
          CAST(len(string_split(trim(seq, '()'), ')(')) AS BIGINT) AS n_sym

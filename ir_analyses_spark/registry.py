@@ -10,8 +10,9 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r6: 148 — the one addition, ann_ivfpq_topk, lives in
-# its own module llm/pq.py so no certified query's module changed)
+# (registry count r6: 149 — the two additions, ann_ivfpq_topk and
+# bpe_encode_corpus, live in their own modules llm/pq.py and
+# llm/tokenize.py so no certified query's module changed)
 
 from __future__ import annotations
 

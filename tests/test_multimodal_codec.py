@@ -568,12 +568,30 @@ def test_mp4_duration_past_int32_and_writer_timescale_guard():
     )
     feats = decode_mp4(mp4)
     assert feats["n_samples"] == sentinel
-    # 90 kHz is a common MP4 timescale but unrepresentable in the 16.16
-    # audio samplerate field — the writer must fail loudly, not corrupt
-    for bad in (90000, 65536, 0, -1):
+    # 90 kHz is unrepresentable in the 16.16 AUDIO samplerate field —
+    # the writer must fail loudly for audio tracks, not corrupt...
+    for bad in (90000, 65536):
         with _pytest.raises(ValueError, match="16.16"):
             encode_mp4_meta(
                 bad,
                 100,
                 [{"handler": b"soun", "fourcc": b"mp4a", "width": 0, "height": 0}],
+            )
+    # ...but 90 kHz is the STANDARD timescale for video-only files
+    # (mvhd/mdhd store it as a plain u32) — those must keep encoding
+    # (review-caught over-rejection)
+    vid90k = encode_mp4_meta(
+        90000,
+        270000,
+        [{"handler": b"vide", "fourcc": b"avc1", "width": 32, "height": 16}],
+    )
+    feats = decode_mp4(vid90k)
+    assert feats["sample_rate"] == 90000 and feats["n_samples"] == 270000
+    # non-u32 timescales are invalid for ANY track mix
+    for bad in (0, -1, 2**32):
+        with _pytest.raises(ValueError, match="u32"):
+            encode_mp4_meta(
+                bad,
+                100,
+                [{"handler": b"vide", "fourcc": b"avc1", "width": 8, "height": 8}],
             )

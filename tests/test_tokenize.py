@@ -68,3 +68,41 @@ def test_bpe_encode_matches_independent_python_encoder(spark):
         for r in bpe_encode_corpus(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_bpe_encode_oracle_survives_fewer_than_three_merges(spark, tmp_path):
+    """Review-caught oracle divergence: a corpus that trains fewer than 3
+    merges has an EMPTY best{k} for the later rounds; the trainer-style
+    comma join would annihilate seqs{k} and return zero encoder rows
+    while the Spark side correctly applies the fewer merges. The
+    encoder's oracle carries sequences through merge-less rounds via
+    LEFT JOIN — prove Spark == oracle on exactly such a corpus."""
+    import duckdb
+    import pandas as pd
+
+    from ir_analyses_spark.registry import all_oracles
+
+    # 'ab' fully merges in round 1 ('(a)(b)' -> '(ab)'); rounds 2-3 find
+    # no pair and the trainer breaks after ONE merge
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab ab", "ab"]})
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges(spark, sf_dir).collect()
+    assert len(merges) == 1  # the scenario under test
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_symbols"], r["n_chars"])
+        for r in bpe_encode_corpus(spark, sf_dir).collect()
+    }
+    assert got == {1: (3, 3, 6), 2: (1, 1, 2)}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in con.execute(all_oracles()["bpe_encode_corpus"]).fetchall()
+    }
+    assert oracle == got

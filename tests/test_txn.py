@@ -1011,3 +1011,18 @@ def test_history_distinguishes_vacuum_truncation_from_lost_manifest(
     monkeypatch.setattr("builtins.open", faulty_open)
     with pytest.raises(FileNotFoundError):
         txn.history(t)
+
+
+def test_history_raises_on_hole_below_surviving_version(spark, tmp_path):
+    """Review-caught gap in the lost-manifest guard: vacuum only ever
+    retires a PREFIX of versions, so a missing manifest BELOW a
+    surviving older version is a state retention cannot produce — only
+    out-of-band deletion can. history() must raise on the hole (while
+    still tolerating genuine prefix truncation, covered above)."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    txn.append(_mk(spark, [(2, "b", 20)]), t)
+    txn.append(_mk(spark, [(3, "c", 30)]), t)
+    os.remove(txn._log_path(t, 2))  # out-of-band loss: v1 survives below
+    with pytest.raises(FileNotFoundError):
+        txn.history(t)

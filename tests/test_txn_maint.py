@@ -106,3 +106,22 @@ def test_txnctl_cli_roundtrip(spark, tmp_path, capsys):
     # grammar rejection → exit 2 and the grammar on stderr
     assert txnctl.main(["TRUNCATE '/x'"]) == 2
     assert "DESCRIBE HISTORY" in capsys.readouterr().err
+
+
+def test_maintenance_rejects_zero_target_and_missing_tables(spark, tmp_path):
+    """Review-caught operator hazards: TARGET FILE SIZE 0 must be a
+    grammar-level rejection (not a ZeroDivisionError traceback inside
+    compact), and DESCRIBE HISTORY / VACUUM against a typo'd path must
+    raise rather than 'succeed' with an empty/zero result the operator
+    would mistake for a real run."""
+    t = _lifecycle(spark, tmp_path)
+    with pytest.raises(ValueError, match="positive"):
+        run_maintenance_sql(spark, f"OPTIMIZE '{t}' TARGET FILE SIZE 0")
+    missing = str(tmp_path / "no_such_table")
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        run_maintenance_sql(spark, f"DESCRIBE HISTORY '{missing}'")
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        run_maintenance_sql(spark, f"VACUUM '{missing}' RETAIN 1 VERSIONS")
+    import txnctl
+
+    assert txnctl.main([f"DESCRIBE HISTORY '{missing}'"]) == 2
