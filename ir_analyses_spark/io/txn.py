@@ -702,6 +702,10 @@ def merge_upsert(
                 "partition_by": partition_col,
                 "files": entries,
                 "applied_batches": [],
+                # the find-or-create path is still a MERGE commit; the
+                # model-based lifecycle test caught this label missing
+                # (DESCRIBE HISTORY answered None for such tables' v1)
+                "operation": "merge_upsert",
             }
         # a file with unknown partition membership — written unpartitioned
         # into a partitioned table, or missing this key entirely — can

@@ -94,3 +94,116 @@ def test_random_commit_sequences_match_list_model(spark, ops, data):
         assert got == want
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+_MAINT_OP = st.one_of(
+    st.tuples(st.just("overwrite"), _ROWS),
+    st.tuples(st.just("append"), _ROWS),
+    st.tuples(st.just("merge"), _MERGE_ROWS),
+    st.tuples(st.just("compact"), st.just([])),
+    st.tuples(st.just("restore"), st.just([])),
+    st.tuples(st.just("vacuum"), st.just([])),
+)
+
+_OPNAMES = {"overwrite": "overwrite", "append": "append",
+            "merge": "merge_upsert", "compact": "compact",
+            "restore": "restore"}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=st.lists(_MAINT_OP, min_size=2, max_size=5), data=st.data())
+def test_random_maintenance_lifecycle_matches_model(spark, ops, data):
+    """Extends the commit-sequence model with the MAINTENANCE lifecycle —
+    compact / restore / vacuum — and checks DESCRIBE HISTORY after every
+    step against a model-tracked ledger: surviving versions must stay a
+    contiguous suffix, operations must label correctly, n_rows must be
+    footer-exact, the current read must equal the model throughout, and
+    restore must resurrect exactly the model state of its target.
+    Catches maintenance/bookkeeping interactions (restore-after-vacuum,
+    compact count preservation, vacuum retention arithmetic) that the
+    example tests sample one at a time."""
+    table = tempfile.mkdtemp(prefix="txn_maint_model_")
+    try:
+        states: dict[int, Counter] = {}
+        oplog: dict[int, str] = {}
+        surviving: list[int] = []
+        model: Counter = Counter()
+
+        def commit(ver: int, opname: str, new_model: Counter):
+            nonlocal model
+            model = new_model
+            states[ver] = new_model
+            oplog[ver] = opname
+            surviving.append(ver)
+
+        for op, rows in ops:
+            if op in ("overwrite", "append", "merge"):
+                df = spark.createDataFrame(rows, ["k", "day", "v"])
+                if op == "overwrite":
+                    snap = txn.overwrite(df, table)
+                elif op == "append":
+                    if not surviving:
+                        snap = txn.overwrite(df, table)
+                        op = "overwrite"
+                    else:
+                        snap = txn.append(df, table)
+                else:
+                    snap = txn.merge_upsert(df, table, keys=["k"])
+                commit(
+                    snap.version,
+                    _OPNAMES[op],
+                    Counter(
+                        tuple(r)
+                        for r in _apply_model(
+                            list(model.elements()), op, rows
+                        )
+                    ),
+                )
+            elif op == "compact":
+                if not surviving:
+                    continue
+                snap = txn.compact(spark, table)
+                commit(snap.version, "compact", model)
+            elif op == "restore":
+                if not surviving:
+                    continue
+                target = data.draw(
+                    st.sampled_from(surviving), label="restore target"
+                )
+                snap = txn.restore(table, target)
+                commit(snap.version, "restore", states[target])
+            else:  # vacuum
+                if len(surviving) < 2:
+                    continue
+                keep = data.draw(
+                    st.integers(1, len(surviving)), label="keep_versions"
+                )
+                txn.vacuum(table, keep_versions=keep)
+                surviving[:] = surviving[-keep:]
+
+            got = Counter(
+                tuple(r) for r in txn.read(spark, table).collect()
+            )
+            assert got == model, (op, rows)
+            h = txn.history(table)
+            assert [r["version"] for r in h] == surviving
+            assert [r["operation"] for r in h] == [
+                oplog[v] for v in surviving
+            ]
+            assert [r["n_rows"] for r in h] == [
+                sum(states[v].values()) for v in surviving
+            ]
+        # every surviving version still time-travels to its model state
+        if surviving:
+            v = data.draw(st.sampled_from(surviving), label="time travel")
+            got = Counter(
+                tuple(r)
+                for r in txn.read(spark, table, at_version=v).collect()
+            )
+            assert got == states[v]
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
