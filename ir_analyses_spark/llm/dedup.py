@@ -632,7 +632,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle note: the DuckDB twin is a recursive-CTE transitive closure —
     O(component²) intermediate rows, fine at the driver's correctness SF
     but it (not this operator, which stays linear in edges) is what runs
-    out of memory first at larger scales.
+    out of memory first at larger scales (measured r6: the closure
+    oracle exceeds 120 s / 14 GB at sf0.1 — 561M shared-shingle pairs —
+    while this operator's LSH path finishes in ~11 s there; the sf0.1
+    differential sweep therefore skips the two closure-oracle queries,
+    see COVERAGE.md).
     """
     # edge source: the LSH pipeline, whose exact-verified output equals the
     # quadratic _jaccard_pairs result (that equality is minhash's oracle
