@@ -16,11 +16,28 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..ops.helpers import dsum
 from . import txn
+from .sources import load_table
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # via load_table so types are pinned to the declared TESTDATA schema
+    # like every ops/ module (review-caught: a raw parquet read would
+    # silently pick up physical-type drift in regenerated testdata)
+    return load_table(spark, "orders", sf_dir)
+
+
+def _base_slice(orders: DataFrame) -> DataFrame:
+    """The lifecycle queries' shared base load: 2/3 of orders keyed by
+    priority class with a double price — defined ONCE so the four
+    consumers (snapshot merge, time travel, change apply, history) and
+    their oracles cannot drift apart."""
+    return orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
 
 
 def txn_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,9 +51,7 @@ def txn_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir).withColumn(
         "prio", F.substring("o_orderpriority", 1, 1)
     )
-    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey", "prio", F.col("o_totalprice").cast("double").alias("price")
-    )
+    base = _base_slice(orders)
     txn.overwrite(base, table, partition_by="prio")
     updates = orders.filter(
         (F.col("o_orderkey") % 2 == 0) & F.col("prio").isin("1", "2")
@@ -97,9 +112,7 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir).withColumn(
         "prio", F.substring("o_orderpriority", 1, 1)
     )
-    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey", "prio", F.col("o_totalprice").cast("double").alias("price")
-    )
+    base = _base_slice(orders)
     txn.overwrite(base, table, partition_by="prio")
     updates = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
         "price", F.col("price") * 2
@@ -109,9 +122,7 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _rollup(df: DataFrame, version: int) -> DataFrame:
         return df.groupBy("prio").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("price").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("total_price"),
+            dsum("price").alias("total_price"),
         ).withColumn("version", F.lit(version))
 
     v1 = _rollup(txn.read(spark, table, at_version=1), 1)
@@ -213,11 +224,7 @@ def txn_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero. Oracle = the aggregate recomputed from the restated v3 state."""
     table = tempfile.mkdtemp(prefix="txn_change_apply_")
     orders = _orders(spark, sf_dir)
-    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey",
-        F.substring("o_orderpriority", 1, 1).alias("prio"),
-        F.col("o_totalprice").cast("double").alias("price"),
-    )
+    base = _base_slice(orders)
     txn.overwrite(base, table)
     maintained = (
         txn.read(spark, table, at_version=1)
@@ -304,11 +311,7 @@ def txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction must preserve v3's count exactly while rewriting files."""
     table = tempfile.mkdtemp(prefix="txn_history_")
     orders = _orders(spark, sf_dir)
-    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey",
-        F.substring("o_orderpriority", 1, 1).alias("prio"),
-        F.col("o_totalprice").cast("double").alias("price"),
-    )
+    base = _base_slice(orders)
     txn.overwrite(base, table)
     updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",
@@ -382,9 +385,7 @@ def txn_pyds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rows.groupBy().agg(
         F.count(F.lit(1)).alias("n_rows_read"),
-        F.sum(F.col("price").cast("decimal(30,2)"))
-        .cast("double")
-        .alias("total_price"),
+        dsum("price", scale=2).alias("total_price"),
     ).crossJoin(
         meta.groupBy().agg(
             F.count(F.lit(1)).alias("n_commits"),
@@ -447,9 +448,7 @@ def stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = txn.read(spark, table)
     return rows.groupBy("prio").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("price").cast("decimal(30,2)"))
-        .cast("double")
-        .alias("total_price"),
+        dsum("price", scale=2).alias("total_price"),
     ).crossJoin(
         F.broadcast(spark.createDataFrame([(len(hist),)], "n_epochs INT"))
     )

@@ -280,28 +280,27 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile is a single-partition sort (the scale-killer), while the
     per-cohort window is an embarrassingly parallel pass sharing one
     shuffle. ONE pass over events builds the per-user triple (the
-    reference day is the global max timestamp — a one-row broadcast, not
-    a second scan); monetary totals go through the decimal accumulator so
-    the rollup is partition-order-proof."""
+    reference day — the global max timestamp — folds from the PER-USER
+    frame's last_ts maxima, a one-row broadcast over the already-
+    aggregated rows, so the fact table really is scanned once; an
+    ``ev.agg(max(ts))`` here would be a second full scan, review-caught);
+    monetary totals go through the decimal accumulator so the rollup is
+    partition-order-proof."""
     from pyspark.sql import Window
 
     from .helpers import dsum
 
     ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
-    ref = ev.agg(F.max("ts").alias("ref_ts"))
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.to_date(F.min("ts")).alias("cohort_day"),
-            F.max("ts").alias("last_ts"),
-            F.count(F.lit(1)).alias("frequency"),
-            dsum("value").alias("monetary"),
-        )
-        .crossJoin(F.broadcast(ref))
-        .withColumn(
-            "recency_days",
-            F.datediff(F.to_date("ref_ts"), F.to_date("last_ts")),
-        )
+    per_user_base = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value").alias("monetary"),
+    ).localCheckpoint(eager=True)  # feeds ref + the join below: one scan
+    ref = per_user_base.agg(F.max("last_ts").alias("ref_ts"))
+    per_user = per_user_base.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.datediff(F.to_date("ref_ts"), F.to_date("last_ts")),
     )
     # low recency_days = recent = best → ascending; high freq/monetary =
     # best → descending, matching the conventional R/F/M 1..4 scoring

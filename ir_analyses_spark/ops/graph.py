@@ -25,7 +25,21 @@ _N_ITER = 3
 
 
 def _decimal_sum(col) -> F.Column:
-    return F.sum(col.cast("decimal(38,18)")).cast("double")
+    # the repo's one decimal-accumulator discipline point, at PageRank's
+    # 18-digit scale (rank mass ~1e-2 per node needs the headroom)
+    from .helpers import dsum
+
+    return dsum(col, scale=18)
+
+
+def _undirected_degree(edges: DataFrame) -> DataFrame:
+    """(node, degree) over a canonical undirected (a, b) edge frame —
+    computed ONCE per query and shared by orientation and the output
+    rollup (previously built twice from the same checkpointed edges)."""
+    return (
+        edges.selectExpr("a AS node").unionAll(edges.selectExpr("b AS node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
 
 
 def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +102,10 @@ def pagerank(
     ).localCheckpoint(eager=True)  # n_iter consumers below — compute once
 
     n_nodes = nodes.count()  # one scalar, driver-side by design
+    if n_nodes == 0:
+        # a filtered-to-empty node frame would otherwise surface as a raw
+        # ZeroDivisionError from the teleport arithmetic (review-caught)
+        raise ValueError("pagerank requires a non-empty nodes frame")
     teleport = (1.0 - damping) / n_nodes
     rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(n_iter):
@@ -180,12 +198,14 @@ ORDER BY ROUND(rank, 9) DESC, node
 """
 
 
-def _degree_oriented(edges: DataFrame) -> DataFrame:
+def _degree_oriented(edges: DataFrame, degree: DataFrame) -> DataFrame:
     """Orient canonical undirected edges (a, b) by the total order
     (degree, node): each edge points from its lower-degree endpoint to the
     higher (node name breaks ties), returning (src, dst, dst_key) with
     ``dst_key`` the destination's (degree, node) struct so the wedge join
     can compare order positions without a second degree lookup.
+    ``degree`` is the caller's :func:`_undirected_degree` frame — passed
+    in so the one aggregation serves both orientation and the output.
 
     This is THE skew defense for distributed triangle counting: after
     orientation every vertex's out-degree is at most O(√m) (a vertex with
@@ -195,10 +215,6 @@ def _degree_oriented(edges: DataFrame) -> DataFrame:
     instead lets one low-sorting hub of degree d contribute C(d, 2)
     wedges — the quadratic blowup ``tests/test_graph_orientation.py``
     demonstrates on a star fixture."""
-    degree = (
-        edges.selectExpr("a AS node").unionAll(edges.selectExpr("b AS node"))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-    )
     da = degree.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = degree.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
     keyed = edges.join(da, "a").join(db, "b")
@@ -249,7 +265,8 @@ def triangle_counts(traded: DataFrame) -> DataFrame:
     edges = traded.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct().localCheckpoint(eager=True)
-    oriented = _degree_oriented(edges).localCheckpoint(eager=True)
+    degree = _undirected_degree(edges).localCheckpoint(eager=True)
+    oriented = _degree_oriented(edges, degree).localCheckpoint(eager=True)
     closing = oriented.select(
         F.col("src").alias("v2"), F.col("dst").alias("w2")
     )
@@ -260,10 +277,6 @@ def triangle_counts(traded: DataFrame) -> DataFrame:
         tri.selectExpr("u AS node").unionAll(tri.selectExpr("v AS node"))
         .unionAll(tri.selectExpr("w AS node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    degree = (
-        edges.selectExpr("a AS node").unionAll(edges.selectExpr("b AS node"))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     )
     return degree.join(per_node, "node", "left").select(
         "node", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ir_analyses_spark.ops.graph import (
     _degree_oriented,
+    _undirected_degree,
     _oriented_wedges,
     triangle_counts,
 )
@@ -103,7 +104,9 @@ def test_wedge_cardinality_bounded_on_skew(spark):
     canon = df.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
-    oriented_wedges = _oriented_wedges(_degree_oriented(canon)).count()
+    oriented_wedges = _oriented_wedges(
+        _degree_oriented(canon, _undirected_degree(canon))
+    ).count()
     # the plan the orientation replaces: wedges keyed on the shared
     # canonical LOW endpoint — the hub sorts first, so it owns every
     # star edge and contributes C(60, 2) wedges on its own
