@@ -465,6 +465,82 @@ GROUP BY prio
 """
 
 
+def txn_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 maintenance STATEMENT surface (``io/txn_maint.py``) driven
+    end-to-end under the oracle gate: after an overwrite (v1) and a MERGE
+    (v2), the remaining lifecycle runs purely through Delta-style SQL —
+    ``OPTIMIZE … ZORDER BY (o_orderkey, price)`` (v3, layout-only),
+    ``RESTORE … TO VERSION AS OF 1`` (v4, state back to the base), then
+    ``VACUUM … RETAIN 3 VERSIONS`` (retires v1's manifest; v1's FILES
+    stay live because the restore manifest names them), and finally
+    ``DESCRIBE HISTORY`` read back through the same surface. Output =
+    the surviving history (a contiguous suffix starting at v2, with the
+    statement-driven operation labels) × the restored table's rollup.
+
+    Oracle: the lifecycle is a deterministic script, so versions and
+    labels are literals; row counts and the restored total restate from
+    the source table. A parser that mis-dispatches, an OPTIMIZE that
+    drops rows, a RESTORE that leaks v2 state, or a VACUUM that retires
+    the wrong manifests all break the hash."""
+    from .txn_maint import run_maintenance_sql
+
+    table = tempfile.mkdtemp(prefix="txn_maint_sql_")
+    orders = _orders(spark, sf_dir)
+    base = _base_slice(orders)
+    txn.overwrite(base, table)
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+    )
+    txn.merge_upsert(updates, table, keys=["o_orderkey"])
+    run_maintenance_sql(
+        spark, f"OPTIMIZE '{table}' ZORDER BY (o_orderkey, price)"
+    )
+    run_maintenance_sql(spark, f"RESTORE TABLE '{table}' TO VERSION AS OF 1")
+    run_maintenance_sql(spark, f"VACUUM '{table}' RETAIN 3 VERSIONS")
+    hist = run_maintenance_sql(spark, f"DESCRIBE HISTORY '{table}'").select(
+        "version", "operation", "n_rows"
+    )
+    state = txn.read(spark, table).groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows_read"),
+        dsum("price", scale=2).alias("total_price"),
+    )
+    return hist.crossJoin(F.broadcast(state))
+
+
+TXN_MAINTENANCE_SQL_SQL = """
+WITH base AS (
+  SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+),
+v2_n AS (
+  SELECT (SELECT COUNT(*) FROM upd)
+       + (SELECT COUNT(*) FROM base b
+          LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+          WHERE u.o_orderkey IS NULL) AS n
+),
+state AS (
+  SELECT COUNT(*) AS n_rows_read,
+         CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+  FROM base
+)
+SELECT h.version, h.operation, h.n_rows, s.n_rows_read, s.total_price
+FROM (
+  SELECT 2 AS version, 'merge_upsert' AS operation,
+         (SELECT n FROM v2_n) AS n_rows
+  UNION ALL
+  SELECT 3, 'zorder', (SELECT n FROM v2_n)
+  UNION ALL
+  SELECT 4, 'restore', (SELECT COUNT(*) FROM base)
+) h CROSS JOIN state s
+"""
+
+
 QUERIES = {
     "txn_snapshot_merge": txn_snapshot_merge,
     "txn_exactly_once_rollup": txn_exactly_once_rollup,
@@ -474,6 +550,7 @@ QUERIES = {
     "txn_history": txn_history,
     "txn_pyds_write": txn_pyds_write,
     "stream_txn_sink": stream_txn_sink,
+    "txn_maintenance_sql": txn_maintenance_sql,
 }
 
 ORACLES = {
@@ -509,4 +586,5 @@ ORACLES = {
         FROM orders
         GROUP BY 1
     """,
+    "txn_maintenance_sql": TXN_MAINTENANCE_SQL_SQL,
 }

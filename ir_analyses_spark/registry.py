@@ -10,9 +10,10 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r6: 149 — the two additions, ann_ivfpq_topk and
-# bpe_encode_corpus, live in their own modules llm/pq.py and
-# llm/tokenize.py so no certified query's module changed)
+# (registry count r6: 150 — ann_ivfpq_topk and bpe_encode_corpus live in
+# their own modules llm/pq.py and llm/tokenize.py so no certified query's
+# module changed; txn_maintenance_sql joins io/txn_queries.py, whose
+# queries are ALL in the r6 window and re-certify this round anyway)
 
 from __future__ import annotations
 
@@ -181,6 +182,7 @@ _ORDER = [
     # r5-green rows), then the remaining stale set = round-7's window head
     "ann_ivfpq_topk",
     "bpe_encode_corpus",
+    "txn_maintenance_sql",
     "pivot_coalesce_priority",
     "order_priority_counts",
     "top_unshipped_parts",
