@@ -1026,3 +1026,48 @@ def test_history_raises_on_hole_below_surviving_version(spark, tmp_path):
     os.remove(txn._log_path(t, 2))  # out-of-band loss: v1 survives below
     with pytest.raises(FileNotFoundError):
         txn.history(t)
+
+
+def test_restore_to_vacuumed_version_raises_with_file_names(spark, tmp_path):
+    """RESTORE names immutable files; once vacuum has deleted a target
+    version's data files, restore must refuse with the missing paths —
+    not publish a manifest pointing at nothing."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    txn.overwrite(_mk(spark, [(2, "b", 20)]), t)
+    txn.overwrite(_mk(spark, [(3, "c", 30)]), t)
+    txn.vacuum(t, keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txn.restore(t, 1)
+    # table state untouched by the refused restore
+    assert _rows(txn.read(spark, t)) == [(3, "c", 30)]
+    assert [r["version"] for r in txn.history(t)] == [3]
+
+
+def test_stale_compaction_abandons_when_table_moves_on(spark, tmp_path, monkeypatch):
+    """compact() rewrites the snapshot it read; if another writer commits
+    first, the stale compaction must ABANDON (publish nothing) rather
+    than commit a layout that silently drops the racer's rows. Simulated
+    by injecting an append into compact's write window."""
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10), (2, "b", 20)]), t)
+    real_write = txn._write_data
+    raced = {"done": False}
+
+    def racing_write(df, table, partition_by, stats_cols=None):
+        entries = real_write(df, table, partition_by, stats_cols)
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.undo()  # the racer's own write must not recurse
+            txn.append(_mk(spark, [(3, "c", 30)]), t)
+        return entries
+
+    monkeypatch.setattr(txn, "_write_data", racing_write)
+    before = txn.snapshot(t).version
+    snap = txn.compact(spark, t)
+    # build() saw the moved version and returned None: _commit hands back
+    # the CURRENT snapshot (the racer's), no new compact version appears
+    assert snap.version == before + 1  # the racer's append only
+    ops = [r["operation"] for r in txn.history(t)]
+    assert ops == ["overwrite", "append"]
+    assert _rows(txn.read(spark, t)) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]

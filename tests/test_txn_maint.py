@@ -125,3 +125,57 @@ def test_maintenance_rejects_zero_target_and_missing_tables(spark, tmp_path):
     import txnctl
 
     assert txnctl.main([f"DESCRIBE HISTORY '{missing}'"]) == 2
+
+
+def test_parser_fuzz_never_silently_dispatches(spark, tmp_path):
+    """Property: any statement that is not EXACTLY one of the four
+    grammar shapes raises ValueError carrying the grammar — the surface
+    must never guess at a destructive command. Fuzzed over random token
+    mutations of valid statements (dropped/duplicated/misspelled
+    keywords, unquoted paths, trailing junk) plus arbitrary text."""
+    from hypothesis import given, settings, strategies as st
+
+    t = str(tmp_path / "t")  # never created: even a parse-pass would raise FNF, not mutate
+
+    valid = [
+        f"DESCRIBE HISTORY '{t}'",
+        f"OPTIMIZE '{t}' ZORDER BY (a, b)",
+        f"VACUUM '{t}' RETAIN 2 VERSIONS",
+        f"RESTORE TABLE '{t}' TO VERSION AS OF 1",
+    ]
+
+    def mutate(stmt, op):
+        kind, i = op
+        toks = stmt.split(" ")
+        i %= len(toks)
+        if kind == 0:
+            del toks[i]
+        elif kind == 1:
+            toks.insert(i, toks[i])
+        elif kind == 2:
+            toks[i] = toks[i][:-1] + "X"
+        else:
+            toks.append("EXTRA")
+        return " ".join(toks)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        base=st.sampled_from(valid),
+        op=st.tuples(st.integers(0, 3), st.integers(0, 7)),
+    )
+    def run(base, op):
+        stmt = mutate(base, op)
+        if stmt in valid:  # duplicate-then-rejoin can reproduce the original
+            return
+        import pytest as _p
+
+        from ir_analyses_spark.io.txn_maint import run_maintenance_sql
+
+        # every mutant must be rejected at parse (ValueError with the
+        # grammar) or, if it still parses to a shape naming the
+        # nonexistent table, fail its existence check (FileNotFoundError)
+        # — never return a result frame
+        with _p.raises((ValueError, FileNotFoundError)):
+            run_maintenance_sql(spark, stmt)
+
+    run()
