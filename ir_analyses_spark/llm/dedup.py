@@ -371,7 +371,13 @@ def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness claim). At 100 TB only signatures (~0.5 KB/doc) shuffle;
     raw text never does.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    return minhash_pairs(load_table(spark, "documents", sf_dir))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Parameterized core of :func:`minhash_lsh_nearup` — same pipeline
+    over any (doc_id, text) frame, so the chained-dedup consumers can
+    run it over the exact-dedup-collapsed canonical corpus."""
     # The signature frame is consumed three times (banding + both sides of
     # the estimate prefilter); without materialization every consumer stage
     # re-expands the whole shingle→hash→min-agg subtree (lazy persist loses
@@ -638,16 +644,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential sweep therefore skips the two closure-oracle queries,
     see COVERAGE.md).
     """
+    # EXACT-BEFORE-FUZZY (the standard production composition, and the
+    # r6 10× experiment's lesson — see SCALE.md): collapse exact clone
+    # families by content hash FIRST, run LSH over canonical docs only,
+    # and re-attach members with star edges. The closure is provably
+    # identical: clone members share their canonical's exact shingle
+    # set, so (a) every clone pair was a Jaccard-1.0 edge anyway — the
+    # member→canonical star preserves exactly that connectivity — and
+    # (b) any cross-family near-dup edge is reflected verbatim between
+    # the two canonicals. On a corpus with clone density k the LSH input
+    # shrinks k× and its pair set k²× while the output stays bit-equal
+    # (pinned by tests/test_dedup_gate.py clone-collapse equality).
+    docs = load_table(spark, "documents", sf_dir)
+    groups = docs.select(F.md5("text").alias("h"), "doc_id")
+    member = (
+        groups.join(
+            groups.groupBy("h").agg(F.min("doc_id").alias("canon_id")), "h"
+        )
+        .select("doc_id", "canon_id")
+        .localCheckpoint(eager=True)  # feeds canon filter + star edges
+    )
+    canon_docs = docs.join(
+        member.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
     # edge source: the LSH pipeline, whose exact-verified output equals the
     # quadratic _jaccard_pairs result (that equality is minhash's oracle
     # claim) at a fraction of the cost — candidates come from bucket
     # collisions instead of a full shingle self-join
-    edges = minhash_lsh_nearup(spark, sf_dir).select("d1", "d2")
-    edges = edges.localCheckpoint(eager=True)
+    lsh_edges = minhash_pairs(canon_docs).select("d1", "d2")
+    lsh_edges = lsh_edges.localCheckpoint(eager=True)
     # deterministic-oracle gate: where the exact twin is affordable, an
     # LSH recall miss must fail LOUDLY here, never surface downstream as
-    # a silent closure/oracle mismatch
-    _assert_lsh_equals_exact(edges, load_table(spark, "documents", sf_dir))
+    # a silent closure/oracle mismatch. Gating the CANONICAL sub-corpus
+    # suffices: member edges are exact by construction.
+    _assert_lsh_equals_exact(lsh_edges, canon_docs)
+    edges = lsh_edges.unionByName(
+        member.filter(F.col("doc_id") != F.col("canon_id")).select(
+            F.col("doc_id").alias("d1"), F.col("canon_id").alias("d2")
+        )
+    )
 
     # undirected adjacency incl. self-loops
     adj = (

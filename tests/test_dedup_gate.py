@@ -66,3 +66,43 @@ def test_gate_steps_aside_beyond_budget(edge_fixture, monkeypatch):
     monkeypatch.setattr(dedup, "_PAIR_BLOWUP_BUDGET", 1)
     crippled = edges.limit(0)
     dedup._assert_lsh_equals_exact(crippled, docs)  # must not raise
+
+
+def test_clone_collapse_components_equal_exact_closure(spark, tmp_path):
+    """r6 exact-before-fuzzy optimization: dedup_components collapses
+    exact clone families before LSH and re-attaches members with star
+    edges — the closure must be BIT-EQUAL to the exact-Jaccard closure
+    (the DuckDB oracle) on a corpus that actually HAS clones (the driver
+    SFs have none, so without this fixture the collapse path would be
+    vacuously green). Fixture: sf0.001 docs replicated ×3 with shifted
+    ids — every doc becomes a 3-clone family, and every original
+    near-dup pair becomes 9 cross-family pairs."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    n = duckdb.sql(f"SELECT MAX(doc_id)+1 FROM read_parquet('{src}')").fetchone()[0]
+    duckdb.sql(
+        f"""COPY (SELECT CAST(doc_id + i * {n} AS BIGINT) AS doc_id,
+                        text, lang, source, n_chars
+                 FROM read_parquet('{src}'), UNNEST(range(0, 3)) AS t(i))
+            TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.dedup_components(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        (int(a), int(b))
+        for a, b in con.execute(dedup.DEDUP_COMPONENTS_SQL).fetchall()
+    }
+    assert len(want) > 0 and got == want
+    # and the collapse actually fired: the LSH stage saw only canonicals
+    # (1/3 of the corpus), not the full clone-heavy frame — cheap proxy:
+    # every clone family is one cluster, canonical = the lowest replica id
+    fam = [p for p in got if p[0] != p[1]]
+    assert len(fam) >= 2 * n  # every doc's 2 clones cluster to a canonical
