@@ -39,7 +39,16 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numeric note: the /7 happens ONCE, on the exact decimal SUM, as an IEEE
     double op — dividing per row would accumulate engine-specific decimal
     quotient rounding (Spark's result scale vs DuckDB's) across thousands
-    of rows and break exact cross-engine parity."""
+    of rows and break exact cross-engine parity.
+
+    Correlation note (r6 review fix): the inner predicate MUST reference
+    the OUTER part key (``= p_partkey``). The previous ``= l_partkey``
+    resolved to the inner ``l2`` scope — a tautology that silently made
+    the subquery the GLOBAL average (and the oracle repeated the same
+    text, so parity stayed green on the wrong semantics — measured
+    15,360,840.29 vs the correlated 14,457,875.45 at sf0.01). The
+    vacuity guard now builds from THIS sql text, not a hand-inlined
+    copy."""
     _register(spark, sf_dir, ["lineitem", "part"])
     return spark.sql("""
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7
@@ -48,7 +57,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_size < 10
           AND l_quantity < (
             SELECT 0.4 * AVG(l2.l_quantity)
-            FROM _subq_lineitem l2 WHERE l2.l_partkey = l_partkey
+            FROM _subq_lineitem l2 WHERE l2.l_partkey = p_partkey
           )
     """)
 
@@ -60,7 +69,7 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size < 10
   AND l_quantity < (
     SELECT 0.4 * AVG(l2.l_quantity)
-    FROM lineitem l2 WHERE l2.l_partkey = l_partkey
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
   )
 """
 
@@ -465,7 +474,8 @@ def recursive_inventory_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-derived (cap = start = demand avg ×3/4; the seasonal refill
     swings ±avg against a 0.75-avg band) so BOTH clamps bind at every SF
     — a never-firing bound would make the LEAST/GREATEST vacuous;
-    pinned by tests/test_subquery_shapes.py.
+    pinned by tests/test_vacuity_guards.py
+    (test_recursive_chain_both_clamps_bind).
 
     Scale shape: the recursion runs over the AGGREGATED quarterly series
     (~28 rows after one groupBy shuffle of orders) — per-step state is

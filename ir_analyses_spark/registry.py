@@ -172,8 +172,12 @@ _ORDER = [
     "timeseries_gapfill",
     # ops/aggregates.py changed in r4 after the r3 row
     "cube_agg",
-    # ops/relational.py changed after the r1 row
-    "json_extract_ops",
+    # r6 review fix CHANGED ITS VALUES (the Q17 correlated predicate was
+    # an inner-scope tautology — both engine and oracle computed the
+    # global average; now truly correlated on p_partkey): its r5 row
+    # certifies retired semantics, so it takes the window slot
+    # json_extract_ops held (r1-green, unchanged values, to the tail head)
+    "small_quantity_revenue",
     # llm/multimodal.py takes the r5 ADVICE schema fix this round
     "media_codec_features",
     # ---- 50-query window boundary (driver budget) ----
@@ -183,6 +187,9 @@ _ORDER = [
     "ann_ivfpq_topk",
     "bpe_encode_corpus",
     "txn_maintenance_sql",
+    # displaced from the window by the Q17 value fix: r1-green with
+    # unchanged values — next rotation re-greens it
+    "json_extract_ops",
     "pivot_coalesce_priority",
     "order_priority_counts",
     "top_unshipped_parts",
@@ -229,7 +236,6 @@ _ORDER = [
     "semantic_dedup",
     "cheapest_supplier_per_part",
     "idle_customer_balances",
-    "small_quantity_revenue",
     "suppliers_with_waiting_orders",
     "concentrated_part_types",
     "text_stats",

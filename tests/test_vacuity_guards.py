@@ -89,18 +89,34 @@ def test_q21_exists_and_not_exists_both_fire(con):
 
 def test_small_quantity_revenue_filter_fires(con):
     """Q17 shape: the 0.4·avg correlated cut must keep a strict, non-empty
-    subset of the joined rows."""
-    n_kept = con.execute(
-        "SELECT COUNT(*) FROM lineitem JOIN part ON p_partkey = l_partkey "
-        "WHERE p_size < 10 AND l_quantity < ("
-        "  SELECT 0.4 * AVG(l2.l_quantity) FROM lineitem l2"
-        "  WHERE l2.l_partkey = p_partkey)"
-    ).fetchone()[0]
+    subset of the joined rows — AND it must actually be CORRELATED. r6
+    review lesson: this guard previously hand-inlined `= p_partkey` while
+    the production query said `= l_partkey` (an inner-scope tautology =
+    the global average), so the guard certified a predicate the query
+    never ran. It now derives the count from the PRODUCTION sql text and
+    additionally pins that the correlated result differs from the
+    uncorrelated (global-average) rewrite."""
+    from ir_analyses_spark.ops.subqueries import SMALL_QUANTITY_REVENUE_SQL
+
+    counted = SMALL_QUANTITY_REVENUE_SQL.replace(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7\n"
+        "         AS avg_weekly_revenue",
+        "COUNT(*) AS n",
+    )
+    assert "COUNT(*)" in counted  # the rewrite found the projection
+    n_kept = con.execute(counted).fetchone()[0]
     n_all = con.execute(
         "SELECT COUNT(*) FROM lineitem JOIN part ON p_partkey = l_partkey "
         "WHERE p_size < 10"
     ).fetchone()[0]
     assert 0 < n_kept < n_all
+    correlated = con.execute(SMALL_QUANTITY_REVENUE_SQL).fetchone()[0]
+    uncorrelated = con.execute(
+        SMALL_QUANTITY_REVENUE_SQL.replace(
+            "WHERE l2.l_partkey = p_partkey", ""
+        )
+    ).fetchone()[0]
+    assert correlated != uncorrelated
 
 
 def test_vocab_oov_both_branches_fire(con):
@@ -308,3 +324,37 @@ def test_bfs_hops_structure_nontrivial(con):
     assert any(h is not None and h >= 2 for h in hops)
     assert any(h is None for h in hops)
     assert sum(1 for h in hops if h == 0) == 1
+
+
+def test_benchmark_decontaminate_threshold_fires_at_correctness_sfs(con):
+    """r6 review: the 2·shared < n containment cut must keep a strict,
+    non-empty subset at the driver's correctness SFs — at sf0.1 the
+    synthetic generator's ~31-token vocabulary saturates the 8-char
+    shingle space and the keep branch legitimately empties (documented
+    in the operator docstring); this guard pins that the THRESHOLD is
+    doing real work where correctness is graded, so a regression to
+    keep-everything or drop-everything at oracle SF fails loudly."""
+    from ir_analyses_spark.llm.sampling import _BENCH_MOD
+
+    kept, total = con.execute(
+        f"""
+        WITH bench_sh AS (
+          SELECT DISTINCT substring(text, CAST(i AS INT), 8) AS g
+          FROM documents, UNNEST(range(1, GREATEST(length(text)-7,1)+1)) t(i)
+          WHERE doc_id % {_BENCH_MOD} = 0
+        ),
+        train_sh AS (
+          SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+          FROM documents, UNNEST(range(1, GREATEST(length(text)-7,1)+1)) t(i)
+          WHERE doc_id % {_BENCH_MOD} <> 0
+        ),
+        stats AS (
+          SELECT t.doc_id, COUNT(*) AS n,
+                 COUNT(b.g) AS shared
+          FROM train_sh t LEFT JOIN bench_sh b ON t.g = b.g
+          GROUP BY t.doc_id
+        )
+        SELECT COUNT(*) FILTER (WHERE 2 * shared < n), COUNT(*) FROM stats
+        """
+    ).fetchone()
+    assert 0 < kept < total
