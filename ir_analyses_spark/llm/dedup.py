@@ -656,7 +656,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shrinks k× and its pair set k²× while the output stays bit-equal
     # (pinned by tests/test_dedup_gate.py clone-collapse equality).
     docs = load_table(spark, "documents", sf_dir)
-    groups = docs.select(F.md5("text").alias("h"), "doc_id")
+    # checkpoint the digest frame: it feeds BOTH sides of the member join,
+    # and without materialization each side re-scans and re-hashes the
+    # full text column (the module's multi-consumer discipline — same as
+    # the signature checkpoint in minhash_pairs)
+    groups = docs.select(F.md5("text").alias("h"), "doc_id").localCheckpoint(
+        eager=True
+    )
     member = (
         groups.join(
             groups.groupBy("h").agg(F.min("doc_id").alias("canon_id")), "h"

@@ -68,7 +68,9 @@ def test_gate_steps_aside_beyond_budget(edge_fixture, monkeypatch):
     dedup._assert_lsh_equals_exact(crippled, docs)  # must not raise
 
 
-def test_clone_collapse_components_equal_exact_closure(spark, tmp_path):
+def test_clone_collapse_components_equal_exact_closure(
+    spark, tmp_path, monkeypatch
+):
     """r6 exact-before-fuzzy optimization: dedup_components collapses
     exact clone families before LSH and re-attaches members with star
     edges — the closure must be BIT-EQUAL to the exact-Jaccard closure
@@ -87,10 +89,24 @@ def test_clone_collapse_components_equal_exact_closure(spark, tmp_path):
                  FROM read_parquet('{src}'), UNNEST(range(0, 3)) AS t(i))
             TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"""
     )
+    # spy on the LSH stage to prove the collapse actually FIRED: it must
+    # see only the canonical sub-corpus (one doc per clone family), never
+    # the full clone-heavy frame — output equality alone can't tell (the
+    # pre-collapse path produces identical clusters, just 75 s slower at
+    # clone density 10, see SCALE.md)
+    real_minhash_pairs = dedup.minhash_pairs
+    seen = {}
+
+    def spying(docs):
+        seen["n_docs"] = docs.count()
+        return real_minhash_pairs(docs)
+
+    monkeypatch.setattr(dedup, "minhash_pairs", spying)
     got = {
         (r["doc_id"], r["canonical_id"])
         for r in dedup.dedup_components(spark, str(tmp_path)).collect()
     }
+    monkeypatch.undo()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * "
@@ -101,8 +117,16 @@ def test_clone_collapse_components_equal_exact_closure(spark, tmp_path):
         for a, b in con.execute(dedup.DEDUP_COMPONENTS_SQL).fetchall()
     }
     assert len(want) > 0 and got == want
-    # and the collapse actually fired: the LSH stage saw only canonicals
-    # (1/3 of the corpus), not the full clone-heavy frame — cheap proxy:
-    # every clone family is one cluster, canonical = the lowest replica id
+    # the spy proves the collapse: LSH saw exactly the distinct-text
+    # canonicals (1/3 of the corpus), never the clone-heavy frame
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(DISTINCT md5(text)) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    assert seen["n_docs"] == n_docs
+    # and every doc's 2 clones clustered to a canonical (COUNT-based
+    # bound — MAX(doc_id)+1 would break on sparse-id regenerated data)
+    n_actual = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
     fam = [p for p in got if p[0] != p[1]]
-    assert len(fam) >= 2 * n  # every doc's 2 clones cluster to a canonical
+    assert len(fam) >= 2 * n_actual

@@ -331,30 +331,17 @@ def test_benchmark_decontaminate_threshold_fires_at_correctness_sfs(con):
     non-empty subset at the driver's correctness SFs — at sf0.1 the
     synthetic generator's ~31-token vocabulary saturates the 8-char
     shingle space and the keep branch legitimately empties (documented
-    in the operator docstring); this guard pins that the THRESHOLD is
-    doing real work where correctness is graded, so a regression to
-    keep-everything or drop-everything at oracle SF fails loudly."""
-    from ir_analyses_spark.llm.sampling import _BENCH_MOD
+    in the operator docstring); this guard pins that the THRESHOLD does
+    real work where correctness is graded. Derived from the PRODUCTION
+    oracle text (the Q17 lesson: a hand-inlined predicate copy certifies
+    a cut the query may no longer run)."""
+    from ir_analyses_spark.llm.sampling import (
+        _BENCH_MOD,
+        BENCHMARK_DECONTAMINATE_SQL,
+    )
 
-    kept, total = con.execute(
-        f"""
-        WITH bench_sh AS (
-          SELECT DISTINCT substring(text, CAST(i AS INT), 8) AS g
-          FROM documents, UNNEST(range(1, GREATEST(length(text)-7,1)+1)) t(i)
-          WHERE doc_id % {_BENCH_MOD} = 0
-        ),
-        train_sh AS (
-          SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
-          FROM documents, UNNEST(range(1, GREATEST(length(text)-7,1)+1)) t(i)
-          WHERE doc_id % {_BENCH_MOD} <> 0
-        ),
-        stats AS (
-          SELECT t.doc_id, COUNT(*) AS n,
-                 COUNT(b.g) AS shared
-          FROM train_sh t LEFT JOIN bench_sh b ON t.g = b.g
-          GROUP BY t.doc_id
-        )
-        SELECT COUNT(*) FILTER (WHERE 2 * shared < n), COUNT(*) FROM stats
-        """
-    ).fetchone()
+    kept = len(con.execute(BENCHMARK_DECONTAMINATE_SQL).fetchall())
+    total = con.execute(
+        f"SELECT COUNT(*) FROM documents WHERE doc_id % {_BENCH_MOD} <> 0"
+    ).fetchone()[0]
     assert 0 < kept < total
