@@ -578,7 +578,9 @@ SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
 def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via stock spark.ml ``BucketedRandomProjectionLSH`` (§2B names
     this primitive): Euclidean-bucketed approximate self-join under
-    distance 1.0, seeded for within-Spark determinism. Rows-only check:
+    distance 1.2 (the corpus's minimum pairwise distance is ~1.04, so a
+    1.0 radius would return ZERO pairs — see the threshold comment at
+    the join call), seeded for within-Spark determinism. Rows-only check:
     the hash family is MLlib-internal, so no cross-engine oracle — the
     custom ann_lsh_topk above is the oracle-checked path; this entry
     proves the engine also drives the stock primitive.
@@ -754,7 +756,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounding role LSH bands play for text MinHash. Cosine uses
     the module's in-order fold, so the pair set — and therefore the
     keep/drop verdicts — are engine-exact."""
-    assign = kmeans_assign(spark, sf_dir)
+    # the assignment plan (k Lloyd rounds of broadcast-k scoring windows)
+    # feeds THREE consumers: both self-join branches and the final keep
+    # join — checkpoint it or each branch re-executes the O(n·k) scoring
+    # (exchange reuse dedupes only the shuffle stages, not the
+    # post-exchange windows; r6 review)
+    assign = kmeans_assign(spark, sf_dir).localCheckpoint(eager=True)
     emb = _with_norm(
         load_table(spark, "embeddings", sf_dir), "embedding", "enorm"
     ).select("vec_id", "embedding", "enorm")
@@ -782,7 +789,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "cluster",
-        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        # marker is True or NULL — the null test IS the verdict (and the
+        # same form the oracle uses: d.vec_id IS NULL AS is_kept)
+        F.col("_dropped").isNull().alias("is_kept"),
     )
 
 

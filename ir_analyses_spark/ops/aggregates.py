@@ -336,7 +336,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               {_SPARK_GS_SUM} AS sum_qty,
+               {sql_dsum("l_quantity")} AS sum_qty,
                COUNT(*) AS n_rows,
                grouping_id() AS gid
         FROM _gs_lineitem
@@ -344,8 +344,6 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
-
-_SPARK_GS_SUM = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
 
 GROUPING_SETS_AGG_SQL = f"""
 SELECT l_returnflag, l_linestatus,

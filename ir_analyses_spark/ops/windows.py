@@ -157,7 +157,18 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+                # MICROSECOND-exact gap (r6 review): unix_timestamp()
+                # truncates to whole seconds while the DuckDB oracle's
+                # EPOCH() keeps fractions — the events timestamps all
+                # carry microseconds, and gaps cluster within seconds of
+                # the 1800 s threshold, so a 1800.4 s silence would split
+                # in one engine and not the other. unix_micros is the
+                # same integer arithmetic at the timestamp's native
+                # resolution.
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > 1800 * 1_000_000
+                )
             ).cast("int"),
         )
         .withColumn("session_seq", F.sum("new_session").over(run))
@@ -174,7 +185,11 @@ WINDOW_SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                   -- integer microseconds on BOTH engines: EPOCH() is a
+                   -- DOUBLE whose per-value rounding (~2^-22 s at 2024
+                   -- epochs) could flip a boundary-exact 1800 s gap
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                      > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
