@@ -82,65 +82,127 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-6 rotation — the CERTIFICATION round VERDICT r4 item 1 called
-#: for (round 5 was cut short before it could rotate, so its window
-#: re-certified the r4 head instead):
+#: Round-7 rotation (VERDICT r6 item 1, rotated at round START per the
+#: ledger discipline): 53 queries lacked a current row at the end of r6
+#: — 3 that have NEVER had a driver row (the r6 tail-head additions) and
+#: 50 whose defining module changed after their newest green row. The
+#: window takes the 3 first-row queries at positions 0-2 and the 47
+#: oldest/highest-risk stale entries; the 3 spilled to the r8 head are
+#: the multimodal trio (`multimodal_features`, `media_resize`,
+#: `media_frame_sample`) — the lowest-risk choice: their staleness cause
+#: is the r6 ADVICE type-widening of an MP4 column none of the three
+#: reads (values provably unchanged), and round 7 freezes
+#: ``llm/multimodal.py`` (the round's MP4 extension lives in the new
+#: module ``llm/media_mp4.py``) so the documented value-neutrality
+#: still holds at round end.
 #:
-#: - Positions 0–36: every query that has NEVER had a driver row — the
-#:   r4 tail additions (TPC-H closure shapes, SQL-surface block, graph
-#:   tier, events analytics, txn consumer/metadata/DataSource tier, the
-#:   new LLM/analytics ops). Until now their only evidence was the
-#:   in-repo 147-query DuckDB sweep + bare-session sf0.01 replays.
-#: - Positions 37–49: the 13 highest-risk STALE entries (defining module
-#:   changed after their last green row): all six ``llm/dedup.py``
-#:   queries (the module took a semantic change in r5 — the LSH-vs-exact
-#:   edge gate for the chained-dedup oracles — so their r3 rows certify
-#:   retired code), ``pricing_summary`` (flagship TPC-H Q1; r3 row,
-#:   ``ops/aggregates.py`` changed in r4), ``regional_revenue`` (bench
-#:   headline; r1 row!, ``ops/macros.py`` changed r3+r4),
-#:   ``window_sessionize``/``timeseries_gapfill`` (r3 rows,
-#:   ``ops/windows.py`` changed in r4), ``cube_agg`` (same),
-#:   ``json_extract_ops`` (r1 row, ``ops/relational.py`` changed since),
-#:   and ``media_codec_features`` (r5-green but ``llm/multimodal.py``
-#:   takes the ADVICE r5 fix this round: mvhd n_samples int→bigint — a
-#:   schema change, so the r5 row cannot certify it).
-#: - The tail leads with the next-rotation stale set (r7's window head),
-#:   then entries whose newest green row is not older than their
-#:   defining module's last change.
+#: Round-7 module freeze: certified modules take ZERO source edits this
+#: round; all new capability (ingest CLI, TOML config source, MP4
+#: audio/sample-table decode, VACUUM RETAIN HOURS) lands in new files.
+#: The only certified-module-adjacent edit is ``io/txn_maint.py``
+#: (ADVICE ZORDER grammar + RETAIN HOURS), whose sole dependent query
+#: ``txn_maintenance_sql`` sits at window position 2 and gets its first
+#: row on the post-edit tree.
 _ORDER = [
-    # ---- never-driver-checked tier (37): first rows ----
-    # ops/subqueries.py: TPC-H Q2/Q22-style pair siblings + closure shapes
+    # ---- first-row tier (3): never driver-checked (added r6) ----
+    "ann_ivfpq_topk",
+    "bpe_encode_corpus",
+    "txn_maintenance_sql",
+    # ---- stale-evidence tier (47): re-certification ----
+    # ops/relational.py changed r1+ after these r1 rows (oldest evidence
+    # in the ledger)
+    "json_extract_ops",
+    "pivot_coalesce_priority",
+    # ops/macros.py changed r3+ after these r1/r3 rows
+    "order_priority_counts",
+    "top_unshipped_parts",
+    "shipping_priority_topk",
+    "returned_item_report",
+    # ops/aggregates.py changed r5+ (sql_dsum dedup) after these r3/r5 rows
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "minmax_extremes",
+    "rollup_agg",
+    "column_profile",
+    "distinct_agg",
+    "pivot_agg",
+    "dedup_by_key",
+    "latest_per_group",
+    "exact_median",
+    # ops/windows.py changed r5+ (sessionize value fix) after these rows
+    "window_range_interval",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frames",
+    # llm/textstats.py changed r3+ after these r3 rows
+    "corpus_clean_pipeline",
+    "repetition_metrics",
+    "corpus_mixture",
+    "bpe_pair_counts",
+    "doc_frequency",
+    "pii_scrub",
+    # streaming/pipeline.py changed r3+ after the r3 row
+    "stream_sliding_batch",
+    # rows-only-by-design sketch/LSH entries (module changed r5+): the
+    # driver re-records their rows-only evidence on the current tree
+    "approx_sketches",
+    "hll_mergeable_rollup",
+    "ann_ml_brp_lsh",
+    # io/txn.py took the r6 history() fix after these r5 rows
+    "txn_snapshot_merge",
+    "txn_exactly_once_rollup",
+    "txn_time_travel",
+    # llm/similarity.py took r5/r6 review cleanups after these r5 rows
+    "kmeans_assign",
+    "semantic_dedup",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_nearup",
+    # ops/subqueries.py changed r5+ (Q17 fix) after these r5 rows
+    "cheapest_supplier_per_part",
+    "idle_customer_balances",
+    "suppliers_with_waiting_orders",
+    "concentrated_part_types",
+    # llm/dedup.py changed r5+ after the r5 row
+    "containment_nearup",
+    # llm/sampling.py changed r5+ (shuffle elimination) after these r3 rows
+    "sequence_packing",
+    "benchmark_decontaminate",
+    "stratified_sample",
+    # ---- 50-query window boundary (driver budget) ----
+    # tail head = round-8's window head: the 3 documented value-neutral
+    # spills (see rotation note above)
+    "multimodal_features",
+    "media_resize",
+    "media_frame_sample",
+    # r6-green (certified by CORRECTNESS_r06 on the final r6 tree;
+    # modules frozen in r7)
     "lateral_topk_per_group",
     "recursive_inventory_chain",
     "top_supplier_revenue",
     "supplier_part_variety",
     "large_volume_customers",
     "promo_stock_suppliers",
-    # ops/sqlfn.py: SQL-surface block
     "sql_udf_pricing",
     "pipe_syntax_rollup",
     "collated_string_ops",
     "pivot_sql_clause",
-    # ops/macros.py: remaining TPC-H shapes
     "promo_revenue_ratio",
     "forecast_revenue_change",
     "volume_shipping",
     "late_shipment_priority",
     "customer_order_distribution",
-    # ops/aggregates.py + ops/windows.py additions
     "outlier_iqr_flags",
     "ewma_forecast",
-    # ops/graph.py: iterative-graph tier
     "trade_pagerank",
     "trade_triangles",
     "trade_bfs_hops",
-    # ops/events.py: product-analytics tier
     "funnel_conversion",
     "cohort_retention",
     "event_transition_matrix",
     "session_paths_topk",
     "user_rfm_segments",
-    # ops/fuzzy.py / llm additions
     "fuzzy_name_pairs",
     "token_topk_sketch",
     "bpe_train_merges",
@@ -148,79 +210,24 @@ _ORDER = [
     "token_length_histogram",
     "embedding_quantize_int8",
     "dataset_split",
-    # io/txn_queries.py: txn consumer/metadata/DataSource tier
     "txn_change_feed",
     "txn_change_apply",
     "txn_history",
     "txn_pyds_write",
     "stream_txn_sink",
-    # ---- stale-evidence tier (13): re-certification ----
-    # llm/dedup.py changed in r4 AND r5 (LSH-vs-exact edge gate) after
-    # these queries' r3 rows
     "exact_dedup",
     "minhash_lsh_nearup",
     "simhash_nearup",
     "dedup_components",
     "neardup_dedup_pipeline",
     "ngram_jaccard_nearup",
-    # flagship TPC-H Q1 (r3 row; ops/aggregates.py changed in r4)
     "pricing_summary",
-    # bench headline (r1 row; ops/macros.py changed in r3+r4)
     "regional_revenue",
-    # ops/windows.py changed in r4 after these r3 rows
     "window_sessionize",
     "timeseries_gapfill",
-    # ops/aggregates.py changed in r4 after the r3 row
     "cube_agg",
-    # r6 review fix CHANGED ITS VALUES (the Q17 correlated predicate was
-    # an inner-scope tautology — both engine and oracle computed the
-    # global average; now truly correlated on p_partkey): its r5 row
-    # certifies retired semantics, so it takes the window slot
-    # json_extract_ops held (r1-green, unchanged values, to the tail head)
     "small_quantity_revenue",
-    # llm/multimodal.py takes the r5 ADVICE schema fix this round
     "media_codec_features",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head: new in r6 (first row due in r7 — lives in its OWN module
-    # llm/pq.py precisely so adding it does not stale similarity.py's
-    # r5-green rows), then the remaining stale set = round-7's window head
-    "ann_ivfpq_topk",
-    "bpe_encode_corpus",
-    "txn_maintenance_sql",
-    # displaced from the window by the Q17 value fix: r1-green with
-    # unchanged values — next rotation re-greens it
-    "json_extract_ops",
-    "pivot_coalesce_priority",
-    "order_priority_counts",
-    "top_unshipped_parts",
-    "shipping_priority_topk",
-    "returned_item_report",
-    "grouping_sets_agg",
-    "unpivot_melt",
-    "minmax_extremes",
-    "window_range_interval",
-    "corpus_clean_pipeline",
-    "repetition_metrics",
-    "corpus_mixture",
-    "bpe_pair_counts",
-    "doc_frequency",
-    "pii_scrub",
-    "stream_sliding_batch",
-    "approx_sketches",  # rows-only by design (error-bound test in-repo)
-    "hll_mergeable_rollup",  # rows-only by design
-    "ann_ml_brp_lsh",  # rows-only by design (recall-bounded vs exact twin)
-    # multimodal siblings of the in-window codec query: same module takes
-    # the r6 ADVICE fix, but their values are provably untouched by it
-    # (the fix widens the MP4 n_samples column type and guards a fixture
-    # encoder; these three never read that column) — documented stale
-    "multimodal_features",
-    "media_resize",
-    "media_frame_sample",
-    # io/txn.py takes the r6 ADVICE history() fix; txn_history is in the
-    # window, these r5-green siblings don't read history() — documented
-    "txn_snapshot_merge",
-    "txn_exactly_once_rollup",
-    "txn_time_travel",
     # r5-green, modules unchanged since
     "ir_summary_pipeline",
     "summary_chart_frame",
@@ -232,39 +239,18 @@ _ORDER = [
     "stream_session_batch",
     "stateful_user_totals",
     "stream_dedup_watermark",
-    "kmeans_assign",
-    "semantic_dedup",
-    "cheapest_supplier_per_part",
-    "idle_customer_balances",
-    "suppliers_with_waiting_orders",
-    "concentrated_part_types",
     "text_stats",
     "quality_score",
     "language_id",
     "doc_fingerprint",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_nearup",
     "vocab_oov_rate",
     "negative_sampling",
-    "rollup_agg",
-    "column_profile",
-    "distinct_agg",
-    "pivot_agg",
-    "dedup_by_key",
-    "latest_per_group",
-    "exact_median",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frames",
     "pandas_udf_vectorized",
     "market_share",
     "product_profit",
     "disjunctive_pushdown",
-    "containment_nearup",
     "tfidf_top_terms",
-    # r1/r2-green, modules unchanged since their rows
+    # r1/r2/r3-green, modules unchanged since their rows
     "string_predicates",
     "string_functions",
     "null_semantics",
@@ -290,10 +276,7 @@ _ORDER = [
     "apply_in_pandas_topk",
     "salted_twophase_agg",
     "salted_skew_join",
-    "sequence_packing",
     "variant_json_ops",
-    "benchmark_decontaminate",
-    "stratified_sample",
 ]
 
 
