@@ -14,15 +14,29 @@ Grammar (case-insensitive keywords; the table is a quoted path —
 ``'/data/t'`` or Delta's ``delta.`/data/t``` backtick form):
 
     DESCRIBE HISTORY '<table>'
-    OPTIMIZE '<table>' [ZORDER BY (col_a, col_b)]
+    OPTIMIZE '<table>' [ZORDER BY (col [, col …])]
                        [TARGET FILE SIZE <bytes>]
-    VACUUM '<table>' [RETAIN <n> VERSIONS]
+    VACUUM '<table>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
     RESTORE [TABLE] '<table>' TO VERSION AS OF <n>
 
-Documented divergence from Delta: our retention unit is VERSIONS, not
-HOURS — the txn format's vacuum contract is version-count based
-(``txn.vacuum(keep_versions=…)``), and a lying clock can't silently
-widen deletion the way time-based retention can.
+ZORDER BY accepts one or two columns: one column degenerates to a plain
+sort (self-interleaving bits is order-preserving, which IS single-column
+Z-order); two columns interleave as in Delta. Three or more are rejected
+with an explicit error — the txn format's space-filling curve is a
+two-column bit interleave (``txn.compact(zorder_by=(a, b))``), and
+silently clustering on a prefix of the requested columns would misstate
+the skipping the operator believes they bought.
+
+``RETAIN <n> HOURS`` is Delta's time-based retention, mapped onto the
+format's version-count vacuum contract: the cutoff is ``now − n hours``
+against each manifest's filesystem mtime (manifests are written once at
+commit and never touched again, so mtime IS the commit wall-clock), and
+the surviving set starts at the OLDEST manifest at or inside the cutoff
+— vacuum retires only a version prefix, so a clock anomaly that
+reorders mtimes can only widen retention, never delete past an
+in-retention manifest. The current version always survives, as in
+Delta. ``RETAIN <n> VERSIONS`` remains the native, clock-independent
+form.
 
 Every command routes through the SAME commit/OCC machinery queries use,
 so concurrent readers/writers keep snapshot isolation mid-maintenance
@@ -32,7 +46,9 @@ JSON work plus, for OPTIMIZE, one distributed rewrite of current files.
 
 from __future__ import annotations
 
+import os
 import re
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,12 +65,13 @@ def _table_of(m: re.Match) -> str:
 _HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+{_TABLE}\s*;?\s*$", re.I)
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+{_TABLE}"
-    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>\w+)\s*,\s*(?P<zb>\w+)\s*\))?"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>\w+(?:\s*,\s*\w+)*)\s*\))?"
     r"(?:\s+TARGET\s+FILE\s+SIZE\s+(?P<bytes>\d+))?\s*;?\s*$",
     re.I,
 )
 _VACUUM = re.compile(
-    rf"^\s*VACUUM\s+{_TABLE}(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*;?\s*$",
+    rf"^\s*VACUUM\s+{_TABLE}"
+    r"(?:\s+RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
     re.I,
 )
 _RESTORE = re.compile(
@@ -78,6 +95,38 @@ def _require_table(table: str) -> str:
     if not txn._list_versions(table):
         raise FileNotFoundError(f"no committed txn table at {table}")
     return table
+
+
+def _keep_versions_for_hours(table: str, hours: float) -> int:
+    """Map Delta's time-based retention onto the format's version-count
+    vacuum contract (``txn.vacuum(keep_versions=…)``).
+
+    Manifests are written once at commit and never modified, so each
+    manifest's filesystem mtime IS its commit wall-clock. Vacuum retires
+    only a version PREFIX, so the surviving set starts at the OLDEST
+    manifest whose mtime is at or inside ``now − hours`` and runs to the
+    current version: an mtime anomaly that reorders timestamps (clock
+    skew, a copied table) can only pull the start earlier — widening
+    retention — never widen deletion past an in-retention manifest. The
+    current version always survives (Delta's invariant — VACUUM never
+    deletes the live snapshot), hence the floor of 1.
+    """
+    if hours < 0:
+        raise ValueError("RETAIN … HOURS takes a non-negative duration")
+    cutoff = time.time() - hours * 3600.0
+    versions = txn._list_versions(table)
+    keep = 0
+    for i, v in enumerate(versions):
+        try:
+            mtime = os.path.getmtime(txn._log_path(table, v))
+        except FileNotFoundError:
+            # concurrent vacuum retired this manifest between the listing
+            # and the stat — it no longer needs retaining
+            continue
+        if mtime >= cutoff:
+            keep = len(versions) - i
+            break
+    return max(keep, 1)
 
 
 def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
@@ -107,14 +156,29 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
         )
     if m := _OPTIMIZE.match(stmt):
         table = _table_of(m)
+        zcols: tuple[str, ...] = ()
+        if m.group("zcols"):
+            zcols = tuple(c.strip() for c in m.group("zcols").split(","))
+            if len(zcols) > 2:
+                # the format's space-filling curve is a two-column bit
+                # interleave; clustering on a silent prefix would misstate
+                # the skipping the operator believes they bought
+                raise ValueError(
+                    f"ZORDER BY supports at most two columns (the txn "
+                    f"format's curve is a two-column bit interleave); "
+                    f"got {len(zcols)}: {', '.join(zcols)}"
+                )
         before = txn.snapshot(table)
         kwargs: dict[str, Any] = {}
-        if m.group("za"):
-            za, zb = m.group("za"), m.group("zb")
+        if zcols:
+            # one column degenerates to a plain sort: interleaving a
+            # column's bits with themselves is order-preserving, so
+            # (col, col) IS single-column Z-order
+            za, zb = zcols if len(zcols) == 2 else (zcols[0], zcols[0])
             kwargs["zorder_by"] = (za, zb)
             # z-order without re-harvested stats would silently drop the
             # very skipping it exists to enable
-            kwargs["stats_cols"] = [za, zb]
+            kwargs["stats_cols"] = list(dict.fromkeys((za, zb)))
         if m.group("bytes"):
             target = int(m.group("bytes"))
             if target <= 0:
@@ -131,7 +195,7 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
                     after.version,
                     len(before.files),
                     len(after.files),
-                    f"{za},{zb}" if m.group("za") else None,
+                    ",".join(zcols) if zcols else None,
                 )
             ],
             "table string, version bigint, files_before int, "
@@ -140,8 +204,15 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
     if m := _VACUUM.match(stmt):
         table = _require_table(_table_of(m))
         kwargs = {}
-        if m.group("keep"):
-            kwargs["keep_versions"] = int(m.group("keep"))
+        if m.group("n"):
+            if m.group("unit").upper() == "VERSIONS":
+                if "." in m.group("n"):
+                    raise ValueError("RETAIN … VERSIONS takes an integer count")
+                kwargs["keep_versions"] = int(m.group("n"))
+            else:
+                kwargs["keep_versions"] = _keep_versions_for_hours(
+                    table, float(m.group("n"))
+                )
         res = txn.vacuum(table, **kwargs)
         return spark.createDataFrame(
             [(table, res["removed_files"], res["removed_versions"])],
@@ -157,8 +228,9 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
     raise ValueError(
         "unrecognized maintenance statement; supported:\n"
         "  DESCRIBE HISTORY '<table>'\n"
-        "  OPTIMIZE '<table>' [ZORDER BY (a, b)] [TARGET FILE SIZE <bytes>]\n"
-        "  VACUUM '<table>' [RETAIN <n> VERSIONS]\n"
+        "  OPTIMIZE '<table>' [ZORDER BY (col [, col])] "
+        "[TARGET FILE SIZE <bytes>]\n"
+        "  VACUUM '<table>' [RETAIN <n> VERSIONS | RETAIN <n> HOURS]\n"
         "  RESTORE [TABLE] '<table>' TO VERSION AS OF <n>\n"
         f"got: {stmt!r}"
     )

@@ -36,12 +36,16 @@ SHIFTS = {
         "l_partkey": "p_partkey",
         "l_suppkey": "s_suppkey",
     },
-    "events": {"user_id": "user_id"},
+    # event_id shifts with its own domain (r6 ADVICE: reusing source
+    # event_ids across replicas would silently hand any event_id-keyed
+    # dedup/join ~1x distinct events at the nominal 10x scale)
+    "events": {"event_id": "event_id", "user_id": "user_id"},
     "documents": {"doc_id": "doc_id"},
     "embeddings": {"vec_id": "vec_id"},
 }
 
 _DOMAIN_TABLE = {
+    "event_id": "events",
     "o_orderkey": "orders",
     "c_custkey": "customer",
     "s_suppkey": "supplier",

@@ -179,3 +179,88 @@ def test_parser_fuzz_never_silently_dispatches(spark, tmp_path):
             run_maintenance_sql(spark, stmt)
 
     run()
+
+
+def test_vacuum_retain_hours_lifecycle(spark, tmp_path):
+    """r7 (VERDICT r6 item 6): Delta's time-based retention. Manifest
+    mtimes are backdated with os.utime to simulate age — manifests are
+    write-once, so mtime is the commit wall-clock."""
+    import os
+    import time
+
+    from ir_analyses_spark.io.txn_maint import _keep_versions_for_hours
+
+    t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
+    old = time.time() - 2 * 3600  # two hours ago
+    for v in (1, 2):
+        os.utime(txn._log_path(t, v), (old, old))
+    # cutoff 1h: versions 1-2 are outside retention, current (3) inside
+    assert _keep_versions_for_hours(t, 1.0) == 1
+    res = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS").collect()[0]
+    assert res["removed_versions"] == 2
+    assert [r["version"] for r in txn.history(t)] == [3]
+    # current snapshot still reads after time-based retirement
+    assert {r["v"] for r in txn.read(spark, t).collect()} == {10, 99, 30}
+    # RETAIN 0 HOURS retains only the live snapshot (floor of 1): idempotent here
+    res2 = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 0 HOURS").collect()[0]
+    assert (res2["removed_versions"], res2["removed_files"]) == (0, 0)
+
+
+def test_vacuum_retain_hours_anomaly_widens_retention_not_deletion(
+    spark, tmp_path
+):
+    """An mtime anomaly (an OLD version stamped recent — clock skew or a
+    copied table) must pull the surviving prefix EARLIER, never delete an
+    in-retention manifest: the surviving set starts at the OLDEST
+    manifest inside the cutoff."""
+    import os
+    import time
+
+    from ir_analyses_spark.io.txn_maint import _keep_versions_for_hours
+
+    t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
+    old = time.time() - 2 * 3600
+    # v1 recent (anomalous: older version, newer mtime), v2 old, v3 recent
+    os.utime(txn._log_path(t, 2), (old, old))
+    assert _keep_versions_for_hours(t, 1.0) == 3  # v1 in-retention → keep all
+    res = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS").collect()[0]
+    assert res["removed_versions"] == 0
+    assert [r["version"] for r in txn.history(t)] == [1, 2, 3]
+
+
+def test_vacuum_retain_grammar_rejects_bad_units(spark, tmp_path):
+    t = _lifecycle(spark, tmp_path)
+    # fractional VERSIONS is a grammar-level rejection, not int() truncation
+    with pytest.raises(ValueError, match="integer"):
+        run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1.5 VERSIONS")
+    # unknown unit never silently dispatches
+    with pytest.raises(ValueError, match="unrecognized"):
+        run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 DAYS")
+    # fractional HOURS is legal Delta-style input
+    res = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 0.5 HOURS").collect()[0]
+    assert res["removed_versions"] == 0  # everything is seconds old
+
+
+def test_optimize_zorder_single_column_is_plain_sort(spark, tmp_path):
+    """r7 ADVICE fix: ZORDER BY (a) is legal — one column degenerates to
+    a plain sort (self-interleaved bits preserve order), stats harvested
+    for the one column; three or more columns are rejected with the
+    documented two-column interleave limit."""
+    t = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 400).alias("b")
+    )
+    txn.overwrite(df.repartition(8), t)
+    res = run_maintenance_sql(spark, f"OPTIMIZE '{t}' ZORDER BY (a)").collect()[0]
+    assert res["zorder_by"] == "a"
+    snap = txn.snapshot(t)
+    assert all("stats" in f and "a" in f["stats"] for f in snap.files)
+    # single-column z-order IS a sort: the per-file [min,max] ranges of
+    # `a` must be pairwise disjoint (perfect clustering)
+    spans = sorted(tuple(f["stats"]["a"]) for f in snap.files)
+    assert all(hi < lo_next for (_, hi), (lo_next, _) in zip(spans, spans[1:]))
+    # data survives byte-exact
+    got = sorted((r["a"], r["b"]) for r in txn.read(spark, t).collect())
+    assert got == [(i, i * 7 % 400) for i in range(400)]
+    with pytest.raises(ValueError, match="two columns"):
+        run_maintenance_sql(spark, f"OPTIMIZE '{t}' ZORDER BY (a, b, a)")
