@@ -1,0 +1,100 @@
+"""TOML config source: the XBRL element↔column mappings as editable
+operational config (S8 closure, r7 — VERDICT r6 item 4).
+
+The reference keeps its XBRL mapping in ``config/config.toml`` and loads
+it through a path-fallback chain (reference utils/config_loader.py:12-60:
+explicit path → ``<project_root>/config/config.toml`` resolved from the
+loader's own location → ``./config/config.toml``; unreadable candidates
+are logged and skipped; nothing found returns ``{}`` rather than
+raising). This module mirrors that contract on stdlib ``tomllib`` so an
+operator can edit the mapping without touching code, while
+``etl/conform.py``'s in-code dicts remain the defaults — semantics are
+identical when no file is present (the reference's own config.toml:35-49
+carries exactly those values, pinned by tests/test_config_toml.py).
+
+This module is deliberately separate from ``etl/conform.py``: conform's
+queries are driver-certified, and the ledger's staleness rule is
+module-granular (importing FROM a certified module is fine; adding to it
+is not).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tomllib
+
+from .conform import XBRL_COMPANY_MAPPING, XBRL_REPORT_MAPPING
+
+logger = logging.getLogger(__name__)
+
+#: default on-disk location, relative to the repo root (this file lives at
+#: ``<root>/ir_analyses_spark/etl/config_toml.py``)
+_DEFAULT_RELPATH = os.path.join("config", "config.toml")
+
+
+def _default_candidates() -> list[str]:
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return [os.path.join(root, _DEFAULT_RELPATH), os.path.join(".", _DEFAULT_RELPATH)]
+
+
+def load_config(path: str | None = None) -> dict:
+    """Load a TOML config through the reference's fallback chain.
+
+    ``path`` pins one explicit candidate (tests, ad-hoc runs); otherwise
+    the repo-root ``config/config.toml`` then ``./config/config.toml``
+    are tried in order. The first candidate that exists AND parses wins;
+    an unreadable or malformed candidate is logged and skipped (the
+    reference's log-and-continue, utils/config_loader.py:46-57); no
+    valid candidate returns ``{}`` — callers fall back to the in-code
+    defaults, so a missing file can never change conform semantics.
+    """
+    candidates = [path] if path else _default_candidates()
+    for cand in candidates:
+        if not os.path.exists(cand):
+            continue
+        try:
+            with open(cand, "rb") as fh:
+                config = tomllib.load(fh)
+        except (OSError, tomllib.TOMLDecodeError) as e:
+            logger.error("failed to load config %s: %s", cand, e)
+            continue
+        logger.info("loaded config %s", cand)
+        return config
+    logger.warning("no valid config file found (candidates: %s)", candidates)
+    return {}
+
+
+def xbrl_mappings(config: dict | None = None) -> tuple[dict, dict]:
+    """(company_mapping, report_mapping) for ``conform_companies`` /
+    ``conform_reports``, from a loaded config's ``[xbrl_mapping.company]``
+    and ``[xbrl_mapping.financial_report]`` sections (reference
+    config.toml:35-49). A missing config or section yields the in-code
+    default; a PRESENT section is taken whole — the operator's edit is
+    the point: each key redirects which XBRL element feeds that silver
+    column. The conform functions' output schemas are fixed, so a
+    section must keep all of its default's keys (dropping one fails at
+    analysis time naming the missing column — the same loud contract as
+    tests/test_etl_parity.py's missing-required-column pin). Non-string
+    values are rejected here rather than deep inside a column expression.
+    """
+    section = (config or {}).get("xbrl_mapping", {})
+    out = []
+    for key, default in (
+        ("company", XBRL_COMPANY_MAPPING),
+        ("financial_report", XBRL_REPORT_MAPPING),
+    ):
+        mapping = section.get(key)
+        if mapping is None:
+            out.append(dict(default))
+            continue
+        bad = {k: v for k, v in mapping.items() if not isinstance(v, str)}
+        if bad:
+            raise ValueError(
+                f"[xbrl_mapping.{key}] values must be XBRL element-id "
+                f"strings; got {bad}"
+            )
+        out.append(dict(mapping))
+    return out[0], out[1]
