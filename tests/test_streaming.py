@@ -96,24 +96,6 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
     assert got.distinct().count() == n_distinct
 
 
-def test_stateful_running_totals(spark, events_dir):
-    stream = stateful_running_totals(stream_events(spark, events_dir))
-    q = run_stream_to_memory(stream, "t_state", mode="update")
-    _run(q)
-    # final state per user (last update wins) == batch aggregate
-    final = (
-        spark.table("t_state")
-        .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"))
-    )
-    want = (
-        load_table(spark, "events", SF)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    assert _rows(final) == _rows(want)
-
-
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -123,18 +105,35 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState's worker protocol needs google.protobuf, "
-    "not installed in this environment",
+@pytest.mark.parametrize(
+    "totals_fn,sink",
+    [
+        pytest.param(stateful_running_totals, "t_state", id="applyInPandasWithState"),
+        pytest.param(
+            stateful_totals_tws,
+            "t_tws",
+            id="transformWithStateInPandas",
+            marks=pytest.mark.skipif(
+                not _has_protobuf(),
+                reason="transformWithState's worker protocol needs "
+                "google.protobuf, not installed in this environment "
+                "(construction is still pinned without protobuf below)",
+            ),
+        ),
+    ],
 )
-def test_stateful_totals_transform_with_state(spark, events_dir):
-    """Same totals on the Spark 4 transformWithStateInPandas API."""
-    stream = stateful_totals_tws(stream_events(spark, events_dir))
-    q = run_stream_to_memory(stream, "t_tws", mode="update")
+def test_stateful_running_totals_twins(spark, events_dir, totals_fn, sink):
+    """One harness, both custom-state APIs (VERDICT r6 item 7): the
+    applyInPandasWithState operator and its transformWithStateInPandas
+    twin must produce the same per-user totals — the moment protobuf
+    appears in an environment, the tws path executes under the exact
+    assertions the legacy API already passes."""
+    stream = totals_fn(stream_events(spark, events_dir))
+    q = run_stream_to_memory(stream, sink, mode="update")
     _run(q)
+    # final state per user (last update wins) == batch aggregate
     final = (
-        spark.table("t_tws")
+        spark.table(sink)
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
@@ -144,6 +143,23 @@ def test_stateful_totals_transform_with_state(spark, events_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert _rows(final) == _rows(want)
+
+
+def test_tws_plan_constructs_without_protobuf(spark, events_dir):
+    """The protobuf dependency is an EXECUTION-time worker-protocol
+    requirement, not a plan-time one: stateful_totals_tws must construct
+    its unresolved plan — grouping key, StatefulProcessor wiring, declared
+    output schema — in a bare environment, and the schema must match the
+    applyInPandasWithState twin's column-for-column (the twin contract
+    the parametrized test above asserts on values). Runs everywhere,
+    protobuf or not, so the tws code path is never zero-covered."""
+    tws = stateful_totals_tws(stream_events(spark, events_dir))
+    legacy = stateful_running_totals(stream_events(spark, events_dir))
+    assert tws.isStreaming and legacy.isStreaming
+    assert tws.schema == legacy.schema
+    assert tws.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,total_value:double>"
+    )
 
 
 def test_foreach_batch_scd2_versions_dimension(spark, events_dir, tmp_path):
