@@ -251,6 +251,14 @@ def encode_mp4_sampled(
                 f"audio_rate {t['audio_rate']} outside the 16.16 "
                 "samplerate range (1..65535)"
             )
+        if not t["sample_sizes"]:
+            # an empty chunk's stco entry would point at (or past) EOF —
+            # the decoder's bounds check would rightly reject the file,
+            # so refuse to write the lie in the first place
+            raise ValueError(
+                f"track {t['fourcc']!r} has no samples; a sampled MP4 "
+                "writer cannot emit an empty chunk offset"
+            )
 
     matrix = struct.pack(
         ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000

@@ -166,3 +166,14 @@ def test_spark_pipeline_oracle_predicted(spark):
         for k, v in exp.items():
             assert row[k] == v, (doc_id, k, row[k], v)
         assert row["px00_r"] is None and row["sum_abs"] is None
+
+
+def test_empty_track_rejected_at_encode():
+    """An empty chunk's stco entry would point at/past EOF — the writer
+    refuses rather than emitting a file its own decoder's bounds check
+    rejects."""
+    with pytest.raises(ValueError, match="no samples"):
+        encode_mp4_sampled(600, 100, [{
+            "handler": b"soun", "fourcc": b"mp4a", "audio_rate": 8000,
+            "sample_sizes": [],
+        }])
