@@ -41,17 +41,28 @@ def main(argv: list[str] | None = None) -> int:
         help="after loading, print every company's financial summary",
     )
     ap.add_argument(
+        "--config",
+        default=None,
+        help="TOML config path for the XBRL mappings (default: the "
+        "fallback chain — repo-root config/config.toml, then "
+        "./config/config.toml; no file = in-code defaults)",
+    )
+    ap.add_argument(
         "--cpus", default=None, help="local[N] parallelism (default: env)"
     )
     args = ap.parse_args(argv)
 
     from ir_analyses_spark.etl import pipeline
+    from ir_analyses_spark.etl.config_toml import load_config, xbrl_mappings
     from ir_analyses_spark.queries import summary as summary_q
     from ir_analyses_spark.session import get_spark
 
+    company_mapping, report_mapping = xbrl_mappings(load_config(args.config))
     spark = get_spark(app_name="ir_analyses_backfill", cpus=args.cpus)
 
-    bundle = pipeline.backfill_from_csvs(spark, args.csv_glob, args.out_dir)
+    bundle = pipeline.backfill_from_csvs(
+        spark, args.csv_glob, args.out_dir, company_mapping, report_mapping
+    )
     for qname in ("company_rejects", "report_rejects"):
         n = bundle[qname].count()
         if n:

@@ -58,6 +58,13 @@ def main(argv: list[str] | None = None, transport=None) -> int:
     )
     ap.add_argument("--api-key", default=None, help="EDINET API key")
     ap.add_argument(
+        "--config",
+        default=None,
+        help="TOML config path for the XBRL mappings (default: the "
+        "fallback chain — repo-root config/config.toml, then "
+        "./config/config.toml; no file = in-code defaults)",
+    )
+    ap.add_argument(
         "--skip-errors",
         action="store_true",
         help="log-and-continue past bad dates / corrupt ZIPs",
@@ -75,50 +82,70 @@ def main(argv: list[str] | None = None, transport=None) -> int:
     from ir_analyses_spark.io.edinet_http import EdinetApiError, EdinetClient
 
     client = EdinetClient(api_key=args.api_key, transport=transport)
-    dest = args.download_dir or tempfile.mkdtemp(prefix="edinet_ingest_")
-    errors: list[tuple[str, str]] = []
+    tmp_dest = None if args.download_dir else tempfile.mkdtemp(prefix="edinet_ingest_")
+    dest = args.download_dir or tmp_dest
     try:
-        paths = client.download_quarterly_filings(
-            args.dates, dest, skip_errors=args.skip_errors, errors=errors
+        errors: list[tuple[str, str]] = []
+        try:
+            paths = client.download_quarterly_filings(
+                args.dates, dest, skip_errors=args.skip_errors, errors=errors
+            )
+        except EdinetApiError as e:
+            print(f"ingest failed: {e}", file=sys.stderr)
+            return 2
+        for ctx, msg in errors:
+            print(f"skipped {ctx}: {msg}", file=sys.stderr)
+        if not paths:
+            print(
+                "no quarterly filings ingested for the given dates",
+                file=sys.stderr,
+            )
+            return 2
+
+        from ir_analyses_spark.etl import pipeline
+        from ir_analyses_spark.etl.config_toml import load_config, xbrl_mappings
+        from ir_analyses_spark.queries import summary as summary_q
+        from ir_analyses_spark.session import get_spark
+
+        # the reference loads its config before any ingest work
+        # (scripts/import_financial_data.py:28-30); the fallback chain's
+        # {} floor means "no file" costs nothing
+        company_mapping, report_mapping = xbrl_mappings(load_config(args.config))
+
+        spark = get_spark(app_name="ir_analyses_ingest", cpus=args.cpus)
+        bundle = pipeline.backfill_from_csvs(
+            spark, paths, args.out_dir, company_mapping, report_mapping
         )
-    except EdinetApiError as e:
-        print(f"ingest failed: {e}", file=sys.stderr)
-        return 2
-    for ctx, msg in errors:
-        print(f"skipped {ctx}: {msg}", file=sys.stderr)
-    if not paths:
-        print("no quarterly filings ingested for the given dates", file=sys.stderr)
-        return 2
+        for qname in ("company_rejects", "report_rejects"):
+            n = bundle[qname].count()
+            if n:
+                print(f"{qname}: {n} rows quarantined", file=sys.stderr)
 
-    from ir_analyses_spark.etl import pipeline
-    from ir_analyses_spark.queries import summary as summary_q
-    from ir_analyses_spark.session import get_spark
-
-    spark = get_spark(app_name="ir_analyses_ingest", cpus=args.cpus)
-    bundle = pipeline.backfill_from_csvs(spark, paths, args.out_dir)
-    for qname in ("company_rejects", "report_rejects"):
-        n = bundle[qname].count()
-        if n:
-            print(f"{qname}: {n} rows quarantined", file=sys.stderr)
-
-    tables = pipeline.read_silver(spark, args.out_dir)
-    print(
-        json.dumps(
-            {name: df.count() for name, df in sorted(tables.items())},
-            ensure_ascii=False,
+        tables = pipeline.read_silver(spark, args.out_dir)
+        print(
+            json.dumps(
+                {name: df.count() for name, df in sorted(tables.items())},
+                ensure_ascii=False,
+            )
         )
-    )
 
-    if args.summary:
-        rows = summary_q.financial_summary(
-            tables["companies"],
-            tables["reports"],
-            tables["facts"],
-            tables["items"],
-        ).collect()
-        for r in rows:
-            print(json.dumps(r.asDict(), ensure_ascii=False, default=str))
-    return 0
+        if args.summary:
+            rows = summary_q.financial_summary(
+                tables["companies"],
+                tables["reports"],
+                tables["facts"],
+                tables["items"],
+            ).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), ensure_ascii=False, default=str))
+        return 0
+    finally:
+        if tmp_dest is not None:
+            # an auto-created download dir is scratch: a scheduled daily
+            # ingest must not fill /tmp with extracted filings
+            import shutil
+
+            shutil.rmtree(tmp_dest, ignore_errors=True)
 
 
 if __name__ == "__main__":

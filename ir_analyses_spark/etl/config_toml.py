@@ -24,7 +24,9 @@ import logging
 import os
 import tomllib
 
+from . import conform
 from .conform import XBRL_COMPANY_MAPPING, XBRL_REPORT_MAPPING
+from .standardize import FILING_ID
 
 logger = logging.getLogger(__name__)
 
@@ -81,6 +83,13 @@ def xbrl_mappings(config: dict | None = None) -> tuple[dict, dict]:
     values are rejected here rather than deep inside a column expression.
     """
     section = (config or {}).get("xbrl_mapping", {})
+    if not isinstance(section, dict):
+        # '[xbrl_mapping]' mistyped as a scalar assignment — reject here,
+        # not as an AttributeError three frames deep
+        raise ValueError(
+            f"[xbrl_mapping] must be a TOML table of tables; got "
+            f"{type(section).__name__}"
+        )
     out = []
     for key, default in (
         ("company", XBRL_COMPANY_MAPPING),
@@ -90,6 +99,14 @@ def xbrl_mappings(config: dict | None = None) -> tuple[dict, dict]:
         if mapping is None:
             out.append(dict(default))
             continue
+        if not isinstance(mapping, dict):
+            # the operator wrote 'company = "x"' where they meant the
+            # [xbrl_mapping.company] sub-table
+            raise ValueError(
+                f"[xbrl_mapping.{key}] must be a TOML table "
+                f"(column = \"element-id\" pairs); got "
+                f"{type(mapping).__name__}"
+            )
         bad = {k: v for k, v in mapping.items() if not isinstance(v, str)}
         if bad:
             raise ValueError(
@@ -98,3 +115,31 @@ def xbrl_mappings(config: dict | None = None) -> tuple[dict, dict]:
             )
         out.append(dict(mapping))
     return out[0], out[1]
+
+
+def conform_all_with_mappings(
+    std,
+    company_mapping: dict | None = None,
+    report_mapping: dict | None = None,
+) -> dict:
+    """``conform.conform_all`` with the TOML-loaded mappings injected.
+
+    With both mappings None this DELEGATES to ``conform_all`` (zero
+    drift in the default path); otherwise it composes the same four
+    conform functions with the mappings passed through — the bundle
+    shape is identical either way, so ``pipeline.backfill_from_csvs``
+    can treat the two interchangeably."""
+    if company_mapping is None and report_mapping is None:
+        return conform.conform_all(std)
+    companies, company_rejects = conform.conform_companies(std, company_mapping)
+    reports, report_rejects = conform.conform_reports(std, companies, report_mapping)
+    items = conform.conform_items(std)
+    facts = conform.conform_facts(std, reports, items)
+    return {
+        "companies": companies.drop(FILING_ID),
+        "reports": reports.drop(FILING_ID),
+        "items": items,
+        "facts": facts,
+        "company_rejects": company_rejects,
+        "report_rejects": report_rejects,
+    }

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import sinks
 from ..io.sources import read_filing_csvs
-from .conform import conform_all
+from .config_toml import conform_all_with_mappings
 from .standardize import standardize_raw
 
 
@@ -55,7 +55,11 @@ def _dedup_deterministic(df: DataFrame, key: str) -> DataFrame:
 
 
 def backfill_from_csvs(
-    spark: SparkSession, csv_glob: str, out_dir: str
+    spark: SparkSession,
+    csv_glob: str,
+    out_dir: str,
+    company_mapping: dict | None = None,
+    report_mapping: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Bulk CSV backfill: scan → bronze → silver tables under ``out_dir``.
 
@@ -73,7 +77,9 @@ def backfill_from_csvs(
     """
     raw = read_filing_csvs(spark, csv_glob)
     std = standardize_raw(raw, filing_id_col="_filing_path")
-    bundle = conform_all(std)
+    # mappings arrive from the TOML config source (etl/config_toml.py);
+    # both-None delegates straight to conform_all — identical plan
+    bundle = conform_all_with_mappings(std, company_mapping, report_mapping)
 
     companies = _dedup_deterministic(bundle["companies"], "company_id")
     items = bundle["items"]

@@ -111,6 +111,13 @@ def _keep_versions_for_hours(table: str, hours: float) -> int:
     current version always survives (Delta's invariant — VACUUM never
     deletes the live snapshot), hence the floor of 1.
     """
+    return _hours_retention_plan(table, hours)[0]
+
+
+def _hours_retention_plan(table: str, hours: float) -> tuple[int, int]:
+    """(keep_versions, n_listed) from ONE version listing — both numbers
+    must come from the same listing or the race detection in
+    ``run_maintenance_sql`` has a blind spot between two listings."""
     if hours < 0:
         raise ValueError("RETAIN … HOURS takes a non-negative duration")
     cutoff = time.time() - hours * 3600.0
@@ -126,7 +133,7 @@ def _keep_versions_for_hours(table: str, hours: float) -> int:
         if mtime >= cutoff:
             keep = len(versions) - i
             break
-    return max(keep, 1)
+    return max(keep, 1), len(versions)
 
 
 def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
@@ -204,16 +211,37 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
     if m := _VACUUM.match(stmt):
         table = _require_table(_table_of(m))
         kwargs = {}
+        max_expected_removed = None
         if m.group("n"):
             if m.group("unit").upper() == "VERSIONS":
                 if "." in m.group("n"):
                     raise ValueError("RETAIN … VERSIONS takes an integer count")
                 kwargs["keep_versions"] = int(m.group("n"))
             else:
-                kwargs["keep_versions"] = _keep_versions_for_hours(
-                    table, float(m.group("n"))
-                )
+                keep, n_listed = _hours_retention_plan(table, float(m.group("n")))
+                kwargs["keep_versions"] = keep
+                # txn.vacuum keeps the newest N of ITS OWN listing, so a
+                # commit landing between the count computation and the
+                # vacuum shifts the window and retires manifests that were
+                # inside the RETAIN window (TOCTOU). Exactly that case —
+                # and only it — makes removed_versions exceed this bound,
+                # so it is detected precisely below and reported loudly
+                # (the deletion cannot be undone; r8 closes the race for
+                # real by giving txn.vacuum a keep_from_version floor
+                # alongside the deferred history()-message fix).
+                max_expected_removed = n_listed - keep
         res = txn.vacuum(table, **kwargs)
+        if (
+            max_expected_removed is not None
+            and res["removed_versions"] > max_expected_removed
+        ):
+            raise RuntimeError(
+                f"RETAIN HOURS raced a concurrent commit on {table}: "
+                f"{res['removed_versions'] - max_expected_removed} "
+                f"manifest(s) inside the retention window were retired "
+                f"because the newest-N window shifted mid-vacuum; treat "
+                f"pinned readers of those versions as broken"
+            )
         return spark.createDataFrame(
             [(table, res["removed_files"], res["removed_versions"])],
             "table string, removed_files int, removed_versions int",

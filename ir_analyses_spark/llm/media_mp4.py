@@ -154,6 +154,13 @@ def _parse_trak(content: bytes, ts: int, te: int) -> dict:
         entry = ss + 8 + 8
         (rate_fx,) = struct.unpack_from(">I", content, entry + 24)
         rate = rate_fx >> 16
+        if rate <= 0 and media_timescale is None:
+            # both rate sources absent: a malformed container must raise
+            # the module's ValueError contract, not crash int(None) later
+            raise ValueError(
+                "audio trak has samplerate 0 and no mdhd timescale to "
+                "fall back on"
+            )
         out["audio_rate"] = rate if rate > 0 else media_timescale
     stsz = _find_box(content, stbl[0], stbl[1], b"stsz")
     if stsz is not None:
@@ -217,8 +224,24 @@ def decode_mp4_full(content: bytes) -> dict:
 
 
 def decode_media_full(content: bytes) -> dict:
-    """``multimodal.decode_media`` with the full MP4 path swapped in."""
-    if content[4:8] == b"ftyp":
+    """``multimodal.decode_media`` with the full MP4 path swapped in.
+
+    The magic checks that OUTRANK ftyp in decode_media's dispatch chain
+    (multimodal.py:922-930: BMP, RIFF/WAVE, PNG, JPEG) are replicated
+    here in the same order, so a non-MP4 payload whose bytes 4:8 happen
+    to spell ``ftyp`` (e.g. a RIFF whose little-endian size field is
+    0x70797466) routes exactly where the certified decoder routes it —
+    this wrapper must never DIVERGE from decode_media, only extend its
+    MP4 leg (review-caught)."""
+    from .multimodal import _PNG_SIG
+
+    takes_priority = (
+        content[:2] == b"BM"
+        or (content[:4] == b"RIFF" and content[8:12] == b"WAVE")
+        or content[:8] == _PNG_SIG
+        or content[:2] == b"\xff\xd8"
+    )
+    if not takes_priority and content[4:8] == b"ftyp":
         return decode_mp4_full(content)
     return decode_media(content)
 

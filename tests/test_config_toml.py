@@ -104,3 +104,15 @@ def test_operator_edit_changes_extraction(spark, tmp_path):
     cfg.write_text("[xbrl_mapping.company]\nedinet_code = 7\n")
     with pytest.raises(ValueError, match="element-id strings"):
         xbrl_mappings(load_config(str(cfg)))
+
+
+def test_malformed_sections_rejected_loudly(tmp_path):
+    """Review-caught: a section present but not a table must raise the
+    documented ValueError, not an AttributeError three frames deep."""
+    cfg = tmp_path / "config.toml"
+    cfg.write_text('[xbrl_mapping]\ncompany = "typo"\n')
+    with pytest.raises(ValueError, match=r"\[xbrl_mapping.company\] must be"):
+        xbrl_mappings(load_config(str(cfg)))
+    cfg.write_text("xbrl_mapping = 3\n")
+    with pytest.raises(ValueError, match=r"\[xbrl_mapping\] must be"):
+        xbrl_mappings(load_config(str(cfg)))

@@ -38,6 +38,9 @@ def _filing_tsv(edinet_code, company, quarter, period, sales, op_inc):
         _cover("jpcrp_cor:CompanyNameCoverPage", company),
         _cover("jpdei_cor:EDINETCodeDEI", edinet_code),
         _cover("jpdei_cor:CurrentPeriodEndDateDEI", f"2023/{3 * quarter}/28"),
+        # an alternate name element, unmapped by default — the --config
+        # test redirects company_name here
+        _cover("jpdei_cor:FilerNameInJapaneseDEI", "別名" + company),
         _measure("jppfs_cor:NetSales", sales),
         _measure("jppfs_cor:OperatingIncome", op_inc),
     ]
@@ -131,3 +134,31 @@ def test_ingest_cli_error_paths(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert "skipped 2024-01-01" in captured.err
     assert json.loads(captured.out.splitlines()[0])["companies"] == 2
+
+
+def test_ingest_cli_config_redirects_mapping(spark, tmp_path, monkeypatch, capsys):
+    """The TOML config source is wired into the CLI for real (review-
+    caught: it was load-only before): a --config redirecting company_name
+    to the FilerName element changes the silver company dim without any
+    code edit; the default chain (no --config) keeps the shipped
+    defaults."""
+    monkeypatch.setenv("EDINET_API_KEY", "test-key")
+    cfg = tmp_path / "alt.toml"
+    cfg.write_text(
+        "[xbrl_mapping.company]\n"
+        'edinet_code = "jpdei_cor:EDINETCodeDEI"\n'
+        'security_code = "jpdei_cor:SecurityCodeDEI"\n'
+        'industry_code = "jpdei_cor:IndustryCodeDEI"\n'
+        'company_name = "jpdei_cor:FilerNameInJapaneseDEI"\n'
+    )
+    out = str(tmp_path / "silver")
+    rc = ingest.main(
+        ["2024-02-09", "--out-dir", out,
+         "--download-dir", str(tmp_path / "dl"),
+         "--config", str(cfg), "--summary"],
+        transport=_transport,
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out.splitlines()
+    names = {json.loads(line)["company_name"] for line in stdout[1:]}
+    assert names == {"別名甲株式会社", "別名乙株式会社"}

@@ -177,3 +177,52 @@ def test_empty_track_rejected_at_encode():
             "handler": b"soun", "fourcc": b"mp4a", "audio_rate": 8000,
             "sample_sizes": [],
         }])
+
+
+def test_dispatch_priority_matches_certified_decoder():
+    """A non-MP4 payload whose bytes 4:8 spell 'ftyp' (a RIFF whose
+    little-endian size field is 0x70797466) must route exactly where
+    decode_media routes it — the wrapper extends the MP4 leg, never
+    diverges (review-caught)."""
+    wav = bytearray(multimodal.synthesize_media(1, 50))  # doc_id%6==1 → WAV
+    wav[4:8] = b"ftyp"
+    patched = bytes(wav)
+    assert multimodal.decode_media(patched)["media_kind"] == "wav"
+    assert decode_media_full(patched) == multimodal.decode_media(patched)
+
+
+def test_audio_rate_zero_falls_back_to_mdhd_and_raises_without_it():
+    """samplerate 0 in the AudioSampleEntry falls back to the mdhd
+    timescale; with BOTH sources absent the decoder raises its ValueError
+    contract instead of crashing int(None) (review-caught)."""
+    from ir_analyses_spark.llm.media_mp4 import _mp4_box
+
+    content = bytearray(synthesize_media_sampled(6, 17))  # audio-only
+    i = bytes(content).index(b"mp4a")
+    # samplerate sits 24 bytes into the entry payload (after size+fourcc)
+    struct.pack_into(">I", content, i + 4 + 24, 0)
+    got = decode_mp4_full(bytes(content))
+    assert got["sample_rate"] == 600 * (6 % 5 + 1)  # mdhd timescale
+
+    # hand-build a trak with NO mdhd: tkhd + mdia(hdlr + minf/stbl/stsd)
+    entry = _mp4_box(
+        b"mp4a",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+        + struct.pack(">HHI", 1, 16, 0) + struct.pack(">I", 0),  # rate 0
+    )
+    stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    hdlr = _mp4_box(
+        b"hdlr",
+        b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"x\x00",
+    )
+    tkhd = _mp4_box(b"tkhd", b"\x00" * 84 + struct.pack(">II", 0, 0))
+    mdia = _mp4_box(b"mdia", hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 100)
+        + b"\x00" * 80,
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+    ftyp = _mp4_box(b"ftyp", b"isom")
+    with pytest.raises(ValueError, match="no mdhd timescale"):
+        decode_mp4_full(ftyp + moov)

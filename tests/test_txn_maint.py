@@ -264,3 +264,32 @@ def test_optimize_zorder_single_column_is_plain_sort(spark, tmp_path):
     assert got == [(i, i * 7 % 400) for i in range(400)]
     with pytest.raises(ValueError, match="two columns"):
         run_maintenance_sql(spark, f"OPTIMIZE '{t}' ZORDER BY (a, b, a)")
+
+
+def test_retain_hours_detects_concurrent_commit_race(spark, tmp_path, monkeypatch):
+    """TOCTOU (review-caught): txn.vacuum keeps the newest N of ITS OWN
+    listing, so a commit landing between the hours->count computation and
+    the vacuum shifts the window and retires in-retention manifests. The
+    statement surface detects exactly that case from the removed count
+    and raises instead of returning metrics that hide the loss."""
+    import os
+    import time
+
+    t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
+    old = time.time() - 2 * 3600
+    for v in (1, 2):
+        os.utime(txn._log_path(t, v), (old, old))
+
+    real_vacuum = txn.vacuum
+
+    def racing_vacuum(table, **kwargs):
+        # the concurrent writer lands v4 after the count was computed
+        txn.append(_mk(spark, [(9, "z", 90)]), table)
+        return real_vacuum(table, **kwargs)
+
+    monkeypatch.setattr(txn, "vacuum", racing_vacuum)
+    with pytest.raises(RuntimeError, match="raced a concurrent commit"):
+        run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS")
+    # v3 WAS retired by the shifted window — the loss is reported, not
+    # hidden (vacuum cannot be undone; the error is the contract)
+    assert [r["version"] for r in txn.history(t)] == [4]
