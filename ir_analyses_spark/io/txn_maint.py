@@ -229,7 +229,11 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
                 # (the deletion cannot be undone; r8 closes the race for
                 # real by giving txn.vacuum a keep_from_version floor
                 # alongside the deferred history()-message fix).
-                max_expected_removed = n_listed - keep
+                # clamp: keep has a floor of 1, so a pathological empty
+                # listing (everything retired out-of-band between the
+                # existence check and the plan) would yield -1 and turn a
+                # zero-removal vacuum into a false race report
+                max_expected_removed = max(0, n_listed - keep)
         res = txn.vacuum(table, **kwargs)
         if (
             max_expected_removed is not None
