@@ -23,8 +23,10 @@ they stay on the driver like the reference; everything after the extract
 distributed path shared with backfill.py, sized for the full corpus.
 
 Exit codes: 0 = loaded (quarantine counts to stderr, table counts to
-stdout as one JSON line, like backfill.py); 1 = usage; 2 = API failure
-with --skip-errors unset or nothing ingested at all.
+stdout as one JSON line, like backfill.py); 2 = usage error (argparse's
+fixed code); 3 = API failure with --skip-errors unset, or nothing
+ingested at all — distinct from usage so a retrying scheduler can tell
+a transient API failure from a permanent typo (review-caught).
 """
 
 from __future__ import annotations
@@ -92,7 +94,7 @@ def main(argv: list[str] | None = None, transport=None) -> int:
             )
         except EdinetApiError as e:
             print(f"ingest failed: {e}", file=sys.stderr)
-            return 2
+            return 3
         for ctx, msg in errors:
             print(f"skipped {ctx}: {msg}", file=sys.stderr)
         if not paths:
@@ -100,7 +102,7 @@ def main(argv: list[str] | None = None, transport=None) -> int:
                 "no quarterly filings ingested for the given dates",
                 file=sys.stderr,
             )
-            return 2
+            return 3
 
         from ir_analyses_spark.etl import pipeline
         from ir_analyses_spark.etl.config_toml import load_config, xbrl_mappings

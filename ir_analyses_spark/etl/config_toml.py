@@ -107,6 +107,16 @@ def xbrl_mappings(config: dict | None = None) -> tuple[dict, dict]:
                 f"(column = \"element-id\" pairs); got "
                 f"{type(mapping).__name__}"
             )
+        if not mapping:
+            # present-but-empty would silently fall back to defaults
+            # downstream (conform's `mapping or DEFAULT` treats {} as
+            # absent) while dropping just ONE key fails loudly — the two
+            # shapes of the same operator mistake must not get opposite
+            # behavior (review-caught)
+            raise ValueError(
+                f"[xbrl_mapping.{key}] is present but empty: delete the "
+                f"section to use the defaults, or list the full mapping"
+            )
         bad = {k: v for k, v in mapping.items() if not isinstance(v, str)}
         if bad:
             raise ValueError(
@@ -124,12 +134,18 @@ def conform_all_with_mappings(
 ) -> dict:
     """``conform.conform_all`` with the TOML-loaded mappings injected.
 
-    With both mappings None this DELEGATES to ``conform_all`` (zero
-    drift in the default path); otherwise it composes the same four
-    conform functions with the mappings passed through — the bundle
-    shape is identical either way, so ``pipeline.backfill_from_csvs``
-    can treat the two interchangeably."""
-    if company_mapping is None and report_mapping is None:
+    With the mappings absent OR value-equal to the in-code defaults this
+    DELEGATES to ``conform_all`` — the CLIs always pass materialized
+    dicts from ``xbrl_mappings`` (the defaults when no file overrides
+    them), so delegation must key on VALUE, not None-ness, or the
+    default path would never actually share conform_all's composition
+    (review-caught). Only a genuine override takes the explicit-mapping
+    composition below — the same four conform functions, same bundle
+    shape."""
+    if company_mapping in (None, XBRL_COMPANY_MAPPING) and report_mapping in (
+        None,
+        XBRL_REPORT_MAPPING,
+    ):
         return conform.conform_all(std)
     companies, company_rejects = conform.conform_companies(std, company_mapping)
     reports, report_rejects = conform.conform_reports(std, companies, report_mapping)

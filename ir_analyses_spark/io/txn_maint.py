@@ -97,9 +97,9 @@ def _require_table(table: str) -> str:
     return table
 
 
-def _keep_versions_for_hours(table: str, hours: float) -> int:
-    """Map Delta's time-based retention onto the format's version-count
-    vacuum contract (``txn.vacuum(keep_versions=…)``).
+def _hours_retention_plan(table: str, hours: float) -> tuple[int, int]:
+    """(keep_versions, n_live): map Delta's time-based retention onto the
+    format's version-count vacuum contract (``txn.vacuum(keep_versions)``).
 
     Manifests are written once at commit and never modified, so each
     manifest's filesystem mtime IS its commit wall-clock. Vacuum retires
@@ -110,30 +110,30 @@ def _keep_versions_for_hours(table: str, hours: float) -> int:
     retention — never widen deletion past an in-retention manifest. The
     current version always survives (Delta's invariant — VACUUM never
     deletes the live snapshot), hence the floor of 1.
-    """
-    return _hours_retention_plan(table, hours)[0]
 
-
-def _hours_retention_plan(table: str, hours: float) -> tuple[int, int]:
-    """(keep_versions, n_listed) from ONE version listing — both numbers
-    must come from the same listing or the race detection in
-    ``run_maintenance_sql`` has a blind spot between two listings."""
+    Both numbers come from ONE listing pass — computed separately, the
+    race detection in ``run_maintenance_sql`` has a blind spot. ``n_live``
+    counts only manifests that still EXISTED at stat time: a manifest
+    retired by a concurrent vacuum between the listing and the stat must
+    not inflate the expected-removal bound, or it would mask exactly the
+    concurrent-commit race the bound exists to surface (review-caught)."""
     if hours < 0:
         raise ValueError("RETAIN … HOURS takes a non-negative duration")
     cutoff = time.time() - hours * 3600.0
-    versions = txn._list_versions(table)
-    keep = 0
-    for i, v in enumerate(versions):
+    stamped = []
+    for v in txn._list_versions(table):
         try:
-            mtime = os.path.getmtime(txn._log_path(table, v))
+            stamped.append((v, os.path.getmtime(txn._log_path(table, v))))
         except FileNotFoundError:
             # concurrent vacuum retired this manifest between the listing
-            # and the stat — it no longer needs retaining
+            # and the stat — it no longer needs retaining NOR counting
             continue
+    keep = 0
+    for i, (_v, mtime) in enumerate(stamped):
         if mtime >= cutoff:
-            keep = len(versions) - i
+            keep = len(stamped) - i
             break
-    return max(keep, 1), len(versions)
+    return max(keep, 1), len(stamped)
 
 
 def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:

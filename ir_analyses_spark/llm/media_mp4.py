@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 
 from .multimodal import (
     MEDIA_CODEC_SCHEMA,
+    _PNG_SIG,
     _find_box,
     _mp4_box,
     _walk_boxes,
@@ -63,18 +64,18 @@ def _parse_fullbox_times(content: bytes, s: int, what: str) -> tuple[int, int]:
     return timescale, duration
 
 
-def _parse_stsz(content: bytes, s: int, e: int) -> tuple[int, list[int]]:
-    """(sample_count, sizes): fixed-size tables return [] for sizes."""
+def _parse_stsz(content: bytes, s: int, e: int) -> int:
+    """Sample count, with the variable-size entry table bounds-checked
+    but never materialized (no caller needs per-sample sizes, and a
+    million-sample trak would otherwise allocate a million Python ints
+    per row in the mapInPandas hot path — review-caught)."""
     sample_size, sample_count = struct.unpack_from(">II", content, s + 4)
-    if sample_size != 0:
-        return sample_count, []
-    if s + 12 + 4 * sample_count > e:
+    if sample_size == 0 and s + 12 + 4 * sample_count > e:
         raise ValueError(
             f"truncated stsz: {sample_count} entries declared, box holds "
             f"{(e - s - 12) // 4}"
         )
-    sizes = list(struct.unpack_from(f">{sample_count}I", content, s + 12))
-    return sample_count, sizes
+    return sample_count
 
 
 def _parse_chunk_offsets(
@@ -113,10 +114,28 @@ def _parse_trak(content: bytes, ts: int, te: int) -> dict:
     if hdlr is None:
         raise ValueError("mdia missing hdlr")
     handler = content[hdlr[0] + 8 : hdlr[0] + 12]
+    out: dict = {
+        "handler": handler,
+        "fourcc": None,
+        "media_timescale": None,
+        "width": None,
+        "height": None,
+        "audio_rate": None,
+        "n_samples": None,
+        "chunk_offsets": None,
+    }
+    if handler not in (b"vide", b"soun"):
+        # non-sample-bearing traks (chapter/meta/hint) carry no stbl in
+        # the wild; decode_mp4 skips them right after the hdlr check, so
+        # requiring sample tables here would make this decoder REJECT
+        # files the certified one accepts (review-caught) — they still
+        # count toward the track total, nothing more
+        return out
     mdhd = _find_box(content, mdia[0], mdia[1], b"mdhd")
     media_timescale = (
         _parse_fullbox_times(content, mdhd[0], "mdhd")[0] if mdhd else None
     )
+    out["media_timescale"] = media_timescale
     minf = _find_box(content, mdia[0], mdia[1], b"minf")
     stbl = _find_box(content, minf[0], minf[1], b"stbl") if minf else None
     if stbl is None:
@@ -128,18 +147,7 @@ def _parse_trak(content: bytes, ts: int, te: int) -> dict:
     (n_entries,) = struct.unpack_from(">I", content, ss + 4)
     if n_entries < 1:
         raise ValueError("empty stsd sample description")
-    fourcc = content[ss + 12 : ss + 16].decode("ascii", "replace")
-
-    out: dict = {
-        "handler": handler,
-        "fourcc": fourcc,
-        "media_timescale": media_timescale,
-        "width": None,
-        "height": None,
-        "audio_rate": None,
-        "n_samples": None,
-        "chunk_offsets": None,
-    }
+    out["fourcc"] = content[ss + 12 : ss + 16].decode("ascii", "replace")
     if handler == b"vide":
         tv = content[tkhd[0]]
         if tv not in (0, 1):
@@ -164,7 +172,7 @@ def _parse_trak(content: bytes, ts: int, te: int) -> dict:
         out["audio_rate"] = rate if rate > 0 else media_timescale
     stsz = _find_box(content, stbl[0], stbl[1], b"stsz")
     if stsz is not None:
-        out["n_samples"] = _parse_stsz(content, stsz[0], stsz[1])[0]
+        out["n_samples"] = _parse_stsz(content, stsz[0], stsz[1])
     out["chunk_offsets"] = _parse_chunk_offsets(content, stbl[0], stbl[1])
     return out
 
@@ -233,8 +241,6 @@ def decode_media_full(content: bytes) -> dict:
     0x70797466) routes exactly where the certified decoder routes it —
     this wrapper must never DIVERGE from decode_media, only extend its
     MP4 leg (review-caught)."""
-    from .multimodal import _PNG_SIG
-
     takes_priority = (
         content[:2] == b"BM"
         or (content[:4] == b"RIFF" and content[8:12] == b"WAVE")

@@ -116,3 +116,39 @@ def test_malformed_sections_rejected_loudly(tmp_path):
     cfg.write_text("xbrl_mapping = 3\n")
     with pytest.raises(ValueError, match=r"\[xbrl_mapping\] must be"):
         xbrl_mappings(load_config(str(cfg)))
+
+
+def test_empty_present_section_rejected(tmp_path):
+    """Review-caught: conform's `mapping or DEFAULT` treats {} as absent,
+    so a present-but-empty section would silently apply defaults while
+    dropping one key fails loudly — same operator mistake, opposite
+    behavior. Reject the empty section at load."""
+    cfg = tmp_path / "config.toml"
+    cfg.write_text("[xbrl_mapping.company]\n")
+    with pytest.raises(ValueError, match="present but empty"):
+        xbrl_mappings(load_config(str(cfg)))
+
+
+def test_default_mappings_delegate_to_conform_all(spark, monkeypatch):
+    """Review-caught: the CLIs always pass materialized dicts, so
+    delegation keys on VALUE — defaults (from any source) must share
+    conform_all's composition; only a genuine override takes the
+    explicit path."""
+    from ir_analyses_spark.etl import config_toml
+
+    calls = []
+    real = conform.conform_all
+    monkeypatch.setattr(
+        conform, "conform_all", lambda std: calls.append(1) or real(std)
+    )
+    std = _std(
+        spark,
+        _filing("2", "第10期 第2四半期(自 2023年4月1日 至 2023年6月30日)",
+                "1", "1", "1", "1", "jppfs_cor:NetSales"),
+    )
+    company_map, report_map = xbrl_mappings({})  # materialized defaults
+    config_toml.conform_all_with_mappings(std, company_map, report_map)
+    assert calls == [1]  # value-equal defaults delegated
+    override = dict(company_map, company_name="jpdei_cor:FilerNameInJapaneseDEI")
+    config_toml.conform_all_with_mappings(std, override, report_map)
+    assert calls == [1]  # the override did NOT delegate

@@ -112,9 +112,9 @@ def test_ingest_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
 
 
 def test_ingest_cli_error_paths(spark, tmp_path, monkeypatch, capsys):
-    """All-or-nothing by default (exit 2 before any Spark work); with
-    --skip-errors bad dates are reported to stderr and the good date
-    still lands; a date with zero quarterly filings exits 2."""
+    """All-or-nothing by default (exit 3 before any Spark work — usage
+    errors own argparse's 2); with --skip-errors bad dates are reported
+    to stderr and the good date still lands."""
     monkeypatch.setenv("EDINET_API_KEY", "test-key")
     out = str(tmp_path / "silver")
     rc = ingest.main(
@@ -122,7 +122,7 @@ def test_ingest_cli_error_paths(spark, tmp_path, monkeypatch, capsys):
          "--download-dir", str(tmp_path / "dl")],
         transport=_transport,
     )
-    assert rc == 2
+    assert rc == 3  # distinct from argparse's usage code 2
     assert "ingest failed" in capsys.readouterr().err
 
     rc = ingest.main(

@@ -226,3 +226,33 @@ def test_audio_rate_zero_falls_back_to_mdhd_and_raises_without_it():
     ftyp = _mp4_box(b"ftyp", b"isom")
     with pytest.raises(ValueError, match="no mdhd timescale"):
         decode_mp4_full(ftyp + moov)
+
+
+def test_non_sample_bearing_trak_tolerated():
+    """Real MP4s carry chapter/meta traks with tkhd+mdia+hdlr but no
+    stbl; decode_mp4 skips them after the hdlr check, so the full decoder
+    must too — only counting them toward the track total (review-caught:
+    requiring stsd on every trak rejected files the certified decoder
+    accepts)."""
+    from ir_analyses_spark.llm.media_mp4 import _mp4_box
+
+    base = synthesize_media_sampled(7, 23)  # video-only with sample table
+    moov_start = base.index(b"moov")
+    # hand-build a minimal non-AV trak: tkhd + mdia(hdlr only)
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"text" + b"\x00" * 12 + b"c\x00")
+    tkhd = _mp4_box(b"tkhd", b"\x00" * 84 + struct.pack(">II", 0, 0))
+    trak = _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", hdlr))
+    # splice it into moov and re-size the moov box header
+    moov_size = struct.unpack_from(">I", base, moov_start - 4)[0]
+    patched = (
+        base[: moov_start - 4]
+        + struct.pack(">I", moov_size + len(trak))
+        + base[moov_start : moov_start - 4 + moov_size]
+        + trak
+        + base[moov_start - 4 + moov_size :]
+    )
+    got = decode_mp4_full(patched)
+    want = decode_mp4_full(base)
+    assert got["peak"] == want["peak"] + 1  # the extra trak counts
+    for k in ("media_kind", "width", "height", "sample_rate", "n_samples"):
+        assert got[k] == want[k]  # features still from the video track

@@ -188,14 +188,14 @@ def test_vacuum_retain_hours_lifecycle(spark, tmp_path):
     import os
     import time
 
-    from ir_analyses_spark.io.txn_maint import _keep_versions_for_hours
+    from ir_analyses_spark.io.txn_maint import _hours_retention_plan
 
     t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
     old = time.time() - 2 * 3600  # two hours ago
     for v in (1, 2):
         os.utime(txn._log_path(t, v), (old, old))
     # cutoff 1h: versions 1-2 are outside retention, current (3) inside
-    assert _keep_versions_for_hours(t, 1.0) == 1
+    assert _hours_retention_plan(t, 1.0)[0] == 1
     res = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS").collect()[0]
     assert res["removed_versions"] == 2
     assert [r["version"] for r in txn.history(t)] == [3]
@@ -216,13 +216,13 @@ def test_vacuum_retain_hours_anomaly_widens_retention_not_deletion(
     import os
     import time
 
-    from ir_analyses_spark.io.txn_maint import _keep_versions_for_hours
+    from ir_analyses_spark.io.txn_maint import _hours_retention_plan
 
     t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
     old = time.time() - 2 * 3600
     # v1 recent (anomalous: older version, newer mtime), v2 old, v3 recent
     os.utime(txn._log_path(t, 2), (old, old))
-    assert _keep_versions_for_hours(t, 1.0) == 3  # v1 in-retention → keep all
+    assert _hours_retention_plan(t, 1.0)[0] == 3  # v1 in-retention → keep all
     res = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS").collect()[0]
     assert res["removed_versions"] == 0
     assert [r["version"] for r in txn.history(t)] == [1, 2, 3]
