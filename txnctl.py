@@ -7,6 +7,7 @@ printed as one JSON line per row (machine-readable, like bench.py).
     python txnctl.py "DESCRIBE HISTORY '/data/t'"
     python txnctl.py "OPTIMIZE '/data/t' ZORDER BY (k, v)"
     python txnctl.py "VACUUM '/data/t' RETAIN 3 VERSIONS"
+    python txnctl.py "VACUUM '/data/t' RETAIN 168 HOURS"
     python txnctl.py "RESTORE '/data/t' TO VERSION AS OF 2"
 
 Runs identically under plain python and spark-submit. Exit codes:
