@@ -293,3 +293,56 @@ def test_retain_hours_detects_concurrent_commit_race(spark, tmp_path, monkeypatc
     # v3 WAS retired by the shifted window — the loss is reported, not
     # hidden (vacuum cannot be undone; the error is the contract)
     assert [r["version"] for r in txn.history(t)] == [4]
+
+
+def test_hours_retention_plan_properties(spark, tmp_path):
+    """Model-checks the hours→keep_versions mapping over random mtime
+    assignments (a destructive path deserves property coverage):
+    (a) keep has a floor of 1 (the live snapshot always survives);
+    (b) the kept suffix starts at the OLDEST in-retention manifest —
+        no in-retention manifest is ever left outside it, even under
+        non-monotone (anomalous) mtimes;
+    (c) retention widens monotonically with the hours argument."""
+    import os
+    import time
+
+    from hypothesis import given, settings, strategies as st
+
+    from ir_analyses_spark.io.txn_maint import _hours_retention_plan
+
+    t = str(tmp_path / "t")
+    txn.overwrite(_mk(spark, [(1, "a", 10)]), t)
+    for i in range(5):
+        txn.append(_mk(spark, [(2 + i, "b", 20 + i)]), t)
+    versions = txn._list_versions(t)  # 6 versions
+    now = time.time()
+
+    # integer ages vs half-offset hours: the cutoff can never collide
+    # with a manifest mtime, so the model's clock and the plan's clock
+    # (microseconds apart) agree on which side every manifest falls
+    @settings(max_examples=120, deadline=None)
+    @given(
+        ages_h=st.lists(st.integers(0, 10), min_size=6, max_size=6),
+        hours_base=st.integers(0, 10),
+    )
+    def run(ages_h, hours_base):
+        hours = hours_base + 0.5
+        for v, age in zip(versions, ages_h):
+            ts = now - age * 3600
+            os.utime(txn._log_path(t, v), (ts, ts))
+        keep, n_live = _hours_retention_plan(t, hours)
+        assert n_live == len(versions)
+        assert 1 <= keep <= len(versions)  # (a)
+        cutoff = now - hours * 3600
+        in_retention = [
+            v for v, age in zip(versions, ages_h) if now - age * 3600 >= cutoff
+        ]
+        if in_retention:
+            oldest_kept_idx = len(versions) - keep
+            # (b): every in-retention manifest sits inside the kept suffix
+            assert set(in_retention) <= set(versions[oldest_kept_idx:])
+        # (c) monotonicity in hours
+        keep_wider, _ = _hours_retention_plan(t, hours + 1.0)
+        assert keep_wider >= keep
+
+    run()
