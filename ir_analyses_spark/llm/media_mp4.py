@@ -247,8 +247,17 @@ def decode_media_full(content: bytes) -> dict:
         or content[:8] == _PNG_SIG
         or content[:2] == b"\xff\xd8"
     )
-    if not takes_priority and content[4:8] == b"ftyp":
-        return decode_mp4_full(content)
+    if not takes_priority:
+        if content[4:8] == b"ftyp":
+            return decode_mp4_full(content)
+        from .media_mp3 import decode_mp3_meta, looks_like_mp3
+
+        # MP3 can only be claimed for payloads decode_media REFUSES
+        # (its magic set is disjoint from every certified format: JPEG
+        # is ff d8, the MP3 sync is ff e*), so this too extends, never
+        # diverges
+        if looks_like_mp3(content):
+            return decode_mp3_meta(content)
     return decode_media(content)
 
 
