@@ -93,6 +93,10 @@ def decode_mp3_meta(content: bytes) -> dict:
     peak_kbps = 0
     rate: int | None = None
     while pos < len(content):
+        if len(content) - pos == 128 and content[pos : pos + 3] == b"TAG":
+            # trailing ID3v1 tag — ubiquitous on real files; metadata,
+            # not a lost sync
+            break
         if pos + 4 > len(content):
             raise ValueError(
                 f"truncated MP3: {len(content) - pos} trailing bytes are "

@@ -129,3 +129,13 @@ def test_spark_pipeline_oracle_predicted(spark):
         assert row["sample_rate"] == RATES[doc_id % 3]
         assert row["n_samples"] == n_frames * 1152
         assert row["peak"] == max(KBPS[(doc_id + i) % 5] for i in range(n_frames))
+
+
+def test_trailing_id3v1_tag_tolerated():
+    """Real files ubiquitously end with a 128-byte ID3v1 'TAG' trailer —
+    metadata, not a lost sync; anything else trailing still raises."""
+    bare = encode_mp3_frames([128] * 3, 44100)
+    tagged = bare + b"TAG" + b"\x00" * 125
+    assert decode_mp3_meta(tagged) == decode_mp3_meta(bare)
+    with pytest.raises(ValueError, match="lost MP3 frame sync"):
+        decode_mp3_meta(bare + b"TAG" + b"\x00" * 60)  # not 128 bytes
