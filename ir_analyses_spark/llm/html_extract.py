@@ -1,0 +1,224 @@
+"""HTML → text extraction for web-corpus curation (SURVEY §2B LLM ext —
+the step between a crawl source and the quality/dedup operators).
+
+Two tiers, matching how production pipelines (C4, RefinedWeb) split the
+work:
+
+- :func:`strip_tags_df` — the JVM fast path: script/style removal, tag
+  stripping, entity decoding for the handful of named entities that
+  dominate real text, whitespace normalization — all `regexp_replace`
+  column expressions inside whole-stage codegen. One scan, no Python.
+  Suitable for bulk filtering where exact block structure doesn't
+  matter. Has a DuckDB twin (:func:`strip_tags_sql`) for differential
+  testing.
+- :func:`extract_text_df` — the faithful path: a stdlib
+  ``html.parser.HTMLParser`` state machine run per document inside an
+  Arrow-batched ``mapInPandas`` (never row-at-a-time Python): block
+  structure becomes newlines/blank lines, script/style/template/head
+  subtrees are dropped, ``<title>`` is captured, full charref decoding,
+  and the anchor-text character fraction is reported as the classic
+  link-density boilerplate signal.
+
+Scale posture: both tiers are per-row map work — no shuffle, no state,
+no collect; throughput is bounded by scan + CPU and parallelizes with
+partitions. The Python tier ships text through Arrow in batches and
+holds only one batch in memory per task.
+
+New module per the evidence-ledger rule; not in the driver registry
+(growth frozen this round). Verified by `tests/test_html_extract.py`:
+DuckDB parity for the JVM tier, hand-computed expected text + a
+differential vs an independent regex reference for the parser tier, and
+an e2e chain into `llm/quality_rules`.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: Subtrees whose text is never content.
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head"})
+#: Elements that terminate a paragraph (blank line in the output).
+_PARA_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+     "article", "section", "table", "ul", "ol"}
+)
+#: Elements that terminate a line.
+_LINE_TAGS = frozenset({"br", "li", "tr", "td", "th", "dt", "dd", "hr"})
+#: Void elements: their start tag never opens a skip scope.
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+#: Named entities decoded by the JVM fast path (the long tail is the
+#: parser tier's job); order matters — ``&amp;`` must decode LAST so
+#: ``&amp;lt;`` becomes the literal ``&lt;`` not ``<``.
+FAST_PATH_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: Shared by the Spark expression and the DuckDB twin — so the patterns
+#: must stay inside the Java∩RE2 regex subset: inline flags, no
+#: backreferences (script and style get separate patterns).
+_STRIP_PATTERNS = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]+>",
+)
+
+
+class _TextExtractor(HTMLParser):
+    """Stream HTML into (title, block-structured text, link char stats)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._parts: list[str] = []
+        self._title_parts: list[str] = []
+        self._skip_depth = 0
+        self._in_title = False
+        self._anchor_depth = 0
+        self.link_chars = 0
+        self.text_chars = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            if tag == "title":
+                # <head> is a skip scope but its title IS wanted
+                self._in_title = True
+            return
+        if tag == "title":
+            self._in_title = True
+        elif tag == "a":
+            self._anchor_depth += 1
+        elif tag in _PARA_TAGS:
+            self._parts.append("\n\n")
+        elif tag in _LINE_TAGS:
+            self._parts.append("\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if tag == "title":
+            self._in_title = False
+        elif tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        elif self._skip_depth:
+            return
+        elif tag in _PARA_TAGS:
+            self._parts.append("\n\n")
+        # line tags break on start only — breaking on both sides would
+        # turn adjacent <li>s into a paragraph break
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+            return
+        if self._skip_depth:
+            return
+        n = len(data.strip())
+        if n:
+            self.text_chars += n
+            if self._anchor_depth:
+                self.link_chars += n
+        self._parts.append(data)
+
+    def result(self) -> tuple[str | None, str, float | None]:
+        raw = "".join(self._parts)
+        # collapse intra-line whitespace, then whitespace around breaks,
+        # then 3+ newlines → paragraph break
+        raw = re.sub(r"[ \t\r\f\v]+", " ", raw)
+        raw = re.sub(r" ?\n ?", "\n", raw)
+        raw = re.sub(r"\n{3,}", "\n\n", raw).strip()
+        title = " ".join("".join(self._title_parts).split()) or None
+        frac = (
+            self.link_chars / self.text_chars if self.text_chars else None
+        )
+        return title, raw, frac
+
+
+def html_to_text(html: str) -> tuple[str | None, str, float | None]:
+    """Parse one document → (title, text, link_char_frac). Pure Python;
+    exposed so tests and non-Spark callers share the exact semantics."""
+    p = _TextExtractor()
+    p.feed(html or "")
+    p.close()
+    return p.result()
+
+
+_EXTRACT_SCHEMA = (
+    "doc_id long, title string, text string, link_char_frac double"
+)
+
+
+def extract_text_df(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Faithful HTML→text over an Arrow-batched ``mapInPandas``.
+
+    Input needs (doc_id, ``html_col``); output is one row per input row:
+    (doc_id, title, text, link_char_frac). Malformed HTML never raises —
+    ``html.parser`` is a tolerant streaming parser by design.
+    """
+    src = docs.select("doc_id", F.col(html_col).alias("html"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = [html_to_text(h) for h in b["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "title": [t for t, _, _ in out],
+                    "text": [x for _, x, _ in out],
+                    "link_char_frac": [f for _, _, f in out],
+                }
+            )
+
+    return src.mapInPandas(run, schema=_EXTRACT_SCHEMA)
+
+
+def strip_tags_expr(col):
+    """JVM fast path as a column expression: drop script/style subtrees
+    and comments, strip tags, decode the dominant entities, collapse
+    whitespace. Java regex; all inside whole-stage codegen."""
+    c = col
+    for pat in _STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    for ent, rep in FAST_PATH_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_tags_df(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, text) via the JVM fast path — one codegen projection."""
+    return docs.select(
+        "doc_id", strip_tags_expr(F.col(html_col)).alias("text")
+    )
+
+
+def strip_tags_sql(table: str) -> str:
+    """DuckDB twin of :func:`strip_tags_df` — the SAME `_STRIP_PATTERNS`
+    (Java∩RE2 subset, inline flags), 'g' for global."""
+    if not re.fullmatch(r"\w+", table):
+        raise ValueError(f"table must be an identifier, got {table!r}")
+    expr = "html"
+    for pat in _STRIP_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    for e, r in FAST_PATH_ENTITIES:
+        rr = r.replace("'", "''")
+        expr = f"replace({expr}, '{e}', '{rr}')"
+    expr = rf"trim(regexp_replace({expr}, '\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {expr} AS text FROM {table}"
