@@ -1,0 +1,163 @@
+"""WARC source (io/warc.py): synthesized plain + member-gzip archives,
+HTTP response parsing, strict/permissive corruption handling, and the
+full crawl chain WARC → HTML extraction → quality rules."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from ir_analyses_spark.io.warc import (
+    WarcFormatError,
+    iter_warc_records,
+    read_warc,
+    split_http_response,
+)
+from ir_analyses_spark.llm.html_extract import extract_text_df
+from ir_analyses_spark.llm.quality_rules import quality_signals_df
+
+HTML_A = (
+    "<html><head><title>A</title></head><body><p>the cat sat on the mat "
+    "and that was that</p></body></html>"
+).encode()
+HTML_B = "<html><body><h1>B page</h1><p>totally different text</p></body></html>".encode()
+
+
+def _record(rtype: str, payload: bytes, uri: str | None = None, seq: int = 0) -> bytes:
+    lines = [
+        b"WARC/1.0",
+        f"WARC-Type: {rtype}".encode(),
+        f"WARC-Record-ID: <urn:uuid:0000-{seq}>".encode(),
+        b"WARC-Date: 2023-05-06T07:08:09Z",
+    ]
+    if uri:
+        lines.append(f"WARC-Target-URI: {uri}".encode())
+    if rtype == "response":
+        lines.append(b"Content-Type: application/http; msgtype=response")
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(status: str, ctype: str, body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\nX-Robot: nope\r\n\r\n"
+    ).encode() + body
+
+
+RECORDS = [
+    _record("warcinfo", b"software: synthetic-test\r\n", seq=0),
+    _record("request", b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n", "http://a.example/", 1),
+    _record("response", _http("200 OK", "text/html; charset=utf-8", HTML_A), "http://a.example/", 2),
+    _record("response", _http("404 Not Found", "text/plain", b"gone"), "http://a.example/x", 3),
+    _record("response", _http("200 OK", "text/html", HTML_B), "http://b.example/", 4),
+]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    (d / "plain.warc").write_bytes(b"".join(RECORDS))
+    # Common Crawl layout: one gzip member per record, concatenated
+    (d / "member.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in RECORDS))
+    return d
+
+
+def test_iter_warc_records_pure_python():
+    recs = list(iter_warc_records(b"".join(RECORDS)))
+    assert len(recs) == 5
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "response", "response",
+    ]
+    assert all(h["warc-version"] == "WARC/1.0" for h, _ in recs)
+    status, ctype, body = split_http_response(recs[2][1])
+    assert (status, ctype, body) == (200, "text/html; charset=utf-8", HTML_A)
+
+
+def test_read_plain_and_membergzip_agree(spark, warc_dir):
+    plain = read_warc(spark, str(warc_dir / "plain.warc")).collect()
+    gz = read_warc(spark, str(warc_dir / "member.warc.gz")).collect()
+    assert len(plain) == len(gz) == 5
+
+    def key(rows):
+        return [
+            (r["record_seq"], r["warc_type"], r["target_uri"],
+             r["content_length"], bytes(r["payload"]))
+            for r in sorted(rows, key=lambda r: r["record_seq"])
+        ]
+
+    assert key(plain) == key(gz)
+    r2 = key(plain)[2]
+    assert r2[1] == "response" and r2[2] == "http://a.example/"
+    assert plain[0]["warc_date"] is not None
+    assert plain[0]["warc_date"].year == 2023
+
+
+def test_read_directory_glob_and_http_parse(spark, warc_dir):
+    df = read_warc(spark, str(warc_dir), parse_http=True)
+    rows = df.collect()
+    assert len(rows) == 10  # both files
+    responses = [r for r in rows if r["warc_type"] == "response"]
+    assert all(r["http_status"] in (200, 404) for r in responses)
+    ok_html = [
+        r for r in responses
+        if r["http_status"] == 200 and "text/html" in (r["http_content_type"] or "")
+    ]
+    assert {bytes(r["body"]) for r in ok_html} == {HTML_A, HTML_B}
+    non_resp = [r for r in rows if r["warc_type"] != "response"]
+    assert all(r["http_status"] is None and r["body"] is None for r in non_resp)
+
+
+def test_corrupt_strict_raises(spark, tmp_path):
+    bad = b"".join(RECORDS[:2]) + RECORDS[2][: len(RECORDS[2]) - 40]
+    p = tmp_path / "trunc.warc"
+    p.write_bytes(bad)
+    with pytest.raises(Exception, match="payload runs past end of stream"):
+        read_warc(spark, str(p)).collect()
+
+
+def test_corrupt_permissive_keeps_parsed_prefix(spark, tmp_path):
+    bad = b"".join(RECORDS[:2]) + RECORDS[2][: len(RECORDS[2]) - 40]
+    p = tmp_path / "trunc2.warc"
+    p.write_bytes(bad)
+    rows = sorted(
+        read_warc(spark, str(p), permissive=True).collect(),
+        key=lambda r: r["record_seq"],
+    )
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "request", "_error"]
+    assert b"payload runs past" in bytes(rows[2]["payload"])
+
+
+def test_garbage_not_warc_strict_and_permissive(spark, tmp_path):
+    p = tmp_path / "junk.warc"
+    p.write_bytes(b"this is not a warc stream at all")
+    with pytest.raises(Exception, match="expected 'WARC/' record marker"):
+        read_warc(spark, str(p)).collect()
+    rows = read_warc(spark, str(p), permissive=True).collect()
+    assert [r["warc_type"] for r in rows] == ["_error"]
+
+
+def test_e2e_crawl_to_quality(spark, warc_dir):
+    """The full curation front half: WARC → HTTP bodies → HTML text →
+    quality signals, all DataFrame stages."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, str(warc_dir / "member.warc.gz"), parse_http=True)
+    pages = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.col("record_seq").cast("long").alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+        )
+    )
+    text = extract_text_df(pages)
+    sig = {r["doc_id"]: r for r in quality_signals_df(text).collect()}
+    assert set(sig) == {2, 4}
+    assert sig[2]["stopwords_present"] >= 2  # "the", "and", "that"
+    assert sig[2]["n_words"] == 10
+    titles = {r["doc_id"]: r["title"] for r in text.collect()}
+    assert titles[2] == "A" and titles[4] is None
