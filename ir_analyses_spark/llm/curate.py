@@ -1,0 +1,137 @@
+"""End-to-end crawl-curation pipeline (SURVEY §2B LLM ext — the
+composition layer): WARC → HTTP/HTML gate → URL canonicalization,
+blocklist, URL dedup, per-domain caps → text extraction → link-density
+gate → exact document dedup → line-level boilerplate removal → Gopher
+quality gate.
+
+This is the RefinedWeb/C4 preprocessing recipe expressed as one
+declarative DataFrame chain. Every stage is one of the repo's tested
+operators (`io/warc`, `llm/url_ops`, `llm/html_extract`,
+`llm/linedup`, `llm/quality_rules`); this module only composes and
+names them, so the pipeline inherits each stage's scale posture:
+per-file WARC tasks, codegen URL/quality expressions, hash-keyed
+broadcast anti-joins for blocklist and line dedup, and digest-keyed
+shuffles (never text-keyed) for the dedups. The only corpus-wide
+shuffles are the three the semantics require: global line frequency,
+doc reassembly, and the final content-hash dedup.
+
+``curation_stages`` exposes every intermediate DataFrame by name so
+tests (and operators-in-notebooks users) can count/inspect per-stage
+attrition — the funnel numbers a curation run reports.
+
+New module per the evidence-ledger rule; verified end-to-end by
+`tests/test_curate.py` on a synthesized multi-domain crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.warc import read_warc
+from .html_extract import extract_text_df
+from .linedup import dedup_units_within_doc, remove_global_duplicate_units
+from .quality_rules import gopher_flags_df
+from .url_ops import cap_per_domain, filter_blocked_domains, normalize_url_expr
+
+
+def curation_stages(
+    spark: SparkSession,
+    warc_path: str,
+    *,
+    blocked_domains: list[str] | None = None,
+    max_pages_per_domain: int = 100_000,
+    max_link_char_frac: float = 0.5,
+    line_dedup_min_docs: int = 2,
+    quality_thresholds: dict | None = None,
+    permissive: bool = True,
+) -> dict[str, DataFrame]:
+    """The curation funnel as named stages (each a DataFrame).
+
+    Keys, in order: ``records``, ``pages``, ``unblocked``, ``url_deduped``,
+    ``capped``, ``extracted``, ``content_like``, ``exact_deduped``,
+    ``line_deduped``, ``final``.
+
+    Exact content dedup runs BEFORE line-level dedup on purpose: two
+    byte-identical pages would otherwise make every one of their lines a
+    cross-document duplicate, and global line removal would hollow both
+    out instead of keeping one.
+    """
+    records = read_warc(
+        spark, warc_path, parse_http=True, permissive=permissive
+    )
+    pages = (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.lower(F.col("http_content_type")).startswith("text/html")
+            & F.col("target_uri").isNotNull()
+        )
+        .select(
+            F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias("doc_id"),
+            normalize_url_expr(F.col("target_uri")).alias("url"),
+            F.col("body").cast("string").alias("html"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+    unblocked = (
+        filter_blocked_domains(pages, blocked_domains)
+        if blocked_domains
+        else pages
+    )
+    # URL-level dedup: one fetch per canonical URL, deterministically the
+    # lowest doc_id (min over (doc_id, html) structs — ordered by doc_id)
+    url_deduped = (
+        unblocked.groupBy("url")
+        .agg(F.min(F.struct("doc_id", "html")).alias("r"))
+        .select("r.doc_id", "url", "r.html")
+    )
+    capped = cap_per_domain(url_deduped, max_pages_per_domain)
+    extracted = extract_text_df(capped).join(
+        capped.select("doc_id", "url"), "doc_id"
+    )
+    content_like = extracted.filter(
+        F.col("link_char_frac").isNotNull()
+        & (F.col("link_char_frac") <= max_link_char_frac)
+    )
+    # exact content dedup, digest-keyed: the text never rides the shuffle
+    exact_deduped = (
+        content_like.withColumn("_h", F.md5("text"))
+        .groupBy("_h")
+        .agg(F.min(F.struct("doc_id", "url", "title", "text")).alias("r"))
+        .select("r.doc_id", "r.url", "r.title", "r.text")
+    )
+    line_deduped = remove_global_duplicate_units(
+        dedup_units_within_doc(exact_deduped.select("doc_id", "text"), "line"),
+        "line",
+        line_dedup_min_docs,
+    ).join(exact_deduped.select("doc_id", "url", "title"), "doc_id")
+    final = (
+        gopher_flags_df(line_deduped, quality_thresholds)
+        .filter("passes_gopher")
+        .select("doc_id")
+        .join(line_deduped, "doc_id")
+        .select("doc_id", "url", "title", "text")
+    )
+    return {
+        "records": records,
+        "pages": pages,
+        "unblocked": unblocked,
+        "url_deduped": url_deduped,
+        "capped": capped,
+        "extracted": extracted,
+        "content_like": content_like,
+        "exact_deduped": exact_deduped,
+        "line_deduped": line_deduped,
+        "final": final,
+    }
+
+
+def curate_crawl(spark: SparkSession, warc_path: str, **kwargs) -> DataFrame:
+    """The curated corpus: (doc_id, url, title, text)."""
+    return curation_stages(spark, warc_path, **kwargs)["final"]
+
+
+def funnel_counts(stages: dict[str, DataFrame]) -> dict[str, int]:
+    """Row count per stage — the attrition report. Triggers one action
+    per stage; meant for auditing runs, not the hot path."""
+    return {name: df.count() for name, df in stages.items()}

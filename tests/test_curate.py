@@ -1,0 +1,137 @@
+"""End-to-end crawl curation (llm/curate.py) on a synthesized
+multi-domain crawl exercising every funnel stage."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
+
+NAV = "home | products | about"
+FOOTER = "copyright example corp"
+
+
+def _page(body_paras: list[str], title: str = "t") -> bytes:
+    body = "".join(f"<p>{p}</p>" for p in body_paras)
+    return (
+        f"<html><head><title>{title}</title></head><body>"
+        f"<p>{NAV}</p>{body}<p>{FOOTER}</p></body></html>"
+    ).encode()
+
+
+GOOD_A = _page(
+    ["the quick brown fox jumps over the lazy dog and runs to the river bank today"],
+    "Page A",
+)
+GOOD_B = _page(
+    ["an entirely different body of text that still has enough real words in the line"],
+    "Page B",
+)
+GOOD_C = _page(
+    ["a third page with its own long and unique sentence about the weather and the sea"],
+    "Page C",
+)
+SHORT = _page(["tiny"], "Too Short")
+LINKFARM = (
+    b"<html><body>"
+    + b"".join(
+        f'<a href="/{i}">link text number {i} goes here</a>'.encode()
+        for i in range(12)
+    )
+    + b"</body></html>"
+)
+
+
+def _record(uri: str, body: bytes, ctype: str = "text/html; charset=utf-8",
+            status: str = "200 OK", rtype: str = "response", seq: int = 0) -> bytes:
+    payload = (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n\r\n"
+    ).encode() + body
+    if rtype != "response":
+        payload = body
+    lines = [
+        b"WARC/1.0",
+        f"WARC-Type: {rtype}".encode(),
+        f"WARC-Record-ID: <urn:uuid:c-{seq}>".encode(),
+        b"WARC-Date: 2024-01-02T03:04:05Z",
+        f"WARC-Target-URI: {uri}".encode(),
+    ]
+    if rtype == "response":
+        lines.append(b"Content-Type: application/http; msgtype=response")
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+CRAWL = [
+    _record("http://goodsite.com/a", GOOD_A, seq=0),
+    _record("http://goodsite.com/b", GOOD_B, seq=1),
+    # URL-duplicate of /a (tracking param → same canonical URL)
+    _record("http://goodsite.com/a?utm_source=feed", GOOD_A, seq=2),
+    _record("http://other.org/c", GOOD_C, seq=3),
+    # exact-content duplicate of A on a different site
+    _record("http://dupe.net/copy", GOOD_A, seq=4),
+    _record("http://spam.example/z", GOOD_B, seq=5),  # blocked domain
+    _record("http://linkfarm.com/l", LINKFARM, seq=6),  # link density
+    _record("http://goodsite.com/short", SHORT, seq=7),  # fails quality
+    _record("http://goodsite.com/gone", b"nope", status="404 Not Found", seq=8),
+    _record("http://goodsite.com/api", b'{"j":1}', ctype="application/json", seq=9),
+    _record("http://goodsite.com/a", b"GET /a HTTP/1.1\r\n\r\n", rtype="request", seq=10),
+]
+
+
+@pytest.fixture(scope="module")
+def crawl_stages(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("crawl")
+    (d / "crawl.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in CRAWL))
+    return curation_stages(
+        spark,
+        str(d),
+        blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+    )
+
+
+def test_funnel_attrition(crawl_stages):
+    n = funnel_counts(crawl_stages)
+    assert n["records"] == 11
+    assert n["pages"] == 8          # drops 404, json, request
+    assert n["unblocked"] == 7      # drops spam.example
+    assert n["url_deduped"] == 6    # folds the utm duplicate of /a
+    assert n["capped"] == 6
+    assert n["extracted"] == 6
+    assert n["content_like"] == 5   # drops the link farm
+    assert n["exact_deduped"] == 4  # folds dupe.net's copy of A
+    assert n["line_deduped"] == 4
+    assert n["final"] == 3          # quality gate drops the short page
+
+
+def test_final_corpus_content(crawl_stages):
+    rows = crawl_stages["final"].collect()
+    by_title = {r["title"]: r for r in rows}
+    assert set(by_title) == {"Page A", "Page B", "Page C"}
+    for r in rows:
+        # cross-document boilerplate removed, body text intact
+        assert NAV not in r["text"]
+        assert FOOTER not in r["text"]
+    assert "quick brown fox" in by_title["Page A"]["text"]
+    assert by_title["Page A"]["url"] == "http://goodsite.com/a"
+    assert by_title["Page C"]["url"] == "http://other.org/c"
+
+
+def test_domain_cap_stage(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("capped_crawl")
+    (d / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in CRAWL)
+    )
+    stages = curation_stages(
+        spark,
+        str(d),
+        blocked_domains=["spam.example"],
+        max_pages_per_domain=1,
+        quality_thresholds={"min_words": 10},
+    )
+    capped = stages["capped"].collect()
+    domains = [r["url"].split("/")[2] for r in capped]
+    assert len(domains) == len(set(domains))  # ≤1 per registered domain
