@@ -74,6 +74,12 @@ def _nonblank(arr: Column) -> Column:
     return F.filter(arr, lambda x: x.rlike(r"\S"))
 
 
+def _sz(arr: Column) -> Column:
+    """NULL-safe size: the engine runs non-ANSI, where size(NULL) is -1;
+    a NULL document must report NULL counts (as DuckDB's len does)."""
+    return F.when(arr.isNotNull(), F.size(arr))
+
+
 def _char_sum(arr: Column) -> Column:
     """Total characters across an array of strings (exact int)."""
     return F.aggregate(
@@ -114,21 +120,21 @@ def quality_signals_df(docs: DataFrame) -> DataFrame:
         "doc_id",
         "nonspace_chars",
         "symbol_hits",
-        F.size(w).alias("n_words"),
-        F.size(li).alias("n_lines"),
-        F.size(pa).alias("n_paras"),
-        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("alpha_words"),
+        _sz(w).alias("n_words"),
+        _sz(li).alias("n_lines"),
+        _sz(pa).alias("n_paras"),
+        _sz(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("alpha_words"),
         sum(
             F.array_contains(w, F.lit(s)).cast("int") for s in GOPHER_STOPWORDS
         ).alias("stopwords_present"),
-        F.size(F.filter(li, lambda l: l.rlike(_BULLET_PATTERN))).alias(
+        _sz(F.filter(li, lambda l: l.rlike(_BULLET_PATTERN))).alias(
             "bullet_lines"
         ),
-        F.size(F.filter(li, lambda l: l.rlike(_ELLIPSIS_END_PATTERN))).alias(
+        _sz(F.filter(li, lambda l: l.rlike(_ELLIPSIS_END_PATTERN))).alias(
             "ellipsis_lines"
         ),
-        F.size(F.array_distinct(li)).alias("n_dist_lines"),
-        F.size(F.array_distinct(pa)).alias("n_dist_paras"),
+        _sz(F.array_distinct(li)).alias("n_dist_lines"),
+        _sz(F.array_distinct(pa)).alias("n_dist_paras"),
         _char_sum(li).alias("line_chars"),
         _char_sum(F.array_distinct(li)).alias("dist_line_chars"),
         _char_sum(pa).alias("para_chars"),

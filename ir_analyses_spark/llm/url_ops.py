@@ -134,7 +134,13 @@ def filter_blocked_domains(
             *[F.lit(d.lower().strip().strip(".")) for d in blocked]
         )
         return df.filter(~F.arrays_overlap(sfx, lits))
-    bdf = blocked.toDF("blocked_domain")
+    # same canonical form the list path gets: lowercase, trimmed, no
+    # leading/trailing dots
+    bdf = blocked.toDF("blocked_domain").select(
+        F.regexp_replace(
+            F.lower(F.trim("blocked_domain")), r"^\.+|\.+$", ""
+        ).alias("blocked_domain")
+    )
     # DataFrame blocklist: resolve it to the DISTINCT HOSTS it blocks
     # (distinct-host universe ≪ corpus; suffix explode happens on that
     # small side), then one anti-join of the corpus on the host key —

@@ -46,6 +46,7 @@ CRAFTED = [
     (11, "ab " * 60 + "the of"),  # mean word length too low
     (12, "pneumonoultramicroscopic " * 55 + "the of"),  # too high
     (13, "the cat sat\n\n" + _GOOD + "\n\nthe cat sat\n\nthe end here"),
+    (14, None),  # NULL text: every signal NULL in BOTH engines
 ]
 
 
@@ -109,8 +110,8 @@ def test_flag_semantics_on_known_documents(crafted_spark):
     assert rows[10]["ok_stopwords"] is False
     assert rows[11]["ok_mean_word_len"] is False
     assert rows[12]["ok_mean_word_len"] is False
-    # empty/whitespace docs: every signal NULL → every flag False
-    for d in (1, 2):
+    # empty/whitespace/NULL docs: every signal NULL → every flag False
+    for d in (1, 2, 14):
         assert all(rows[d][c] is False for c in rows[d].asDict() if c.startswith("ok_"))
 
 
@@ -130,8 +131,10 @@ def _py_words(text: str) -> list[str]:
     return [w for w in re.split(r"\s+", text) if w]
 
 
-def _py_ngram_fracs(text: str, n: int) -> tuple[float | None, float | None]:
+def _py_ngram_fracs(text: str | None, n: int) -> tuple[float | None, float | None]:
     """Independent reference: (top-mass fraction, duplicated-mass fraction)."""
+    if text is None:
+        return None, None
     words = _py_words(text)
     nonspace = len(re.sub(r"\s", "", text))
     grams = (

@@ -107,10 +107,9 @@ def test_normalize_canonical_cases(urls_df):
 @pytest.mark.parametrize("as_df", [False, True])
 def test_blocklist_suffix_semantics(spark, urls_df, as_df):
     blocked = ["tracker.net", "Example.co.uk."]
+    # DataFrame path gets the RAW values — it must normalize them itself
     arg = (
-        spark.createDataFrame(
-            [(b.lower().strip("."),) for b in blocked], "d string"
-        )
+        spark.createDataFrame([(b,) for b in blocked], "d string")
         if as_df
         else blocked
     )
