@@ -38,8 +38,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_SPLIT_PATTERNS = {"line": r"\n", "paragraph": r"\n{2,}"}
-_JOINERS = {"line": "\n", "paragraph": "\n\n"}
+#: "sentence" is the heuristic segmentation C4 uses for span dedup:
+#: split after [.!?] runs followed by whitespace (Java and Python
+#: regex both support the lookbehind, so the test reference is exact).
+_SPLIT_PATTERNS = {
+    "line": r"\n",
+    "paragraph": r"\n{2,}",
+    "sentence": r"(?<=[.!?])\s+",
+}
+_JOINERS = {"line": "\n", "paragraph": "\n\n", "sentence": " "}
 
 
 def _unit_pattern(unit: str) -> tuple[str, str]:
@@ -124,6 +131,82 @@ def remove_global_duplicate_units(
     if broadcast_frequent:
         freq = F.broadcast(freq)
     kept = u.join(freq, "unit_hash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit_text"))),
+                lambda s: s["unit_text"],
+            ),
+            joiner,
+        ).alias("text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, span: int = 3, unit: str = "sentence"
+) -> DataFrame:
+    """C4's span-level dedup (Raffel et al. 2020 §2.2: "we discarded all
+    but one of any three-sentence span occurring more than once"),
+    distributed with a deterministic winner rule.
+
+    Every window of ``span`` consecutive units is hashed; for a hash
+    occurring more than once corpus-wide, the occurrence with the
+    smallest (doc_id, pos) is the canonical one and every OTHER
+    occurrence has its ``span`` units removed from its document.
+    Documents are rebuilt from the surviving units in order (empty text
+    when nothing survives — never silently dropped).
+
+    Scale: spans shuffle as (8-byte hash, doc_id, pos) triples — unit
+    text never rides the duplicate-detection shuffle; the duplicated-
+    hash set is the small side and the winner resolution is one
+    aggregation on the hash key. Windows overlap, so a duplicated span
+    removes whole sentences, not exact char ranges — C4's semantics.
+    """
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    _, joiner = _unit_pattern(unit)
+    units = exploded_units(docs, unit)
+    # per-doc span hashes, built row-side then exploded: windows of
+    # `span` consecutive units, hashed over a 0x1f-joined concatenation
+    arr = _units_col(unit)
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(arr) >= span,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - F.lit(span - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(arr, i, span), "\x1f")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "span_hash"),
+    )
+    winners = spans.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("w"),
+    )
+    losers = (
+        spans.join(winners.filter(F.col("n_occ") >= 2), "span_hash")
+        .filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("pos") != F.col("w.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = losers.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = units.join(removed, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -131,7 +131,7 @@ def test_global_join_broadcasts_hash_only(corpus_df):
 
 def test_invalid_args(corpus_df):
     with pytest.raises(ValueError, match="unit must be"):
-        dedup_units_within_doc(corpus_df, "sentence")
+        dedup_units_within_doc(corpus_df, "clause")
     with pytest.raises(ValueError, match="min_doc_count"):
         global_frequent_units(corpus_df, "line", 0)
     with pytest.raises(ValueError, match="min_doc_count"):
@@ -147,3 +147,81 @@ def test_real_corpus_invariants(spark, sf_dir):
     assert dedup_units_within_doc(docs, "line").count() == n
     out = remove_global_duplicate_units(docs, "line", 2)
     assert out.count() == n
+
+
+SENT_A = "First unique thought. The shared run begins here. It continues right along. And it ends here. A final unique close."
+SENT_B = "Different opener for b! The shared run begins here. It continues right along. And it ends here. Something else entirely?"
+SENT_C = "No overlap with anything. Just two sentences."
+SPAN_CORPUS = [(0, SENT_A), (1, SENT_B), (2, SENT_C), (3, ""), (4, "One. One. One. One. One.")]
+
+
+def _py_remove_spans(corpus, span, unit="sentence"):
+    from collections import defaultdict
+
+    pat = {"line": r"\n", "paragraph": r"\n{2,}", "sentence": r"(?<=[.!?])\s+"}[unit]
+    joiner = {"line": "\n", "paragraph": "\n\n", "sentence": " "}[unit]
+    units = {
+        d: [u.strip() for u in re.split(pat, t) if u.strip()] for d, t in corpus
+    }
+    occ = defaultdict(list)
+    for d in sorted(units):
+        us = units[d]
+        for p in range(len(us) - span + 1):
+            occ["\x1f".join(us[p : p + span])].append((d, p))
+    removed = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            w = min(lst)
+            for d, p in lst:
+                if (d, p) != w:
+                    removed[d].update(range(p, p + span))
+    return {
+        d: joiner.join(u for i, u in enumerate(us) if i not in removed[d])
+        for d, us in units.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def span_df(spark):
+    return spark.createDataFrame(SPAN_CORPUS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("span", [1, 2, 3])
+def test_span_dedup_matches_reference(span_df, span):
+    from ir_analyses_spark.llm.linedup import remove_duplicate_spans
+
+    want = _py_remove_spans(SPAN_CORPUS, span)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(span_df, span).collect()
+    }
+    assert got == want, span
+
+
+def test_span_dedup_semantics(span_df):
+    from ir_analyses_spark.llm.linedup import remove_duplicate_spans
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(span_df, 3).collect()
+    }
+    # doc 0 (smaller doc_id) keeps the shared 3-sentence run; doc 1 loses it
+    assert "The shared run begins here." in got[0]
+    assert "The shared run begins here." not in got[1]
+    assert got[1].startswith("Different opener for b!")
+    assert got[1].endswith("Something else entirely?")
+    # untouched doc unchanged; empty doc survives empty
+    assert got[2] == SENT_C
+    assert got[3] == ""
+    assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_sentence_unit_within_doc(spark):
+    from ir_analyses_spark.llm.linedup import dedup_units_within_doc
+
+    df = spark.createDataFrame(
+        [(0, "Buy now! Buy now! A real sentence. Buy now!")],
+        "doc_id long, text string",
+    )
+    got = dedup_units_within_doc(df, "sentence").collect()[0]["text"]
+    assert got == "Buy now! A real sentence."
