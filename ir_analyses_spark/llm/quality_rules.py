@@ -93,7 +93,25 @@ def _frac(num: Column, den: Column) -> Column:
     return F.when(den > 0, num.cast("double") / den)
 
 
-def quality_signals_df(docs: DataFrame) -> DataFrame:
+#: Output + intermediate names a ``keep`` column may not shadow.
+_SIGNAL_COLUMNS = frozenset(
+    {
+        "n_words", "mean_word_len", "symbol_word_ratio", "alpha_word_frac",
+        "stopwords_present", "n_lines", "bullet_line_frac",
+        "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
+        "n_paras", "dup_para_frac", "dup_para_char_frac",
+        # tier intermediates
+        "words", "lines", "paras", "nonspace_chars", "symbol_hits",
+        "alpha_words", "bullet_lines", "ellipsis_lines", "n_dist_lines",
+        "n_dist_paras", "line_chars", "dist_line_chars", "para_chars",
+        "dist_para_chars", "passes_gopher",
+    }
+)
+
+
+def quality_signals_df(
+    docs: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality signals over a (doc_id, text) frame.
 
     Single scan; see module docstring for the rule provenance. Line
@@ -104,9 +122,19 @@ def quality_signals_df(docs: DataFrame) -> DataFrame:
     separate Projects and the split/filter arrays are materialized ONCE
     per row instead of once per signal — at corpus scale that's the
     difference between ~4 and ~40 regex passes over every document.
+
+    ``keep`` carries extra input columns through to the output
+    unchanged (e.g. ``("text", "url")``) — signals stay join-free for
+    consumers that need the document next to its scores, which is also
+    what makes the gate streaming-safe (a projection needs no
+    watermark; a self-join would).
     """
+    bad = [k for k in keep if k in _SIGNAL_COLUMNS or k == "doc_id"]
+    if bad:
+        raise ValueError(f"keep columns collide with signal columns: {bad}")
     arrays = docs.select(
         "doc_id",
+        *keep,
         _nonempty(F.split("text", r"\s+")).alias("words"),
         _nonblank(F.split("text", r"\n")).alias("lines"),
         _nonblank(F.split("text", r"\n{2,}")).alias("paras"),
@@ -118,6 +146,7 @@ def quality_signals_df(docs: DataFrame) -> DataFrame:
     w, li, pa = F.col("words"), F.col("lines"), F.col("paras")
     counts = arrays.select(
         "doc_id",
+        *keep,
         "nonspace_chars",
         "symbol_hits",
         _sz(w).alias("n_words"),
@@ -143,6 +172,7 @@ def quality_signals_df(docs: DataFrame) -> DataFrame:
     c = F.col
     return counts.select(
         "doc_id",
+        *keep,
         c("n_words"),
         _frac(c("nonspace_chars"), c("n_words")).alias("mean_word_len"),
         _frac(c("symbol_hits"), c("n_words")).alias("symbol_word_ratio"),
@@ -172,11 +202,17 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_signals_df(load_table(spark, "documents", sf_dir))
 
 
-def gopher_flags_df(docs: DataFrame, thresholds: dict | None = None) -> DataFrame:
+def gopher_flags_df(
+    docs: DataFrame,
+    thresholds: dict | None = None,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Signals + one boolean per Gopher rule + the conjunctive verdict.
 
     NULL signals (empty documents) fail their rule — a curation filter
     must quarantine empties, not pass them through a NULL comparison.
+    ``keep`` passes input columns through (see
+    :func:`quality_signals_df`) so gating stays join-free.
     """
     t = dict(GOPHER_THRESHOLDS)
     if thresholds:
@@ -184,7 +220,7 @@ def gopher_flags_df(docs: DataFrame, thresholds: dict | None = None) -> DataFram
         if unknown:
             raise ValueError(f"unknown quality thresholds: {sorted(unknown)}")
         t.update(thresholds)
-    s = quality_signals_df(docs)
+    s = quality_signals_df(docs, keep)
 
     def ok(cond: Column) -> Column:
         return F.coalesce(cond, F.lit(False))
