@@ -1,8 +1,8 @@
 """End-to-end crawl-curation pipeline (SURVEY §2B LLM ext — the
 composition layer): WARC → HTTP/HTML gate → URL canonicalization,
 blocklist, URL dedup, per-domain caps → text extraction → link-density
-gate → exact document dedup → line-level boilerplate removal → Gopher
-quality gate.
+gate → unicode normalization → exact document dedup → line-level
+boilerplate removal → Gopher quality gate.
 
 This is the RefinedWeb/C4 preprocessing recipe expressed as one
 declarative DataFrame chain. Every stage is one of the repo's tested
@@ -31,6 +31,7 @@ from ..io.warc import read_warc
 from .html_extract import extract_text_df
 from .linedup import dedup_units_within_doc, remove_global_duplicate_units
 from .quality_rules import gopher_flags_df
+from .textnorm import clean_text_expr
 from .url_ops import cap_per_domain, filter_blocked_domains, normalize_url_expr
 
 
@@ -48,8 +49,8 @@ def curation_stages(
     """The curation funnel as named stages (each a DataFrame).
 
     Keys, in order: ``records``, ``pages``, ``unblocked``, ``url_deduped``,
-    ``capped``, ``extracted``, ``content_like``, ``exact_deduped``,
-    ``line_deduped``, ``final``.
+    ``capped``, ``extracted``, ``content_like``, ``normalized``,
+    ``exact_deduped``, ``line_deduped``, ``final``.
 
     Exact content dedup runs BEFORE line-level dedup on purpose: two
     byte-identical pages would otherwise make every one of their lines a
@@ -93,9 +94,14 @@ def curation_stages(
         F.col("link_char_frac").isNotNull()
         & (F.col("link_char_frac") <= max_link_char_frac)
     )
+    # unicode cleanup BEFORE hashing, so visually-identical re-crawls
+    # (nbsp vs space, zero-width junk) hash identically downstream
+    normalized = content_like.withColumn(
+        "text", clean_text_expr(F.col("text"))
+    )
     # exact content dedup, digest-keyed: the text never rides the shuffle
     exact_deduped = (
-        content_like.withColumn("_h", F.md5("text"))
+        normalized.withColumn("_h", F.md5("text"))
         .groupBy("_h")
         .agg(F.min(F.struct("doc_id", "url", "title", "text")).alias("r"))
         .select("r.doc_id", "r.url", "r.title", "r.text")
@@ -120,6 +126,7 @@ def curation_stages(
         "capped": capped,
         "extracted": extracted,
         "content_like": content_like,
+        "normalized": normalized,
         "exact_deduped": exact_deduped,
         "line_deduped": line_deduped,
         "final": final,

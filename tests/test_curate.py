@@ -102,6 +102,7 @@ def test_funnel_attrition(crawl_stages):
     assert n["capped"] == 6
     assert n["extracted"] == 6
     assert n["content_like"] == 5   # drops the link farm
+    assert n["normalized"] == 5     # 1:1 cleanup, no attrition
     assert n["exact_deduped"] == 4  # folds dupe.net's copy of A
     assert n["line_deduped"] == 4
     assert n["final"] == 3          # quality gate drops the short page
