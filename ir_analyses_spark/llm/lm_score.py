@@ -178,19 +178,32 @@ def score_with_lm(
 def perplexity_buckets(
     scored: DataFrame, n_buckets: int = 3
 ) -> DataFrame:
-    """CCNet's head/middle/tail split: exact ``ntile`` over perplexity
-    (ascending — bucket 1 is the most fluent). NULL-scored docs keep a
-    NULL bucket. One global sort of (doc_id, perplexity) pairs — the
-    scored frame is two doubles per doc, not the corpus text."""
-    from pyspark.sql import Window
-
+    """CCNet's head/middle/tail split, the way CCNet actually does it:
+    exact percentile CUTOFFS (one distributed aggregation, n_buckets−1
+    doubles collected) and a threshold assignment on the scan — never a
+    global no-partition window, which would funnel every (doc_id,
+    perplexity) pair through one task. Bucket 1 is the most fluent;
+    ties land in the lower bucket; NULL-scored docs keep a NULL bucket.
+    """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    w = Window.orderBy("perplexity", "doc_id")
-    with_b = scored.filter(F.col("perplexity").isNotNull()).withColumn(
-        "ppl_bucket", F.ntile(n_buckets).over(w)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = (
+        scored.filter(F.col("perplexity").isNotNull())
+        .agg(
+            F.expr(
+                "percentile(perplexity, array("
+                + ", ".join(str(q) for q in qs)
+                + "))"
+            ).alias("cuts")
+        )
+        .collect()[0]
     )
-    nulls = scored.filter(F.col("perplexity").isNull()).withColumn(
-        "ppl_bucket", F.lit(None).cast("int")
+    cuts = row["cuts"] or []
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col("perplexity") > F.lit(float(c))).cast("int")
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("perplexity").isNotNull(), bucket).cast("int"),
     )
-    return with_b.unionByName(nulls)
