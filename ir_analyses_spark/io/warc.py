@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
 
@@ -99,13 +100,25 @@ def iter_warc_records(
             )
         lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
         headers = {"warc-version": lines[0].strip()}
+        last_name: str | None = None
         for ln in lines[1:]:
+            if ln[:1] in (" ", "\t"):
+                # ISO 28500 permits LWS-folded continuation lines: they
+                # extend the PREVIOUS header's value
+                if last_name is None:
+                    raise WarcFormatError(
+                        f"{source}: offset {pos}: continuation line "
+                        f"before any header: {ln!r}"
+                    )
+                headers[last_name] = f"{headers[last_name]} {ln.strip()}"
+                continue
             name, sep, value = ln.partition(":")
             if not sep:
                 raise WarcFormatError(
                     f"{source}: offset {pos}: malformed header line {ln!r}"
                 )
-            headers[name.strip().lower()] = value.strip()
+            last_name = name.strip().lower()
+            headers[last_name] = value.strip()
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -159,7 +172,10 @@ def _file_records(
 ) -> Iterator[dict]:
     try:
         data = _decompress(content)
-    except (OSError, EOFError) as e:
+    except (OSError, EOFError, zlib.error) as e:
+        # zlib.error is NOT an OSError: corrupted deflate data inside a
+        # valid gzip header raises it, and it must hit the same
+        # fail-loud / _error-row contract as a bad gzip envelope
         if not permissive:
             raise WarcFormatError(f"{path}: gzip decompress failed: {e}") from e
         yield _error_row(path, 0, f"gzip decompress failed: {e}", parse_http)
@@ -239,12 +255,14 @@ def read_warc(
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.split(" ")[0] for f in _schema(parse_http).split(", ")]
         for b in batches:
-            rows = [
-                r
-                for p, c in zip(b["path"], b["content"])
-                for r in _file_records(p, bytes(c), parse_http, permissive)
-            ]
-            yield pd.DataFrame(rows, columns=cols)
+            # one output frame PER FILE: peak task memory stays one
+            # decompressed shard (the documented bound), not every file
+            # Arrow happened to pack into this batch at once
+            for p, c in zip(b["path"], b["content"]):
+                rows = list(
+                    _file_records(p, bytes(c), parse_http, permissive)
+                )
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=_schema(parse_http))
 

@@ -26,6 +26,7 @@ New module per the evidence-ledger rule; verified end-to-end by
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..io.warc import read_warc
 from .html_extract import extract_text_df
@@ -45,6 +46,7 @@ def curation_stages(
     line_dedup_min_docs: int = 2,
     quality_thresholds: dict | None = None,
     permissive: bool = True,
+    persist_intermediates: bool = True,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
 
@@ -56,6 +58,14 @@ def curation_stages(
     byte-identical pages would otherwise make every one of their lines a
     cross-document duplicate, and global line removal would hollow both
     out instead of keeping one.
+
+    ``persist_intermediates`` (default on) persists the two most-reused
+    frames (``capped`` — consumed by extraction AND joined back;
+    ``exact_deduped`` — consumed three times by the line-dedup stage) at
+    MEMORY_AND_DISK, so one action does not re-run the WARC decompress +
+    HTML parse lineage once per downstream reference. Call
+    ``.unpersist()`` on those stages when the run is done, or pass
+    False for fully lazy plans.
     """
     records = read_warc(
         spark, warc_path, parse_http=True, permissive=permissive
@@ -87,6 +97,8 @@ def curation_stages(
         .select("r.doc_id", "url", "r.html")
     )
     capped = cap_per_domain(url_deduped, max_pages_per_domain)
+    if persist_intermediates:
+        capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
     extracted = extract_text_df(capped).join(
         capped.select("doc_id", "url"), "doc_id"
     )
@@ -106,16 +118,20 @@ def curation_stages(
         .agg(F.min(F.struct("doc_id", "url", "title", "text")).alias("r"))
         .select("r.doc_id", "r.url", "r.title", "r.text")
     )
+    if persist_intermediates:
+        exact_deduped = exact_deduped.persist(StorageLevel.MEMORY_AND_DISK)
     line_deduped = remove_global_duplicate_units(
         dedup_units_within_doc(exact_deduped.select("doc_id", "text"), "line"),
         "line",
         line_dedup_min_docs,
     ).join(exact_deduped.select("doc_id", "url", "title"), "doc_id")
+    # keep= passthrough: the gate is a projection+filter, no join —
+    # same pattern as streaming/curate_stream.py
     final = (
-        gopher_flags_df(line_deduped, quality_thresholds)
+        gopher_flags_df(
+            line_deduped, quality_thresholds, keep=("url", "title", "text")
+        )
         .filter("passes_gopher")
-        .select("doc_id")
-        .join(line_deduped, "doc_id")
         .select("doc_id", "url", "title", "text")
     )
     return {

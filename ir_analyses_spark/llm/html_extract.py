@@ -116,10 +116,14 @@ class _TextExtractor(HTMLParser):
             return
         if tag == "title":
             self._in_title = False
-        elif tag == "a" and self._anchor_depth:
-            self._anchor_depth -= 1
-        elif self._skip_depth:
             return
+        if self._skip_depth:
+            # an </a> (or any structural tag) INSIDE a skipped subtree
+            # must not close an anchor opened outside it — its opening
+            # <a> was never counted either
+            return
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
         elif tag in _PARA_TAGS:
             self._parts.append("\n\n")
         # line tags break on start only — breaking on both sides would

@@ -22,8 +22,9 @@ joins on ``xxhash64(unit)`` — 8 bytes per unit — so the frequency
 aggregation and the anti-join ship hashes, not paragraph text, and the
 aggregation gets a map-side partial on the hash key. The frequent-unit
 set (units in ≥2 docs) is the small side and is explicitly
-``broadcast()`` when ``broadcast_threshold`` says it fits, else it
-degrades to a shuffled anti-join on the 8-byte key. Reassembly
+``broadcast()`` by default (``broadcast_frequent=False`` opts into a
+shuffled anti-join on the 8-byte key when the caller knows the
+frequent set is too large to broadcast). Reassembly
 aggregates (doc_id) once with a sort_array over (pos, unit) structs —
 one shuffle keyed by doc_id. 64-bit hash collision risk is the CCNet
 trade: ~n²/2⁶⁵ false merges (≈3×10⁻⁹ at a billion distinct units),
@@ -57,8 +58,14 @@ def _unit_pattern(unit: str) -> tuple[str, str]:
 
 def _units_col(unit: str):
     pat, _ = _unit_pattern(unit)
+    # full-whitespace trim (F.trim strips only ASCII space — a trailing
+    # tab would make 'footer\t' hash differently from 'footer' and
+    # escape dedup; this must match the Python references' str.strip)
     return F.filter(
-        F.transform(F.split("text", pat), lambda s: F.trim(s)),
+        F.transform(
+            F.split("text", pat),
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+        ),
         lambda s: s != F.lit(""),
     )
 

@@ -101,6 +101,10 @@ def train_char_lm(
         .agg(F.count_distinct("ch").alias("v"))
         .collect()[0]["v"]
     )
+    # the model is alphabet-bounded (module docstring) and every scoring
+    # action reads it twice (gram join + ctx join) — persist so training
+    # runs once, not once per scored corpus per join
+    grams = grams.persist()
     return CharLM(n=n, k=k, vocab_size=int(vocab) + 1, grams=grams)
 
 

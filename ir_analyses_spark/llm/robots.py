@@ -34,8 +34,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from .url_ops import host_expr
 
-_STATE = "struct(collecting boolean, star boolean, rules array<string>)"
-
 
 def _fold_line(acc, line):
     """One robots.txt line into the (collecting, star, rules) state."""

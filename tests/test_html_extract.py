@@ -125,3 +125,14 @@ def test_e2e_extract_then_quality(html_spark):
     assert sig[0]["n_lines"] == 5
     assert sig[0]["stopwords_present"] >= 1  # "with", "the"...
     assert sig[1]["n_words"] == 0
+
+
+def test_anchor_inside_skip_subtree_does_not_close_outer_anchor():
+    """</a> inside a skipped subtree (noscript/head/template) must not
+    decrement the live anchor depth — linkB is still anchor text."""
+    title, text, frac = html_to_text(
+        "<a>linkA <noscript><a>hidden</a></noscript> linkB</a> plain"
+    )
+    # anchor chars: linkA(5) + linkB(5); total: + plain(5)
+    assert frac == 10 / 15
+    assert "hidden" not in text

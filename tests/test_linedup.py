@@ -225,3 +225,17 @@ def test_sentence_unit_within_doc(spark):
     )
     got = dedup_units_within_doc(df, "sentence").collect()[0]["text"]
     assert got == "Buy now! A real sentence."
+
+
+def test_tab_padded_units_still_dedup(spark):
+    """F.trim strips only spaces; units padded with tabs must still
+    hash equal (full-whitespace trim, matching the references' strip)."""
+    df = spark.createDataFrame(
+        [(0, "footer text\t\nbody a"), (1, "\tfooter text \nbody b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_global_duplicate_units(df, "line", 2).collect()
+    }
+    assert got == {0: "body a", 1: "body b"}

@@ -161,3 +161,36 @@ def test_e2e_crawl_to_quality(spark, warc_dir):
     assert sig[2]["n_words"] == 10
     titles = {r["doc_id"]: r["title"] for r in text.collect()}
     assert titles[2] == "A" and titles[4] is None
+
+
+def test_corrupt_deflate_inside_valid_gzip(spark, tmp_path):
+    """zlib.error (bad deflate bits under a valid gzip header) must hit
+    the same strict/permissive contract as a bad gzip envelope."""
+    member = gzip.compress(RECORDS[0])
+    corrupt = member[:20] + bytes(b ^ 0xFF for b in member[20:28]) + member[28:]
+    p = tmp_path / "deflate.warc.gz"
+    p.write_bytes(corrupt)
+    with pytest.raises(Exception, match="gzip decompress failed"):
+        read_warc(spark, str(p)).collect()
+    rows = read_warc(spark, str(p), permissive=True).collect()
+    assert [r["warc_type"] for r in rows] == ["_error"]
+    assert b"gzip decompress failed" in bytes(rows[0]["payload"])
+
+
+def test_folded_header_continuation():
+    """ISO 28500 LWS folding: a continuation line extends the previous
+    header's value instead of raising."""
+    payload = b"x"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/very/long\r\n"
+        b"\t/folded/tail\r\n"
+        b"Content-Length: 1\r\n\r\n" + payload + b"\r\n\r\n"
+    )
+    (headers, body), = list(iter_warc_records(rec))
+    assert headers["warc-target-uri"] == "http://example.com/very/long /folded/tail"
+    assert body == payload
+    bad = b"WARC/1.0\r\n \tcontinuation first\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    with pytest.raises(WarcFormatError, match="continuation line before"):
+        list(iter_warc_records(bad))
