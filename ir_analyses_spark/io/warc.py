@@ -269,3 +269,34 @@ def read_warc(
 
 def _schema(parse_http: bool) -> str:
     return WARC_HTTP_SCHEMA if parse_http else WARC_SCHEMA
+
+
+def read_wet_documents(
+    spark: SparkSession,
+    path: str,
+    *,
+    permissive: bool = False,
+    path_glob: str = "*.warc.wet*",
+) -> DataFrame:
+    """Documents straight from WET extracts (Common Crawl's
+    pre-extracted text distribution: ``conversion`` records whose
+    payload IS the page text, UTF-8).
+
+    One row per conversion record: (doc_id, url, warc_date, text) with
+    ``doc_id = xxhash64(path#record_seq)`` — the same document identity
+    rule `llm/curate.py` uses, so WET corpora drop into the curation
+    funnel downstream of the extraction stage (their text is already
+    extracted; the quality/dedup stages apply unchanged).
+    """
+    from pyspark.sql import functions as F
+
+    recs = read_warc(
+        spark, path, parse_http=False, permissive=permissive,
+        path_glob=path_glob,
+    )
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        F.col("payload").cast("string").alias("text"),
+    )

@@ -194,3 +194,23 @@ def test_folded_header_continuation():
     bad = b"WARC/1.0\r\n \tcontinuation first\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
     with pytest.raises(WarcFormatError, match="continuation line before"):
         list(iter_warc_records(bad))
+
+
+def test_read_wet_documents(spark, tmp_path):
+    """WET layout: conversion records whose payload is the page text."""
+    from ir_analyses_spark.io.warc import read_wet_documents
+
+    wet = [
+        _record("warcinfo", b"software: wet-test\r\n", seq=0),
+        _record("conversion", "first page text\nwith lines".encode(), "http://a.example/", 1),
+        _record("conversion", "second page text".encode(), "http://b.example/x", 2),
+    ]
+    p = tmp_path / "x.warc.wet.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in wet))
+    rows = read_wet_documents(spark, str(p)).collect()
+    assert len(rows) == 2
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["http://a.example/"]["text"] == "first page text\nwith lines"
+    assert by_url["http://b.example/x"]["text"] == "second page text"
+    assert len({r["doc_id"] for r in rows}) == 2
+    assert all(r["warc_date"] is not None for r in rows)
