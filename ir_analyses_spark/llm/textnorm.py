@@ -54,7 +54,9 @@ def clean_text_expr(col):
     c = col
     for pat, rep in _CLEAN_STEPS:
         c = F.regexp_replace(c, pat, rep)
-    return F.trim(c)
+    # full-whitespace trim: F.trim strips only spaces, but leading or
+    # trailing NEWLINES must go too (Python reference: str.strip())
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def clean_text_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,7 +74,8 @@ def clean_text_sql(table: str) -> str:
     for pat, rep in _CLEAN_STEPS:
         pat = _U_ESCAPE.sub(lambda m: "\\x{" + m.group(1) + "}", pat)
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
-    return f"SELECT doc_id, trim({expr}) AS text FROM {table}"
+    expr = rf"regexp_replace({expr}, '^\s+|\s+$', '', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM {table}"
 
 
 def py_clean_text(text: str) -> str:
