@@ -31,7 +31,9 @@ from pyspark.storagelevel import StorageLevel
 from ..io.warc import read_warc
 from .html_extract import extract_text_df
 from .linedup import dedup_units_within_doc, remove_global_duplicate_units
+from .lm_score import perplexity_buckets, score_with_lm
 from .quality_rules import gopher_flags_df
+from .robots import filter_robots_disallowed, robots_rules_from_warc
 from .textnorm import clean_text_expr
 from .url_ops import cap_per_domain, filter_blocked_domains, normalize_url_expr
 
@@ -47,12 +49,24 @@ def curation_stages(
     quality_thresholds: dict | None = None,
     permissive: bool = True,
     persist_intermediates: bool = True,
+    enforce_robots: bool = False,
+    perplexity_lm=None,
+    max_ppl_bucket: int | None = None,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
 
-    Keys, in order: ``records``, ``pages``, ``unblocked``, ``url_deduped``,
-    ``capped``, ``extracted``, ``content_like``, ``normalized``,
-    ``exact_deduped``, ``line_deduped``, ``final``.
+    Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
+    ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,
+    ``content_like``, ``normalized``, ``exact_deduped``,
+    ``line_deduped``, [``ppl_filtered``,] ``final``.
+
+    ``enforce_robots=True`` extracts the crawl's own robots.txt
+    responses (`llm/robots.py`) and drops disallowed pages right after
+    the HTTP gate. ``perplexity_lm`` (a trained `llm/lm_score.CharLM`)
+    with ``max_ppl_bucket`` applies the CCNet filter after line dedup:
+    documents land in perplexity terciles and only buckets ≤ the bound
+    survive (bucket 1 = most fluent; NULL-scored short docs are kept —
+    the word-count rule owns that judgement).
 
     Exact content dedup runs BEFORE line-level dedup on purpose: two
     byte-identical pages would otherwise make every one of their lines a
@@ -84,10 +98,17 @@ def curation_stages(
         )
         .filter(F.col("url").isNotNull())
     )
+    stages: dict[str, DataFrame] = {}
+    if enforce_robots:
+        rules = robots_rules_from_warc(records)
+        pages_in = filter_robots_disallowed(pages, rules)
+        stages["robots_allowed"] = pages_in
+    else:
+        pages_in = pages
     unblocked = (
-        filter_blocked_domains(pages, blocked_domains)
+        filter_blocked_domains(pages_in, blocked_domains)
         if blocked_domains
-        else pages
+        else pages_in
     )
     # URL-level dedup: one fetch per canonical URL, deterministically the
     # lowest doc_id (min over (doc_id, html) structs — ordered by doc_id)
@@ -125,18 +146,33 @@ def curation_stages(
         "line",
         line_dedup_min_docs,
     ).join(exact_deduped.select("doc_id", "url", "title"), "doc_id")
+    gate_in = line_deduped
+    ppl_filtered = None
+    if perplexity_lm is not None:
+        if max_ppl_bucket is None:
+            raise ValueError("perplexity_lm requires max_ppl_bucket")
+        buckets = perplexity_buckets(
+            score_with_lm(line_deduped.select("doc_id", "text"), perplexity_lm)
+        )
+        keep_ids = buckets.filter(
+            F.col("ppl_bucket").isNull()
+            | (F.col("ppl_bucket") <= max_ppl_bucket)
+        ).select("doc_id")
+        ppl_filtered = line_deduped.join(keep_ids, "doc_id", "left_semi")
+        gate_in = ppl_filtered
     # keep= passthrough: the gate is a projection+filter, no join —
     # same pattern as streaming/curate_stream.py
     final = (
         gopher_flags_df(
-            line_deduped, quality_thresholds, keep=("url", "title", "text")
+            gate_in, quality_thresholds, keep=("url", "title", "text")
         )
         .filter("passes_gopher")
         .select("doc_id", "url", "title", "text")
     )
-    return {
+    out = {
         "records": records,
         "pages": pages,
+        **({"robots_allowed": stages["robots_allowed"]} if enforce_robots else {}),
         "unblocked": unblocked,
         "url_deduped": url_deduped,
         "capped": capped,
@@ -145,8 +181,10 @@ def curation_stages(
         "normalized": normalized,
         "exact_deduped": exact_deduped,
         "line_deduped": line_deduped,
+        **({"ppl_filtered": ppl_filtered} if ppl_filtered is not None else {}),
         "final": final,
     }
+    return out
 
 
 def curate_crawl(spark: SparkSession, warc_path: str, **kwargs) -> DataFrame:

@@ -142,3 +142,54 @@ def test_domain_cap_stage(spark, tmp_path_factory):
     capped = stages["capped"].collect()
     domains = [r["url"].split("/")[2] for r in capped]
     assert len(domains) == len(set(domains))  # ≤1 per registered domain
+
+
+def test_optional_robots_and_perplexity_stages(spark, tmp_path_factory):
+    from ir_analyses_spark.llm.curate import curate_crawl
+    from ir_analyses_spark.llm.lm_score import train_char_lm
+
+    d = tmp_path_factory.mktemp("crawl_opt")
+    robots = _record(
+        "http://goodsite.com/robots.txt",
+        b"User-agent: *\r\nDisallow: /b\r\n",
+        ctype="text/plain",
+        seq=90,
+    )
+    (d / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in CRAWL + [robots])
+    )
+    base = curation_stages(
+        spark, str(d), blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+    )
+    with_robots = curation_stages(
+        spark, str(d), blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10}, enforce_robots=True,
+    )
+    assert "robots_allowed" not in base
+    n = funnel_counts(with_robots)
+    assert n["robots_allowed"] == n["pages"] - 1  # /b disallowed
+    titles = {r["title"] for r in with_robots["final"].collect()}
+    assert titles == {"Page A", "Page C"}  # Page B at /b is robots-blocked
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox and the lazy dog with that story")],
+        "doc_id long, text string",
+    )
+    lm = train_char_lm(train, n=3)
+    with pytest.raises(ValueError, match="max_ppl_bucket"):
+        curation_stages(spark, str(d), perplexity_lm=lm)
+    lenient = curation_stages(
+        spark, str(d), blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+        perplexity_lm=lm, max_ppl_bucket=3,
+    )
+    nn = funnel_counts(lenient)
+    assert nn["ppl_filtered"] == nn["line_deduped"]  # bucket ≤ 3 keeps all
+    assert nn["final"] == 3
+    strictest = curate_crawl(
+        spark, str(d), blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+        perplexity_lm=lm, max_ppl_bucket=1,
+    )
+    assert strictest.count() < 3  # tercile 1 only: somebody gets cut
