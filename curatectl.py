@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
         help="fail loudly on malformed WARC data instead of emitting _error rows",
     )
     ap.add_argument(
+        "--enforce-robots",
+        action="store_true",
+        help="extract the crawl's own robots.txt responses and drop "
+        "pages their *-rules disallow",
+    )
+    ap.add_argument(
         "--report",
         action="store_true",
         help="also emit per-stage attrition counts (recomputes each stage)",
@@ -82,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         line_dedup_min_docs=args.line_dedup_min_docs,
         quality_thresholds=thresholds,
         permissive=not args.strict,
+        enforce_robots=args.enforce_robots,
     )
     final = stages["final"]
     final.write.mode("overwrite").parquet(args.out_dir)
