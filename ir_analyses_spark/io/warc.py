@@ -294,7 +294,13 @@ def read_wet_documents(
         spark, path, parse_http=False, permissive=permissive,
         path_glob=path_glob,
     )
-    return recs.filter(F.col("warc_type") == "conversion").select(
+    # a conversion record without a target URI has no document identity
+    # the funnel's URL stages could use — drop it rather than emit a
+    # NULL-url row no WARC-path run could produce
+    return recs.filter(
+        (F.col("warc_type") == "conversion")
+        & F.col("target_uri").isNotNull()
+    ).select(
         F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias("doc_id"),
         F.col("target_uri").alias("url"),
         "warc_date",

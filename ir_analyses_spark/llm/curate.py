@@ -66,7 +66,11 @@ def curation_stages(
     with ``max_ppl_bucket`` applies the CCNet filter after line dedup:
     documents land in perplexity terciles and only buckets ≤ the bound
     survive (bucket 1 = most fluent; NULL-scored short docs are kept —
-    the word-count rule owns that judgement).
+    the word-count rule owns that judgement). NOTE: the tercile cutoffs
+    are a two-pass computation, so enabling the perplexity stage runs a
+    scoring job during THIS call (the funnel is otherwise lazy);
+    ``persist_intermediates`` makes that pass reusable instead of a
+    repeat of the whole upstream funnel per action.
 
     Exact content dedup runs BEFORE line-level dedup on purpose: two
     byte-identical pages would otherwise make every one of their lines a
@@ -94,17 +98,28 @@ def curation_stages(
         .select(
             F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias("doc_id"),
             normalize_url_expr(F.col("target_uri")).alias("url"),
+            # raw URI kept alongside: robots prefixes match the path AS
+            # CRAWLED — canonicalization collapses trailing slashes, so
+            # 'Disallow: /private/' would silently miss '/private/' if
+            # matched against the canonical form
+            F.col("target_uri").alias("raw_uri"),
             F.col("body").cast("string").alias("html"),
         )
         .filter(F.col("url").isNotNull())
     )
-    stages: dict[str, DataFrame] = {}
+    robots_allowed = None
     if enforce_robots:
-        rules = robots_rules_from_warc(records)
-        pages_in = filter_robots_disallowed(pages, rules)
-        stages["robots_allowed"] = pages_in
+        # rule table is KB-sized but its lineage is the full crawl scan —
+        # persist so every downstream action reuses it instead of
+        # re-decompressing the corpus to rebuild a dimension
+        rules = robots_rules_from_warc(records).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        robots_allowed = filter_robots_disallowed(pages, rules, url_col="raw_uri")
+        pages_in = robots_allowed
     else:
         pages_in = pages
+    pages_in = pages_in.drop("raw_uri")
     unblocked = (
         filter_blocked_domains(pages_in, blocked_domains)
         if blocked_domains
@@ -151,6 +166,13 @@ def curation_stages(
     if perplexity_lm is not None:
         if max_ppl_bucket is None:
             raise ValueError("perplexity_lm requires max_ppl_bucket")
+        # the tercile cutoffs are a two-pass computation: scoring runs a
+        # job HERE, at graph-construction time. Persist the scored-side
+        # input so that pass (and every later action) reuses one
+        # materialization of the expensive upstream funnel.
+        if persist_intermediates:
+            line_deduped = line_deduped.persist(StorageLevel.MEMORY_AND_DISK)
+            gate_in = line_deduped
         buckets = perplexity_buckets(
             score_with_lm(line_deduped.select("doc_id", "text"), perplexity_lm)
         )
@@ -172,7 +194,7 @@ def curation_stages(
     out = {
         "records": records,
         "pages": pages,
-        **({"robots_allowed": stages["robots_allowed"]} if enforce_robots else {}),
+        **({"robots_allowed": robots_allowed} if enforce_robots else {}),
         "unblocked": unblocked,
         "url_deduped": url_deduped,
         "capped": capped,

@@ -37,6 +37,10 @@ _CLEAN_STEPS = (
     (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u0080-\u009f]", ""),
     # zero-width chars, word joiner, BOM, soft hyphen
     (r"[\u200b\u200c\u200d\u2060\ufeff\u00ad]", ""),
+    # unicode line/paragraph separators -> newline (Java regex \\s never
+    # matches U+2028/U+2029, so they must be gone before the final trim
+    # or the engines' edge-trimming would diverge)
+    (r"[\u2028\u2029]", "\n"),
     # unicode horizontal spaces -> ASCII space
     (r"[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " "),
     # squeeze runs of spaces/tabs (newlines preserved — they carry

@@ -193,3 +193,26 @@ def test_optional_robots_and_perplexity_stages(spark, tmp_path_factory):
         perplexity_lm=lm, max_ppl_bucket=1,
     )
     assert strictest.count() < 3  # tercile 1 only: somebody gets cut
+
+
+def test_robots_matches_raw_uri_not_canonical(spark, tmp_path_factory):
+    """'Disallow: /private/' must block the page crawled at /private/
+    even though URL canonicalization collapses the trailing slash."""
+    d = tmp_path_factory.mktemp("crawl_slash")
+    recs = [
+        _record(
+            "http://s.example/robots.txt",
+            b"User-agent: *\r\nDisallow: /private/\r\n",
+            ctype="text/plain",
+            seq=0,
+        ),
+        _record("http://s.example/private/", GOOD_A, seq=1),
+        _record("http://s.example/open", GOOD_B, seq=2),
+    ]
+    (d / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    stages = curation_stages(
+        spark, str(d), enforce_robots=True,
+        quality_thresholds={"min_words": 10},
+    )
+    titles = {r["title"] for r in stages["final"].collect()}
+    assert titles == {"Page B"}

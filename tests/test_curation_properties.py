@@ -74,6 +74,11 @@ def test_warc_roundtrip_random_payloads():
 
 
 def test_warc_roundtrip_gzip_members():
+    """Drive the READER's own member decompression (_file_records), not
+    test-side gzip.decompress — a regression that stops after the first
+    member must fail here."""
+    from ir_analyses_spark.io.warc import _file_records
+
     rng = random.Random(7)
     records = [
         ({"WARC-Type": "response"}, bytes(rng.randrange(256) for _ in range(50)))
@@ -82,8 +87,9 @@ def test_warc_roundtrip_gzip_members():
     blob = b"".join(
         gzip.compress(_serialize([r])) for r in records
     )
-    parsed = list(iter_warc_records(gzip.decompress(blob)))
-    assert [p for _, p in parsed] == [p for _, p in records]
+    rows = list(_file_records("t.warc.gz", blob, False, False))
+    assert [r["payload"] for r in rows] == [p for _, p in records]
+    assert [r["record_seq"] for r in rows] == list(range(5))
 
 
 # ---------------------------------------------------------------------------
@@ -218,8 +224,8 @@ def test_span_dedup_random_matches_reference(spark, seed, span):
 def test_clean_text_random_matches_reference_and_is_idempotent(spark):
     rng = random.Random(99)
     chars = (
-        "ab c\t\n 　​﻿­\x01\x07\x7f"
-        "é#…!"
+        "ab c\t\n\u3000\u200b\ufeff\u00ad\u2028\u2029\x01\x07\x7f"
+        "\u00e9#\u2026!"
     )
     corpus = [
         (i, "".join(rng.choice(chars) for _ in range(rng.randint(0, 60))))
