@@ -1,0 +1,96 @@
+"""Training-set export (llm/export.py): crawl→curate→export e2e plus
+layout invariants against an independent Python model."""
+
+from __future__ import annotations
+
+import gzip
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.llm.export import (
+    _KNUTH,
+    export_training_shards,
+    training_layout,
+)
+
+SEQ_LEN = 64
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(5)
+    rows = [
+        (i * 7 + 1, " ".join(f"w{rng.randint(0, 50)}" for _ in range(rng.randint(1, 120))))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_layout_invariants_match_python_model(corpus):
+    laid = training_layout(
+        corpus, n_shards=N_SHARDS, seq_len=SEQ_LEN
+    ).collect()
+    rows = {r["doc_id"]: r for r in laid}
+    src = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert set(rows) == set(src)
+    # per-(split, shard): offsets are a gapless prefix sum in doc_id order
+    groups: dict = {}
+    for r in laid:
+        groups.setdefault((r["split"], r["shard"]), []).append(r)
+    for (split, shard), g in groups.items():
+        g.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in g:
+            assert r["n_tokens"] == len(src[r["doc_id"]].split()), r["doc_id"]
+            assert r["tok_start"] == expect_start, (split, shard, r["doc_id"])
+            assert r["first_bin"] == r["tok_start"] // SEQ_LEN
+            assert r["last_bin"] == (r["tok_start"] + r["n_tokens"] - 1) // SEQ_LEN
+            expect_start += r["n_tokens"]
+    # split assignment is the documented multiplicative hash
+    for doc_id, r in rows.items():
+        cell = (doc_id * _KNUTH) % 100
+        want = "train" if cell < 90 else ("val" if cell < 95 else "test")
+        assert r["split"] == want, doc_id
+
+
+def test_layout_deterministic(corpus):
+    a = sorted(map(tuple, training_layout(corpus, N_SHARDS, SEQ_LEN).collect()))
+    b = sorted(map(tuple, training_layout(corpus, N_SHARDS, SEQ_LEN).collect()))
+    assert a == b
+
+
+def test_invalid_args(corpus):
+    with pytest.raises(ValueError, match="n_shards"):
+        training_layout(corpus, 0)
+    with pytest.raises(ValueError, match="seq_len"):
+        training_layout(corpus, 4, 0)
+    with pytest.raises(ValueError, match="split_percents"):
+        training_layout(corpus, 4, 64, (95, 90))
+
+
+def test_crawl_to_training_shards_e2e(spark, tmp_path_factory):
+    """The whole pipeline: WARC → curation funnel → sharded training
+    export, manifest counted from the files on disk."""
+    from ir_analyses_spark.llm.curate import curation_stages
+    from tests.test_curate import CRAWL
+
+    d = tmp_path_factory.mktemp("crawl_exp")
+    (d / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in CRAWL))
+    final = curation_stages(
+        spark, str(d), blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+    )["final"]
+    out = str(tmp_path_factory.mktemp("shards"))
+    manifest = export_training_shards(
+        final, out, n_shards=2, seq_len=8
+    ).collect()
+    assert sum(r["n_docs"] for r in manifest) == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r["title"] for r in back.collect()} == {"Page A", "Page B", "Page C"}
+    # partition pruning works on the written layout
+    one = back.filter((F.col("split") == manifest[0]["split"]) & (F.col("shard") == manifest[0]["shard"]))
+    assert one.count() == manifest[0]["n_docs"]
