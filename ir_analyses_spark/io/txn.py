@@ -175,9 +175,18 @@ def history(table: str) -> list[dict]:
     # history (review-hardened: the deleted-before-the-call shape never
     # reaches the open() below, so the loop's race guard cannot see it).
     if versions and versions != list(range(versions[0], versions[0] + len(versions))):
+        # report the GAP BOUNDARIES, not the listing: a long-lived table
+        # has thousands of versions and an error message that inlines the
+        # whole list is unreadable exactly when it matters (r6 ADVICE)
+        gaps = [
+            f"{a}..{b}"
+            for a, b in zip(versions, versions[1:])
+            if b != a + 1
+        ]
         raise FileNotFoundError(
-            f"history hole at {table}: surviving manifest versions "
-            f"{versions} are not contiguous — manifest(s) lost out-of-band"
+            f"history hole at {table}: manifest(s) lost out-of-band in "
+            f"gap(s) {', '.join(gaps)} (surviving range "
+            f"{versions[0]}..{versions[-1]}, {len(versions)} manifests)"
         )
     out = []
     for v in versions:
@@ -1005,12 +1014,22 @@ def vacuum(
     table: str,
     keep_versions: int = 2,
     orphan_min_age_seconds: float = 600.0,
+    keep_from_version: int | None = None,
 ) -> dict:
     """Retire history: keep the newest ``keep_versions`` manifests, delete
     every data file none of them references, and sweep orphaned commit
     directories (crashed/lost-race writers). Readers pinned to a retired
     snapshot break afterwards — the standard retention contract; size
     ``keep_versions`` to the longest-running query.
+
+    ``keep_from_version`` is an ABSOLUTE retention floor: no manifest with
+    version >= the floor is ever retired, however the newest-N window
+    falls. A time-based caller (RETAIN HOURS in ``io/txn_maint.py``)
+    resolves its cutoff to the oldest in-retention VERSION at planning
+    time and passes it here, so a commit landing between the plan and the
+    vacuum widens the kept set instead of shifting a count-based window
+    over manifests the plan promised to retain (the Delta semantics:
+    retention is an instant in history, not a count).
 
     A commit directory with NO live files might belong to an IN-FLIGHT
     writer that has written data but not yet published its manifest —
@@ -1029,6 +1048,12 @@ def vacuum(
         raise ValueError("vacuum requires keep_versions >= 1")
     versions = _list_versions(table)
     keep = versions[-keep_versions:] if versions else []
+    if keep_from_version is not None:
+        # both the newest-N set and the >=floor set are suffixes of the
+        # dense version range, so their union is whichever starts earlier
+        floored = [v for v in versions if v >= keep_from_version]
+        if len(floored) > len(keep):
+            keep = floored
     live: set[str] = set()
     published: set[str] = set()  # named by ANY manifest → not in-flight
     for v in versions:
@@ -1070,7 +1095,7 @@ def vacuum(
                 if not dirs and not names and root != cdir:
                     os.rmdir(root)
     removed_versions = 0
-    for v in versions[:-keep_versions]:
+    for v in versions[: len(versions) - len(keep)]:
         os.remove(_log_path(table, v))
         removed_versions += 1
     # sweep aged .tmp-* manifests (a writer killed between link and its

@@ -97,9 +97,13 @@ def _require_table(table: str) -> str:
     return table
 
 
-def _hours_retention_plan(table: str, hours: float) -> tuple[int, int]:
-    """(keep_versions, n_live): map Delta's time-based retention onto the
-    format's version-count vacuum contract (``txn.vacuum(keep_versions)``).
+def _hours_retention_plan(table: str, hours: float) -> tuple[int, int, int | None]:
+    """(keep_versions, n_live, floor_version): map Delta's time-based
+    retention onto the format's version-count vacuum contract
+    (``txn.vacuum(keep_versions)``). ``floor_version`` is the oldest
+    in-retention VERSION — passed to ``txn.vacuum(keep_from_version=…)``
+    so the plan is anchored to history, not to a count that a concurrent
+    commit can shift (the TOCTOU this pair closes).
 
     Manifests are written once at commit and never modified, so each
     manifest's filesystem mtime IS its commit wall-clock. Vacuum retires
@@ -133,7 +137,9 @@ def _hours_retention_plan(table: str, hours: float) -> tuple[int, int]:
         if mtime >= cutoff:
             keep = len(stamped) - i
             break
-    return max(keep, 1), len(stamped)
+    keep = max(keep, 1)
+    floor_version = stamped[-keep][0] if stamped else None
+    return keep, len(stamped), floor_version
 
 
 def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
@@ -218,21 +224,23 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
                     raise ValueError("RETAIN … VERSIONS takes an integer count")
                 kwargs["keep_versions"] = int(m.group("n"))
             else:
-                keep, n_listed = _hours_retention_plan(table, float(m.group("n")))
+                keep, n_listed, floor = _hours_retention_plan(
+                    table, float(m.group("n"))
+                )
                 kwargs["keep_versions"] = keep
-                # txn.vacuum keeps the newest N of ITS OWN listing, so a
-                # commit landing between the count computation and the
-                # vacuum shifts the window and retires manifests that were
-                # inside the RETAIN window (TOCTOU). Exactly that case —
-                # and only it — makes removed_versions exceed this bound,
-                # so it is detected precisely below and reported loudly
-                # (the deletion cannot be undone; r8 closes the race for
-                # real by giving txn.vacuum a keep_from_version floor
-                # alongside the deferred history()-message fix).
+                # the floor anchors retention to HISTORY: a commit landing
+                # between this plan and the vacuum widens the kept set
+                # (txn.vacuum keeps everything >= floor) instead of
+                # shifting a newest-N window over manifests inside the
+                # RETAIN window. With the floor in place, the bound below
+                # is a pure invariant check — only out-of-band manifest
+                # loss or a vacuum bug can exceed it, never a benign
+                # concurrent commit.
                 # clamp: keep has a floor of 1, so a pathological empty
                 # listing (everything retired out-of-band between the
                 # existence check and the plan) would yield -1 and turn a
                 # zero-removal vacuum into a false race report
+                kwargs["keep_from_version"] = floor
                 max_expected_removed = max(0, n_listed - keep)
         res = txn.vacuum(table, **kwargs)
         if (
@@ -240,11 +248,12 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
             and res["removed_versions"] > max_expected_removed
         ):
             raise RuntimeError(
-                f"RETAIN HOURS raced a concurrent commit on {table}: "
-                f"{res['removed_versions'] - max_expected_removed} "
-                f"manifest(s) inside the retention window were retired "
-                f"because the newest-N window shifted mid-vacuum; treat "
-                f"pinned readers of those versions as broken"
+                f"RETAIN HOURS invariant violated on {table}: "
+                f"{res['removed_versions'] - max_expected_removed} more "
+                f"manifest(s) retired than the plan allowed despite the "
+                f"keep_from_version floor — out-of-band manifest loss or "
+                f"a vacuum defect; treat pinned readers of the retired "
+                f"versions as broken"
             )
         return spark.createDataFrame(
             [(table, res["removed_files"], res["removed_versions"])],

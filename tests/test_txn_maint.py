@@ -266,12 +266,12 @@ def test_optimize_zorder_single_column_is_plain_sort(spark, tmp_path):
         run_maintenance_sql(spark, f"OPTIMIZE '{t}' ZORDER BY (a, b, a)")
 
 
-def test_retain_hours_detects_concurrent_commit_race(spark, tmp_path, monkeypatch):
-    """TOCTOU (review-caught): txn.vacuum keeps the newest N of ITS OWN
-    listing, so a commit landing between the hours->count computation and
-    the vacuum shifts the window and retires in-retention manifests. The
-    statement surface detects exactly that case from the removed count
-    and raises instead of returning metrics that hide the loss."""
+def test_retain_hours_concurrent_commit_vacuums_safely(spark, tmp_path, monkeypatch):
+    """r8 (VERDICT r7 item 2): the RETAIN HOURS TOCTOU is CLOSED, not
+    just detected. The plan resolves its cutoff to the oldest
+    in-retention VERSION and passes it as txn.vacuum's keep_from_version
+    floor, so a commit landing between the plan and the vacuum widens
+    the kept set — every in-retention manifest survives, no raise."""
     import os
     import time
 
@@ -283,16 +283,51 @@ def test_retain_hours_detects_concurrent_commit_race(spark, tmp_path, monkeypatc
     real_vacuum = txn.vacuum
 
     def racing_vacuum(table, **kwargs):
-        # the concurrent writer lands v4 after the count was computed
+        # the concurrent writer lands v4 after the plan was computed
         txn.append(_mk(spark, [(9, "z", 90)]), table)
         return real_vacuum(table, **kwargs)
 
     monkeypatch.setattr(txn, "vacuum", racing_vacuum)
-    with pytest.raises(RuntimeError, match="raced a concurrent commit"):
-        run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS")
-    # v3 WAS retired by the shifted window — the loss is reported, not
-    # hidden (vacuum cannot be undone; the error is the contract)
-    assert [r["version"] for r in txn.history(t)] == [4]
+    res = run_maintenance_sql(spark, f"VACUUM '{t}' RETAIN 1 HOURS").collect()[0]
+    # only the out-of-retention prefix (v1, v2) was retired; the
+    # in-retention v3 AND the racing v4 both survive the shifted window
+    assert res["removed_versions"] == 2
+    assert [r["version"] for r in txn.history(t)] == [3, 4]
+    # the table still reads: pre-race rows plus the racing writer's row
+    assert {r["v"] for r in txn.read(spark, t).collect()} == {10, 99, 30, 90}
+
+
+def test_vacuum_keep_from_version_floor(spark, tmp_path):
+    """Direct contract: keep_from_version retains every manifest at or
+    above the floor even when keep_versions alone would retire it, and a
+    floor inside the newest-N window changes nothing."""
+    t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
+    # floor wider than the count window: keep_versions=1 would retire
+    # v1+v2, the floor keeps v2 too
+    res = txn.vacuum(t, keep_versions=1, keep_from_version=2)
+    assert res["removed_versions"] == 1
+    assert [r["version"] for r in txn.history(t)] == [2, 3]
+    # floor inside the window: no-op relative to keep_versions
+    res2 = txn.vacuum(t, keep_versions=2, keep_from_version=3)
+    assert res2["removed_versions"] == 0
+    assert [r["version"] for r in txn.history(t)] == [2, 3]
+
+
+def test_history_hole_message_reports_gap_boundaries(spark, tmp_path):
+    """r8 (r6 ADVICE, deferred): the non-contiguous-manifests error names
+    the gap boundaries, not the full version listing (unreadable on a
+    thousand-version table)."""
+    import os
+
+    t = _lifecycle(spark, tmp_path)  # versions 1, 2, 3
+    os.remove(txn._log_path(t, 2))  # out-of-band loss → hole 1..3
+    with pytest.raises(FileNotFoundError) as ei:
+        txn.history(t)
+    msg = str(ei.value)
+    assert "1..3" in msg and "1..3" in msg.split("gap(s)")[1]
+    assert "surviving range 1..3" in msg
+    # the raw listing is NOT inlined
+    assert "[1, 3]" not in msg
 
 
 def test_hours_retention_plan_properties(spark, tmp_path):
@@ -330,9 +365,12 @@ def test_hours_retention_plan_properties(spark, tmp_path):
         for v, age in zip(versions, ages_h):
             ts = now - age * 3600
             os.utime(txn._log_path(t, v), (ts, ts))
-        keep, n_live = _hours_retention_plan(t, hours)
+        keep, n_live, floor = _hours_retention_plan(t, hours)
         assert n_live == len(versions)
         assert 1 <= keep <= len(versions)  # (a)
+        # floor is the oldest kept version — the count window and the
+        # version floor describe the SAME suffix at plan time
+        assert floor == versions[len(versions) - keep]
         cutoff = now - hours * 3600
         in_retention = [
             v for v, age in zip(versions, ages_h) if now - age * 3600 >= cutoff
@@ -342,7 +380,7 @@ def test_hours_retention_plan_properties(spark, tmp_path):
             # (b): every in-retention manifest sits inside the kept suffix
             assert set(in_retention) <= set(versions[oldest_kept_idx:])
         # (c) monotonicity in hours
-        keep_wider, _ = _hours_retention_plan(t, hours + 1.0)
+        keep_wider, _, _ = _hours_retention_plan(t, hours + 1.0)
         assert keep_wider >= keep
 
     run()
