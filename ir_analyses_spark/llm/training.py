@@ -15,8 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
 
-#: Knuth's 2^32 multiplicative constant; exact in 64-bit integer math for
-#: any realistic id domain (id < 2^31 keeps the product < 2^63).
+#: Knuth's 2^32 multiplicative constant. The SPLIT arithmetic uses pmod,
+#: not %, because Spark's % keeps the dividend sign: xxhash64-derived
+#: doc_ids (what llm/curate.py produces) are negative half the time and
+#: a sign-keeping mod would dump that half into 'train', starving
+#: val/test (r7 ADVICE; measured ~95.3/2.3/2.4 vs the documented
+#: 90/5/5). In Spark the product wraps two's-complement past 2^63 and
+#: pmod of the wrapped value still lands in [0, 100) — deterministic,
+#: uniform-enough, and sign-free, which is all a split needs.
 _KNUTH = 2654435761
 #: second-stream constant (decouples the negative draws from the split)
 _STRIDE = 40503
@@ -32,7 +38,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, so at 100 TB this runs at scan speed and the assignment
     can be recomputed anywhere (no persisted split column needed)."""
     docs = load_table(spark, "documents", sf_dir)
-    cell = (F.col("doc_id") * _KNUTH) % 100
+    cell = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
     split = (
         F.when(cell < 90, "train").when(cell < 95, "val").otherwise("test")
     )
@@ -45,8 +51,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DATASET_SPLIT_SQL = f"""
-SELECT CASE WHEN (doc_id * {_KNUTH}) % 100 < 90 THEN 'train'
-            WHEN (doc_id * {_KNUTH}) % 100 < 95 THEN 'val'
+SELECT CASE WHEN ((doc_id * {_KNUTH}) % 100 + 100) % 100 < 90 THEN 'train'
+            WHEN ((doc_id * {_KNUTH}) % 100 + 100) % 100 < 95 THEN 'val'
             ELSE 'test' END AS split,
        lang, COUNT(*) AS n_docs
 FROM documents

@@ -29,6 +29,41 @@ def corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _model_split(doc_id: int) -> str:
+    """Independent model of the split hash: 64-bit two's-complement wrap
+    of doc_id*KNUTH (Spark bigint semantics), then FLOOR mod 100 — which
+    is what F.pmod computes and what Python's % already does. The pmod
+    (not %) is the r7 ADVICE fix: Spark's % keeps the dividend sign, so
+    negative xxhash64 doc_ids all fell into 'train'."""
+    prod = (doc_id * _KNUTH) & 0xFFFFFFFFFFFFFFFF
+    if prod >= 1 << 63:
+        prod -= 1 << 64
+    cell = prod % 100
+    return "train" if cell < 90 else ("val" if cell < 95 else "test")
+
+
+def test_negative_doc_ids_split_to_documented_percents(spark):
+    """r7 ADVICE regression: xxhash64-style signed doc_ids (half
+    negative) must land ~90/5/5, not ~95/2.5/2.5."""
+    ids = spark.range(20000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("doc_id"),
+        F.lit("t").alias("text"),
+    )
+    laid = training_layout(ids, n_shards=4, seq_len=64)
+    counts = {
+        r["split"]: r["n"]
+        for r in laid.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert total == 20000
+    assert abs(counts["train"] / total - 0.90) < 0.02
+    assert abs(counts.get("val", 0) / total - 0.05) < 0.02
+    assert abs(counts.get("test", 0) / total - 0.05) < 0.02
+    # and every row agrees with the independent Python model
+    for r in laid.select("doc_id", "split").collect():
+        assert r["split"] == _model_split(r["doc_id"]), r["doc_id"]
+
+
 def test_layout_invariants_match_python_model(corpus):
     laid = training_layout(
         corpus, n_shards=N_SHARDS, seq_len=SEQ_LEN
@@ -51,9 +86,7 @@ def test_layout_invariants_match_python_model(corpus):
             expect_start += r["n_tokens"]
     # split assignment is the documented multiplicative hash
     for doc_id, r in rows.items():
-        cell = (doc_id * _KNUTH) % 100
-        want = "train" if cell < 90 else ("val" if cell < 95 else "test")
-        assert r["split"] == want, doc_id
+        assert r["split"] == _model_split(doc_id), doc_id
 
 
 def test_layout_deterministic(corpus):
