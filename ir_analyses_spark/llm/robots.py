@@ -12,6 +12,14 @@ semantics production parsers agree on (RFC 9309 shape):
   ``*``;
 - ``Disallow:`` values in an applying group become path-prefix rules
   (empty value = no rule; ``/`` = everything);
+- RFC 9309 wildcards are reduced to their CONSERVATIVE prefix (r7
+  ADVICE — matching ``*``/``$`` as literal characters under-enforced):
+  a trailing ``$`` (end anchor) is dropped, then the value is truncated
+  at its first ``*`` — so ``/*?sessionid`` enforces as ``/`` (the whole
+  host) and ``/foo$`` as ``/foo``. Over-blocking, never under-blocking:
+  every URL the real wildcard rule matches is matched by the reduced
+  prefix. A value that reduces to the empty string (``Disallow: *``)
+  matches every path;
 - any non-User-agent line closes the agent-collecting phase; the
   group's rules keep accumulating until the next group starts;
 - comments (``#``) and unknown directives are ignored. ``Allow:``
@@ -60,7 +68,10 @@ def _fold_line(acc, line):
 
 def parse_robots_expr(text_col):
     """array<string> of ``*``-applicable Disallow prefixes, as a column
-    expression over the robots.txt body."""
+    expression over the robots.txt body. Wildcard rules are reduced to
+    their conservative prefix here (see module docstring): drop one
+    trailing ``$`` end-anchor, then truncate at the first ``*`` — the
+    reduced prefix matches a superset of what the wildcard matched."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     lines = F.split(F.regexp_replace(t, "\r", ""), "\n")
     init = F.struct(
@@ -68,7 +79,13 @@ def parse_robots_expr(text_col):
         F.lit(False).alias("star"),
         F.array().cast("array<string>").alias("rules"),
     )
-    return F.aggregate(lines, init, _fold_line, lambda acc: acc["rules"])
+    raw = F.aggregate(lines, init, _fold_line, lambda acc: acc["rules"])
+    return F.transform(
+        raw,
+        lambda r: F.regexp_extract(
+            F.regexp_replace(r, r"\$$", ""), r"^([^*]*)", 1
+        ),
+    )
 
 
 def robots_rules_df(

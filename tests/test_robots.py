@@ -33,6 +33,12 @@ ROBOTS = [
     ("e.example", "User-agent: *\r\nDisallow: /crlf/ # trailing comment\r\n"),
     ("f.example", "User-agent: *\nDisallow: /\n"),  # block everything
     ("g.example", "garbage file without any directives at all"),
+    (
+        # RFC 9309 wildcards → conservative prefixes (r7 ADVICE)
+        "h.example",
+        "User-agent: *\nDisallow: /*?sessionid\nDisallow: /search/*/raw\n"
+        "Disallow: /exact$\nDisallow: /lit$eral\nDisallow: *\n",
+    ),
 ]
 
 
@@ -50,7 +56,11 @@ def _py_star_rules(text: str) -> list[str]:
         if low.startswith("disallow") and ":" in line and star:
             value = line.split(":", 1)[1].strip()
             if value:
-                rules.append(value)
+                # conservative wildcard reduction (r7 ADVICE): drop one
+                # trailing $ end-anchor, truncate at the first *
+                if value.endswith("$"):
+                    value = value[:-1]
+                rules.append(value.split("*", 1)[0])
     return rules
 
 
@@ -84,6 +94,9 @@ def test_parse_semantics(spark, robots_df):
     assert got["e.example"] == ["/crlf/"]  # CRLF + comment handling
     assert got["f.example"] == ["/"]
     assert got["g.example"] == []
+    # wildcard reduction: truncate at first *, drop trailing $ anchor,
+    # keep a mid-value $ literal; bare * reduces to match-everything ""
+    assert got["h.example"] == ["/", "/search/", "/exact", "/lit$eral", ""]
 
 
 def test_enforcement(spark, robots_df):
@@ -100,6 +113,8 @@ def test_enforcement(spark, robots_df):
             (7, "http://f.example"),                # empty path → "/"
             (8, "http://unknown.example/x"),        # no robots at all
             (9, "not a url"),
+            (10, "http://h.example/page?sessionid=1"),  # /*?sessionid → /
+            (11, "http://h.example/whatever"),          # bare * → ""
         ],
         "doc_id long, url string",
     )
