@@ -21,6 +21,12 @@ shuffle happens at all. ``binaryFile`` keeps `path`/`length` pushdown
 (PushedFilters on file metadata) so `limit_files`-style pruning stays
 scan-side.
 
+HTTP bodies are transfer-decoded: ``Transfer-Encoding: chunked`` is
+reassembled and ``Content-Encoding: gzip``/``deflate`` undone, so
+real-crawl responses reach the HTML/quality gates as readable text
+instead of being silently attrited as garbage; unknown codings fall
+back to raw bytes.
+
 Strictness: a malformed record RAISES by default with file + offset
 context (a silently-truncated crawl read is corpus loss); pass
 ``permissive=True`` to instead emit a single ``_error`` pseudo-record
@@ -135,9 +141,67 @@ def iter_warc_records(
         pos = body_start + clen
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked body (RFC 9112 §7.1).
+    Raises ValueError on malformed framing — the caller falls back to
+    the raw bytes rather than dropping the record."""
+    out = []
+    pos = 0
+    while True:
+        line_end = body.find(b"\r\n", pos)
+        if line_end < 0:
+            raise ValueError("chunk size line not terminated")
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        size = int(size_token, 16)  # ValueError on garbage
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are discarded
+        start = line_end + 2
+        end = start + size
+        if end + 2 > len(body):
+            raise ValueError("chunk data truncated")
+        if body[end : end + 2] != b"\r\n":
+            raise ValueError("chunk data not CRLF-terminated")
+        out.append(body[start:end])
+        pos = end + 2
+
+
+def _decode_http_body(body: bytes, headers: dict[str, str]) -> bytes:
+    """Undo Transfer-Encoding: chunked and Content-Encoding: gzip/
+    deflate — both common in real crawl WARC response records (r7
+    ADVICE: leaving them encoded made such pages decode to garbage
+    strings that the HTML/quality gates silently dropped — corpus
+    loss). Unknown codings or malformed framing fall back to the raw
+    bytes: a best-effort recovery must never turn a today-readable
+    record into an exception."""
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            return body
+    ce = headers.get("content-encoding", "").strip().lower()
+    try:
+        if ce in ("gzip", "x-gzip"):
+            body = gzip.decompress(body)
+        elif ce == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                # some servers send raw deflate without the zlib wrapper
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+    except (OSError, EOFError, zlib.error):
+        pass  # keep the (possibly dechunked) raw bytes
+    return body
+
+
 def split_http_response(payload: bytes):
     """(status, content_type, body) from an HTTP response payload, or
-    (None, None, None) when the payload isn't an HTTP response."""
+    (None, None, None) when the payload isn't an HTTP response.
+
+    The body is returned TRANSFER-DECODED: chunked framing is
+    reassembled and gzip/deflate content codings are undone (see
+    `_decode_http_body`); anything unrecognized or malformed yields
+    the raw bytes unchanged."""
     if not payload.startswith(b"HTTP/"):
         return None, None, None
     split = payload.find(_CRLF2)
@@ -150,13 +214,13 @@ def split_http_response(payload: bytes):
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, None, None
-    ctype = None
+    headers: dict[str, str] = {}
     for ln in lines[1:]:
         name, sep, value = ln.partition(":")
-        if sep and name.strip().lower() == "content-type":
-            ctype = value.strip()
-            break
-    return status, ctype, payload[split + len(_CRLF2) :]
+        if sep:
+            headers.setdefault(name.strip().lower(), value.strip())
+    body = _decode_http_body(payload[split + len(_CRLF2) :], headers)
+    return status, headers.get("content-type"), body
 
 
 def _decompress(content: bytes) -> bytes:

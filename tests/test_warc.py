@@ -214,3 +214,79 @@ def test_read_wet_documents(spark, tmp_path):
     assert by_url["http://b.example/x"]["text"] == "second page text"
     assert len({r["doc_id"] for r in rows}) == 2
     assert all(r["warc_date"] is not None for r in rows)
+
+
+def _http_hdrs(extra: str, body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n{extra}\r\n\r\n"
+    ).encode() + body
+
+
+def _chunk(body: bytes, sizes: list[int]) -> bytes:
+    out, pos = [], 0
+    for s in sizes:
+        out.append(f"{s:x}".encode() + b"\r\n" + body[pos:pos + s] + b"\r\n")
+        pos += s
+    assert pos == len(body)
+    return b"".join(out) + b"0\r\n\r\n"
+
+
+def test_http_body_chunked_and_content_encodings():
+    """r7 ADVICE: chunked / gzip / deflate response bodies must reach
+    the corpus as readable text, not encoded garbage."""
+    doc = b"<html><body>hello encoded world</body></html>"
+    # chunked framing, with a chunk extension on the first chunk
+    chunked = _chunk(doc, [10, len(doc) - 10])
+    chunked = chunked.replace(b"a\r\n", b"a;ext=1\r\n", 1)
+    s, c, body = split_http_response(
+        _http_hdrs("Transfer-Encoding: chunked", chunked)
+    )
+    assert (s, c, body) == (200, "text/html", doc)
+    # gzip content coding
+    s, _, body = split_http_response(
+        _http_hdrs("Content-Encoding: gzip", gzip.compress(doc))
+    )
+    assert (s, body) == (200, doc)
+    # zlib-wrapped and raw deflate
+    import zlib
+
+    s, _, body = split_http_response(
+        _http_hdrs("Content-Encoding: deflate", zlib.compress(doc))
+    )
+    assert body == doc
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    s, _, body = split_http_response(
+        _http_hdrs("Content-Encoding: deflate", raw.compress(doc) + raw.flush())
+    )
+    assert body == doc
+    # chunked THEN gzip (TE applies outermost)
+    s, _, body = split_http_response(
+        _http_hdrs(
+            "Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+            _chunk(gzip.compress(doc), [len(gzip.compress(doc))]),
+        )
+    )
+    assert body == doc
+
+
+def test_http_body_malformed_encodings_fall_back_to_raw():
+    """Malformed framing / unknown codings keep the raw bytes — a
+    best-effort recovery must never drop a record that parses today."""
+    blob = b"not really chunked at all"
+    s, _, body = split_http_response(
+        _http_hdrs("Transfer-Encoding: chunked", blob)
+    )
+    assert (s, body) == (200, blob)
+    s, _, body = split_http_response(
+        _http_hdrs("Content-Encoding: gzip", blob)
+    )
+    assert body == blob
+    s, _, body = split_http_response(
+        _http_hdrs("Content-Encoding: br", blob)
+    )
+    assert body == blob  # unmodeled coding → raw
+    # truncated chunk data
+    s, _, body = split_http_response(
+        _http_hdrs("Transfer-Encoding: chunked", b"ff\r\nshort\r\n")
+    )
+    assert body == b"ff\r\nshort\r\n"
