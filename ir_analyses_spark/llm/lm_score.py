@@ -54,12 +54,27 @@ def _char_ngrams(text_col, n: int):
 
 @dataclass(frozen=True)
 class CharLM:
-    """A trained model: gram table + the scalars scoring needs."""
+    """A trained model: gram table + the scalars scoring needs.
+
+    The gram table is persisted by ``train_char_lm``; call
+    ``unpersist()`` (or use the model as a context manager) when done —
+    a session training many models (e.g. per-language CCNet LMs) would
+    otherwise accumulate cached tables for the process lifetime."""
 
     n: int
     k: float
     vocab_size: int  # V: distinct chars in training + 1 unseen symbol
     grams: DataFrame  # (gram, cnt, ctx_total)
+
+    def unpersist(self) -> None:
+        """Release the persisted gram table (idempotent)."""
+        self.grams.unpersist()
+
+    def __enter__(self) -> "CharLM":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def train_char_lm(

@@ -146,3 +146,14 @@ def test_invalid_args(spark, lm, score_df):
         perplexity_buckets(score_with_lm(score_df, lm), 1)
     with pytest.raises(ValueError, match="identifier"):
         train_counts_sql("x; drop table y")
+
+
+def test_charlm_unpersist_releases_cache(spark):
+    """r7 ADVICE: sessions training many CharLMs must be able to release
+    each model's persisted gram table."""
+    docs = spark.createDataFrame([("abcabc",), ("bcabca",)], "text string")
+    with train_char_lm(docs, n=2) as lm:
+        assert lm.grams.storageLevel.useMemory  # persisted by training
+        lm.grams.count()
+    assert not lm.grams.storageLevel.useMemory  # context exit released it
+    lm.unpersist()  # idempotent
