@@ -34,18 +34,31 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warc-dir", required=True, help="directory of .warc/.warc.gz files")
     ap.add_argument("--out-dir", required=True, help="curated corpus output (parquet)")
     ap.add_argument(
+        "--config",
+        default=None,
+        help="TOML file with a [curation] section (blocked_domains, "
+        "max_pages_per_domain, max_link_char_frac, line_dedup_min_docs, "
+        "enforce_robots, [curation.quality_thresholds]) — blocklists, "
+        "caps, and thresholds are config in a production run; explicit "
+        "CLI flags override the file",
+    )
+    ap.add_argument(
         "--blocklist",
         default=None,
-        help="file of blocked domains, one per line (# comments allowed)",
+        help="file of blocked domains, one per line (# comments allowed); "
+        "overrides the config's blocked_domains",
     )
-    ap.add_argument("--max-pages-per-domain", type=int, default=100_000)
-    ap.add_argument("--max-link-char-frac", type=float, default=0.5)
-    ap.add_argument("--line-dedup-min-docs", type=int, default=2)
+    # None defaults so explicit CLI flags are distinguishable from the
+    # TOML/built-in fallback chain (CLI > [curation] > curate.py default)
+    ap.add_argument("--max-pages-per-domain", type=int, default=None)
+    ap.add_argument("--max-link-char-frac", type=float, default=None)
+    ap.add_argument("--line-dedup-min-docs", type=int, default=None)
     ap.add_argument(
         "--min-words",
         type=int,
         default=None,
-        help="override the Gopher min-word threshold (default 50)",
+        help="override the Gopher min-word threshold (default 50); merges "
+        "over the config's quality_thresholds table",
     )
     ap.add_argument(
         "--strict",
@@ -56,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         "--enforce-robots",
         action="store_true",
         help="extract the crawl's own robots.txt responses and drop "
-        "pages their *-rules disallow",
+        "pages their *-rules disallow; ORs with the config's flag",
     )
     ap.add_argument(
         "--report",
@@ -65,30 +78,39 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    blocked: list[str] = []
+    from ir_analyses_spark.etl.config_toml import curation_settings, load_config
+    from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
+    from ir_analyses_spark.session import get_spark
+
+    # precedence: explicit CLI flag > [curation] TOML > curate.py default
+    kwargs = curation_settings(load_config(args.config) if args.config else {})
     if args.blocklist:
         with open(args.blocklist, encoding="utf-8") as fh:
-            blocked = [
+            kwargs["blocked_domains"] = [
                 ln.split("#")[0].strip()
                 for ln in fh
                 if ln.split("#")[0].strip()
             ]
-
-    from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
-    from ir_analyses_spark.session import get_spark
+    for flag in ("max_pages_per_domain", "max_link_char_frac", "line_dedup_min_docs"):
+        v = getattr(args, flag)
+        if v is not None:
+            kwargs[flag] = v
+    if args.min_words is not None:
+        kwargs.setdefault("quality_thresholds", {})
+        kwargs["quality_thresholds"] = {
+            **kwargs["quality_thresholds"], "min_words": args.min_words
+        }
+    if args.enforce_robots:
+        kwargs["enforce_robots"] = True
+    if not kwargs.get("blocked_domains"):
+        kwargs.pop("blocked_domains", None)
 
     spark = get_spark(app_name="curatectl")
-    thresholds = {"min_words": args.min_words} if args.min_words is not None else None
     stages = curation_stages(
         spark,
         args.warc_dir,
-        blocked_domains=blocked or None,
-        max_pages_per_domain=args.max_pages_per_domain,
-        max_link_char_frac=args.max_link_char_frac,
-        line_dedup_min_docs=args.line_dedup_min_docs,
-        quality_thresholds=thresholds,
         permissive=not args.strict,
-        enforce_robots=args.enforce_robots,
+        **kwargs,
     )
     final = stages["final"]
     final.write.mode("overwrite").parquet(args.out_dir)

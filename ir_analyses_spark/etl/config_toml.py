@@ -159,3 +159,41 @@ def conform_all_with_mappings(
         "company_rejects": company_rejects,
         "report_rejects": report_rejects,
     }
+
+
+#: ``[curation]`` keys accepted by :func:`curation_settings`, mapped to
+#: `llm/curate.curation_stages` kwargs. ``quality_thresholds`` is a
+#: nested table validated downstream by ``gopher_flags_df`` (unknown
+#: threshold names raise there).
+_CURATION_KEYS = frozenset(
+    {
+        "blocked_domains",
+        "max_pages_per_domain",
+        "max_link_char_frac",
+        "line_dedup_min_docs",
+        "quality_thresholds",
+        "enforce_robots",
+    }
+)
+
+
+def curation_settings(config: dict | None = None) -> dict:
+    """The ``[curation]`` section as `curation_stages` kwargs.
+
+    Blocklists, caps, and thresholds are CONFIG in a production
+    curation run, not code (r7 VERDICT item 7) — the same TOML the
+    ingest CLI consumes carries them. Unknown keys RAISE: a typo'd cap
+    silently ignored would run the funnel uncapped, the opposite of
+    log-and-continue's intent (the mapping loader above can fall back
+    to in-code defaults; a curation override has no safe fallback).
+    """
+    section = (config if config is not None else load_config()).get(
+        "curation", {}
+    )
+    unknown = set(section) - _CURATION_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown [curation] config keys: {sorted(unknown)} "
+            f"(accepted: {sorted(_CURATION_KEYS)})"
+        )
+    return dict(section)
