@@ -52,8 +52,22 @@ def curation_stages(
     enforce_robots: bool = False,
     perplexity_lm=None,
     max_ppl_bucket: int | None = None,
+    input_format: str = "warc",
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
+
+    ``input_format="wet"`` reads Common Crawl's pre-extracted WET
+    distribution instead (r7 VERDICT item 8): conversion records whose
+    payload IS the page text, so the HTML-parse and link-density
+    stages are SKIPPED entirely — the corpus shape most training-data
+    runs actually start from never pays the extraction cost it doesn't
+    need. The ``extracted``/``content_like`` keys are absent from a
+    WET run (``title`` is NULL — WET carries no markup to take one
+    from); every other stage applies unchanged. ``enforce_robots``
+    raises for WET input: the text-only distribution contains no
+    robots.txt response bodies to extract a policy from, and silently
+    not enforcing a requested compliance filter is the one failure
+    mode a curation run must not have.
 
     Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
     ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,
@@ -85,16 +99,45 @@ def curation_stages(
     ``.unpersist()`` on those stages when the run is done, or pass
     False for fully lazy plans.
     """
+    if input_format not in ("warc", "wet"):
+        raise ValueError(
+            f"input_format must be 'warc' or 'wet', got {input_format!r}"
+        )
+    wet = input_format == "wet"
+    if wet and enforce_robots:
+        raise ValueError(
+            "enforce_robots is unavailable for WET input: the text-only "
+            "distribution carries no robots.txt response bodies to "
+            "extract a policy from — run against the WARC distribution "
+            "or pre-filter with an external rule table"
+        )
+    # WARC: full HTTP responses, HTML to extract. WET: pre-extracted
+    # conversion records whose payload IS the text — no HTTP parse, no
+    # HTML stage (the content column is already `text`).
+    content_col = "text" if wet else "html"
     records = read_warc(
-        spark, warc_path, parse_http=True, permissive=permissive
+        spark,
+        warc_path,
+        parse_http=not wet,
+        permissive=permissive,
+        **({"path_glob": "*.warc.wet*"} if wet else {}),
     )
-    pages = (
-        records.filter(
+    if wet:
+        page_filter = (
+            (F.col("warc_type") == "conversion")
+            & F.col("target_uri").isNotNull()
+        )
+        content = F.col("payload").cast("string")
+    else:
+        page_filter = (
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
             & F.lower(F.col("http_content_type")).startswith("text/html")
             & F.col("target_uri").isNotNull()
         )
+        content = F.col("body").cast("string")
+    pages = (
+        records.filter(page_filter)
         .select(
             F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias("doc_id"),
             normalize_url_expr(F.col("target_uri")).alias("url"),
@@ -103,7 +146,7 @@ def curation_stages(
             # 'Disallow: /private/' would silently miss '/private/' if
             # matched against the canonical form
             F.col("target_uri").alias("raw_uri"),
-            F.col("body").cast("string").alias("html"),
+            content.alias(content_col),
         )
         .filter(F.col("url").isNotNull())
     )
@@ -129,22 +172,29 @@ def curation_stages(
     # lowest doc_id (min over (doc_id, html) structs — ordered by doc_id)
     url_deduped = (
         unblocked.groupBy("url")
-        .agg(F.min(F.struct("doc_id", "html")).alias("r"))
-        .select("r.doc_id", "url", "r.html")
+        .agg(F.min(F.struct("doc_id", content_col)).alias("r"))
+        .select("r.doc_id", "url", f"r.{content_col}")
     )
     capped = cap_per_domain(url_deduped, max_pages_per_domain)
     if persist_intermediates:
         capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
-    extracted = extract_text_df(capped).join(
-        capped.select("doc_id", "url"), "doc_id"
-    )
-    content_like = extracted.filter(
-        F.col("link_char_frac").isNotNull()
-        & (F.col("link_char_frac") <= max_link_char_frac)
-    )
+    extracted = content_like = None
+    if wet:
+        # extraction already happened upstream (Common Crawl's WET
+        # conversion); no markup means no title and no link density
+        pre_norm = capped.withColumn("title", F.lit(None).cast("string"))
+    else:
+        extracted = extract_text_df(capped).join(
+            capped.select("doc_id", "url"), "doc_id"
+        )
+        content_like = extracted.filter(
+            F.col("link_char_frac").isNotNull()
+            & (F.col("link_char_frac") <= max_link_char_frac)
+        )
+        pre_norm = content_like
     # unicode cleanup BEFORE hashing, so visually-identical re-crawls
     # (nbsp vs space, zero-width junk) hash identically downstream
-    normalized = content_like.withColumn(
+    normalized = pre_norm.withColumn(
         "text", clean_text_expr(F.col("text"))
     )
     # exact content dedup, digest-keyed: the text never rides the shuffle
@@ -198,8 +248,11 @@ def curation_stages(
         "unblocked": unblocked,
         "url_deduped": url_deduped,
         "capped": capped,
-        "extracted": extracted,
-        "content_like": content_like,
+        **(
+            {"extracted": extracted, "content_like": content_like}
+            if not wet
+            else {}
+        ),
         "normalized": normalized,
         "exact_deduped": exact_deduped,
         "line_deduped": line_deduped,

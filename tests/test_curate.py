@@ -216,3 +216,60 @@ def test_robots_matches_raw_uri_not_canonical(spark, tmp_path_factory):
     )
     titles = {r["title"] for r in stages["final"].collect()}
     assert titles == {"Page B"}
+
+
+WET_TEXT_A = "the quick brown fox jumps over the lazy dog and runs to the river bank today"
+WET_TEXT_B = "an entirely different body of text that still has enough real words in the line"
+WET_TEXT_C = "a third page with its own long and unique sentence about the weather and the sea"
+
+
+def _wet_crawl() -> list[bytes]:
+    """WET twin of CRAWL: pre-extracted conversion records covering the
+    same funnel behaviors (URL dup via tracking param, exact content
+    dup across hosts, blocked domain, quality failure)."""
+    return [
+        _record("http://goodsite.com/a", WET_TEXT_A.encode(), rtype="conversion", seq=0),
+        _record("http://goodsite.com/b", WET_TEXT_B.encode(), rtype="conversion", seq=1),
+        _record("http://goodsite.com/a?utm_source=feed", WET_TEXT_A.encode(), rtype="conversion", seq=2),
+        _record("http://other.org/c", WET_TEXT_C.encode(), rtype="conversion", seq=3),
+        _record("http://dupe.net/copy", WET_TEXT_A.encode(), rtype="conversion", seq=4),
+        _record("http://spam.example/z", WET_TEXT_B.encode(), rtype="conversion", seq=5),
+        _record("http://goodsite.com/short", b"tiny", rtype="conversion", seq=6),
+        _record("http://goodsite.com/info", b"software: wet", rtype="warcinfo", seq=7),
+    ]
+
+
+def test_wet_fast_path_skips_extraction(spark, tmp_path_factory):
+    """r7 VERDICT item 8: WET input enters the funnel downstream of the
+    HTML stages — no extract/content_like stage exists, titles are
+    NULL, and the dedup/quality semantics are unchanged."""
+    d = tmp_path_factory.mktemp("wet_crawl")
+    (d / "c.warc.wet.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _wet_crawl())
+    )
+    stages = curation_stages(
+        spark, str(d),
+        blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+        input_format="wet",
+    )
+    assert "extracted" not in stages and "content_like" not in stages
+    counts = funnel_counts(stages)
+    assert counts["records"] == 8
+    assert counts["pages"] == 7          # warcinfo dropped
+    assert counts["unblocked"] == 6      # blocklist bound
+    assert counts["url_deduped"] == 5    # tracking-param re-fetch folded
+    assert counts["exact_deduped"] == 4  # cross-host copy folded
+    assert counts["final"] == 3          # 'tiny' quality-gated
+    rows = stages["final"].collect()
+    assert {r["text"] for r in rows} == {WET_TEXT_A, WET_TEXT_B, WET_TEXT_C}
+    assert all(r["title"] is None for r in rows)
+    assert all(r["url"] is not None for r in rows)
+
+
+def test_wet_enforce_robots_refuses(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("wet_ref")
+    with pytest.raises(ValueError, match="enforce_robots is unavailable for WET"):
+        curation_stages(spark, str(d), input_format="wet", enforce_robots=True)
+    with pytest.raises(ValueError, match="input_format"):
+        curation_stages(spark, str(d), input_format="arc")
