@@ -1,0 +1,145 @@
+"""Unit tests for the vendored pure-Python protobuf shim
+(vendor/pbshim): wire-format roundtrips, proto3 presence semantics,
+unknown-field skipping, and the loud NotImplementedError guards on the
+unimplemented subset. The PROTOCOL oracle is the live
+transformWithStateInPandas stream in tests/test_streaming.py — the
+JVM's real protobuf parser sits on the other end of every message the
+shim serializes."""
+
+from __future__ import annotations
+
+import pytest
+
+from ir_analyses_spark.streaming.pbvendor import ensure_protobuf_driver
+
+pytestmark = pytest.mark.skipif(
+    not ensure_protobuf_driver(), reason="no protobuf runtime available"
+)
+
+
+def _sm():
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_generated_module_builds():
+    sm = _sm()
+    # file-level enum values injected at module scope, wrapper too
+    assert sm.PRE_INIT == 0 and sm.CREATED == 1 and sm.CLOSED == 5
+    assert sm.HandleState.INITIALIZED == 2
+    # descriptor globals exist and took the _serialized_start patching
+    assert sm._STATEREQUEST._serialized_start == 112
+
+
+def test_known_wire_bytes():
+    """Exact bytes against the protobuf spec: field1 varint, nested
+    length-delimited messages — not just self-roundtrip."""
+    sm = _sm()
+    req = sm.StateRequest(
+        version=2,
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        ),
+    )
+    # 08 02        field 1 (version), varint 2
+    # 12 04        field 2 (statefulProcessorCall), len 4
+    #   0a 02      field 1 (setHandleState), len 2
+    #     08 01    field 1 (state), varint 1 (CREATED)
+    assert req.SerializeToString() == bytes.fromhex("080212040a020801")
+
+
+def test_proto3_implicit_presence():
+    sm = _sm()
+    # defaults serialize to nothing...
+    assert sm.StateResponse(statusCode=0, errorMessage="", value=b"").SerializeToString() == b""
+    # ...but a SET (even empty) message field serializes — oneof
+    # discrimination depends on it
+    d = sm.ValueStateCall(stateName="", exists=sm.Exists()).SerializeToString()
+    assert d == bytes.fromhex("1200")
+    back = sm.ValueStateCall()
+    back.ParseFromString(d)
+    assert back.stateName == ""
+
+
+def test_repeated_fields_roundtrip_including_empty_elements():
+    sm = _sm()
+    lp = sm.ListStatePut(value=[b"a", b"", b"ccc"], fetchWithArrow=True)
+    back = sm.ListStatePut()
+    back.ParseFromString(lp.SerializeToString())
+    assert list(back.value) == [b"a", b"", b"ccc"]
+    assert back.fetchWithArrow is True
+    # repeated message
+    it = sm.StateResponseWithMapIterator(
+        kvPair=[sm.KeyAndValuePair(key=b"k1", value=b"v1"),
+                sm.KeyAndValuePair(key=b"k2", value=b"v2")],
+        requireNextFetch=True,
+    )
+    back2 = sm.StateResponseWithMapIterator()
+    back2.ParseFromString(it.SerializeToString())
+    assert [(p.key, p.value) for p in back2.kvPair] == [
+        (b"k1", b"v1"), (b"k2", b"v2")
+    ]
+
+
+def test_signed_64bit_varints():
+    sm = _sm()
+    for v in (-1, -5, 2**62, -(2**62), 0, 1):
+        back = sm.RegisterTimer()
+        back.ParseFromString(
+            sm.RegisterTimer(expiryTimestampMs=v).SerializeToString()
+        )
+        assert back.expiryTimestampMs == v, v
+
+
+def test_unknown_fields_are_skipped():
+    """Forward compatibility: a parser must skip fields it doesn't
+    know. KeyAndValuePair(1:key, 2:value) parsed as ListStateGet
+    (1:iteratorId string) ignores field 2 entirely."""
+    sm = _sm()
+    data = sm.KeyAndValuePair(key=b"abc", value=b"zzz").SerializeToString()
+    g = sm.ListStateGet()
+    g.ParseFromString(data)
+    assert g.iteratorId == "abc"
+
+
+def test_utf8_strings():
+    sm = _sm()
+    back = sm.ParseStringSchema()
+    back.ParseFromString(
+        sm.ParseStringSchema(schema="kēy STRING, välue LONG").SerializeToString()
+    )
+    assert back.schema == "kēy STRING, välue LONG"
+
+
+def test_reading_never_marks_presence():
+    sm = _sm()
+    req = sm.StateRequest(version=1)
+    _ = req.statefulProcessorCall  # read of unset submessage
+    assert req.SerializeToString() == bytes.fromhex("0801")
+
+
+def test_unsupported_constructs_fail_loudly():
+    from google.protobuf.descriptor import FieldDescriptor
+
+    with pytest.raises(NotImplementedError, match="proto type"):
+        FieldDescriptor("f", 1, 2, 1)  # TYPE_FLOAT: outside the subset
+    from google.protobuf.descriptor_pool import DescriptorPool
+
+    # FileDescriptorProto with a dependency (field 3): refuse
+    dep = b"\x1a\x05other" + b"b\x06proto3"
+    with pytest.raises(NotImplementedError, match="import"):
+        DescriptorPool().AddSerializedFile(dep)
+
+
+def test_shim_never_shadows_real_protobuf():
+    """The loader inserts the vendor dir only when google.protobuf is
+    missing; once ANY protobuf imports, it returns True and changes
+    nothing further."""
+    import sys
+
+    import google.protobuf  # noqa: F401
+
+    before = list(sys.path)
+    assert ensure_protobuf_driver()
+    assert sys.path == before

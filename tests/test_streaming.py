@@ -97,12 +97,12 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
 
 
 def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    # real package, or the repo's vendored pure-Python shim
+    # (ir_analyses_spark/streaming/pbvendor.py — r7 VERDICT item 6:
+    # the tws worker protocol now EXECUTES here instead of skipping)
+    from ir_analyses_spark.streaming.pbvendor import ensure_protobuf_driver
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf_driver()
 
 
 @pytest.mark.parametrize(
@@ -128,6 +128,9 @@ def test_stateful_running_totals_twins(spark, events_dir, totals_fn, sink):
     twin must produce the same per-user totals — the moment protobuf
     appears in an environment, the tws path executes under the exact
     assertions the legacy API already passes."""
+    from ir_analyses_spark.streaming.pbvendor import ensure_protobuf
+
+    assert ensure_protobuf(spark)  # ships the shim to workers if needed
     stream = totals_fn(stream_events(spark, events_dir))
     q = run_stream_to_memory(stream, sink, mode="update")
     _run(q)
