@@ -78,12 +78,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    from ir_analyses_spark.etl.config_toml import curation_settings, load_config
+    from ir_analyses_spark.etl.config_toml import curation_settings
     from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
     from ir_analyses_spark.session import get_spark
 
-    # precedence: explicit CLI flag > [curation] TOML > curate.py default
-    kwargs = curation_settings(load_config(args.config) if args.config else {})
+    # precedence: explicit CLI flag > [curation] TOML > curate.py default.
+    # An EXPLICIT --config that is missing or malformed fails loudly —
+    # load_config's log-and-continue fallback chain is for the implicit
+    # default candidates; a typo'd --config silently running the funnel
+    # unblocked/uncapped is the failure curation_settings' unknown-key
+    # check exists to prevent (review-caught)
+    cfg: dict = {}
+    if args.config:
+        import tomllib
+
+        with open(args.config, "rb") as fh:  # FileNotFoundError propagates
+            cfg = tomllib.load(fh)  # TOMLDecodeError propagates
+    kwargs = curation_settings(cfg)
     if args.blocklist:
         with open(args.blocklist, encoding="utf-8") as fh:
             kwargs["blocked_domains"] = [
@@ -96,9 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         if v is not None:
             kwargs[flag] = v
     if args.min_words is not None:
-        kwargs.setdefault("quality_thresholds", {})
         kwargs["quality_thresholds"] = {
-            **kwargs["quality_thresholds"], "min_words": args.min_words
+            **kwargs.get("quality_thresholds", {}), "min_words": args.min_words
         }
     if args.enforce_robots:
         kwargs["enforce_robots"] = True

@@ -1054,12 +1054,17 @@ def vacuum(
         floored = [v for v in versions if v >= keep_from_version]
         if len(floored) > len(keep):
             keep = floored
+    # keep is always a suffix of the dense version range, but a
+    # keep_from_version floor can make it nearly the whole history — a
+    # list-membership test in this loop would be O(n^2) on a
+    # thousand-version table (review-caught)
+    keep_set = set(keep)
     live: set[str] = set()
     published: set[str] = set()  # named by ANY manifest → not in-flight
     for v in versions:
         paths = {f["path"] for f in snapshot(table, v).files}
         published |= paths
-        if v in keep:
+        if v in keep_set:
             live |= paths
     removed_files = 0
     now = time.time()

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import re
 import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
@@ -141,6 +142,9 @@ def iter_warc_records(
         pos = body_start + clen
 
 
+_CHUNK_SIZE_RE = re.compile(rb"^[0-9a-fA-F]{1,16}$")
+
+
 def _dechunk(body: bytes) -> bytes:
     """Reassemble a Transfer-Encoding: chunked body (RFC 9112 §7.1).
     Raises ValueError on malformed framing — the caller falls back to
@@ -152,7 +156,13 @@ def _dechunk(body: bytes) -> bytes:
         if line_end < 0:
             raise ValueError("chunk size line not terminated")
         size_token = body[pos:line_end].split(b";", 1)[0].strip()
-        size = int(size_token, 16)  # ValueError on garbage
+        # int(x, 16) alone would accept '-2', '+2', '1_0' — framing
+        # Python's int grammar allows but RFC 9112 does not; a negative
+        # size would silently 'succeed' with a truncated body instead
+        # of triggering the raw-bytes fallback (review-caught)
+        if not _CHUNK_SIZE_RE.match(size_token):
+            raise ValueError(f"invalid chunk size token {size_token!r}")
+        size = int(size_token, 16)
         if size == 0:
             return b"".join(out)  # trailers (if any) are discarded
         start = line_end + 2
@@ -165,32 +175,50 @@ def _dechunk(body: bytes) -> bytes:
         pos = end + 2
 
 
+def _decompress_coding(body: bytes, coding: str) -> bytes:
+    """Undo one gzip/deflate coding; unknown codings and decompression
+    failures return the input unchanged (best-effort recovery)."""
+    try:
+        if coding in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if coding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                # some servers send raw deflate without the zlib wrapper
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except (OSError, EOFError, zlib.error):
+        pass
+    return body
+
+
 def _decode_http_body(body: bytes, headers: dict[str, str]) -> bytes:
-    """Undo Transfer-Encoding: chunked and Content-Encoding: gzip/
-    deflate — both common in real crawl WARC response records (r7
-    ADVICE: leaving them encoded made such pages decode to garbage
-    strings that the HTML/quality gates silently dropped — corpus
-    loss). Unknown codings or malformed framing fall back to the raw
-    bytes: a best-effort recovery must never turn a today-readable
-    record into an exception."""
-    te = headers.get("transfer-encoding", "").lower()
+    """Undo Transfer-Encoding (chunked, and any gzip/deflate transfer
+    codings listed alongside it, e.g. 'gzip, chunked') and then
+    Content-Encoding: gzip/deflate — all common in real crawl WARC
+    response records (r7 ADVICE: leaving them encoded made such pages
+    decode to garbage strings that the HTML/quality gates silently
+    dropped — corpus loss). Unknown codings or malformed framing fall
+    back to the raw bytes: a best-effort recovery must never turn a
+    today-readable record into an exception."""
+    te = [
+        c.strip()
+        for c in headers.get("transfer-encoding", "").lower().split(",")
+        if c.strip()
+    ]
     if "chunked" in te:
         try:
             body = _dechunk(body)
         except ValueError:
             return body
+        te.remove("chunked")
+    # remaining transfer codings were applied before chunking, so undo
+    # them innermost-last (reverse list order)
+    for coding in reversed(te):
+        body = _decompress_coding(body, coding)
     ce = headers.get("content-encoding", "").strip().lower()
-    try:
-        if ce in ("gzip", "x-gzip"):
-            body = gzip.decompress(body)
-        elif ce == "deflate":
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                # some servers send raw deflate without the zlib wrapper
-                body = zlib.decompress(body, -zlib.MAX_WBITS)
-    except (OSError, EOFError, zlib.error):
-        pass  # keep the (possibly dechunked) raw bytes
+    if ce:
+        body = _decompress_coding(body, ce)
     return body
 
 

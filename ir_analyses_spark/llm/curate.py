@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..io.warc import read_warc
+from ..io.warc import read_warc, read_wet_documents
 from .html_extract import extract_text_df
 from .linedup import dedup_units_within_doc, remove_global_duplicate_units
 from .lm_score import perplexity_buckets, score_with_lm
@@ -113,43 +113,53 @@ def curation_stages(
         )
     # WARC: full HTTP responses, HTML to extract. WET: pre-extracted
     # conversion records whose payload IS the text — no HTTP parse, no
-    # HTML stage (the content column is already `text`).
+    # HTML stage (the content column is already `text`). The WET path
+    # goes through io/warc.read_wet_documents so the document-identity
+    # rule (xxhash64(path#record_seq)) and the conversion-record filter
+    # live in exactly one place (review-caught duplication).
     content_col = "text" if wet else "html"
-    records = read_warc(
-        spark,
-        warc_path,
-        parse_http=not wet,
-        permissive=permissive,
-        **({"path_glob": "*.warc.wet*"} if wet else {}),
-    )
     if wet:
-        page_filter = (
-            (F.col("warc_type") == "conversion")
-            & F.col("target_uri").isNotNull()
+        records = read_warc(
+            spark, warc_path, parse_http=False, permissive=permissive,
+            path_glob="*.warc.wet*",
         )
-        content = F.col("payload").cast("string")
+        pages = (
+            read_wet_documents(
+                spark, warc_path, permissive=permissive
+            )
+            .select(
+                "doc_id",
+                normalize_url_expr(F.col("url")).alias("url"),
+                F.col("url").alias("raw_uri"),
+                "text",
+            )
+            .filter(F.col("url").isNotNull())
+        )
     else:
-        page_filter = (
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.lower(F.col("http_content_type")).startswith("text/html")
-            & F.col("target_uri").isNotNull()
+        records = read_warc(
+            spark, warc_path, parse_http=True, permissive=permissive
         )
-        content = F.col("body").cast("string")
-    pages = (
-        records.filter(page_filter)
-        .select(
-            F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias("doc_id"),
-            normalize_url_expr(F.col("target_uri")).alias("url"),
-            # raw URI kept alongside: robots prefixes match the path AS
-            # CRAWLED — canonicalization collapses trailing slashes, so
-            # 'Disallow: /private/' would silently miss '/private/' if
-            # matched against the canonical form
-            F.col("target_uri").alias("raw_uri"),
-            content.alias(content_col),
+        pages = (
+            records.filter(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+                & F.lower(F.col("http_content_type")).startswith("text/html")
+                & F.col("target_uri").isNotNull()
+            )
+            .select(
+                F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias(
+                    "doc_id"
+                ),
+                normalize_url_expr(F.col("target_uri")).alias("url"),
+                # raw URI kept alongside: robots prefixes match the path
+                # AS CRAWLED — canonicalization collapses trailing
+                # slashes, so 'Disallow: /private/' would silently miss
+                # '/private/' if matched against the canonical form
+                F.col("target_uri").alias("raw_uri"),
+                F.col("body").cast("string").alias(content_col),
+            )
+            .filter(F.col("url").isNotNull())
         )
-        .filter(F.col("url").isNotNull())
-    )
     robots_allowed = None
     if enforce_robots:
         # rule table is KB-sized but its lineage is the full crawl scan —

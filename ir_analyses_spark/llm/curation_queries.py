@@ -83,11 +83,18 @@ def warc_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     body = gzip.compress(body, mtime=0)
                     extra = "Content-Encoding: gzip\r\n"
                 elif variant == 2:
+                    # a zero-size chunk TERMINATES a chunked body, so
+                    # only emit non-empty chunks (review-caught: a
+                    # 1-byte text would have framed '0\\r\\n…' and the
+                    # parsed body would drop the byte)
                     half = len(body) // 2
+                    chunks = [c for c in (body[:half], body[half:]) if c]
                     body = (
-                        f"{half:x}".encode() + b"\r\n" + body[:half] + b"\r\n"
-                        + f"{len(body) - half:x}".encode() + b"\r\n"
-                        + body[half:] + b"\r\n0\r\n\r\n"
+                        b"".join(
+                            f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+                            for c in chunks
+                        )
+                        + b"0\r\n\r\n"
                     )
                     extra = "Transfer-Encoding: chunked\r\n"
                 payload = (

@@ -87,7 +87,17 @@ def _shim_zip() -> str:
 
 def ensure_protobuf(spark) -> bool:
     """Driver + executor availability. Ships the shim to workers via
-    ``addPyFile`` only when the real package is missing."""
+    ``addPyFile`` only when the real package is missing ON THE DRIVER.
+
+    Environment-homogeneity assumption (review-noted, deliberate): when
+    the driver HAS real protobuf, nothing is shipped — executor
+    availability cannot be probed from here, and unconditionally
+    shipping the shim would put it at the FRONT of executor
+    ``sys.path``, shadowing a real (newer, complete) runtime on any
+    cluster that has one. True in local mode (driver == executors) and
+    on uniform-image clusters — the deployments this repo targets; a
+    heterogeneous cluster whose executors lack protobuf must install
+    it in the executor image."""
     if not ensure_protobuf_driver():
         return False
     import google.protobuf

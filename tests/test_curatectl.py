@@ -87,3 +87,23 @@ def test_cli_config_unknown_key_fails_loudly(tmp_path):
             ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
              "--config", str(cfg)]
         )
+
+
+def test_cli_explicit_config_missing_or_malformed_fails(tmp_path):
+    """Review-caught: an explicit --config that doesn't exist or doesn't
+    parse must fail loudly, not silently run the funnel with defaults."""
+    import pytest
+    import tomllib
+
+    with pytest.raises(FileNotFoundError):
+        curatectl.main(
+            ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
+             "--config", str(tmp_path / "nope.toml")]
+        )
+    bad = tmp_path / "broken.toml"
+    bad.write_text("[curation\nmax_pages_per_domain = 5\n")
+    with pytest.raises(tomllib.TOMLDecodeError):
+        curatectl.main(
+            ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
+             "--config", str(bad)]
+        )

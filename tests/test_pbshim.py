@@ -143,3 +143,14 @@ def test_shim_never_shadows_real_protobuf():
     before = list(sys.path)
     assert ensure_protobuf_driver()
     assert sys.path == before
+
+
+def test_message_scoped_enum_fails_loudly():
+    from google.protobuf.descriptor_pool import DescriptorPool
+
+    # FileDescriptorProto{ message_type{ name:"M" enum_type{name:"E"} } }
+    inner_enum = b"\x0a\x01E"
+    msg = b"\x0a\x01M" + b"\x22" + bytes([len(inner_enum)]) + inner_enum
+    blob = b"\x22" + bytes([len(msg)]) + msg + b"b\x06proto3"
+    with pytest.raises(NotImplementedError, match="message-scoped enum"):
+        DescriptorPool().AddSerializedFile(blob)

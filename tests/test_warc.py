@@ -290,3 +290,33 @@ def test_http_body_malformed_encodings_fall_back_to_raw():
         _http_hdrs("Transfer-Encoding: chunked", b"ff\r\nshort\r\n")
     )
     assert body == b"ff\r\nshort\r\n"
+
+
+def test_chunked_rejects_non_rfc_size_tokens():
+    """Review-caught: int(x, 16) accepts '-2'/'+2'/'1_0', which RFC 9112
+    framing does not — a negative size 'succeeded' with a truncated
+    body instead of falling back to the raw bytes."""
+    for blob in (b"-2\r\n0\r\n\r\n", b"+2\r\nab\r\n0\r\n\r\n",
+                 b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n"):
+        s, _, body = split_http_response(
+            _http_hdrs("Transfer-Encoding: chunked", blob)
+        )
+        assert (s, body) == (200, blob), blob  # raw fallback, not b""
+
+
+def test_transfer_encoding_list_gzip_chunked():
+    """Review-caught: 'Transfer-Encoding: gzip, chunked' must undo BOTH
+    codings (gzip applied first, chunked outermost)."""
+    doc = b"<html><body>listed transfer codings</body></html>"
+    gz = gzip.compress(doc)
+    s, _, body = split_http_response(
+        _http_hdrs("Transfer-Encoding: gzip, chunked", _chunk(gz, [len(gz)]))
+    )
+    assert (s, body) == (200, doc)
+    # deflate as a transfer coding, no chunked at all
+    import zlib
+
+    s, _, body = split_http_response(
+        _http_hdrs("Transfer-Encoding: deflate", zlib.compress(doc))
+    )
+    assert body == doc
