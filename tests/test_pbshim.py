@@ -154,3 +154,83 @@ def test_message_scoped_enum_fails_loudly():
     blob = b"\x22" + bytes([len(msg)]) + msg + b"b\x06proto3"
     with pytest.raises(NotImplementedError, match="message-scoped enum"):
         DescriptorPool().AddSerializedFile(blob)
+
+
+# ---- property battery: random values through every message type ----
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+def _value_strategy(f):
+    from google.protobuf.descriptor import FieldDescriptor as FD
+
+    if f.type in (FD.TYPE_INT32,):
+        base = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    elif f.type in (FD.TYPE_INT64,):
+        base = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    elif f.type == FD.TYPE_BOOL:
+        base = st.booleans()
+    elif f.type == FD.TYPE_STRING:
+        base = st.text(max_size=40)
+    elif f.type == FD.TYPE_BYTES:
+        base = st.binary(max_size=40)
+    elif f.type == FD.TYPE_ENUM:
+        base = st.sampled_from([v.number for v in f.enum_type.values])
+    else:  # message
+        sub = f.message_type._concrete_class
+        base = st.builds(lambda: sub())  # empty submessage is enough here
+    if f.is_repeated:
+        return st.lists(base, max_size=4)
+    return base
+
+
+def _canonical(msg):
+    """Field dict with proto3 defaults normalized away (unset == default
+    for scalars; empty repeated == unset)."""
+    out = {}
+    for f in msg.DESCRIPTOR.fields:
+        v = getattr(msg, f.name)
+        if f.is_repeated:
+            if list(v):
+                out[f.name] = [
+                    _canonical(x) if hasattr(x, "DESCRIPTOR") else x
+                    for x in v
+                ]
+        elif f.type == 11:  # message: presence-tracked
+            if f.name in msg._values:
+                out[f.name] = _canonical(v)
+        elif v != f.default_value():
+            out[f.name] = v
+    return out
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.data())
+    def test_random_roundtrip_every_message_type(data):
+        """Serialize→parse over EVERY StateMessage type with random
+        field values must reproduce the canonical field content."""
+        sm = _sm()
+        classes = [
+            v for v in vars(sm).values()
+            if isinstance(v, type) and hasattr(v, "DESCRIPTOR")
+        ]
+        cls = data.draw(st.sampled_from(classes))
+        kwargs = {}
+        for f in cls.DESCRIPTOR.fields:
+            if data.draw(st.booleans(), label=f"set_{f.name}"):
+                kwargs[f.name] = data.draw(
+                    _value_strategy(f), label=f.name
+                )
+        msg = cls(**kwargs)
+        wire = msg.SerializeToString()
+        back = cls()
+        back.ParseFromString(wire)
+        assert _canonical(back) == _canonical(msg)
+        # determinism: re-serialization is byte-identical
+        assert back.SerializeToString() == wire
