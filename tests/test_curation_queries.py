@@ -88,3 +88,54 @@ def test_warc_roundtrip_covers_all_encodings(spark):
     rows = CQ.warc_roundtrip_parse(spark, SF).collect()
     assert len(rows) == 500
     assert {int(r["doc_id"]) % 3 for r in rows} == {0, 1, 2}
+
+
+# ---- plan pins: the scale posture of the new driver queries ----
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_warc_roundtrip_is_shuffle_free(spark):
+    """Serialize→parse roundtrip is one Arrow mapInPandas over the
+    scan — a WARC parse that shuffled would be wrong at any scale."""
+    plan = _plan(CQ.warc_roundtrip_parse(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_plan_quality_signals_single_scan_no_explode(spark):
+    """Signals come from stacked array expressions, never explode: a
+    Generate node would multiply the corpus by its word count."""
+    plan = _plan(CQ.gopher_quality_flags(spark, SF))
+    assert "Generate" not in plan
+    assert "Exchange" not in plan  # pure projection over the scan
+
+
+def test_plan_domain_caps_one_exchange(spark):
+    """The cap is one hash-partitioning on the domain key + window —
+    never a global sort."""
+    plan = _plan(CQ.url_domain_caps(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
+
+
+def test_plan_export_layout_one_window_exchange(spark):
+    """Packing offsets are per-(split, shard) running sums — one
+    partitioned window, no global prefix sum."""
+    plan = _plan(CQ.training_export_layout(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_plan_scoring_stats_broadcasts_model(spark):
+    """The alphabet-bounded gram model is the broadcast side; the
+    corpus gram stream never reshuffles for the join."""
+    df = CQ.charlm_scoring_stats(spark, SF)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert any(
+        "BroadcastHashJoin" in l and "LeftOuter" in l
+        for l in plan.splitlines()
+    )
