@@ -1,0 +1,224 @@
+"""Corpus mixture shaping for training-data assembly (SURVEY §2B LLM
+ext): temperature-flattened source sampling and token-budget
+subsetting — the two knobs between a curated corpus and a training
+mixture (cf. XLM-R §3.1 temperature sampling; every LLM data recipe's
+per-source token budgets).
+
+Determinism discipline (same as `llm/training.py` / `llm/sampling.py`):
+every sampling decision is multiplicative hashing on exact integers —
+no RNG — so mixtures are reproducible run-to-run, engine-to-engine,
+and under any partitioning. Cross-engine exactness is engineered, not
+hoped for: the only non-integer step is ``floor(sqrt(integer))``, and
+IEEE-754 requires sqrt to be correctly rounded (Java ``Math.sqrt`` and
+DuckDB ``std::sqrt`` agree bit-for-bit), so quotas are identical
+integers in both engines. No ``pow``/``ln`` (not correctly rounded —
+the same reason `llm/lm_score.py` keeps its scores pytest-oracled).
+
+Scale posture: per-source quotas come from ONE dimension-sized
+aggregate; selection is a per-source window over the hash priority
+(``partitionBy(source)`` — never a global ORDER BY, which would be a
+single-partition sort at corpus scale). Two shuffles total (agg +
+window), both on the source key; document text never rides either.
+
+New module per the evidence-ledger rule; registered at the registry
+TAIL HEAD as round-9's window head (driver rows land next round; both
+queries are differential-verified bare-session in-repo this round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io.sources import load_table
+
+#: Knuth's 2^32 multiplicative constant (shared family with
+#: `llm/training.py`); pmod keeps signed ids uniform (r7 ADVICE there).
+_KNUTH = 2654435761
+_M = 1_000_000_007  # priority modulus (prime, ~2^30: ample resolution)
+
+
+def _priority(col):
+    """Deterministic per-doc priority in [0, _M) — the 'random' key
+    every selection below ranks by."""
+    return F.pmod(col * F.lit(_KNUTH), F.lit(_M))
+
+
+def temperature_sample_df(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """α=0.5 temperature-flattened mixture by deterministic downsampling.
+
+    Target mixture ∝ sqrt(n_s) (α=0.5 flattening). A downsampling-only
+    sampler realizes it by anchoring at the SMALLEST source (rate_s =
+    sqrt(n_min/n_s), so the smallest source keeps everything and every
+    larger source shrinks toward the flattened share): quota_s =
+    n_s·rate_s = ``floor(sqrt(n_s · n_min))`` — the geometric mean of
+    each source's size and the smallest's. Documents are never
+    replicated (an up-sampler belongs in the training loader, not the
+    corpus). The quota is filled by the ``quota_s`` smallest hash
+    priorities, so adding or removing OTHER sources never changes
+    which documents a source keeps (only how many).
+    """
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n_s")
+    )
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    quotas = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.least(
+            F.col("_n_s"),
+            F.floor(F.sqrt(F.col("_n_s") * F.col("_n_min"))),
+        ).alias("_quota"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        _priority(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.join(F.broadcast(quotas), source_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+        .select(*docs.columns)
+    )
+
+
+def token_budget_subset_df(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic subset holding at most ``budget_tokens``
+    whitespace tokens, the budget split into equal integer per-source
+    shares (remainder undistributed — a fixed contract, not a
+    floating allocation). Within each source, documents fill the share
+    in hash-priority order; a document enters iff it STARTS inside the
+    share (prefix-sum cut — the standard budget semantics, so at most
+    one document per source overruns its share).
+
+    Appends ``n_tokens`` and the within-share ``tok_start`` offset —
+    the numbers a mixture audit wants next to each kept document.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    n_sources = docs.select(source_col).distinct().count()
+    if n_sources == 0:
+        share = 0
+    else:
+        share = budget_tokens // n_sources
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(_priority(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.withColumn("n_tokens", n_tok).withColumn(
+        "tok_end", F.sum("n_tokens").over(w)
+    )
+    return (
+        with_cum.filter(F.col("tok_end") - F.col("n_tokens") < F.lit(share))
+        .select(
+            *docs.columns,
+            "n_tokens",
+            (F.col("tok_end") - F.col("n_tokens")).alias("tok_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_BUDGET = 10_000
+
+
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept doc ids + per-language kept counts under α=0.5 flattening
+    over the LANGUAGE dimension (the imbalanced one in this corpus —
+    the uniform `source` column would make flattening a no-op and the
+    row vacuous; tests/test_mixture.py pins that the quota binds)."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = temperature_sample_df(docs, source_col="lang")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+), quotas AS (
+  SELECT lang,
+         LEAST(n_s, CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)
+                                    * (SELECT MIN(n_s) FROM counts)))
+                    AS BIGINT)) AS quota
+  FROM counts
+), ranked AS (
+  SELECT d.lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY ((d.doc_id * {_KNUTH}) % {_M} + {_M}) % {_M}, d.doc_id
+         ) AS rk
+  FROM documents d
+)
+SELECT r.lang, COUNT(*) AS n_kept
+FROM ranked r JOIN quotas q ON r.lang = q.lang
+WHERE r.rk <= q.quota
+GROUP BY r.lang
+ORDER BY r.lang
+"""
+
+
+def token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    return token_budget_subset_df(docs, _BUDGET).select(
+        "doc_id", "source", "n_tokens", "tok_start"
+    )
+
+
+def _token_budget_sql() -> str:
+    # the per-source share is an integer contract: budget // n_sources
+    return f"""
+WITH shares AS (
+  -- // : DuckDB's / on integers is double division and CAST rounds;
+  -- the contract is floor (Python's budget // n_sources)
+  SELECT {_BUDGET} // COUNT(DISTINCT source) AS share
+  FROM documents
+), toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              w -> w != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY source
+    ORDER BY ((doc_id * {_KNUTH}) % {_M} + {_M}) % {_M}, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS tok_end
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_end - n_tokens AS BIGINT) AS tok_start
+FROM cum, shares
+WHERE tok_end - n_tokens < share
+"""
+
+
+QUERIES = {
+    "temperature_mixture_sample": temperature_mixture_sample,
+    "token_budget_subset": token_budget_subset,
+}
+
+ORACLES = {
+    "temperature_mixture_sample": TEMPERATURE_MIXTURE_SQL,
+    "token_budget_subset": _token_budget_sql(),
+}

@@ -10,9 +10,11 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r8: 164 — the r7 freeze at 150 is lifted per the r7
-# VERDICT; the 14 additions live in the new module
-# llm/curation_queries.py so no certified query's module changed)
+# (registry count r8: 166 — the r7 freeze at 150 is lifted per the r7
+# VERDICT; the 14 curation additions live in the new module
+# llm/curation_queries.py and the 2 mixture additions (tail head, r9's
+# window head) in llm/mixture.py, so no certified query's module
+# changed)
 
 from __future__ import annotations
 
@@ -25,6 +27,7 @@ from .io import txn_queries
 from .llm import (
     curation_queries,
     dedup,
+    mixture,
     multimodal,
     pq,
     sampling,
@@ -74,6 +77,7 @@ _MODULES = [
     training,
     multimodal,
     curation_queries,
+    mixture,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -168,7 +172,12 @@ _ORDER = [
     "python_udtf_expand",
     "pandas_grouped_agg_udf",
     # ---- 50-query window boundary (driver budget) ----
-    # tail head: the 4 legacy rows that did not fit the window
+    # tail head = round-9's window head: first the r8 tail additions
+    # (never driver-checked; differential-verified bare-session in-repo
+    # this round — see COVERAGE.md), then the 4 legacy rows that did
+    # not fit the r8 window
+    "temperature_mixture_sample",
+    "token_budget_subset",
     "apply_in_pandas_topk",
     "salted_twophase_agg",
     "salted_skew_join",

@@ -1,0 +1,161 @@
+"""llm/mixture.py: temperature-flattened sampling and token-budget
+subsetting vs independent pure-Python references, with vacuity guards
+(quotas/budgets must BIND on the real corpus) and plan pins for the
+no-global-sort scale posture."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.io.sources import load_table
+from ir_analyses_spark.llm.mixture import (
+    _KNUTH,
+    _M,
+    temperature_mixture_sample,
+    temperature_sample_df,
+    token_budget_subset,
+    token_budget_subset_df,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _prio(doc_id: int) -> int:
+    return (doc_id * _KNUTH) % _M  # Python % is floor-mod == pmod
+
+
+def _py_temperature(rows, key):
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r[key], []).append(r["doc_id"])
+    n_min = min(len(v) for v in by_s.values())
+    kept = set()
+    for s, ids in by_s.items():
+        quota = min(len(ids), math.floor(math.sqrt(len(ids) * n_min)))
+        ids.sort(key=lambda i: (_prio(i), i))
+        kept.update(ids[:quota])
+    return kept
+
+
+def test_temperature_matches_python_reference_and_binds(spark):
+    docs = load_table(spark, "documents", SF)
+    rows = [r.asDict() for r in docs.select("doc_id", "lang").collect()]
+    want = _py_temperature(rows, "lang")
+    got = {
+        r["doc_id"]
+        for r in temperature_sample_df(docs, source_col="lang").collect()
+    }
+    assert got == want
+    # vacuity: at least one language was actually downsampled, and the
+    # smallest language kept everything
+    n_s = {}
+    for r in rows:
+        n_s[r["lang"]] = n_s.get(r["lang"], 0) + 1
+    kept_per = {}
+    for r in rows:
+        if r["doc_id"] in got:
+            kept_per[r["lang"]] = kept_per.get(r["lang"], 0) + 1
+    assert any(kept_per[s] < n_s[s] for s in n_s)
+    smallest = min(n_s, key=n_s.get)
+    assert kept_per[smallest] == n_s[smallest]
+    # flattening direction: kept counts are more uniform than inputs
+    def spread(d):
+        return max(d.values()) / min(d.values())
+    assert spread(kept_per) < spread(n_s)
+
+
+def test_temperature_stable_under_other_sources(spark):
+    """Removing a whole OTHER language never changes which docs a
+    language keeps when its quota is unchanged (hash-priority ranking
+    is per-source)."""
+    docs = load_table(spark, "documents", SF)
+    full = {
+        (r["lang"], r["doc_id"])
+        for r in temperature_sample_df(docs, source_col="lang").collect()
+    }
+    # drop a mid-sized language; n_min (the anchor) must survive
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    smallest = min(counts, key=counts.get)
+    biggest = max(counts, key=counts.get)
+    drop = next(s for s in counts if s not in (smallest, biggest))
+    sub = temperature_sample_df(
+        docs.filter(F.col("lang") != drop), source_col="lang"
+    )
+    sub_keep = {(r["lang"], r["doc_id"]) for r in sub.collect()}
+    assert sub_keep == {(s, d) for s, d in full if s != drop}
+
+
+def _py_budget(rows, share):
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r["source"], []).append(r)
+    kept = {}
+    for s, rs in by_s.items():
+        rs.sort(key=lambda r: (_prio(r["doc_id"]), r["doc_id"]))
+        cum = 0
+        for r in rs:
+            if cum < share:
+                kept[r["doc_id"]] = cum
+            cum += r["n_tokens"]
+    return kept
+
+
+def test_budget_matches_python_reference_and_binds(spark):
+    docs = load_table(spark, "documents", SF).select("doc_id", "source", "text")
+    n_sources = docs.select("source").distinct().count()
+    budget = 10_000
+    rows = [
+        r.asDict()
+        for r in docs.select(
+            "doc_id",
+            "source",
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda w: w != F.lit(""))
+            ).cast("bigint").alias("n_tokens"),
+        ).collect()
+    ]
+    want = _py_budget(rows, budget // n_sources)
+    got = {
+        r["doc_id"]: r["tok_start"]
+        for r in token_budget_subset_df(docs, budget).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(rows)  # the budget binds, nonempty
+    # total kept tokens per source never exceeds share + one overrun doc
+    share = budget // n_sources
+    tok = {r["doc_id"]: r["n_tokens"] for r in rows}
+    per_source: dict = {}
+    for r in rows:
+        if r["doc_id"] in got:
+            per_source.setdefault(r["source"], []).append(r["doc_id"])
+    for s, ids in per_source.items():
+        total = sum(tok[i] for i in ids)
+        assert total - max(tok[i] for i in ids) < share
+
+
+def test_budget_rejects_negative(spark):
+    import pytest
+
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_subset_df(docs, -1)
+
+
+def test_plans_never_global_sort(spark):
+    """Both operators: the selection window is hash-partitioned on the
+    source key — a global ORDER BY (range partition) would
+    single-partition the corpus. (The registry queries' tiny OUTPUT
+    orderBy is excluded by testing the operator frames directly.)"""
+    docs = load_table(spark, "documents", SF)
+    for df in (
+        temperature_sample_df(docs, source_col="lang"),
+        token_budget_subset_df(
+            docs.select("doc_id", "source", "text"), 10_000
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "Exchange hashpartitioning" in plan
+        assert "Window" in plan
