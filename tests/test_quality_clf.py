@@ -1,0 +1,95 @@
+"""llm/quality_clf.py: the MLlib quality classifier must separate a
+synthetic reference corpus from synthetic noise, score monotonically
+with the threshold, and keep scoring JVM-side (no Python rows)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.llm.quality_clf import (
+    filter_by_quality,
+    score_quality,
+    train_quality_classifier,
+)
+
+_REF_WORDS = (
+    "the market report shows that revenue and profit have grown with "
+    "steady demand while the company expects further improvement in the "
+    "coming year according to the latest filing"
+).split()
+_NOISE_WORDS = "zxq wvv kpl qqj xoxo brrt glrb snnk plom vrrt".split()
+
+
+def _corpus(words, n_docs, seed, prefix):
+    rng = random.Random(seed)
+    return [
+        (f"{prefix}{i}", " ".join(rng.choice(words) for _ in range(60)))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def model_and_frames(spark):
+    pos = spark.createDataFrame(
+        _corpus(_REF_WORDS, 120, 1, "p"), "doc_id string, text string"
+    )
+    neg = spark.createDataFrame(
+        _corpus(_NOISE_WORDS, 120, 2, "n"), "doc_id string, text string"
+    )
+    # small feature space + few iterations: the corpora are tiny and
+    # linearly separable; the production default (2^18) is overkill in CI
+    model = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=15)
+    # held-out docs from the same two generators
+    held = spark.createDataFrame(
+        _corpus(_REF_WORDS, 40, 3, "hp") + _corpus(_NOISE_WORDS, 40, 4, "hn"),
+        "doc_id string, text string",
+    )
+    return model, held
+
+
+def test_separates_reference_from_noise(model_and_frames):
+    model, held = model_and_frames
+    scored = score_quality(model, held).collect()
+    probs = {r["doc_id"]: r["quality_prob"] for r in scored}
+    ref = [p for d, p in probs.items() if d.startswith("hp")]
+    noise = [p for d, p in probs.items() if d.startswith("hn")]
+    # every held-out reference doc outranks every held-out noise doc
+    assert min(ref) > max(noise)
+    acc = (sum(p >= 0.5 for p in ref) + sum(p < 0.5 for p in noise)) / 80
+    assert acc >= 0.95
+
+
+def test_filter_threshold_monotone(model_and_frames):
+    model, held = model_and_frames
+    kept = [
+        filter_by_quality(model, held, min_prob=t).count()
+        for t in (0.0, 0.3, 0.6, 0.9)
+    ]
+    assert kept[0] == 80
+    assert kept == sorted(kept, reverse=True)
+    with pytest.raises(ValueError, match="min_prob"):
+        filter_by_quality(model, held, min_prob=1.5)
+
+
+def test_schema_passthrough_and_jvm_scoring(model_and_frames, spark):
+    model, held = model_and_frames
+    docs = held.withColumn("url", F.concat(F.lit("http://x/"), "doc_id"))
+    out = filter_by_quality(model, docs, min_prob=0.5)
+    assert out.columns == docs.columns
+    plan = score_quality(model, docs)._jdf.queryExecution().executedPlan().toString()
+    # MLlib transform is JVM expressions/UDFs — no Arrow/Python row path
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # scoring is map-only over the scan
+
+
+def test_model_scores_any_text_column_name(model_and_frames, spark):
+    """Training canonicalizes to a 'text' input, so one model scores
+    frames whose text column has a different name."""
+    model, held = model_and_frames
+    renamed = held.withColumnRenamed("text", "body")
+    out = score_quality(model, renamed, text_col="body")
+    assert set(out.columns) == {"doc_id", "body", "quality_prob"}
+    assert out.count() == 80
