@@ -52,6 +52,8 @@ def curation_stages(
     enforce_robots: bool = False,
     perplexity_lm=None,
     max_ppl_bucket: int | None = None,
+    quality_model=None,
+    min_quality_prob: float = 0.5,
     input_format: str = "warc",
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
@@ -72,7 +74,7 @@ def curation_stages(
     Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
     ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,
     ``content_like``, ``normalized``, ``exact_deduped``,
-    ``line_deduped``, [``ppl_filtered``,] ``final``.
+    ``line_deduped``, [``ppl_filtered``,] [``clf_filtered``,] ``final``.
 
     ``enforce_robots=True`` extracts the crawl's own robots.txt
     responses (`llm/robots.py`) and drops disallowed pages right after
@@ -80,7 +82,11 @@ def curation_stages(
     with ``max_ppl_bucket`` applies the CCNet filter after line dedup:
     documents land in perplexity terciles and only buckets ≤ the bound
     survive (bucket 1 = most fluent; NULL-scored short docs are kept —
-    the word-count rule owns that judgement). NOTE: the tercile cutoffs
+    the word-count rule owns that judgement). ``quality_model`` (a
+    fitted `llm/quality_clf` PipelineModel) with ``min_quality_prob``
+    adds the model-based reference-likeness gate after the dedup (and
+    perplexity, if enabled) stages — a map-only MLlib transform, no
+    extra shuffle. NOTE: the tercile cutoffs
     are a two-pass computation, so enabling the perplexity stage runs a
     scoring job during THIS call (the funnel is otherwise lazy);
     ``persist_intermediates`` makes that pass reusable instead of a
@@ -242,6 +248,21 @@ def curation_stages(
         ).select("doc_id")
         ppl_filtered = line_deduped.join(keep_ids, "doc_id", "left_semi")
         gate_in = ppl_filtered
+    clf_filtered = None
+    if quality_model is not None:
+        if not (0.0 <= min_quality_prob <= 1.0):
+            raise ValueError(
+                f"min_quality_prob must be in [0, 1], got {min_quality_prob}"
+            )
+        from .quality_clf import filter_by_quality
+
+        # map-only MLlib transform (JVM featurize + broadcast
+        # coefficients — no shuffle, no Python rows); runs after the
+        # dedup stages so the model scores the text that would ship
+        clf_filtered = filter_by_quality(
+            quality_model, gate_in, min_prob=min_quality_prob
+        )
+        gate_in = clf_filtered
     # keep= passthrough: the gate is a projection+filter, no join —
     # same pattern as streaming/curate_stream.py
     final = (
@@ -267,6 +288,7 @@ def curation_stages(
         "exact_deduped": exact_deduped,
         "line_deduped": line_deduped,
         **({"ppl_filtered": ppl_filtered} if ppl_filtered is not None else {}),
+        **({"clf_filtered": clf_filtered} if clf_filtered is not None else {}),
         "final": final,
     }
     return out

@@ -93,3 +93,37 @@ def test_model_scores_any_text_column_name(model_and_frames, spark):
     out = score_quality(model, renamed, text_col="body")
     assert set(out.columns) == {"doc_id", "body", "quality_prob"}
     assert out.count() == 80
+
+
+def test_classifier_stage_in_funnel(model_and_frames, spark, tmp_path_factory):
+    """The optional clf_filtered funnel stage drops noise pages the
+    rule gate alone would keep."""
+    import gzip
+
+    from ir_analyses_spark.llm.curate import curation_stages
+    from tests.test_curate import _record, _page
+
+    model, _ = model_and_frames
+    ref = " ".join(_REF_WORDS)          # reference-like page body
+    noise = " ".join(_NOISE_WORDS * 4)  # gibberish but rule-passing length
+    recs = [
+        _record("http://a.example/good", _page([ref], "Good"), seq=0),
+        _record("http://a.example/noise", _page([noise], "Noise"), seq=1),
+    ]
+    d = tmp_path_factory.mktemp("clf_crawl")
+    (d / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    base_kwargs = dict(
+        quality_thresholds={"min_words": 10, "min_stopwords_present": 0},
+    )
+    without = curation_stages(spark, str(d), **base_kwargs)
+    assert {r["title"] for r in without["final"].collect()} == {"Good", "Noise"}
+    with_clf = curation_stages(
+        spark, str(d), quality_model=model, min_quality_prob=0.5,
+        **base_kwargs,
+    )
+    assert "clf_filtered" in with_clf
+    assert {r["title"] for r in with_clf["final"].collect()} == {"Good"}
+    with pytest.raises(ValueError, match="min_quality_prob"):
+        curation_stages(
+            spark, str(d), quality_model=model, min_quality_prob=2.0
+        )
