@@ -609,12 +609,19 @@ WITH unblocked AS (
 n_unblocked AS (SELECT COUNT(*) AS n FROM unblocked),
 n_urls AS (SELECT COUNT(DISTINCT url_anchor) AS n FROM unblocked),
 survivor_texts AS (
-  SELECT DISTINCT content_anchor AS doc_id FROM unblocked
+  -- group by the TEXT, not the anchor id: distinct anchors can carry
+  -- identical texts (the documents generator repeats a few at larger
+  -- SFs — 8 collisions at sf0.1), and the funnel's exact dedup folds
+  -- BY CONTENT; the representative doc_id is only a join key and the
+  -- colliding texts are identical, so the gate outcome is
+  -- representative-independent
+  SELECT d.text, MIN(u.content_anchor) AS doc_id
+  FROM unblocked u JOIN documents d ON d.doc_id = u.content_anchor
+  GROUP BY d.text
 ),
 n_texts AS (SELECT COUNT(*) AS n FROM survivor_texts),
 survivors AS (
-  SELECT d.doc_id, d.text FROM documents d
-  JOIN survivor_texts s ON d.doc_id = s.doc_id
+  SELECT doc_id, text FROM survivor_texts
 ),
 n_final AS (SELECT COUNT(*) AS n FROM ({gate}) WHERE passes_gopher)
 SELECT 'records' AS stage, (SELECT COUNT(*) FROM documents) AS n_rows
