@@ -66,6 +66,20 @@ def main(argv: list[str] | None = None) -> int:
         help="fail loudly on malformed WARC data instead of emitting _error rows",
     )
     ap.add_argument(
+        "--quality-model",
+        default=None,
+        help="directory of a saved llm/quality_clf PipelineModel; adds "
+        "the model-based reference-likeness gate (overrides the "
+        "config's quality_model_path)",
+    )
+    ap.add_argument(
+        "--min-quality-prob",
+        type=float,
+        default=None,
+        help="classifier gate threshold (default 0.5; overrides the "
+        "config's min_quality_prob)",
+    )
+    ap.add_argument(
         "--enforce-robots",
         action="store_true",
         help="extract the crawl's own robots.txt responses and drop "
@@ -112,10 +126,20 @@ def main(argv: list[str] | None = None) -> int:
         }
     if args.enforce_robots:
         kwargs["enforce_robots"] = True
+    if args.quality_model is not None:
+        kwargs["quality_model_path"] = args.quality_model
+    if args.min_quality_prob is not None:
+        kwargs["min_quality_prob"] = args.min_quality_prob
     if not kwargs.get("blocked_domains"):
         kwargs.pop("blocked_domains", None)
 
     spark = get_spark(app_name="curatectl")
+    model_path = kwargs.pop("quality_model_path", None)
+    if model_path is not None:
+        # a saved llm/quality_clf model; load fails loudly on a bad path
+        from pyspark.ml import PipelineModel
+
+        kwargs["quality_model"] = PipelineModel.load(model_path)
     stages = curation_stages(
         spark,
         args.warc_dir,

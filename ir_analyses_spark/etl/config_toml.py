@@ -173,6 +173,8 @@ _CURATION_KEYS = frozenset(
         "line_dedup_min_docs",
         "quality_thresholds",
         "enforce_robots",
+        "quality_model_path",
+        "min_quality_prob",
     }
 )
 

@@ -127,3 +127,49 @@ def test_classifier_stage_in_funnel(model_and_frames, spark, tmp_path_factory):
         curation_stages(
             spark, str(d), quality_model=model, min_quality_prob=2.0
         )
+
+
+def test_model_save_load_roundtrip_and_cli(model_and_frames, spark, tmp_path, capsys):
+    """MLlib persistence: a saved model reloads and scores identically;
+    curatectl drives the classifier gate from --quality-model."""
+    import gzip
+    import json
+
+    from pyspark.ml import PipelineModel
+
+    import curatectl
+    from tests.test_curate import _record, _page
+
+    model, held = model_and_frames
+    mdir = str(tmp_path / "qmodel")
+    model.write().overwrite().save(mdir)
+    back = PipelineModel.load(mdir)
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, held).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_quality(back, held).collect()}
+    assert a == b  # coefficients roundtrip exactly
+    # CLI e2e: the loaded model gates the funnel
+    ref = " ".join(_REF_WORDS)
+    noise = " ".join(_NOISE_WORDS * 4)
+    recs = [
+        _record("http://a.example/good", _page([ref], "Good"), seq=0),
+        _record("http://a.example/noise", _page([noise], "Noise"), seq=1),
+    ]
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(
+        f'[curation]\nquality_model_path = "{mdir}"\nmin_quality_prob = 0.5\n'
+        "\n[curation.quality_thresholds]\nmin_words = 10\n"
+        "min_stopwords_present = 0\n"
+    )
+    out_dir = tmp_path / "corpus"
+    rc = curatectl.main(
+        ["--warc-dir", str(warc_dir), "--out-dir", str(out_dir),
+         "--config", str(cfg), "--report"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_documents"] == 1
+    assert report["funnel"]["clf_filtered"] == 1
+    assert {r["title"] for r in spark.read.parquet(str(out_dir)).collect()} == {"Good"}
