@@ -133,8 +133,15 @@ def main(argv: list[str] | None = None) -> int:
     if not kwargs.get("blocked_domains"):
         kwargs.pop("blocked_domains", None)
 
-    spark = get_spark(app_name="curatectl")
     model_path = kwargs.pop("quality_model_path", None)
+    if model_path is None and "min_quality_prob" in kwargs:
+        # a threshold without a model would silently gate NOTHING —
+        # the operator believes the classifier ran (review-caught)
+        raise ValueError(
+            "min_quality_prob requires a quality model "
+            "(--quality-model or [curation] quality_model_path)"
+        )
+    spark = get_spark(app_name="curatectl")
     if model_path is not None:
         # a saved llm/quality_clf model; load fails loudly on a bad path
         from pyspark.ml import PipelineModel

@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 _KNUTH = 2654435761
 
 
+def whitespace_token_count(col):
+    """Exact whitespace token count as a bigint column — THE token
+    accounting shared by packing offsets here and the budget subsets in
+    `llm/mixture.py` (one definition, so the two can never drift)."""
+    return F.size(
+        F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+    ).cast("bigint")
+
+
 def training_layout(
     corpus: DataFrame,
     n_shards: int = 16,
@@ -59,9 +68,7 @@ def training_layout(
         F.when(cell < tr, "train").when(cell < va, "val").otherwise("test")
     )
     shard = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-    n_tok = F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
-    ).cast("bigint")
+    n_tok = whitespace_token_count(F.col(text_col))
     base = corpus.select(
         "*",
         split.alias("split"),

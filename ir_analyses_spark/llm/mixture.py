@@ -30,17 +30,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io.sources import load_table
+from .export import whitespace_token_count
+from .training import _KNUTH  # one source of truth for the constant
 
-#: Knuth's 2^32 multiplicative constant (shared family with
-#: `llm/training.py`); pmod keeps signed ids uniform (r7 ADVICE there).
-_KNUTH = 2654435761
 _M = 1_000_000_007  # priority modulus (prime, ~2^30: ample resolution)
 
 
 def _priority(col):
     """Deterministic per-doc priority in [0, _M) — the 'random' key
-    every selection below ranks by."""
-    return F.pmod(col * F.lit(_KNUTH), F.lit(_M))
+    every selection below ranks by. The id is reduced mod _M BEFORE
+    the multiply: xxhash64-derived doc_ids are full-range int64, and a
+    raw id·KNUTH product would overflow — Spark wraps two's-complement
+    but DuckDB RAISES, and an arbitrary-precision Python reference
+    would rank differently (review-caught). pmod(id) < 2^30 keeps the
+    product under 2^62 in every engine."""
+    return F.pmod(F.pmod(col, F.lit(_M)) * F.lit(_KNUTH), F.lit(_M))
 
 
 def temperature_sample_df(
@@ -66,7 +70,7 @@ def temperature_sample_df(
     )
     n_min = counts.agg(F.min("_n_s").alias("_n_min"))
     quotas = counts.crossJoin(F.broadcast(n_min)).select(
-        source_col,
+        F.col(source_col).alias("_q_src"),
         F.least(
             F.col("_n_s"),
             F.floor(F.sqrt(F.col("_n_s") * F.col("_n_min"))),
@@ -75,11 +79,17 @@ def temperature_sample_df(
     w = Window.partitionBy(source_col).orderBy(
         _priority(F.col(id_col)), F.col(id_col)
     )
+    # null-safe join: a NULL source is a REAL group (it participates in
+    # the anchor via groupBy, so it must receive its quota too — a
+    # plain equi-join would silently drop NULL-source documents while
+    # still letting them shrink every other source's quota)
     return (
-        docs.join(F.broadcast(quotas), source_col)
+        docs.join(
+            F.broadcast(quotas),
+            F.col(source_col).eqNullSafe(F.col("_q_src")),
+        )
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("_quota"))
-        .drop("_rk", "_quota")
         .select(*docs.columns)
     )
 
@@ -104,24 +114,34 @@ def token_budget_subset_df(
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
-    n_sources = docs.select(source_col).distinct().count()
-    if n_sources == 0:
-        share = 0
-    else:
-        share = budget_tokens // n_sources
-    n_tok = F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
-    ).cast("bigint")
+    # the share is computed IN-PLAN (broadcast scalar) — an eager
+    # distinct().count() here would cost a full corpus scan before the
+    # operator's own job starts (review-caught); the group count is
+    # count_distinct + a NULL-group indicator so the NULL source is a
+    # real group here exactly as it is in the window below
+    n_groups = docs.agg(
+        (
+            F.count_distinct(source_col)
+            + F.max(F.isnull(source_col).cast("int"))
+        ).alias("_n_groups")
+    )
+    share = F.when(
+        F.col("_n_groups") > 0,
+        F.lit(int(budget_tokens)).cast("bigint") / F.col("_n_groups"),
+    ).otherwise(F.lit(0))
     w = (
         Window.partitionBy(source_col)
         .orderBy(_priority(F.col(id_col)), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_cum = docs.withColumn("n_tokens", n_tok).withColumn(
-        "tok_end", F.sum("n_tokens").over(w)
+    with_cum = (
+        docs.crossJoin(F.broadcast(n_groups))
+        .withColumn("n_tokens", whitespace_token_count(F.col(text_col)))
+        .withColumn("tok_end", F.sum("n_tokens").over(w))
+        .withColumn("_share", F.floor(share))
     )
     return (
-        with_cum.filter(F.col("tok_end") - F.col("n_tokens") < F.lit(share))
+        with_cum.filter(F.col("tok_end") - F.col("n_tokens") < F.col("_share"))
         .select(
             *docs.columns,
             "n_tokens",
@@ -164,7 +184,7 @@ WITH counts AS (
   SELECT d.lang,
          ROW_NUMBER() OVER (
            PARTITION BY d.lang
-           ORDER BY ((d.doc_id * {_KNUTH}) % {_M} + {_M}) % {_M}, d.doc_id
+           ORDER BY ((((d.doc_id % {_M} + {_M}) % {_M}) * {_KNUTH}) % {_M} + {_M}) % {_M}, d.doc_id
          ) AS rk
   FROM documents d
 )
@@ -190,8 +210,11 @@ def _token_budget_sql() -> str:
     return f"""
 WITH shares AS (
   -- // : DuckDB's / on integers is double division and CAST rounds;
-  -- the contract is floor (Python's budget // n_sources)
-  SELECT {_BUDGET} // COUNT(DISTINCT source) AS share
+  -- the contract is floor division. The NULL source (if any) is a
+  -- real group, so it counts: COUNT(DISTINCT) alone excludes NULL
+  SELECT {_BUDGET} // (COUNT(DISTINCT source)
+                       + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END))
+         AS share
   FROM documents
 ), toks AS (
   SELECT doc_id, source,
@@ -201,7 +224,7 @@ WITH shares AS (
 ), cum AS (
   SELECT *, SUM(n_tokens) OVER (
     PARTITION BY source
-    ORDER BY ((doc_id * {_KNUTH}) % {_M} + {_M}) % {_M}, doc_id
+    ORDER BY ((((doc_id % {_M} + {_M}) % {_M}) * {_KNUTH}) % {_M} + {_M}) % {_M}, doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS tok_end
   FROM toks

@@ -85,13 +85,31 @@ def train_quality_classifier(
 def score_quality(
     model, docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Input columns + ``quality_prob`` — P[reference-like]."""
+    """Input columns + ``quality_prob`` — P[reference-like].
+
+    The model always reads a column named ``text``; if the frame has
+    BOTH the scored column and an unrelated ``text`` column, the
+    bystander is parked under a reserved name for the transform and
+    restored afterwards (a bare rename would create two ``text``
+    columns and an ambiguous-reference failure — review-caught)."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(docs.withColumnRenamed(text_col, "text"))
+    src = docs
+    clash = text_col != "text" and "text" in docs.columns
+    if clash:
+        src = src.withColumnRenamed("text", "__bystander_text")
+    src = src.withColumnRenamed(text_col, "text")
+    scored = model.transform(src)
+
+    def restore(c: str):
+        if c == text_col:
+            return F.col("text").alias(text_col)
+        if clash and c == "text":
+            return F.col("__bystander_text").alias("text")
+        return F.col(c)
+
     return scored.select(
-        *[c for c in docs.columns if c != text_col],
-        F.col("text").alias(text_col),
+        *[restore(c) for c in docs.columns],
         vector_to_array(F.col("_probability")).getItem(1).alias(
             "quality_prob"
         ),

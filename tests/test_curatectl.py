@@ -107,3 +107,15 @@ def test_cli_explicit_config_missing_or_malformed_fails(tmp_path):
             ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
              "--config", str(bad)]
         )
+
+
+def test_cli_min_quality_prob_without_model_fails(tmp_path):
+    """Review-caught: a classifier threshold with no model must not
+    silently run an ungated funnel."""
+    import pytest
+
+    with pytest.raises(ValueError, match="requires a quality model"):
+        curatectl.main(
+            ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
+             "--min-quality-prob", "0.9"]
+        )

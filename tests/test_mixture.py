@@ -23,7 +23,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _prio(doc_id: int) -> int:
-    return (doc_id * _KNUTH) % _M  # Python % is floor-mod == pmod
+    # double-pmod mirrors the engine contract: reduce the id mod _M
+    # FIRST so full-range xxhash64 ids never overflow int64 in any
+    # engine (Python % is floor-mod == pmod)
+    return ((doc_id % _M) * _KNUTH) % _M
 
 
 def _py_temperature(rows, key):
@@ -159,3 +162,57 @@ def test_plans_never_global_sort(spark):
         assert "Exchange rangepartitioning" not in plan, plan
         assert "Exchange hashpartitioning" in plan
         assert "Window" in plan
+
+
+def test_priority_is_overflow_safe_for_xxhash_ids(spark):
+    """Full-range signed doc_ids (what curate.py produces) must rank
+    identically in Spark, DuckDB, and the Python model — the raw
+    id*KNUTH product overflows int64 (Spark wraps, DuckDB raises),
+    so the priority reduces the id mod _M first (review-caught)."""
+    import duckdb
+
+    from ir_analyses_spark.llm.mixture import _priority
+
+    ids = spark.range(2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("doc_id")
+    )
+    got = {
+        r["doc_id"]: r["p"]
+        for r in ids.select("doc_id", _priority(F.col("doc_id")).alias("p")).collect()
+    }
+    assert all(0 <= p < _M for p in got.values())
+    for i, p in got.items():
+        assert p == _prio(i), i
+    # DuckDB evaluates the same formula without overflow
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in got])
+    sql = (
+        f"SELECT doc_id, ((((doc_id % {_M} + {_M}) % {_M}) * {_KNUTH})"
+        f" % {_M} + {_M}) % {_M} AS p FROM t"
+    )
+    for i, p in con.execute(sql).fetchall():
+        assert p == got[i], i
+
+
+def test_null_source_is_a_real_group(spark):
+    """NULL-source docs form their own group in BOTH operators: they
+    receive a temperature quota (not silently dropped by the join) and
+    count toward the budget's per-source share divisor."""
+    rows = [(i, "a", "w " * 20) for i in range(40)]
+    rows += [(100 + i, None, "w " * 20) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = temperature_sample_df(docs).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # NULL group (n=10) is the anchor: keeps all 10; 'a' downsamples to
+    # floor(sqrt(40*10)) = 20
+    assert by_src[None] == 10
+    assert by_src["a"] == 20
+    # budget: 2 groups -> share = 40 tokens each -> 2 docs per group
+    sub = token_budget_subset_df(docs, 80).collect()
+    per = {}
+    for r in sub:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"a": 2, None: 2}

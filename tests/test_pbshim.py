@@ -208,8 +208,23 @@ def _canonical(msg):
     return out
 
 
+def _is_shim() -> bool:
+    import google.protobuf
+
+    return getattr(google.protobuf, "__version__", "").endswith(
+        "shim-proto3-subset"
+    )
+
+
 if _HAS_HYP:
 
+    @pytest.mark.skipif(
+        not _is_shim(),
+        reason="property battery exercises shim internals "
+        "(default_value()/message._values); under the real protobuf "
+        "runtime the live tws stream + spec-byte tests above are the "
+        "coverage (review-caught: this would crash, not test, there)",
+    )
     @settings(max_examples=200, deadline=None)
     @given(data=st.data())
     def test_random_roundtrip_every_message_type(data):

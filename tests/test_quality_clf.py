@@ -173,3 +173,20 @@ def test_model_save_load_roundtrip_and_cli(model_and_frames, spark, tmp_path, ca
     assert report["n_documents"] == 1
     assert report["funnel"]["clf_filtered"] == 1
     assert {r["title"] for r in spark.read.parquet(str(out_dir)).collect()} == {"Good"}
+
+
+def test_bystander_text_column_survives_scoring(model_and_frames, spark):
+    """Review-caught: scoring text_col='body' on a frame that ALSO has
+    an unrelated 'text' column must not create an ambiguous reference;
+    the bystander column comes through untouched."""
+    model, held = model_and_frames
+    docs = held.withColumnRenamed("text", "body").withColumn(
+        "text", F.lit("unrelated metadata")
+    )
+    out = score_quality(model, docs, text_col="body")
+    assert set(out.columns) == {"doc_id", "body", "text", "quality_prob"}
+    rows = out.collect()
+    assert all(r["text"] == "unrelated metadata" for r in rows)
+    ref = [r["quality_prob"] for r in rows if r["doc_id"].startswith("hp")]
+    noise = [r["quality_prob"] for r in rows if r["doc_id"].startswith("hn")]
+    assert min(ref) > max(noise)  # scored the body, not the bystander
