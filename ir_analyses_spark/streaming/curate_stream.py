@@ -89,3 +89,19 @@ def curate_stream(
     ingest_ts, content_hash), one row per surviving document."""
     gated = quality_gate(docs, thresholds, keep=("text", "ingest_ts"))
     return dedup_docs_within_watermark(gated, watermark)
+
+
+def classifier_gate(
+    docs: DataFrame,
+    model,
+    min_prob: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based reference-likeness gate on a STREAM (r8): MLlib
+    transforms are stateless column expressions with the coefficient
+    vector broadcast, so the `llm/quality_clf` gate is streaming-legal
+    with zero state — the same expression tree on a batch frame, making
+    stream/batch parity structural exactly like :func:`quality_gate`."""
+    from ..llm.quality_clf import filter_by_quality
+
+    return filter_by_quality(model, docs, min_prob=min_prob, text_col=text_col)

@@ -96,3 +96,34 @@ def test_batch_twin_of_dedup(spark, docs_dir):
     a batch frame — the batch twin the streaming oracle rests on."""
     batch = dedup_docs_within_watermark(spark.read.parquet(docs_dir))
     assert batch.count() == 8  # 9 rows, one exact duplicate pair
+
+
+def test_streaming_classifier_gate_matches_batch(spark, docs_dir):
+    """r8: the MLlib classifier gate is stateless, so it runs on a
+    stream and must equal the identical batch transformation."""
+    from ir_analyses_spark.llm.quality_clf import train_quality_classifier
+    from ir_analyses_spark.streaming.curate_stream import classifier_gate
+
+    pos = spark.createDataFrame(
+        [(f"{GOOD} sample {i}",) for i in range(40)], "text string"
+    )
+    neg = spark.createDataFrame(
+        [("zxq kpl brrt glrb snnk " * 10,) for _ in range(40)], "text string"
+    )
+    model = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=15)
+    stream = classifier_gate(stream_documents(spark, docs_dir), model)
+    assert stream.isStreaming
+    q = run_stream_to_memory(
+        stream.select("doc_id"), "t_clf_gate", mode="append"
+    )
+    _run(q)
+    got = {r["doc_id"] for r in spark.table("t_clf_gate").collect()}
+    batch = spark.read.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(docs_dir)
+    want = {
+        r["doc_id"] for r in classifier_gate(batch, model).collect()
+    }
+    assert got == want
+    # the gate did something real: GOOD variants pass, gibberish fails
+    assert {0, 1, 2}.issubset(got) and 6 not in got
