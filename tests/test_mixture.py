@@ -216,3 +216,49 @@ def test_null_source_is_a_real_group(spark):
     for r in sub:
         per[r["source"]] = per.get(r["source"], 0) + 1
     assert per == {"a": 2, None: 2}
+
+
+def test_property_random_corpora_match_reference(spark):
+    """Randomized battery: signed full-range ids, skewed source sizes,
+    NULL sources, empty texts — both operators must match the
+    pure-Python references exactly on every draw."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n_sources = rng.randint(1, 6)
+        rows = []
+        used = set()
+        for s in range(n_sources):
+            src = None if (s == 0 and trial % 2) else f"s{s}"
+            for _ in range(rng.randint(1, 40)):
+                while True:
+                    i = rng.randint(-(2**62), 2**62)
+                    if i not in used:
+                        used.add(i)
+                        break
+                n_words = rng.choice([0, 1, 3, 8, 20])
+                rows.append((i, src, "w " * n_words))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        # temperature
+        want = _py_temperature(
+            [{"doc_id": i, "source": s} for i, s, _ in rows], "source"
+        )
+        got = {r["doc_id"] for r in temperature_sample_df(docs).collect()}
+        assert got == want, f"trial {trial} temperature"
+        # budget
+        budget = rng.choice([0, 7, 50, 10_000])
+        groups = {s for _, s, _ in rows}
+        share = budget // len(groups)
+        toks = [
+            {"doc_id": i, "source": s, "n_tokens": len(t.split())}
+            for i, s, t in rows
+        ]
+        want_b = _py_budget(toks, share)
+        got_b = {
+            r["doc_id"]: r["tok_start"]
+            for r in token_budget_subset_df(docs, budget).collect()
+        }
+        assert got_b == want_b, f"trial {trial} budget {budget}"
