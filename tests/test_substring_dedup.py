@@ -1,0 +1,140 @@
+"""llm/substring_dedup.py: winnowing fingerprints + duplicated-
+substring removal vs an independent Python implementation of the
+selection/grouping/merge/rebuild logic (hash values come from one tiny
+Spark probe — xxhash64 has no Python twin — everything algorithmic is
+recomputed independently), plus the winnowing guarantee and removal
+semantics on crafted corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.llm.substring_dedup import (
+    remove_duplicated_substrings,
+    winnow_fingerprints,
+)
+
+K, W = 8, 4
+BOILER = "===COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED==="  # 53 chars
+DOCS = [
+    (0, f"alpha unique body one {BOILER} trailing text here"),
+    (1, f"a different second body {BOILER} and its own tail"),
+    (2, "entirely original content with no repeats at all"),
+    (3, f"{BOILER}"),  # the whole doc is the duplicated run
+    (4, "short"),  # below k
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _spark_hashes(spark, text: str):
+    """k-gram xxhash64 values via a one-row Spark probe (the only
+    primitive the Python reference borrows)."""
+    if len(text) < K:
+        return []  # Spark sequence(1, n) DESCENDS for n < 1 — guard
+    rows = spark.createDataFrame([(text,)], "t string").select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - F.lit(K - 1)),
+            lambda i: F.xxhash64(F.col("t").substr(i, F.lit(K))),
+        ).alias("h")
+    ).collect()
+    return list(rows[0]["h"]) if rows[0]["h"] is not None else []
+
+
+def _py_winnow(hashes):
+    """Independent robust winnowing: min of each window, rightmost on
+    ties, deduplicated selections."""
+    out = []
+    for j in range(len(hashes) - W + 1):
+        best_pos, best = None, None
+        for off in range(W):
+            h = hashes[j + off]
+            if best is None or h <= best:
+                best, best_pos = h, j + off
+        if (best_pos, best) not in out:
+            out.append((best_pos, best))
+    return out
+
+
+def test_fingerprints_match_python_reference(spark, docs_df):
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs_df, K, W).collect()
+    }
+    want = set()
+    for doc_id, text in DOCS:
+        hashes = _spark_hashes(spark, text)
+        if len(hashes) >= W:
+            for pos, fp in _py_winnow(hashes):
+                want.add((doc_id, pos, fp))
+    assert got == want
+    # density: winnowing selects far fewer than one fp per character
+    n_chars = sum(len(t) for _, t in DOCS)
+    assert len(got) < n_chars / 2
+
+
+def test_removal_keeps_winner_cuts_losers(spark, docs_df):
+    got = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_substrings(docs_df, K, W).collect()}
+    # corpus-wide smallest (doc_id, pos) occurrence survives: doc 0
+    assert BOILER in got[0]
+    assert got[0] == DOCS[0][1]  # winner fully intact
+    # every other occurrence is cut
+    assert BOILER not in got[1]
+    assert BOILER not in got[3]
+    # the losers' unique text survives around the cut (edge characters
+    # of the duplicated run may linger — detection granularity is
+    # winnowing-selected k-grams, documented as up to w+k-2 chars)
+    assert got[1].startswith("a different second body")
+    assert "COPYRIGHT" not in got[1]
+    assert "its own tail" in got[1]
+    # doc whose entire text was the duplicate comes out (near-)empty,
+    # never dropped: only k-gram windows SELECTED by winnowing mark
+    # ranges, so at most w+k-2 edge chars can linger (the documented
+    # detection granularity)
+    assert 3 in got and len(got[3]) < W + K - 1
+    # untouched docs roundtrip byte-exact
+    assert got[2] == DOCS[2][1]
+    assert got[4] == DOCS[4][1]
+    assert set(got) == {d for d, _ in DOCS}
+
+
+def test_winnowing_guarantee_on_random_corpus(spark):
+    """Any shared run of length >= w + k - 1 must be detected: plant a
+    common fragment at random offsets in otherwise-random docs and
+    assert the non-winner copies all lose it."""
+    import random
+
+    rng = random.Random(7)
+    # > w+k-1 chars and NO internal repeated k-gram — a self-repeating
+    # fragment (e.g. an XXXX run) is duplicated text in its own right
+    # and would be deduped even inside the winner
+    frag = "THE-PLANTED-COMMON-FRAGMENT-0123456789"
+
+    def junk(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    rows = [
+        (i, junk(rng.randint(0, 60)) + frag + junk(rng.randint(0, 60)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_substrings(docs, K, W).collect()}
+    survivors = [d for d, t in got.items() if frag in t]
+    assert survivors == [0]  # smallest (doc_id, pos)… doc 0 wins
+    # losers keep (most of) their unique junk: removal is range-scoped,
+    # not doc-scoped
+    for i in range(1, 8):
+        assert frag not in got[i]
+
+
+def test_invalid_args(spark, docs_df):
+    with pytest.raises(ValueError, match="k must"):
+        winnow_fingerprints(docs_df, 1, W)
+    with pytest.raises(ValueError, match="window must"):
+        winnow_fingerprints(docs_df, K, 0)
