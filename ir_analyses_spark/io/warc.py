@@ -246,7 +246,16 @@ def split_http_response(payload: bytes):
     for ln in lines[1:]:
         name, sep, value = ln.partition(":")
         if sep:
-            headers.setdefault(name.strip().lower(), value.strip())
+            key = name.strip().lower()
+            # RFC 9110 list fields may legally repeat ('Transfer-Encoding:
+            # gzip' + 'Transfer-Encoding: chunked' on separate lines) and
+            # are equivalent to one comma-joined field; a first-wins
+            # setdefault would lose the chunked flag and hand the funnel a
+            # still-chunk-framed body (r8 ADVICE)
+            if key in headers:
+                headers[key] = f"{headers[key]}, {value.strip()}"
+            else:
+                headers[key] = value.strip()
     body = _decode_http_body(payload[split + len(_CRLF2) :], headers)
     return status, headers.get("content-type"), body
 

@@ -684,9 +684,14 @@ def training_export_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAINING_EXPORT_SQL = f"""
 WITH base AS (
+  -- doc_id reduced mod 100 BEFORE the multiply (r8 ADVICE), mirroring
+  -- export.training_layout: the raw product overflows DuckDB's strict
+  -- int64 for full-range xxhash64 ids
   SELECT doc_id,
-         CASE WHEN ((doc_id * {_KNUTH}) % 100 + 100) % 100 < 90 THEN 'train'
-              WHEN ((doc_id * {_KNUTH}) % 100 + 100) % 100 < 95 THEN 'val'
+         CASE WHEN ((doc_id % 100 + 100) % 100) * {_KNUTH} % 100 < 90
+                THEN 'train'
+              WHEN ((doc_id % 100 + 100) % 100) * {_KNUTH} % 100 < 95
+                THEN 'val'
               ELSE 'test' END AS split,
          CAST(0 AS INT) AS shard,
          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),

@@ -62,8 +62,14 @@ def training_layout(
     # half of xxhash64-derived doc_ids (the ids curate.py produces)
     # would all land in cell < tr and starve val/test to ~half their
     # share (r7 ADVICE, measured ~95.3/2.3/2.4 vs the documented
-    # 90/5/5). pmod matches the shard assignment below.
-    cell = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
+    # 90/5/5). The id is reduced mod 100 BEFORE the multiply (r8
+    # ADVICE): a raw id·KNUTH product overflows int64 for the same
+    # full-range ids — Spark would wrap but a strict engine (and the
+    # DuckDB oracle) raises; gcd(KNUTH mod 100, 100) = 1 keeps the
+    # cell a permutation of 0..99. pmod matches the shard assignment.
+    cell = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(100)) * F.lit(_KNUTH), F.lit(100)
+    )
     split = (
         F.when(cell < tr, "train").when(cell < va, "val").otherwise("test")
     )

@@ -101,13 +101,19 @@ def token_budget_subset_df(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Deterministic subset holding at most ``budget_tokens``
+    """Deterministic subset holding approximately ``budget_tokens``
     whitespace tokens, the budget split into equal integer per-source
     shares (remainder undistributed — a fixed contract, not a
     floating allocation). Within each source, documents fill the share
     in hash-priority order; a document enters iff it STARTS inside the
-    share (prefix-sum cut — the standard budget semantics, so at most
-    one document per source overruns its share).
+    share (prefix-sum cut — the standard budget semantics). Each
+    source may therefore overrun its share by at most one document's
+    tail, so the total can exceed ``budget_tokens`` by up to
+    ``n_sources · (max doc tokens − 1)``; callers needing a hard
+    ceiling should truncate the final overrunning document downstream
+    (the trainer's packing step already cuts at ``seq_len``
+    boundaries, which is why the corpus-side contract is the cut rule,
+    not a ceiling).
 
     Appends ``n_tokens`` and the within-share ``tok_start`` offset —
     the numbers a mixture audit wants next to each kept document.
@@ -189,7 +195,10 @@ WITH counts AS (
   FROM documents d
 )
 SELECT r.lang, COUNT(*) AS n_kept
-FROM ranked r JOIN quotas q ON r.lang = q.lang
+-- IS NOT DISTINCT FROM mirrors the implementation's eqNullSafe join:
+-- a NULL lang is a real group and must meet its quota, not be dropped
+-- by equi-join NULL semantics (r8 ADVICE)
+FROM ranked r JOIN quotas q ON r.lang IS NOT DISTINCT FROM q.lang
 WHERE r.rk <= q.quota
 GROUP BY r.lang
 ORDER BY r.lang

@@ -20,9 +20,10 @@ from ..io.sources import load_table
 #: doc_ids (what llm/curate.py produces) are negative half the time and
 #: a sign-keeping mod would dump that half into 'train', starving
 #: val/test (r7 ADVICE; measured ~95.3/2.3/2.4 vs the documented
-#: 90/5/5). In Spark the product wraps two's-complement past 2^63 and
-#: pmod of the wrapped value still lands in [0, 100) — deterministic,
-#: uniform-enough, and sign-free, which is all a split needs.
+#: 90/5/5). The id is additionally reduced mod 100 BEFORE the multiply
+#: (r8 ADVICE): the raw product would wrap two's-complement in Spark
+#: but RAISE in DuckDB — pre-reduction keeps both engines in exact
+#: agreement at every id magnitude, same as mixture._priority.
 _KNUTH = 2654435761
 #: second-stream constant (decouples the negative draws from the split)
 _STRIDE = 40503
@@ -38,7 +39,15 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, so at 100 TB this runs at scan speed and the assignment
     can be recomputed anywhere (no persisted split column needed)."""
     docs = load_table(spark, "documents", sf_dir)
-    cell = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
+    # reduce doc_id mod 100 BEFORE the multiply (r8 ADVICE): xxhash64-
+    # derived ids are full-range int64 and a raw id·KNUTH product
+    # overflows — Spark wraps two's-complement but the DuckDB oracle
+    # RAISES for |doc_id| >= ~3.5e9. (r mod 100)·KNUTH < 2^38 in every
+    # engine, and gcd(KNUTH mod 100, 100) = 1 keeps the cell a
+    # permutation of 0..99 (same uniformity, same pmod sign-freedom).
+    cell = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(100)) * F.lit(_KNUTH), F.lit(100)
+    )
     split = (
         F.when(cell < 90, "train").when(cell < 95, "val").otherwise("test")
     )
@@ -51,11 +60,18 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DATASET_SPLIT_SQL = f"""
-SELECT CASE WHEN ((doc_id * {_KNUTH}) % 100 + 100) % 100 < 90 THEN 'train'
-            WHEN ((doc_id * {_KNUTH}) % 100 + 100) % 100 < 95 THEN 'val'
+-- doc_id is reduced mod 100 BEFORE the multiply, mirroring the Spark
+-- side: the raw product overflows DuckDB's strict int64 for
+-- |doc_id| >= ~3.5e9 (full-range xxhash64 ids)
+WITH cells AS (
+  SELECT ((doc_id % 100 + 100) % 100) * {_KNUTH} % 100 AS cell, lang
+  FROM documents
+)
+SELECT CASE WHEN cell < 90 THEN 'train'
+            WHEN cell < 95 THEN 'val'
             ELSE 'test' END AS split,
        lang, COUNT(*) AS n_docs
-FROM documents
+FROM cells
 GROUP BY 1, 2
 ORDER BY split, lang
 """

@@ -30,15 +30,14 @@ def corpus(spark):
 
 
 def _model_split(doc_id: int) -> str:
-    """Independent model of the split hash: 64-bit two's-complement wrap
-    of doc_id*KNUTH (Spark bigint semantics), then FLOOR mod 100 — which
-    is what F.pmod computes and what Python's % already does. The pmod
-    (not %) is the r7 ADVICE fix: Spark's % keeps the dividend sign, so
-    negative xxhash64 doc_ids all fell into 'train'."""
-    prod = (doc_id * _KNUTH) & 0xFFFFFFFFFFFFFFFF
-    if prod >= 1 << 63:
-        prod -= 1 << 64
-    cell = prod % 100
+    """Independent model of the split hash: doc_id is reduced mod 100
+    (floor mod — Python's %, Spark's pmod) BEFORE the KNUTH multiply.
+    The pmod (not %) is the r7 ADVICE fix: Spark's % keeps the dividend
+    sign, so negative xxhash64 doc_ids all fell into 'train'. The
+    pre-reduction is the r8 ADVICE fix: a raw 64-bit product wraps in
+    Spark but raises in DuckDB, so the formula stays under 2^38 and is
+    exact in every engine."""
+    cell = (doc_id % 100) * _KNUTH % 100
     return "train" if cell < 90 else ("val" if cell < 95 else "test")
 
 
@@ -127,3 +126,41 @@ def test_crawl_to_training_shards_e2e(spark, tmp_path_factory):
     # partition pruning works on the written layout
     one = back.filter((F.col("split") == manifest[0]["split"]) & (F.col("shard") == manifest[0]["shard"]))
     assert one.count() == manifest[0]["n_docs"]
+
+
+def test_split_cell_exact_across_engines_for_fullrange_ids(spark):
+    """r8 ADVICE: the split cell must pre-reduce doc_id mod 100 before
+    the KNUTH multiply — the raw product overflows int64 for
+    |doc_id| >= ~3.5e9 (Spark wraps two's-complement, DuckDB RAISES),
+    so full-range xxhash64 ids diverged between the engines. Both the
+    layout here and llm/training.dataset_split's oracle must now agree
+    exactly on full-range ids."""
+    import duckdb
+
+    from ir_analyses_spark.llm.training import DATASET_SPLIT_SQL
+
+    ids = spark.range(3000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.lit("w w w").alias("text"),
+    )
+    laid = training_layout(ids.select("doc_id", "text"), n_shards=1)
+    got = {r["doc_id"]: r["split"] for r in laid.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, 'xx')", [(i,) for i in got]
+    )
+    # the oracle must RUN (pre-fix it raised Out of Range) and agree
+    want_counts = dict(
+        (s, n) for s, _, n in con.execute(DATASET_SPLIT_SQL).fetchall()
+    )
+    got_counts: dict[str, int] = {}
+    for s in got.values():
+        got_counts[s] = got_counts.get(s, 0) + 1
+    assert got_counts == want_counts
+    # per-id agreement with the exact integer formula
+    for i, s in got.items():
+        cell = ((i % 100 + 100) % 100) * 2654435761 % 100
+        want = "train" if cell < 90 else ("val" if cell < 95 else "test")
+        assert s == want, i

@@ -262,3 +262,36 @@ def test_property_random_corpora_match_reference(spark):
             for r in token_budget_subset_df(docs, budget).collect()
         }
         assert got_b == want_b, f"trial {trial} budget {budget}"
+
+
+def test_temperature_oracle_keeps_null_lang_groups(spark):
+    """r8 ADVICE: the DuckDB oracle joined 'r.lang = q.lang', whose
+    NULL-dropping semantics would silently diverge from the
+    implementation's eqNullSafe join if documents ever gained a NULL
+    lang. The oracle now uses IS NOT DISTINCT FROM; certify the
+    equivalence on a corpus WITH a NULL lang."""
+    import duckdb
+
+    from ir_analyses_spark.llm.mixture import TEMPERATURE_MIXTURE_SQL
+
+    rows = [(i, "big", "t") for i in range(64)]
+    rows += [(100 + i, None, "t") for i in range(9)]
+    rows += [(200 + i, "mid", "t") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["lang"], r["n_kept"])
+        for r in temperature_sample_df(docs, source_col="lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, s) for i, s, _ in rows],
+    )
+    want = set(map(tuple, con.execute(TEMPERATURE_MIXTURE_SQL).fetchall()))
+    assert got == want
+    # NULL group (n=9) is the anchor and keeps everything
+    assert (None, 9) in got

@@ -249,3 +249,74 @@ if _HAS_HYP:
         assert _canonical(back) == _canonical(msg)
         # determinism: re-serialization is byte-identical
         assert back.SerializeToString() == wire
+
+
+def _is_shim() -> bool:
+    import google.protobuf
+
+    return "pbshim" in (google.protobuf.__file__ or "")
+
+
+def _custom_cls():
+    """A shim message with a repeated varint field (StateMessage.proto
+    has none) to exercise packed decoding and wire-type validation."""
+    from google.protobuf.descriptor import Descriptor, FieldDescriptor
+    from google.protobuf.message import Message
+
+    fields = [
+        FieldDescriptor(
+            "vals", 1, FieldDescriptor.TYPE_INT64,
+            FieldDescriptor.LABEL_REPEATED,
+        ),
+        FieldDescriptor(
+            "one", 2, FieldDescriptor.TYPE_INT64,
+            FieldDescriptor.LABEL_OPTIONAL,
+        ),
+        FieldDescriptor(
+            "name", 3, FieldDescriptor.TYPE_STRING,
+            FieldDescriptor.LABEL_OPTIONAL,
+        ),
+    ]
+    d = Descriptor("Packy", "t.Packy", fields, [])
+    cls = type("Packy", (Message,), {"DESCRIPTOR": d})
+    d._concrete_class = cls
+    return cls
+
+
+def test_packed_repeated_varints_decode():
+    """r8 ADVICE: proto3 serializers default repeated scalars to PACKED
+    (one length-delimited payload of varints); consuming the length
+    prefix as a value would silently corrupt the field."""
+    if not _is_shim():
+        pytest.skip("real protobuf active; shim internals not in play")
+    cls = _custom_cls()
+    m = cls()
+    # field 1 packed: tag 0a, len 3, varints [1, 300]
+    m.ParseFromString(bytes.fromhex("0a0301ac02"))
+    assert list(m.vals) == [1, 300]
+    # packed payloads accumulate across occurrences, and mix with the
+    # unpacked form (tag 08) — both legal on the wire
+    m2 = cls()
+    m2.ParseFromString(bytes.fromhex("0a0301ac02" "0805"))
+    assert list(m2.vals) == [1, 300, 5]
+
+
+def test_wire_type_mismatch_raises():
+    """A declared-type/wire-type mismatch must raise, not misparse."""
+    if not _is_shim():
+        pytest.skip("real protobuf active; shim internals not in play")
+    from google.protobuf.message import DecodeError
+
+    cls = _custom_cls()
+    # non-repeated varint field sent length-delimited
+    with pytest.raises(DecodeError, match="wire type 2"):
+        cls().ParseFromString(bytes.fromhex("120161"))
+    # string field sent as a varint
+    with pytest.raises(DecodeError, match="wire type 0"):
+        cls().ParseFromString(bytes.fromhex("1805"))
+    # message field sent as a varint
+    sm = _sm()
+    req = sm.StateRequest()
+    with pytest.raises(DecodeError, match="wire type 0"):
+        # field 2 (statefulProcessorCall) with wire type 0: tag 0x10
+        req.ParseFromString(bytes.fromhex("1001"))

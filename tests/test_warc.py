@@ -320,3 +320,27 @@ def test_transfer_encoding_list_gzip_chunked():
         _http_hdrs("Transfer-Encoding: deflate", zlib.compress(doc))
     )
     assert body == doc
+
+
+def test_repeated_header_lines_merge_as_list_fields():
+    """r8 ADVICE: RFC 9110 list fields may repeat as separate lines
+    ('Transfer-Encoding: gzip' + 'Transfer-Encoding: chunked') and are
+    equivalent to one comma-joined field — first-wins header collection
+    lost the chunked flag and shipped a chunk-framed body downstream."""
+    doc = b"<html><body>repeated header lines</body></html>"
+    gz = gzip.compress(doc)
+    s, _, body = split_http_response(
+        _http_hdrs(
+            "Transfer-Encoding: gzip\r\nTransfer-Encoding: chunked",
+            _chunk(gz, [len(gz)]),
+        )
+    )
+    assert (s, body) == (200, doc)
+    # chunked alone on a second line (the most common shape)
+    s, _, body = split_http_response(
+        _http_hdrs(
+            "X-Filler: 1\r\nTransfer-Encoding: chunked",
+            _chunk(doc, [len(doc)]),
+        )
+    )
+    assert (s, body) == (200, doc)
