@@ -1,0 +1,175 @@
+"""Registry queries + DuckDB oracles for the winnowing substring-dedup
+surface (`llm/substring_dedup.py`) — r8 VERDICT item 2: both operators
+are deterministic and the robust-winnowing selection rule is
+SQL-expressible (per-window struct MIN with rightmost tie), so they
+take full hash-oracled driver rows.
+
+Cross-engine hash: xxhash64 has no DuckDB twin, so these queries swap
+in a PORTABLE k-gram hash via ``winnow_fingerprints``'s ``hash_fn``
+hook — Σ codepoint(c_j)·B^(K−1−j) mod M with B=131, M=1e9+7: every
+intermediate stays far under 2^63, each term is exact integer
+arithmetic in Spark, DuckDB, and Python, and ties (M ≈ 2^30, so they
+exist) are resolved identically by both engines' rightmost-tie rule.
+The JVM-expression hash path re-seeks character offsets per gram
+(UTF8String substr is O(pos)), which is fine for the dimension-sized
+``documents`` texts here and exactly why the SCALE path uses the
+vectorized rolling hash inside the Arrow worker instead (see
+`llm/substring_dedup._select_fingerprints_udf`).
+
+New module per the evidence-ledger rule (`llm/substring_dedup.py`
+itself stays registry-free so future edits there only stale these two
+rows, not unrelated certified queries — the module-granular staleness
+rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from .substring_dedup import remove_duplicated_substrings, winnow_fingerprints
+
+_K = 12
+_W = 6
+_B = 131
+_M = 1_000_000_007
+#: B^j mod M for j = 0..K-1 (exact in every engine)
+_PW = [pow(_B, j, _M) for j in range(_K)]
+
+
+def _portable_hash(gram):
+    """Σ codepoint(gram[j])·B^(K−1−j) mod M as a JVM expression over a
+    K-char gram column; every term < 1.2e6·1e9 and the K-term sum
+    < 2^54, so no engine can overflow or diverge."""
+    terms = None
+    for j in range(_K):
+        t = (
+            F.ascii(F.substring(gram, j + 1, 1)).cast("bigint")
+            * F.lit(_PW[_K - 1 - j])
+        )
+        terms = t if terms is None else terms + t
+    return terms % F.lit(_M)
+
+
+def winnow_fingerprints_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing fingerprint selection over the documents table:
+    (doc_id, pos, fp, probe), K=12 / W=6 (detection guarantee: shared
+    runs of ≥ 17 chars). The vocabulary-limited synthetic texts share
+    many such runs, so the selection is exercised on real overlaps."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return winnow_fingerprints(
+        docs, k=_K, window=_W, hash_fn=_portable_hash
+    ).select("doc_id", "pos", "fp", "probe")
+
+
+def substring_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End state of duplicated-substring removal over the documents
+    table: (doc_id, text) with every cross-document duplicated run cut
+    from all but its corpus-wide smallest (doc_id, pos) occurrence."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return remove_duplicated_substrings(
+        docs, k=_K, window=_W, hash_fn=_portable_hash
+    ).select("doc_id", "text")
+
+
+def _gram_hash_sql() -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substr(d.text, CAST(t.i + {j} AS INT), 1)) AS BIGINT)"
+        f" * {_PW[_K - 1 - j]}"
+        for j in range(_K)
+    )
+    return f"({terms}) % {_M}"
+
+
+#: grams -> per-window struct MIN (rightmost tie via negated pos) —
+#: shared head of both oracles. ``WHERE pos >= W-1`` keeps only full
+#: windows (the window frame is ROWS W-1 PRECEDING .. CURRENT ROW, so
+#: earlier rows see truncated frames).
+def _selection_cte() -> str:
+    return f"""
+grams AS (
+  SELECT d.doc_id, CAST(t.i - 1 AS INT) AS pos, {_gram_hash_sql()} AS h
+  FROM documents d,
+  LATERAL unnest(generate_series(1, greatest(length(d.text) - {_K - 1}, 0)))
+    t(i)
+), win AS (
+  SELECT doc_id, pos,
+         MIN({{'h': h, 'np': -pos}}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {_W - 1} PRECEDING AND CURRENT ROW) AS m
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, CAST(-(m.np) AS INT) AS pos, m.h AS fp
+  FROM win
+  WHERE pos >= {_W - 1}
+)"""
+
+
+WINNOW_FPS_SQL = f"""
+WITH {_selection_cte().lstrip()}
+SELECT f.doc_id, f.pos, f.fp,
+       substr(d.text, f.pos + 1, 8) AS probe
+FROM fps f JOIN documents d USING (doc_id)
+"""
+
+
+SUBSTRING_REBUILD_SQL = f"""
+WITH {_selection_cte().lstrip()},
+probed AS (
+  SELECT f.doc_id, f.pos, f.fp, substr(d.text, f.pos + 1, 8) AS probe
+  FROM fps f JOIN documents d USING (doc_id)
+), grp AS (
+  SELECT fp, probe,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         MIN({{'d': doc_id, 'p': pos}}) AS w
+  FROM probed GROUP BY fp, probe
+), losers AS (
+  SELECT p.doc_id, p.pos
+  FROM probed p JOIN grp g ON p.fp = g.fp AND p.probe = g.probe
+  WHERE g.n_docs >= 2 AND (p.doc_id != g.w.d OR p.pos != g.w.p)
+), marked AS (
+  -- a mark starts a new range when it clears every previous mark's
+  -- end (cumulative max of pos+K over earlier rows); two CTE steps
+  -- because window calls cannot nest
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_K}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM losers
+), marks AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), ranges AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_K} AS e
+  FROM marks GROUP BY doc_id, island
+), cuts AS (
+  SELECT doc_id, s, e,
+         LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+  FROM ranges
+), rebuilt AS (
+  SELECT c.doc_id,
+         COALESCE(STRING_AGG(substr(d.text, c.pe + 1, c.s - c.pe), ''
+                             ORDER BY c.s), '')
+           || substr(d.text, MAX(c.e) + 1) AS text
+  FROM cuts c JOIN documents d USING (doc_id)
+  GROUP BY c.doc_id, d.text
+)
+SELECT d.doc_id, COALESCE(r.text, d.text) AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES = {
+    "winnow_fingerprints_select": winnow_fingerprints_select,
+    "substring_dedup_rebuild": substring_dedup_rebuild,
+}
+
+ORACLES = {
+    "winnow_fingerprints_select": WINNOW_FPS_SQL,
+    "substring_dedup_rebuild": SUBSTRING_REBUILD_SQL,
+}

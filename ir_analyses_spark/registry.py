@@ -10,11 +10,10 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r8: 166 — the r7 freeze at 150 is lifted per the r7
-# VERDICT; the 14 curation additions live in the new module
-# llm/curation_queries.py and the 2 mixture additions (tail head, r9's
-# window head) in llm/mixture.py, so no certified query's module
-# changed)
+# (registry count r9: 169 — the 2 winnowing substring-dedup queries
+# live in the new module llm/substring_queries.py and the quantized
+# classifier gate in llm/clf_gate.py, per the new-ops-in-new-modules
+# ledger rule)
 
 from __future__ import annotations
 
@@ -25,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .io import txn_queries
 from .llm import (
+    clf_gate,
     curation_queries,
     dedup,
     mixture,
@@ -32,6 +32,7 @@ from .llm import (
     pq,
     sampling,
     similarity,
+    substring_queries,
     textstats,
     tokenize,
     training,
@@ -78,6 +79,8 @@ _MODULES = [
     multimodal,
     curation_queries,
     mixture,
+    substring_queries,
+    clf_gate,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -87,37 +90,55 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-8 rotation (VERDICT r7 "Next round" items 1-3, rotated at
-#: round START per the ledger discipline). The freeze is LIFTED:
-#: registry grows 150 -> 164 with the crawl-curation surface
-#: (``llm/curation_queries.py`` — first driver rows for the round-7
-#: modules io/warc, llm/html_extract, llm/quality_rules, llm/url_ops,
-#: llm/robots, llm/textnorm, llm/linedup, llm/lm_score, llm/curate,
-#: llm/export). Window composition (50): 3 multimodal spills (the
-#: r7-documented value-neutral staleness, positions 0-2) + 14 new
-#: curation queries + 9 txn re-certs (io/txn.py gained the
-#: keep_from_version vacuum floor and the gap-boundary history()
-#: message; io/txn_maint.py RETAIN HOURS now passes the floor — r7
-#: VERDICT item 2) + 2 llm/training.py re-certs (dataset_split's split
-#: cell switched to pmod, r7 ADVICE; negative_sampling stales with its
-#: module) + the 22 oldest remaining rows (r1-r3 evidence). The 4
-#: legacy rows that did not fit lead the tail for the r9 window.
+#: Round-9 rotation (VERDICT r8 "Next round" items 1, 2, 5, rotated at
+#: round START per the ledger discipline). Registry grows 166 -> 169:
+#: the winnowing substring-dedup pair (``llm/substring_queries.py``)
+#: and the quantized classifier gate (``llm/clf_gate.py``). Window
+#: composition (50): the 6 tail-head queries the r8 VERDICT queued
+#: (mixture pair — first driver rows — plus the 4 legacy r3 rows) + 3
+#: new queries + 2 llm/training.py re-certs + 14 curation re-certs +
+#: the 20 oldest remaining rows (r5 evidence) + 5 headline r6 rows.
+#: The 39 remaining r6 rows lead the tail as round-10's window head.
 #:
-#: Round-8 module edits staling certified rows: io/txn.py,
-#: io/txn_maint.py (both re-certified in this window), llm/training.py
-#: (both queries in this window). The r8 curation fixes (robots
-#: wildcard reduction, WARC body transfer-decoding, linedup adaptive
-#: anti-join, CharLM unpersist, export pmod) all land BEFORE these
-#: queries' first driver rows, so the rows certify the fixed tree.
+#: Round-9 module edits staling certified rows (all re-certified in
+#: this window): llm/training.py + llm/export.py (split cell
+#: pre-reduces doc_id mod 100 before the KNUTH multiply, r8 ADVICE —
+#: stales dataset_split, negative_sampling, training_export_layout,
+#: and the mixture pair via the whitespace_token_count/_KNUTH imports),
+#: llm/curation_queries.py (its TRAINING_EXPORT_SQL oracle carries the
+#: same fix — stales all 14 of the module's queries), io/warc.py
+#: (repeated-header merge — stales warc_roundtrip_parse and
+#: curation_funnel_counts), llm/curate.py (optional substring-dedup
+#: funnel stage), and vendor/pbshim (wire-type validation — covered by
+#: stateful_user_totals' tws path among the r5 re-certs).
 _ORDER = [
-    # ---- r8 window (50): see rotation note above ----
-    # multimodal trio: the r7-documented value-neutral spills (first rows
-    # on the current tree close the ledger's last staleness)
-    "multimodal_features",
-    "media_resize",
-    "media_frame_sample",
-    # crawl-curation surface (llm/curation_queries.py): FIRST driver
-    # rows for the round-7 modules (r7 VERDICT item 1)
+    # ---- r9 window (50): see rotation note above ----
+    # mixture pair: FIRST driver rows (r8 tail head, oracles hardened
+    # this round: IS NOT DISTINCT FROM join)
+    "temperature_mixture_sample",
+    "token_budget_subset",
+    # the 4 legacy rows that did not fit the r8 window (latest evidence
+    # r3; modules unchanged since)
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "variant_json_ops",
+    # NEW: winnowing substring-dedup surface (llm/substring_queries.py,
+    # portable polynomial k-gram hash) and the quantized classifier
+    # gate (llm/clf_gate.py) — r8 VERDICT items 2 and 5
+    "winnow_fingerprints_select",
+    "substring_dedup_rebuild",
+    "quality_classifier_gate",
+    # llm/training.py re-certs: split cell pre-reduces doc_id mod 100
+    # before the KNUTH multiply (r8 ADVICE)
+    "dataset_split",
+    "negative_sampling",
+    # llm/curation_queries.py re-certs: the module's oracle constant
+    # TRAINING_EXPORT_SQL changed (same pre-reduction), io/warc.py
+    # gained the repeated-header merge (stales warc_roundtrip_parse +
+    # curation_funnel_counts via llm/curate.py), and llm/curate.py
+    # gains the substring-dedup funnel stage this round — the
+    # module-granular staleness rule re-certifies all 14
     "warc_roundtrip_parse",
     "html_extract_text",
     "quality_signals",
@@ -132,169 +153,158 @@ _ORDER = [
     "charlm_scoring_stats",
     "curation_funnel_counts",
     "training_export_layout",
-    # txn family: io/txn.py keep_from_version floor + history() message
-    # and io/txn_maint.py RETAIN HOURS floor landed r8 -> re-certify
-    "txn_snapshot_merge",
-    "txn_exactly_once_rollup",
-    "txn_time_travel",
-    "txn_change_feed",
-    "txn_change_apply",
-    "txn_history",
-    "txn_pyds_write",
-    "stream_txn_sink",
-    "txn_maintenance_sql",
-    # llm/training.py dataset_split switched to pmod (r7 ADVICE) -> both
-    # of the module's queries re-certify
-    "dataset_split",
-    "negative_sampling",
-    # oldest remaining evidence (r1-r3 rows, modules unchanged since):
-    # refreshed while the window has room
-    "string_predicates",
-    "string_functions",
-    "null_semantics",
-    "regexp_extract_ops",
-    "date_functions",
-    "math_functions",
-    "join_broadcast_dims",
-    "join_multiway_topk",
-    "set_operations",
-    "map_ops",
-    "explode_tokens",
-    "join_left_outer",
-    "join_semi_anti",
-    "join_theta_bands",
-    "join_range_window",
-    "join_asof",
-    "join_full_outer",
-    "filter_pushdown_project",
-    "array_agg_ops",
-    "case_conditional",
-    "python_udtf_expand",
-    "pandas_grouped_agg_udf",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head = round-9's window head: first the r8 tail additions
-    # (never driver-checked; differential-verified bare-session in-repo
-    # this round — see COVERAGE.md), then the 4 legacy rows that did
-    # not fit the r8 window
-    "temperature_mixture_sample",
-    "token_budget_subset",
-    "apply_in_pandas_topk",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "variant_json_ops",
-    # r5/r6-green (modules unchanged since their rows)
-    "lateral_topk_per_group",
-    "recursive_inventory_chain",
-    "top_supplier_revenue",
-    "supplier_part_variety",
-    "large_volume_customers",
-    "promo_stock_suppliers",
-    "sql_udf_pricing",
-    "pipe_syntax_rollup",
-    "collated_string_ops",
-    "pivot_sql_clause",
-    "promo_revenue_ratio",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "late_shipment_priority",
-    "customer_order_distribution",
-    "outlier_iqr_flags",
-    "ewma_forecast",
-    "trade_pagerank",
-    "trade_triangles",
-    "trade_bfs_hops",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_transition_matrix",
-    "session_paths_topk",
-    "user_rfm_segments",
-    "fuzzy_name_pairs",
-    "token_topk_sketch",
-    "bpe_train_merges",
-    "doc_chunking",
-    "token_length_histogram",
-    "embedding_quantize_int8",
-    "exact_dedup",
-    "minhash_lsh_nearup",
-    "simhash_nearup",
-    "dedup_components",
-    "neardup_dedup_pipeline",
-    "ngram_jaccard_nearup",
-    "pricing_summary",
-    "regional_revenue",
-    "window_sessionize",
-    "timeseries_gapfill",
-    "cube_agg",
-    "small_quantity_revenue",
-    "media_codec_features",
-    "ir_summary_pipeline",
-    "summary_chart_frame",
+    # oldest remaining evidence (r5 rows) — refreshed while the window
+    # has room; stateful_user_totals also covers the vendored pbshim's
+    # new wire-type validation on the tws path
+    "disjunctive_pushdown",
+    "doc_fingerprint",
     "guarded_ratio_margin",
+    "ir_summary_pipeline",
+    "language_id",
+    "market_share",
+    "pandas_udf_vectorized",
+    "product_profit",
+    "quality_score",
+    "stateful_user_totals",
+    "stream_dedup_watermark",
     "stream_incremental_rollup",
+    "stream_session_batch",
     "stream_static_enrich",
     "stream_stream_interval_join",
     "stream_tumbling_batch",
-    "stream_session_batch",
-    "stateful_user_totals",
-    "stream_dedup_watermark",
+    "summary_chart_frame",
     "text_stats",
-    "quality_score",
-    "language_id",
-    "doc_fingerprint",
-    "vocab_oov_rate",
-    "pandas_udf_vectorized",
-    "market_share",
-    "product_profit",
-    "disjunctive_pushdown",
     "tfidf_top_terms",
-    # r7-green (certified by CORRECTNESS_r07 on the final r7 tree;
-    # freshest evidence in the ledger)
-    "ann_ivfpq_topk",
-    "bpe_encode_corpus",
-    "json_extract_ops",
-    "pivot_coalesce_priority",
-    "order_priority_counts",
-    "top_unshipped_parts",
-    "shipping_priority_topk",
-    "returned_item_report",
-    "grouping_sets_agg",
-    "unpivot_melt",
-    "minmax_extremes",
-    "rollup_agg",
-    "column_profile",
-    "distinct_agg",
-    "pivot_agg",
-    "dedup_by_key",
-    "latest_per_group",
-    "exact_median",
-    "window_range_interval",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frames",
-    "corpus_clean_pipeline",
-    "repetition_metrics",
-    "corpus_mixture",
-    "bpe_pair_counts",
-    "doc_frequency",
-    "pii_scrub",
-    "stream_sliding_batch",
-    "approx_sketches",
-    "hll_mergeable_rollup",
-    "ann_ml_brp_lsh",
-    "kmeans_assign",
-    "semantic_dedup",
+    "vocab_oov_rate",
+    # 5 of the r6 rows: the headline bench set first (the rest of the
+    # r6 vintage leads the tail as round-10's window head)
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "pricing_summary",
+    "regional_revenue",
+    "window_sessionize",
+    # ---- 50-query window boundary (driver budget) ----
+    # tail head = round-10's window head: the 39 remaining r6 rows
+    # (oldest evidence after this round), then r7, then r8 (freshest)
+    "bpe_train_merges",
+    "cohort_retention",
+    "collated_string_ops",
+    "cube_agg",
+    "customer_order_distribution",
+    "dedup_components",
+    "doc_chunking",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "ewma_forecast",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "fuzzy_name_pairs",
+    "large_volume_customers",
+    "late_shipment_priority",
+    "lateral_topk_per_group",
+    "media_codec_features",
+    "neardup_dedup_pipeline",
+    "ngram_jaccard_nearup",
+    "outlier_iqr_flags",
+    "pipe_syntax_rollup",
+    "pivot_sql_clause",
+    "promo_revenue_ratio",
+    "promo_stock_suppliers",
+    "recursive_inventory_chain",
+    "session_paths_topk",
+    "simhash_nearup",
+    "small_quantity_revenue",
+    "sql_udf_pricing",
+    "supplier_part_variety",
+    "timeseries_gapfill",
+    "token_length_histogram",
+    "token_topk_sketch",
+    "top_supplier_revenue",
+    "trade_bfs_hops",
+    "trade_pagerank",
+    "trade_triangles",
+    "user_rfm_segments",
+    "volume_shipping",
     "ann_brute_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
-    "embedding_cosine_nearup",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_ml_brp_lsh",
+    "approx_sketches",
+    "benchmark_decontaminate",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
     "cheapest_supplier_per_part",
-    "idle_customer_balances",
-    "suppliers_with_waiting_orders",
+    "column_profile",
     "concentrated_part_types",
     "containment_nearup",
+    "corpus_clean_pipeline",
+    "corpus_mixture",
+    "dedup_by_key",
+    "distinct_agg",
+    "doc_frequency",
+    "embedding_cosine_nearup",
+    "exact_median",
+    "grouping_sets_agg",
+    "hll_mergeable_rollup",
+    "idle_customer_balances",
+    "json_extract_ops",
+    "kmeans_assign",
+    "latest_per_group",
+    "minmax_extremes",
+    "order_priority_counts",
+    "pii_scrub",
+    "pivot_agg",
+    "pivot_coalesce_priority",
+    "repetition_metrics",
+    "returned_item_report",
+    "rollup_agg",
+    "semantic_dedup",
     "sequence_packing",
-    "benchmark_decontaminate",
+    "shipping_priority_topk",
     "stratified_sample",
+    "stream_sliding_batch",
+    "suppliers_with_waiting_orders",
+    "top_unshipped_parts",
+    "unpivot_melt",
+    "window_lag_lead",
+    "window_range_interval",
+    "window_ranking",
+    "window_running_frames",
+    "array_agg_ops",
+    "case_conditional",
+    "date_functions",
+    "explode_tokens",
+    "filter_pushdown_project",
+    "join_asof",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_outer",
+    "join_multiway_topk",
+    "join_range_window",
+    "join_semi_anti",
+    "join_theta_bands",
+    "map_ops",
+    "math_functions",
+    "media_frame_sample",
+    "media_resize",
+    "multimodal_features",
+    "null_semantics",
+    "pandas_grouped_agg_udf",
+    "python_udtf_expand",
+    "regexp_extract_ops",
+    "set_operations",
+    "stream_txn_sink",
+    "string_functions",
+    "string_predicates",
+    "txn_change_apply",
+    "txn_change_feed",
+    "txn_exactly_once_rollup",
+    "txn_history",
+    "txn_maintenance_sql",
+    "txn_pyds_write",
+    "txn_snapshot_merge",
+    "txn_time_travel",
 ]
 
 

@@ -1,0 +1,73 @@
+"""llm/clf_gate.py: the quantized classifier gate — score agreement
+with an independent Python model, plan shape (pure projection), and
+artifact sanity (the trained weights separate the two vocabularies)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.llm.clf_gate import (
+    _INTERCEPT_MILLIONTHS,
+    _M,
+    _PW,
+    _WEIGHTS_MILLIONTHS,
+    N_BUCKETS,
+    score_gate_df,
+)
+
+
+def _py_bucket(tok: str) -> int:
+    h = 0
+    t = tok[:8]
+    for j in range(8):
+        h += (ord(t[j]) if j < len(t) else 0) * _PW[7 - j]
+    return (h % _M) % N_BUCKETS
+
+
+def _py_score(text: str) -> int:
+    s = _INTERCEPT_MILLIONTHS
+    for tok in text.lower().split():
+        s += _WEIGHTS_MILLIONTHS[_py_bucket(tok)]
+    return s
+
+
+def test_scores_match_python_model(spark):
+    rows = [
+        (0, "table query join agg sort window data merge"),
+        (1, "click free win offer buy now cheap deal spam"),
+        (2, ""),                       # empty -> intercept alone
+        (3, "   "),                    # whitespace only
+        (4, "UPPER Case MiXeD table JOIN"),  # lowercasing
+        (5, "antidisestablishmentarianism " * 3),  # >8-char tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score_millionths"], r["kept"])
+           for r in score_gate_df(docs).collect()}
+    for doc_id, text in rows:
+        want = _py_score(text)
+        assert got[doc_id] == (want, want >= 0), (doc_id, text)
+    # the artifact separates the vocabularies it was trained on
+    assert got[0][1] is True
+    assert got[1][1] is False
+    # empty docs fall to the intercept
+    assert got[2][0] == _INTERCEPT_MILLIONTHS == got[3][0]
+
+
+def test_scoring_plan_is_a_pure_projection(spark):
+    """The gate must stay a map-only projection — no Exchange, no Join,
+    no Generate; the weight table lives in the plan."""
+    docs = spark.createDataFrame(
+        [(0, "table query")], "doc_id long, text string"
+    )
+    plan = score_gate_df(docs)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Generate", "ArrowEval", "BatchEvalPython"):
+        assert op not in plan, (op, plan)
+
+
+def test_weight_table_shape():
+    assert len(_WEIGHTS_MILLIONTHS) == N_BUCKETS
+    nonzero = sum(1 for w in _WEIGHTS_MILLIONTHS if w)
+    # both signs present (ref-like and crawl-like tokens), sparse table
+    assert any(w > 0 for w in _WEIGHTS_MILLIONTHS)
+    assert any(w < 0 for w in _WEIGHTS_MILLIONTHS)
+    assert 2 <= nonzero <= N_BUCKETS

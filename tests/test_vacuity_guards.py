@@ -345,3 +345,44 @@ def test_benchmark_decontaminate_threshold_fires_at_correctness_sfs(con):
         f"SELECT COUNT(*) FROM documents WHERE doc_id % {_BENCH_MOD} <> 0"
     ).fetchone()[0]
     assert 0 < kept < total
+
+
+def test_clf_gate_threshold_splits_the_corpus(con):
+    """quality_classifier_gate must keep some AND drop some documents
+    at the correctness SFs — a weight table whose scores never cross 0
+    would green the oracle while certifying a constant."""
+    rows = con.execute(_oracle("quality_classifier_gate")).fetchall()
+    kept = sum(1 for _, _, k in rows if k)
+    assert 0 < kept < len(rows), (kept, len(rows))
+
+
+def test_substring_rebuild_actually_cuts(con):
+    """substring_dedup_rebuild must modify some documents AND leave the
+    corpus-wide winners intact — a corpus with no 17+-char cross-doc
+    runs (or a selection that marks everything) would be vacuous."""
+    rebuilt = dict(con.execute(_oracle("substring_dedup_rebuild")).fetchall())
+    orig = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    changed = sum(1 for d, t in rebuilt.items() if orig[d] != t)
+    assert 0 < changed, "no document was modified"
+    # removal is range-scoped, never doc-dropping
+    assert set(rebuilt) == set(orig)
+    # at least one modified doc keeps a nonempty remainder (range-scoped
+    # cutting, not whole-doc blanking)
+    assert any(orig[d] != t and len(t) > 0 for d, t in rebuilt.items())
+
+
+def test_winnow_density_bound(con):
+    """winnow_fingerprints_select must select far fewer fingerprints
+    than one per character (the 2/(w+1) winnowing density is the whole
+    scale argument) while still selecting from every long-enough doc."""
+    n_fps = con.execute(
+        f"SELECT COUNT(*) FROM ({_oracle('winnow_fingerprints_select')})"
+    ).fetchone()[0]
+    n_chars, n_docs = con.execute(
+        "SELECT SUM(length(text)), COUNT(*) FROM documents WHERE length(text) >= 17"
+    ).fetchone()
+    assert 0 < n_fps < n_chars / 2
+    n_docs_with = con.execute(
+        f"SELECT COUNT(DISTINCT doc_id) FROM ({_oracle('winnow_fingerprints_select')})"
+    ).fetchone()[0]
+    assert n_docs_with == n_docs
