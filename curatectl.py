@@ -86,6 +86,28 @@ def main(argv: list[str] | None = None) -> int:
         "pages their *-rules disallow; ORs with the config's flag",
     )
     ap.add_argument(
+        "--substring-dedup",
+        action="store_true",
+        help="run winnowing duplicated-substring removal after line "
+        "dedup (the dedup ladder's bottom rung); ORs with the "
+        "config's flag",
+    )
+    ap.add_argument(
+        "--substring-dedup-k",
+        type=int,
+        default=None,
+        help="k-gram length for substring dedup (default 16; overrides "
+        "the config's substring_dedup_k)",
+    )
+    ap.add_argument(
+        "--substring-dedup-window",
+        type=int,
+        default=None,
+        help="winnowing window for substring dedup (default 8; "
+        "detection guarantee is window+k-1 chars; overrides the "
+        "config's substring_dedup_window)",
+    )
+    ap.add_argument(
         "--report",
         action="store_true",
         help="also emit per-stage attrition counts (recomputes each stage)",
@@ -126,6 +148,21 @@ def main(argv: list[str] | None = None) -> int:
         }
     if args.enforce_robots:
         kwargs["enforce_robots"] = True
+    if args.substring_dedup:
+        kwargs["substring_dedup"] = True
+    for flag in ("substring_dedup_k", "substring_dedup_window"):
+        v = getattr(args, flag)
+        if v is not None:
+            kwargs[flag] = v
+    if not kwargs.get("substring_dedup") and (
+        "substring_dedup_k" in kwargs or "substring_dedup_window" in kwargs
+    ):
+        # a k/window without the stage enabled would silently tune
+        # NOTHING — same failure mode as min_quality_prob sans model
+        raise ValueError(
+            "substring_dedup_k/substring_dedup_window require the stage "
+            "(--substring-dedup or [curation] substring_dedup = true)"
+        )
     if args.quality_model is not None:
         kwargs["quality_model_path"] = args.quality_model
     if args.min_quality_prob is not None:

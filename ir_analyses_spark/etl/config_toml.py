@@ -175,6 +175,9 @@ _CURATION_KEYS = frozenset(
         "enforce_robots",
         "quality_model_path",
         "min_quality_prob",
+        "substring_dedup",
+        "substring_dedup_k",
+        "substring_dedup_window",
     }
 )
 

@@ -55,6 +55,9 @@ def curation_stages(
     quality_model=None,
     min_quality_prob: float = 0.5,
     input_format: str = "warc",
+    substring_dedup: bool = False,
+    substring_dedup_k: int = 16,
+    substring_dedup_window: int = 8,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
 
@@ -74,7 +77,16 @@ def curation_stages(
     Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
     ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,
     ``content_like``, ``normalized``, ``exact_deduped``,
-    ``line_deduped``, [``ppl_filtered``,] [``clf_filtered``,] ``final``.
+    ``line_deduped``, [``substring_deduped``,] [``ppl_filtered``,]
+    [``clf_filtered``,] ``final``.
+
+    ``substring_dedup=True`` runs the dedup ladder's bottom rung
+    (`llm/substring_dedup.remove_duplicated_substrings`) right after
+    line dedup: cross-document duplicated character runs of
+    ≥ ``substring_dedup_window + substring_dedup_k − 1`` chars are cut
+    from every occurrence except the corpus-wide smallest
+    (doc_id, pos) one. It runs BEFORE the perplexity/classifier gates
+    so the models score the text that would actually ship.
 
     ``enforce_robots=True`` extracts the crawl's own robots.txt
     responses (`llm/robots.py`) and drops disallowed pages right after
@@ -228,6 +240,19 @@ def curation_stages(
         line_dedup_min_docs,
     ).join(exact_deduped.select("doc_id", "url", "title"), "doc_id")
     gate_in = line_deduped
+    substring_deduped = None
+    if substring_dedup:
+        from .substring_dedup import remove_duplicated_substrings
+
+        # ladder bottom rung: detection ships (fp, probe) rows at
+        # winnowed density; the text rides only the final per-doc
+        # rebuild join (see llm/substring_dedup's scale posture)
+        substring_deduped = remove_duplicated_substrings(
+            gate_in.select("doc_id", "text"),
+            k=substring_dedup_k,
+            window=substring_dedup_window,
+        ).join(gate_in.select("doc_id", "url", "title"), "doc_id")
+        gate_in = substring_deduped
     ppl_filtered = None
     if perplexity_lm is not None:
         if max_ppl_bucket is None:
@@ -237,16 +262,15 @@ def curation_stages(
         # input so that pass (and every later action) reuses one
         # materialization of the expensive upstream funnel.
         if persist_intermediates:
-            line_deduped = line_deduped.persist(StorageLevel.MEMORY_AND_DISK)
-            gate_in = line_deduped
+            gate_in = gate_in.persist(StorageLevel.MEMORY_AND_DISK)
         buckets = perplexity_buckets(
-            score_with_lm(line_deduped.select("doc_id", "text"), perplexity_lm)
+            score_with_lm(gate_in.select("doc_id", "text"), perplexity_lm)
         )
         keep_ids = buckets.filter(
             F.col("ppl_bucket").isNull()
             | (F.col("ppl_bucket") <= max_ppl_bucket)
         ).select("doc_id")
-        ppl_filtered = line_deduped.join(keep_ids, "doc_id", "left_semi")
+        ppl_filtered = gate_in.join(keep_ids, "doc_id", "left_semi")
         gate_in = ppl_filtered
     clf_filtered = None
     if quality_model is not None:
@@ -287,6 +311,11 @@ def curation_stages(
         "normalized": normalized,
         "exact_deduped": exact_deduped,
         "line_deduped": line_deduped,
+        **(
+            {"substring_deduped": substring_deduped}
+            if substring_deduped is not None
+            else {}
+        ),
         **({"ppl_filtered": ppl_filtered} if ppl_filtered is not None else {}),
         **({"clf_filtered": clf_filtered} if clf_filtered is not None else {}),
         "final": final,

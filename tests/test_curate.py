@@ -273,3 +273,55 @@ def test_wet_enforce_robots_refuses(spark, tmp_path_factory):
         curation_stages(spark, str(d), input_format="wet", enforce_robots=True)
     with pytest.raises(ValueError, match="input_format"):
         curation_stages(spark, str(d), input_format="arc")
+
+
+def test_substring_dedup_stage(spark, tmp_path_factory):
+    """The optional ladder bottom rung: a long run duplicated MID-LINE
+    (different line contexts, so line dedup cannot see it) is cut from
+    every occurrence except the corpus-wide smallest (doc_id, pos)."""
+    boiler = "this exact disclaimer sentence is repeated verbatim across publishers"
+    page1 = _page(
+        [f"alpha opening words here {boiler} and a first unique tail of words"],
+        "Dup One",
+    )
+    page2 = _page(
+        [f"beta opening words of the report {boiler} and a second unique tail"],
+        "Dup Two",
+    )
+    page3 = _page(
+        ["gamma page with none of the shared boilerplate and only original words"],
+        "Clean",
+    )
+    recs = [
+        _record("http://a.com/1", page1, seq=0),
+        _record("http://b.com/2", page2, seq=1),
+        _record("http://c.com/3", page3, seq=2),
+    ]
+    d = tmp_path_factory.mktemp("subdup")
+    (d / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    stages = curation_stages(
+        spark,
+        str(d),
+        quality_thresholds={"min_words": 8},
+        substring_dedup=True,
+        line_dedup_min_docs=3,  # NAV/FOOTER lines repeat in all 3 docs
+    )
+    assert "substring_deduped" in stages
+    texts = {r["url"]: r["text"] for r in stages["final"].collect()}
+    with_boiler = [u for u, t in texts.items() if boiler in t]
+    assert len(with_boiler) == 1  # exactly the winner keeps it
+    # losers keep their unique tails around the cut
+    loser = next(
+        t for u, t in texts.items()
+        if boiler not in t and ("first unique tail" in t or "second unique tail" in t)
+    )
+    assert loser
+    assert "gamma page" in next(t for t in texts.values() if "gamma" in t)
+    # stage off -> key absent, boilerplate kept everywhere it occurs
+    base = curation_stages(
+        spark, str(d), quality_thresholds={"min_words": 8},
+        line_dedup_min_docs=3,
+    )
+    assert "substring_deduped" not in base
+    base_texts = [r["text"] for r in base["final"].collect()]
+    assert sum(1 for t in base_texts if boiler in t) == 2

@@ -119,3 +119,64 @@ def test_cli_min_quality_prob_without_model_fails(tmp_path):
             ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
              "--min-quality-prob", "0.9"]
         )
+
+
+def test_cli_substring_dedup_stage(spark, tmp_path, capsys):
+    """--substring-dedup runs the ladder's bottom rung from the CLI:
+    the mid-line duplicated run survives in exactly one output doc,
+    and the funnel report carries the stage."""
+    import gzip
+
+    from tests.test_curate import _page, _record
+
+    boiler = (
+        "this exact disclaimer sentence is repeated verbatim across publishers"
+    )
+    recs = [
+        _record(
+            "http://a.com/1",
+            _page([f"alpha opening words here {boiler} and a first unique "
+                   f"tail of words"], "One"),
+            seq=0,
+        ),
+        _record(
+            "http://b.com/2",
+            _page([f"beta opening words of the report {boiler} and a second "
+                   f"unique tail"], "Two"),
+            seq=1,
+        ),
+    ]
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+    out_dir = tmp_path / "corpus"
+    rc = curatectl.main(
+        [
+            "--warc-dir", str(warc_dir),
+            "--out-dir", str(out_dir),
+            "--min-words", "8",
+            "--substring-dedup",
+            "--substring-dedup-k", "16",
+            "--substring-dedup-window", "8",
+            "--report",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "substring_deduped" in report["funnel"]
+    texts = [r["text"] for r in spark.read.parquet(str(out_dir)).collect()]
+    assert sum(1 for t in texts if boiler in t) == 1
+
+
+def test_cli_substring_knobs_without_stage_fail(tmp_path):
+    """k/window without the stage enabled must not silently tune
+    nothing (same contract as min_quality_prob without a model)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="require the stage"):
+        curatectl.main(
+            ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
+             "--substring-dedup-k", "24"]
+        )
