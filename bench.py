@@ -58,9 +58,109 @@ def _sf_of(path: str) -> float | None:
         return None
 
 
+def _ab_ref() -> str | None:
+    """Git ref of the interleaved A/B baseline tree: the last driver
+    round-boundary commit ('round N: ...'), overridable via
+    $SPARK_GRAFT_AB_REF; $SPARK_GRAFT_AB=0 disables. None when no
+    baseline is resolvable (fresh repo, no git) — the bench then runs
+    current-tree-only exactly as before."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
+        return None
+    ref = os.environ.get("SPARK_GRAFT_AB_REF")
+    if ref:
+        return ref
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
+             "--format=%H"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+        sha = out.stdout.strip()
+        return sha or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _extract_tree(ref: str) -> str | None:
+    """``git archive`` the baseline ref into a temp dir; None on any
+    failure (the A/B column is best-effort — never lose the record)."""
+    import subprocess
+    import tarfile
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "archive", ref], cwd=here, capture_output=True,
+            timeout=120,
+        )
+        if out.returncode != 0:
+            return None
+        d = tempfile.mkdtemp(prefix="bench_ab_")
+        import io
+
+        with tarfile.open(fileobj=io.BytesIO(out.stdout)) as tf:
+            tf.extractall(d, filter="data")
+        return d
+    except (OSError, subprocess.SubprocessError, tarfile.TarError):
+        return None
+
+
+def _load_registry_from(root: str) -> dict | None:
+    """Import the baseline tree's registry under a scrubbed module
+    cache, then restore the current tree's modules. The returned query
+    callables keep working afterwards (their defining modules stay
+    alive via closure references); only the sys.modules NAMES are
+    swapped back, so the two trees never see each other's code.
+    Limitation: a baseline query that lazily imports an
+    ir_analyses_spark submodule INSIDE its function body would resolve
+    the current tree's module after the restore — the headline set has
+    no such import (verified: the only function-body intra-package
+    imports live in the txn-sink streaming paths, not benched here)."""
+    saved = {
+        k: sys.modules.pop(k)
+        for k in list(sys.modules)
+        if k == "ir_analyses_spark" or k.startswith("ir_analyses_spark.")
+    }
+    sys.path.insert(0, root)
+    try:
+        from ir_analyses_spark.registry import all_queries as prior_all
+
+        return prior_all()
+    except Exception:
+        return None
+    finally:
+        sys.path.remove(root)
+        for k in [
+            k
+            for k in list(sys.modules)
+            if k == "ir_analyses_spark" or k.startswith("ir_analyses_spark.")
+        ]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+
+
 def main() -> None:
     spark = get_spark(app_name="ir_analyses_spark_bench")
     queries = all_queries()
+    # Interleaved A/B (r8 VERDICT item 7): two consecutive rounds showed
+    # ±17-25% wall-clock drift on FROZEN query code — machine load was
+    # eating the signal. The fix is a same-session baseline: the prior
+    # round-boundary tree's registry runs the same headline set, with
+    # each (rep, query) timed back-to-back current-then-baseline, so
+    # both columns see the same page cache, co-tenant load, and JIT
+    # state. Cross-round comparisons should use ab_ratio (load-
+    # independent), not absolute totals.
+    ab_ref = _ab_ref()
+    ab_queries: dict | None = None
+    ab_root = None
+    if ab_ref:
+        ab_root = _extract_tree(ab_ref)
+        if ab_root:
+            ab_queries = _load_registry_from(ab_root)
     # Warm-up: JVM, parquet footer caches, and — decisively — whole-stage
     # codegen compilation, by running every headline plan once at the tiny
     # SF. Generated-class compilation is a fixed per-plan cost (Janino
@@ -68,13 +168,14 @@ def main() -> None:
     # constant to a throughput metric. The timed runs below measure the
     # data-proportional steady state, which is what scales to 100 TB.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
-        try:
-            queries[name](spark, WARMUP_SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # warm-up is best-effort; the timed run will surface errors
+    for qmap in ([queries, ab_queries] if ab_queries else [queries]):
+        for name in HEADLINE:
+            try:
+                qmap[name](spark, WARMUP_SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warm-up is best-effort; timed runs surface errors
     # Timed protocol (r5, per VERDICT r4 item 4): THREE timed repetitions
     # per query at the target SF, no separate target-SF warmup pass.
     #   - rep 1 is a cold-at-target-SF run — exactly the r1-r3 methodology
@@ -89,18 +190,44 @@ def main() -> None:
     # cross-round deltas decompose into methodology vs real gains.
     _N_REPS = 3
     reps: dict[str, list[float]] = {}
+    ab_reps: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    def _run_current(name: str) -> None:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps.setdefault(name, []).append(time.perf_counter() - t0)
+        except Exception as exc:  # one bad query must not lose the record
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+
+    def _run_baseline(name: str) -> None:
+        if not (ab_queries and name in ab_queries):
+            return
+        t0 = time.perf_counter()
+        try:
+            ab_queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ab_reps.setdefault(name, []).append(time.perf_counter() - t0)
+        except Exception:
+            pass  # baseline is advisory; never fails the bench
+
     for rep in range(_N_REPS):
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
             if name in errors:
                 continue
-            fn = queries[name]
-            t0 = time.perf_counter()
-            try:
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                reps.setdefault(name, []).append(time.perf_counter() - t0)
-            except Exception as exc:  # one bad query must not lose the record
-                errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            # adjacent twin runs see the same transient machine state;
+            # the order ALTERNATES by (rep, query) parity because the
+            # second run of an identical plan rides the first's page
+            # cache and JIT warmth (measured: a fixed current-first
+            # order made an unchanged baseline look 28% faster)
+            if (rep + qi) % 2 == 0:
+                _run_current(name)
+                _run_baseline(name)
+            else:
+                _run_baseline(name)
+                _run_current(name)
 
     def _median(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -142,6 +269,30 @@ def main() -> None:
             "real gains"
         ),
     }
+    if ab_queries:
+        ab_timings = {
+            name: round(_median(ts), 3)
+            for name, ts in ab_reps.items()
+            if len(ts) == _N_REPS
+        }
+        ab_total = round(sum(ab_timings.values()), 3)
+        record["ab_baseline"] = {
+            "ref": ab_ref,
+            "value": ab_total,
+            "queries": ab_timings,
+            "protocol": (
+                "same session, interleaved per (rep, query): current "
+                "then baseline back-to-back; medians of 3"
+            ),
+        }
+        if ab_total and set(ab_timings) == set(timings):
+            # load-independent round delta: <1 means the current tree is
+            # faster than the prior round's on THIS box RIGHT NOW
+            record["ab_ratio"] = round(
+                sum(timings.values()) / ab_total, 4
+            )
+    elif ab_ref:
+        record["ab_baseline"] = {"ref": ab_ref, "error": "load failed"}
     if partial:
         record["partial"] = partial
     if errors:
