@@ -1,0 +1,302 @@
+"""H.264/AVC sequence-header parsing: profile / level / chroma /
+resolution straight from the SPS bitstream — no frame decode.
+
+Shrinks the gated-stub surface one honest notch (r8 VERDICT item 8):
+`llm/multimodal.py` decodes container metadata and raises loudly on
+entropy-coded video payloads; this module parses the one part of an
+H.264 stream that IS tractable stdlib work — the Sequence Parameter
+Set — written from the PUBLIC spec (ITU-T H.264 §7.3.2.1.1 seq_
+parameter_set_data, §7.4.2.1.1 semantics for the cropped-size
+arithmetic, Annex A profile_idc values) and ISO/IEC 14496-15 §5.2.4.1
+(AVCDecoderConfigurationRecord, the ``avcC`` box an MP4 ``avc1``
+sample entry carries). Everything is Exp-Golomb + bit reads over a
+byte string; per-frame decode stays out of scope, exactly as
+documented at `llm/multimodal.py:875`.
+
+Scale shape: header parse is a per-file map (Arrow-batched
+``mapInPandas`` over the binary column, same plumbing as
+`llm/media_mp4.media_sampled_features`) — KB-sized headers, no
+shuffle, no Python row path.
+
+New module per the evidence-ledger rule (multimodal.py's certified
+queries stay frozen; this imports nothing from it).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: profile_idc values whose SPS carries the chroma/bit-depth block
+#: (H.264 §7.3.2.1.1 "if( profile_idc == 100 || ... )")
+_HIGH_PROFILES = frozenset(
+    {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+)
+
+_PROFILE_NAMES = {
+    66: "baseline", 77: "main", 88: "extended", 100: "high",
+    110: "high10", 122: "high422", 244: "high444",
+}
+
+# (SubWidthC, SubHeightC) per chroma_format_idc (§6.2 table 6-1);
+# chroma_format_idc 0 (monochrome) crops in luma units
+_SUB_WH = {1: (2, 2), 2: (2, 1), 3: (1, 1)}
+
+
+class _BitReader:
+    """MSB-first bit cursor over an RBSP (emulation-prevention bytes
+    already stripped). Raises ValueError on exhaustion — a truncated
+    SPS must fail loudly, not read zeros."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self._pos >> 3
+            if byte >= len(self._d):
+                raise ValueError("truncated NAL payload")
+            out = (out << 1) | ((self._d[byte] >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return out
+
+    def ue(self) -> int:
+        """Unsigned Exp-Golomb (§9.1): count leading zeros, read that
+        many suffix bits."""
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        """Signed Exp-Golomb (§9.1.1): k -> ceil(k/2) with alternating
+        sign."""
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(data: bytes) -> bytes:
+    """NAL payload -> RBSP: 0x000003 escapes drop their 0x03 (§7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 0x03:
+            zeros = 0
+            continue  # emulation-prevention byte
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _skip_scaling_list(r: _BitReader, size: int) -> None:
+    """§7.3.2.1.1.1 scaling_list() — values are discarded, but the
+    bitstream walk must be exact or everything after is garbage."""
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        if nxt != 0:
+            last = nxt
+
+
+def parse_sps(nal: bytes) -> dict:
+    """Decode one SPS NAL unit (with or without its 1-byte NAL header)
+    into {profile_idc, profile, level_idc, chroma_format_idc,
+    bit_depth_luma, bit_depth_chroma, width, height, frame_mbs_only,
+    max_num_ref_frames}. Cropped size follows §7.4.2.1.1:
+    width = (pic_width_in_mbs+1)*16 − (crop_left+crop_right)*CropUnitX,
+    height = (2−frame_mbs_only)*(pic_height_in_map_units+1)*16 −
+    (crop_top+crop_bottom)*CropUnitY."""
+    if not nal:
+        raise ValueError("empty NAL unit")
+    # accept both a bare RBSP-bearing NAL and one with the header byte:
+    # an SPS header is forbidden_zero=0, nal_ref_idc, type=7
+    if nal[0] & 0x1F == 7:
+        nal = nal[1:]
+    r = _BitReader(_strip_emulation(nal))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint_set flags + reserved_zero_2bits
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    bit_depth_luma = bit_depth_chroma = 8
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        bit_depth_luma = r.ue() + 8
+        bit_depth_chroma = r.ue() + 8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            n_lists = 8 if chroma_format_idc != 3 else 12
+            for i in range(n_lists):
+                if r.u(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    pic_order_cnt_type = r.ue()
+    if pic_order_cnt_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif pic_order_cnt_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()  # offset_for_ref_frame[i]
+    max_num_ref_frames = r.ue()
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    if chroma_format_idc == 0:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    else:
+        sw, sh = _SUB_WH[chroma_format_idc]
+        unit_x, unit_y = sw, sh * (2 - frame_mbs_only)
+    width = pic_width_in_mbs * 16 - (crop_l + crop_r) * unit_x
+    height = (
+        (2 - frame_mbs_only) * pic_height_in_map_units * 16
+        - (crop_t + crop_b) * unit_y
+    )
+    return {
+        "profile_idc": profile_idc,
+        "profile": _PROFILE_NAMES.get(profile_idc, f"profile_{profile_idc}"),
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth_luma": bit_depth_luma,
+        "bit_depth_chroma": bit_depth_chroma,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": bool(frame_mbs_only),
+        "max_num_ref_frames": max_num_ref_frames,
+    }
+
+
+def parse_pps(nal: bytes) -> dict:
+    """Decode a PPS NAL's leading fields (§7.3.2.2): ids + entropy
+    coding mode — the part that matters for stream triage (CABAC vs
+    CAVLC)."""
+    if not nal:
+        raise ValueError("empty NAL unit")
+    if nal[0] & 0x1F == 8:
+        nal = nal[1:]
+    r = _BitReader(_strip_emulation(nal))
+    return {
+        "pps_id": r.ue(),
+        "sps_id": r.ue(),
+        "entropy_coding": "cabac" if r.u(1) else "cavlc",
+    }
+
+
+def parse_avcc(record: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1): the avcC
+    payload carried by an MP4 avc1 sample entry. Returns the record's
+    own profile/level bytes plus the PARSED first SPS and first PPS."""
+    if len(record) < 7:
+        raise ValueError("avcC record too short")
+    if record[0] != 1:
+        raise ValueError(f"avcC configurationVersion {record[0]} != 1")
+    out = {
+        "avc_profile_indication": record[1],
+        "profile_compatibility": record[2],
+        "avc_level_indication": record[3],
+        "nal_length_size": (record[4] & 0x03) + 1,
+    }
+    pos = 5
+    n_sps = record[pos] & 0x1F
+    pos += 1
+    sps_list = []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", record, pos)
+        pos += 2
+        sps_list.append(record[pos : pos + ln])
+        if len(sps_list[-1]) != ln:
+            raise ValueError("truncated SPS in avcC")
+        pos += ln
+    n_pps = record[pos]
+    pos += 1
+    pps_list = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", record, pos)
+        pos += 2
+        pps_list.append(record[pos : pos + ln])
+        if len(pps_list[-1]) != ln:
+            raise ValueError("truncated PPS in avcC")
+        pos += ln
+    if not sps_list:
+        raise ValueError("avcC carries no SPS")
+    out["sps"] = parse_sps(sps_list[0])
+    out["pps"] = parse_pps(pps_list[0]) if pps_list else None
+    out["n_sps"] = n_sps
+    out["n_pps"] = n_pps
+    return out
+
+
+H264_FEATURES_SCHEMA = (
+    "doc_id bigint, profile string, level_idc int, width int, height int, "
+    "chroma_format_idc int, bit_depth_luma int, entropy_coding string, "
+    "error string"
+)
+
+
+def h264_header_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched header triage over a binary column of avcC
+    records (or bare SPS NALs): one row per input with the parsed
+    stream parameters, parse failures captured in ``error`` instead of
+    poisoning the batch — the same permissive-row contract as
+    `io/warc.py`."""
+    import pandas as pd
+
+    def parse_batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                row = {
+                    "doc_id": doc_id, "profile": None, "level_idc": None,
+                    "width": None, "height": None,
+                    "chroma_format_idc": None, "bit_depth_luma": None,
+                    "entropy_coding": None, "error": None,
+                }
+                try:
+                    blob = bytes(blob)
+                    if blob[:1] == b"\x01":
+                        rec = parse_avcc(blob)
+                        sps = rec["sps"]
+                        row["entropy_coding"] = (
+                            rec["pps"]["entropy_coding"] if rec["pps"] else None
+                        )
+                    else:
+                        sps = parse_sps(blob)
+                    row.update(
+                        profile=sps["profile"],
+                        level_idc=sps["level_idc"],
+                        width=sps["width"],
+                        height=sps["height"],
+                        chroma_format_idc=sps["chroma_format_idc"],
+                        bit_depth_luma=sps["bit_depth_luma"],
+                    )
+                except (ValueError, IndexError, struct.error) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(
+        parse_batch, schema=H264_FEATURES_SCHEMA
+    )
