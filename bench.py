@@ -85,25 +85,40 @@ def _ab_ref() -> str | None:
 
 
 def _extract_tree(ref: str) -> str | None:
-    """``git archive`` the baseline ref into a temp dir; None on any
-    failure (the A/B column is best-effort — never lose the record)."""
+    """``git archive`` the baseline ref into a DETERMINISTIC per-ref
+    temp dir, reused across runs (mkdtemp would leak one full tree per
+    bench invocation — review-caught; one dir per round-boundary sha is
+    self-limiting). None on any failure — the A/B column is
+    best-effort, never lose the record."""
     import subprocess
     import tarfile
     import tempfile
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
+        sha = subprocess.run(
+            ["git", "rev-parse", ref], cwd=here, capture_output=True,
+            text=True, timeout=30,
+        ).stdout.strip()
+        if not sha:
+            return None
+        d = os.path.join(tempfile.gettempdir(), f"bench_ab_{sha[:16]}")
+        marker = os.path.join(d, ".extract_complete")
+        if os.path.exists(marker):
+            return d
         out = subprocess.run(
-            ["git", "archive", ref], cwd=here, capture_output=True,
+            ["git", "archive", sha], cwd=here, capture_output=True,
             timeout=120,
         )
         if out.returncode != 0:
             return None
-        d = tempfile.mkdtemp(prefix="bench_ab_")
+        os.makedirs(d, exist_ok=True)
         import io
 
         with tarfile.open(fileobj=io.BytesIO(out.stdout)) as tf:
             tf.extractall(d, filter="data")
+        with open(marker, "w") as fh:
+            fh.write(sha)
         return d
     except (OSError, subprocess.SubprocessError, tarfile.TarError):
         return None

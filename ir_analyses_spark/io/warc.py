@@ -216,9 +216,18 @@ def _decode_http_body(body: bytes, headers: dict[str, str]) -> bytes:
     # them innermost-last (reverse list order)
     for coding in reversed(te):
         body = _decompress_coding(body, coding)
-    ce = headers.get("content-encoding", "").strip().lower()
-    if ce:
-        body = _decompress_coding(body, ce)
+    # Content-Encoding is a LIST field too (RFC 9110 §8.4): codings are
+    # applied in the order listed, so undo them in reverse. Also covers
+    # the repeated-header merge above producing e.g. 'gzip, gzip' —
+    # passing the joined string whole would match no coding and leak
+    # compressed bytes to the quality gates as garbage (review-caught)
+    ce_list = [
+        c.strip()
+        for c in headers.get("content-encoding", "").lower().split(",")
+        if c.strip()
+    ]
+    for coding in reversed(ce_list):
+        body = _decompress_coding(body, coding)
     return body
 
 

@@ -274,6 +274,13 @@ def h264_header_features(
                     "chroma_format_idc": None, "bit_depth_luma": None,
                     "entropy_coding": None, "error": None,
                 }
+                if blob is None:
+                    # NULL content (e.g. io/warc permissive error rows)
+                    # must yield an error ROW, not a task-killing
+                    # TypeError from bytes(None) (review-caught)
+                    row["error"] = "ValueError: null content"
+                    rows.append(row)
+                    continue
                 try:
                     blob = bytes(blob)
                     if blob[:1] == b"\x01":

@@ -69,12 +69,15 @@ _PROBE_CHARS = 8
 _SEGMENT_CHARS = 1 << 20
 
 
-def _kgram_hashes(text_col, k: int, hash_fn=None):
+def _kgram_hashes(text_col, k: int, hash_fn):
     """Array of 64-bit hashes over each k-char window (empty when
-    shorter). ``hash_fn`` maps a k-gram string column to a bigint
-    column; default xxhash64 (the scale path)."""
+    shorter), via the caller-supplied JVM ``hash_fn`` (k-gram string
+    column -> bigint column). Only the ``hash_fn`` path uses this —
+    the default scale path hashes inside the Arrow worker
+    (``poly_kgram_hashes``), so there is deliberately no fallback
+    here."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    h = hash_fn or F.xxhash64
+    h = hash_fn
     return F.when(
         F.length(t) >= k,
         F.transform(
@@ -184,11 +187,18 @@ def _select_fingerprints_udf(k: int, window: int, jvm_hashes: bool):
             np.not_equal(pos[1:], pos[:-1], out=keep[1:])
             sel = pos[keep]
             posl = sel.tolist()
+            # the probe must never extend past the k-gram: for k < 8 an
+            # 8-char slice would drag in per-document context and split
+            # identical duplicated runs into different (fp, probe)
+            # groups — the duplicate would silently survive
+            # (review-caught); min(k, 8) also keeps the slice inside
+            # the segment, so overlapping segments emit identical rows
+            np_ = min(k, _PROBE_CHARS)
             out.append(
                 {
                     "pos": (sel + int(o)).tolist(),
                     "fp": h[sel].tolist(),
-                    "probe": [s[p : p + _PROBE_CHARS] for p in posl],
+                    "probe": [s[p : p + np_] for p in posl],
                 }
             )
         # top-level StructType returns are a DataFrame of field columns
@@ -299,19 +309,24 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """(doc_id, pos, fp, probe) — robust-winnowing selection over
     k-gram hashes. ``pos`` is the 0-based character offset of the
-    selected k-gram; ``probe`` is its first ``_PROBE_CHARS`` characters,
-    emitted HERE, while the text is still in hand — so downstream
-    consumers never join fingerprints back to corpus text just to rule
-    out hash collisions (r8 VERDICT: that join put the text on the
-    dedup shuffle the module claims it avoids). Guarantee: two
-    documents sharing an exact substring of length ≥ ``window + k - 1``
-    share at least one (pos-aligned) fp.
+    selected k-gram; ``probe`` is its first ``min(k, _PROBE_CHARS)``
+    characters (never past the k-gram — longer would drag in
+    per-document context and split identical runs into different
+    groups), emitted HERE, while the text is still in hand — so
+    downstream consumers never join fingerprints back to corpus text
+    just to rule out hash collisions (r8 VERDICT: that join put the
+    text on the dedup shuffle the module claims it avoids). Guarantee:
+    two documents sharing an exact substring of length
+    ≥ ``window + k - 1`` share at least one (pos-aligned) fp.
 
-    ``hash_fn`` swaps the k-gram hash (default xxhash64); the portable
-    polynomial variant in `llm/substring_queries.py` uses this for its
-    cross-engine oracle. ``segment_chars`` bounds the per-row codegen
-    cost: longer documents are fingerprinted in overlapping segments
-    whose union of selections is exactly the unsegmented set (see
+    The default k-gram hash is the exact uint64 rolling POLYNOMIAL
+    (``poly_kgram_hashes``, computed inside the Arrow worker — NOT
+    xxhash64, which has no Python twin for the worker side);
+    ``hash_fn`` swaps in a JVM expression hash instead — the portable
+    mod-prime variant in `llm/substring_queries.py` uses this for its
+    cross-engine oracle. ``segment_chars`` bounds the per-row cost:
+    longer documents are fingerprinted in overlapping segments whose
+    union of selections is exactly the unsegmented set (see
     ``_SEGMENT_CHARS``); the closing distinct (one hash exchange of
     winnowed-density rows, no text) folds boundary re-selections."""
     return _winnow_raw(
@@ -336,16 +351,28 @@ def remove_duplicated_substrings(
     fingerprint rows — corpus text never rides any shuffle before the
     final per-doc rebuild join (r8 VERDICT: an earlier revision joined
     fingerprints back to the text just to cut the probe)."""
+    from pyspark.sql import Window
+
     probed = _winnow_raw(docs, k, window, text_col, hash_fn)
-    groups = probed.groupBy("fp", "probe").agg(
-        F.count_distinct("doc_id").alias("n_docs"),
-        F.min(F.struct("doc_id", "pos")).alias("w"),
-    )
+    # loser detection is ONE pass over the fingerprint rows (a window
+    # over the (fp, probe) key), not a groups⋈probed self-join: the
+    # self-join form evaluated the Arrow winnowing scan — the
+    # operator's entire cost — once per side (review-caught). The
+    # "appears in ≥2 documents" test is max(doc_id) != min(doc_id)
+    # over the group (exact, and window-legal where count_distinct is
+    # not); the winner is the group-min (doc_id, pos) struct.
+    grp = Window.partitionBy("fp", "probe")
     losers = (
-        probed.join(groups.filter(F.col("n_docs") >= 2), ["fp", "probe"])
+        probed.withColumn("_w", F.min(F.struct("doc_id", "pos")).over(grp))
+        .withColumn(
+            "_multi", F.max("doc_id").over(grp) != F.min("doc_id").over(grp)
+        )
         .filter(
-            (F.col("doc_id") != F.col("w.doc_id"))
-            | (F.col("pos") != F.col("w.pos"))
+            F.col("_multi")
+            & (
+                (F.col("doc_id") != F.col("_w.doc_id"))
+                | (F.col("pos") != F.col("_w.pos"))
+            )
         )
         .select("doc_id", "pos")
     )

@@ -71,3 +71,26 @@ def test_weight_table_shape():
     assert any(w > 0 for w in _WEIGHTS_MILLIONTHS)
     assert any(w < 0 for w in _WEIGHTS_MILLIONTHS)
     assert 2 <= nonzero <= N_BUCKETS
+
+
+def test_null_text_matches_oracle(spark):
+    """Review-caught: NULL text must score like empty text (intercept
+    alone) in BOTH engines — without the coalesce, Spark yielded
+    (NULL, NULL) while the oracle's LEFT JOIN + COALESCE yielded
+    (intercept, false)."""
+    import duckdb
+
+    from ir_analyses_spark.llm.clf_gate import GATE_SQL
+
+    rows = [(0, "table query join"), (1, None), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score_millionths"], r["kept"])
+        for r in score_gate_df(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {d: (s, k) for d, s, k in con.execute(GATE_SQL).fetchall()}
+    assert got == want
+    assert got[1] == (_INTERCEPT_MILLIONTHS, False)

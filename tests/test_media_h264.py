@@ -206,3 +206,16 @@ def test_dataframe_operator_permissive_rows(spark):
     assert (got[1]["width"], got[1]["height"]) == (640, 480)
     assert got[1]["profile"] == "baseline"
     assert got[2]["error"] is not None and got[2]["width"] is None
+
+
+def test_dataframe_operator_null_content(spark):
+    """Review-caught: NULL content (io/warc permissive error rows) must
+    yield an error ROW, not a task-killing TypeError."""
+    df = spark.createDataFrame(
+        [(0, None), (1, _make_sps(profile=66, level=30, mbs_w=40, map_h=30))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in h264_header_features(df).collect()}
+    assert got[0]["error"] == "ValueError: null content"
+    assert got[0]["width"] is None
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)

@@ -1,9 +1,8 @@
 """llm/substring_dedup.py: winnowing fingerprints + duplicated-
 substring removal vs an independent Python implementation of the
-selection/grouping/merge/rebuild logic (hash values come from one tiny
-Spark probe — xxhash64 has no Python twin — everything algorithmic is
-recomputed independently), plus the winnowing guarantee and removal
-semantics on crafted corpora."""
+hashing (per-window Horner vs the vectorized prefix trick) AND the
+selection/grouping/merge/rebuild logic, plus the winnowing guarantee
+and removal semantics on crafted corpora."""
 
 from __future__ import annotations
 
@@ -154,17 +153,19 @@ def test_probe_emitted_with_selection(spark, docs_df):
 
 def test_removal_plan_never_shuffles_text(spark, docs_df):
     """r8 VERDICT: the removal pipeline must not join fingerprints back
-    to corpus text for the probe — the only joins are the
-    winnowed-density (fp, probe) group join and the final per-doc
-    rebuild; the text column reaches exactly the rebuild."""
+    to corpus text for the probe, and loser detection is one WINDOW
+    pass over the fingerprint rows, not a groups⋈probed self-join
+    (which re-evaluated the Arrow winnowing scan once per side) — so
+    the ONLY join is the final per-doc rebuild, and the winnowing UDF
+    appears exactly once in the plan."""
     df = remove_duplicated_substrings(docs_df, K, W)
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
 
     n_joins = len(re.findall(r"Join|CartesianProduct", plan))
-    # groups⋈probed (losers) + docs⋈ranges (rebuild) — the old
-    # fps⋈docs probe join would make it 3
-    assert n_joins == 2, plan
+    assert n_joins == 1, plan
+    assert len(re.findall(r"ArrowEvalPython|EvalPython", plan)) == 1, plan
+    assert "Window" in plan
 
 
 def test_segmented_fingerprints_match_unsegmented(spark):
@@ -214,3 +215,24 @@ def test_invalid_segment_chars(spark, docs_df):
 
     with _pt.raises(ValueError, match="segment_chars"):
         winnow_fingerprints(docs_df, K, W, segment_chars=K + W - 2)
+
+
+def test_small_k_probe_never_exceeds_kgram(spark):
+    """Review-caught: with k < 8 an 8-char probe would drag in
+    per-document context past the k-gram, splitting identical
+    duplicated runs into different (fp, probe) groups — the duplicate
+    silently survived. The probe is min(k, 8) chars."""
+    shared = "ZQXJVKWP YBGHMCRD"  # 17 chars: >= w+k-1 = 7 at k=4,w=4
+    docs = spark.createDataFrame(
+        [
+            (0, f"first context words {shared} alpha ending"),
+            (1, f"other beginning {shared} beta tail text"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, 4, 4).collect()
+    assert all(len(r["probe"]) <= 4 for r in fps)
+    got = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_substrings(docs, 4, 4).collect()}
+    assert shared in got[0]          # winner intact
+    assert shared not in got[1]      # loser's copy cut

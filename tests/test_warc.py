@@ -344,3 +344,31 @@ def test_repeated_header_lines_merge_as_list_fields():
         )
     )
     assert (s, body) == (200, doc)
+
+
+def test_repeated_and_listed_content_encoding():
+    """Review-caught: Content-Encoding is an RFC 9110 list field too —
+    the repeated-header merge can produce 'gzip, gzip', and a single
+    header may list multiple codings applied in order; the decoder
+    must undo them in reverse, and a duplicate-listed coding must not
+    leak compressed bytes through as garbage text."""
+    doc = b"<html><body>listed content codings</body></html>"
+    # duplicate-listed gzip (merged repeated lines): decode once, then
+    # the second pass sees plain bytes and leaves them alone
+    s, _, body = split_http_response(
+        _http_hdrs(
+            "Content-Encoding: gzip\r\nContent-Encoding: gzip",
+            gzip.compress(doc),
+        )
+    )
+    assert (s, body) == (200, doc)
+    # deflate then gzip listed in one header: undo outermost-last
+    import zlib
+
+    s, _, body = split_http_response(
+        _http_hdrs(
+            "Content-Encoding: deflate, gzip",
+            gzip.compress(zlib.compress(doc)),
+        )
+    )
+    assert (s, body) == (200, doc)
