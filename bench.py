@@ -73,13 +73,22 @@ def _ab_ref() -> str | None:
         return ref
     here = os.path.dirname(os.path.abspath(__file__))
     try:
+        # subject-line match in Python, not `git log --grep`: --grep
+        # matches ANY line of the full message (and [0-9]* accepts zero
+        # digits), so a newer commit merely QUOTING round text would
+        # silently become the baseline and ab_ratio would compare the
+        # current tree against nearly-current code (review-caught)
+        import re
+
         out = subprocess.run(
-            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1",
-             "--format=%H"],
+            ["git", "log", "-n", "500", "--format=%H %s"],
             cwd=here, capture_output=True, text=True, timeout=30,
         )
-        sha = out.stdout.strip()
-        return sha or None
+        for line in out.stdout.splitlines():
+            sha, _, subject = line.partition(" ")
+            if re.match(r"^round \d+:", subject):
+                return sha
+        return None
     except (OSError, subprocess.SubprocessError):
         return None
 
@@ -228,15 +237,25 @@ def main() -> None:
         except Exception:
             pass  # baseline is advisory; never fails the bench
 
-    for rep in range(_N_REPS):
+    # Rep 0 is CURRENT-ONLY: value_first_run's contract is "the cold
+    # first rep, the r1-r3 methodology", and an interleaved baseline
+    # twin at rep 0 would pre-warm page cache + JIT for half the
+    # queries (a measured ~28% effect), making first_run read a
+    # phantom cross-round speedup (review-caught). The A/B pairs run
+    # as _N_REPS additional interleaved passes, order alternating by
+    # (rep, query) parity — the second run of an identical plan rides
+    # the first's warmth, so a fixed order biases the comparison.
+    # Steady-state medians for BOTH columns come from the interleaved
+    # passes only (identical conditions for the two trees); rep 0
+    # feeds first_run alone.
+    for name in HEADLINE:
+        _run_current(name)
+    first_run_raw = {name: ts[0] for name, ts in reps.items()}
+    n_pair_reps = _N_REPS if ab_queries else _N_REPS - 1
+    for rep in range(n_pair_reps):
         for qi, name in enumerate(HEADLINE):
             if name in errors:
                 continue
-            # adjacent twin runs see the same transient machine state;
-            # the order ALTERNATES by (rep, query) parity because the
-            # second run of an identical plan rides the first's page
-            # cache and JIT warmth (measured: a fixed current-first
-            # order made an unchanged baseline look 28% faster)
             if (rep + qi) % 2 == 0:
                 _run_current(name)
                 _run_baseline(name)
@@ -249,22 +268,28 @@ def main() -> None:
         mid = len(xs) // 2
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2.0
 
-    # ADVICE r5: a query that errored on rep 2/3 has 1-2 timings — that is
-    # NOT a steady-state median, and _best_prior_timings in a later round
-    # would ingest it as one. Full-rep queries only; partials are recorded
-    # under an explicit key that the cross-round reader never consumes.
+    # ADVICE r5: a query that errored mid-way has fewer timings — that
+    # is NOT a steady-state median, and _best_prior_timings in a later
+    # round would ingest it as one. Full-rep queries only; partials are
+    # recorded under an explicit key the cross-round reader never
+    # consumes. Steady state = median of the reps AFTER the cold rep 0
+    # when a baseline interleaves (all passes see identical
+    # conditions), else of all three reps (the r5-r8 protocol).
+    n_full = 1 + n_pair_reps
     timings = {
-        name: round(_median(ts), 3)
+        name: round(_median(ts[1:] if ab_queries else ts), 3)
         for name, ts in reps.items()
-        if len(ts) == _N_REPS
+        if len(ts) == n_full
     }
     first_run = {
-        name: round(ts[0], 3) for name, ts in reps.items() if len(ts) == _N_REPS
+        name: round(first_run_raw[name], 3)
+        for name in reps
+        if len(reps[name]) == n_full and name in first_run_raw
     }
     partial = {
         name: [round(t, 3) for t in ts]
         for name, ts in reps.items()
-        if len(ts) < _N_REPS
+        if len(ts) < n_full
     }
 
     record = {

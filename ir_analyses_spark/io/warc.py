@@ -54,6 +54,21 @@ from pyspark.sql import DataFrame, SparkSession
 _GZIP_MAGIC = b"\x1f\x8b"
 _CRLF2 = b"\r\n\r\n"
 
+#: HTTP fields with RFC 9110 #(...) list syntax — repeated lines are
+#: equivalent to one comma-joined field and are merged as such; every
+#: other repeated field stays first-wins (comma-joining a singleton
+#: like Content-Type, or Set-Cookie whose values contain commas, would
+#: corrupt it). Only fields this reader or its consumers touch, plus
+#: the common hop-by-hop list fields, are enumerated.
+_LIST_HEADER_FIELDS = frozenset(
+    {
+        "transfer-encoding", "content-encoding", "accept-encoding",
+        "connection", "upgrade", "via", "vary", "te", "trailer",
+        "cache-control", "pragma", "allow", "accept", "accept-language",
+        "warning", "content-language",
+    }
+)
+
 WARC_SCHEMA = (
     "path string, record_seq int, warc_type string, record_id string, "
     "warc_date timestamp, target_uri string, content_type string, "
@@ -256,15 +271,20 @@ def split_http_response(payload: bytes):
         name, sep, value = ln.partition(":")
         if sep:
             key = name.strip().lower()
-            # RFC 9110 list fields may legally repeat ('Transfer-Encoding:
+            # RFC 9110 LIST fields may legally repeat ('Transfer-Encoding:
             # gzip' + 'Transfer-Encoding: chunked' on separate lines) and
             # are equivalent to one comma-joined field; a first-wins
             # setdefault would lose the chunked flag and hand the funnel a
-            # still-chunk-framed body (r8 ADVICE)
-            if key in headers:
+            # still-chunk-framed body (r8 ADVICE). The merge applies ONLY
+            # to list fields: comma-joining a repeated SINGLETON header
+            # (duplicate Content-Type, or Set-Cookie — whose Expires
+            # values legally contain commas, RFC 9110 §5.3) would corrupt
+            # the exported column, so those stay first-wins
+            # (review-caught).
+            if key in _LIST_HEADER_FIELDS and key in headers:
                 headers[key] = f"{headers[key]}, {value.strip()}"
             else:
-                headers[key] = value.strip()
+                headers.setdefault(key, value.strip())
     body = _decode_http_body(payload[split + len(_CRLF2) :], headers)
     return status, headers.get("content-type"), body
 

@@ -119,9 +119,15 @@ def parse_sps(nal: bytes) -> dict:
     (crop_top+crop_bottom)*CropUnitY."""
     if not nal:
         raise ValueError("empty NAL unit")
-    # accept both a bare RBSP-bearing NAL and one with the header byte:
-    # an SPS header is forbidden_zero=0, nal_ref_idc, type=7
-    if nal[0] & 0x1F == 7:
+    # accept both a bare RBSP and one with the NAL header byte: an SPS
+    # header is forbidden_zero_bit=0, nal_ref_idc, type=7. The
+    # forbidden bit disambiguates (review-caught): a BARE RBSP starts
+    # with profile_idc, and the high-profile values 135/134/128... set
+    # bit 7, so `x & 0x1F == 7` alone misread profile_idc 135 (0x87)
+    # as a header and stripped the profile byte. No defined profile_idc
+    # has low-5-bits 7 with bit 7 clear (39 is unassigned), so
+    # requiring the forbidden bit to be 0 settles it.
+    if nal[0] & 0x80 == 0 and nal[0] & 0x1F == 7:
         nal = nal[1:]
     r = _BitReader(_strip_emulation(nal))
     profile_idc = r.u(8)
@@ -193,7 +199,10 @@ def parse_pps(nal: bytes) -> dict:
     CAVLC)."""
     if not nal:
         raise ValueError("empty NAL unit")
-    if nal[0] & 0x1F == 8:
+    # forbidden_zero_bit=0 + type=8; a bare PPS RBSP leads with
+    # ue(pps_id), whose first '1' stop bit for any id < 128 puts bit 7
+    # high — the same disambiguation as parse_sps
+    if nal[0] & 0x80 == 0 and nal[0] & 0x1F == 8:
         nal = nal[1:]
     r = _BitReader(_strip_emulation(nal))
     return {
@@ -228,6 +237,10 @@ def parse_avcc(record: bytes) -> dict:
         if len(sps_list[-1]) != ln:
             raise ValueError("truncated SPS in avcC")
         pos += ln
+    if pos >= len(record):
+        # keep the documented ValueError contract — an un-checked
+        # record[pos] raised IndexError here (review-caught)
+        raise ValueError("truncated avcC record (missing PPS count)")
     n_pps = record[pos]
     pos += 1
     pps_list = []

@@ -27,28 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
+from .porthash import port_hash_expr, port_hash_sql
 from .substring_dedup import remove_duplicated_substrings, winnow_fingerprints
 
 _K = 12
 _W = 6
-_B = 131
-_M = 1_000_000_007
-#: B^j mod M for j = 0..K-1 (exact in every engine)
-_PW = [pow(_B, j, _M) for j in range(_K)]
 
 
 def _portable_hash(gram):
-    """Σ codepoint(gram[j])·B^(K−1−j) mod M as a JVM expression over a
-    K-char gram column; every term < 1.2e6·1e9 and the K-term sum
-    < 2^54, so no engine can overflow or diverge."""
-    terms = None
-    for j in range(_K):
-        t = (
-            F.ascii(F.substring(gram, j + 1, 1)).cast("bigint")
-            * F.lit(_PW[_K - 1 - j])
-        )
-        terms = t if terms is None else terms + t
-    return terms % F.lit(_M)
+    """The shared portable polynomial over the K-char gram column —
+    ONE definition for Spark, DuckDB, and Python (`llm/porthash.py`,
+    review-caught triplication)."""
+    return port_hash_expr(gram, _K)
 
 
 def winnow_fingerprints_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,12 +63,7 @@ def substring_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gram_hash_sql() -> str:
-    terms = " + ".join(
-        f"CAST(ascii(substr(d.text, CAST(t.i + {j} AS INT), 1)) AS BIGINT)"
-        f" * {_PW[_K - 1 - j]}"
-        for j in range(_K)
-    )
-    return f"({terms}) % {_M}"
+    return port_hash_sql(f"substr(d.text, CAST(t.i AS INT), {_K})", _K)
 
 
 #: grams -> per-window struct MIN (rightmost tie via negated pos) —

@@ -8,20 +8,15 @@ from pyspark.sql import functions as F
 
 from ir_analyses_spark.llm.clf_gate import (
     _INTERCEPT_MILLIONTHS,
-    _M,
-    _PW,
     _WEIGHTS_MILLIONTHS,
     N_BUCKETS,
     score_gate_df,
 )
+from ir_analyses_spark.llm.porthash import port_hash_py
 
 
 def _py_bucket(tok: str) -> int:
-    h = 0
-    t = tok[:8]
-    for j in range(8):
-        h += (ord(t[j]) if j < len(t) else 0) * _PW[7 - j]
-    return (h % _M) % N_BUCKETS
+    return port_hash_py(tok, 8) % N_BUCKETS
 
 
 def _py_score(text: str) -> int:
@@ -94,3 +89,26 @@ def test_null_text_matches_oracle(spark):
     want = {d: (s, k) for d, s, k in con.execute(GATE_SQL).fetchall()}
     assert got == want
     assert got[1] == (_INTERCEPT_MILLIONTHS, False)
+
+
+def test_vertical_tab_tokenizes_identically_cross_engine(spark):
+    """Review-caught: Java's \\s includes \\x0B but RE2's does not, so
+    a bare \\s+ tokenized vertical-tab text differently per engine.
+    Both sides now use the explicit class; pin the agreement."""
+    import duckdb
+
+    from ir_analyses_spark.llm.clf_gate import GATE_SQL
+
+    rows = [(0, "table\x0bquery join"), (1, "click\x0b\x0bfree win")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score_millionths"], r["kept"])
+        for r in score_gate_df(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {d: (s, k) for d, s, k in con.execute(GATE_SQL).fetchall()}
+    assert got == want
+    # and the split is real: 'table' et al. hash as separate tokens
+    assert got[0] == (_py_score("table query join"), True)

@@ -219,3 +219,27 @@ def test_dataframe_operator_null_content(spark):
     assert got[0]["error"] == "ValueError: null content"
     assert got[0]["width"] is None
     assert (got[1]["width"], got[1]["height"]) == (640, 480)
+
+
+def test_bare_high_profile_rbsp_not_mistaken_for_header():
+    """Review-caught: profile_idc 135 (0x87) has low-5-bits 7, so a
+    bare RBSP was misread as a headered NAL and its profile byte
+    stripped; the forbidden_zero_bit (bit 7) disambiguates."""
+    headered = _make_sps(profile=135, chroma=3, mbs_w=8, map_h=8)
+    bare = headered[1:]
+    got_h, got_b = parse_sps(headered), parse_sps(bare)
+    assert got_h == got_b
+    assert got_h["profile_idc"] == 135
+    assert (got_h["width"], got_h["height"]) == (128, 128)
+
+
+def test_truncated_avcc_raises_valueerror_not_indexerror():
+    """Review-caught: a record ending right after the SPS array hit an
+    unhandled IndexError at the PPS count."""
+    sps = _make_sps()
+    rec = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+    )  # no PPS section at all
+    with pytest.raises(ValueError, match="truncated avcC"):
+        parse_avcc(rec)

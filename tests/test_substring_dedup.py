@@ -236,3 +236,18 @@ def test_small_k_probe_never_exceeds_kgram(spark):
            remove_duplicated_substrings(docs, 4, 4).collect()}
     assert shared in got[0]          # winner intact
     assert shared not in got[1]      # loser's copy cut
+
+
+def test_winnow_plan_single_scan_single_exchange(spark, docs_df):
+    """The fingerprint audit surface is one map-only Arrow scan plus
+    exactly one exchange (the cross-segment distinct) — no join, no
+    Generate of text, no second UDF evaluation."""
+    import re
+
+    plan = (
+        winnow_fingerprints(docs_df, K, W)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"ArrowEvalPython|EvalPython", plan)) == 1, plan
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert not re.findall(r"Join|CartesianProduct", plan), plan

@@ -372,3 +372,20 @@ def test_repeated_and_listed_content_encoding():
         )
     )
     assert (s, body) == (200, doc)
+
+
+def test_repeated_singleton_headers_stay_first_wins():
+    """Review-caught: the comma-merge applies ONLY to RFC 9110 list
+    fields — a duplicated Content-Type must keep the first value, not
+    become 'text/html, text/plain'."""
+    doc = b"<html><body>singleton header dupes</body></html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Set-Cookie: a=1; Expires=Wed, 21 Oct 2026 07:28:00 GMT\r\n"
+        b"Set-Cookie: b=2\r\n"
+        b"\r\n" + doc
+    )
+    s, ctype, body = split_http_response(payload)
+    assert (s, ctype, body) == (200, "text/html", doc)

@@ -20,14 +20,20 @@ Usage: python tools/train_clf_gate.py  (prints the literal tables)
 
 from __future__ import annotations
 
+import os
 import random
+import re
+import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from ir_analyses_spark.llm.porthash import port_hash_py  # noqa: E402
+
 N_BUCKETS = 256
-_B = 131
-_M = 1_000_000_007
-_PW = [pow(_B, j, _M) for j in range(8)]
+#: must equal clf_gate.WS_CLASS (Java/RE2/Python-identical split)
+_WS = re.compile("[ \t\n\r\f\x0B]+")
 
 # reference half of the shared analytics vocabulary vs crawl-ish half +
 # junk: weights on SHARED tokens are what make scores vary on real rows
@@ -43,19 +49,17 @@ CRAWL_VOCAB = [
 
 
 def bucket(tok: str) -> int:
-    """First-8-chars polynomial bucket — MUST match clf_gate._bucket
-    and the oracle SQL exactly (missing chars contribute ascii 0)."""
-    h = 0
-    t = tok[:8]
-    for j in range(8):
-        c = ord(t[j]) if j < len(t) else 0
-        h += c * _PW[7 - j]
-    return (h % _M) % N_BUCKETS
+    """First-8-chars polynomial bucket — the SHARED definition
+    (`llm/porthash.py`), so the trainer, the Spark serving path, and
+    the DuckDB oracle are provably the same scheme."""
+    return port_hash_py(tok, 8) % N_BUCKETS
 
 
 def featurize(text: str) -> np.ndarray:
     x = np.zeros(N_BUCKETS)
-    for tok in text.lower().split():
+    for tok in _WS.split(text.lower()):
+        if not tok:
+            continue
         x[bucket(tok)] += 1.0
     return x
 
