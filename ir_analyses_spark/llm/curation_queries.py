@@ -694,7 +694,10 @@ WITH base AS (
                 THEN 'val'
               ELSE 'test' END AS split,
          CAST(0 AS INT) AS shard,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         -- explicit class, not \\s+: RE2's \\s excludes \\x0B while the
+         -- Spark side's Java \\s includes it (see export.WS_CLASS)
+         CAST(len(list_filter(regexp_split_to_array(text,
+                                '[ \\t\\n\\r\\f\\x0B]+'),
                               w -> w != '')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (

@@ -30,12 +30,20 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 _KNUTH = 2654435761
 
 
+#: token boundary class, identical in Java regex (Spark), RE2 (DuckDB
+#: oracles), and Python re: a bare \s+ silently diverges on vertical
+#: tab — Java's \s includes \x0B, RE2's does not (the clf-gate review
+#: finding, applied here too). Equals Java's ASCII \s, so Spark-side
+#: token counts are unchanged.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
 def whitespace_token_count(col):
     """Exact whitespace token count as a bigint column — THE token
     accounting shared by packing offsets here and the budget subsets in
     `llm/mixture.py` (one definition, so the two can never drift)."""
     return F.size(
-        F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+        F.filter(F.split(col, WS_CLASS), lambda w: w != F.lit(""))
     ).cast("bigint")
 
 

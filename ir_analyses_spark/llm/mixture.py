@@ -227,7 +227,10 @@ WITH shares AS (
   FROM documents
 ), toks AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         -- explicit class, not \\s+: RE2's \\s excludes \\x0B while the
+         -- Spark side's Java \\s includes it (see export.WS_CLASS)
+         CAST(len(list_filter(regexp_split_to_array(text,
+                                '[ \\t\\n\\r\\f\\x0B]+'),
                               w -> w != '')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (

@@ -295,3 +295,26 @@ def test_temperature_oracle_keeps_null_lang_groups(spark):
     assert got == want
     # NULL group (n=9) is the anchor and keeps everything
     assert (None, 9) in got
+
+
+def test_token_count_vertical_tab_cross_engine(spark):
+    """The token-count oracles use an explicit whitespace class: a bare
+    \\s+ diverges on vertical tab (Java includes \\x0B, RE2 does not).
+    Pin Spark == DuckDB on a corpus containing one."""
+    import duckdb
+
+    from ir_analyses_spark.llm.mixture import _token_budget_sql
+
+    rows = [(0, "a", "one\x0btwo three"), (1, "a", "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["doc_id"], r["n_tokens"])
+        for r in token_budget_subset_df(docs, 1000).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    sql = _token_budget_sql().replace(str(10_000), str(1000), 1)
+    want = {(d, n) for d, _, n, _ in con.execute(sql).fetchall()}
+    assert got == want
+    assert (0, 3) in got  # \x0b split into a real boundary
