@@ -218,8 +218,9 @@ def _winnow_raw(
     """Selection rows BEFORE cross-segment dedup: a document longer
     than ``segment_chars`` may re-emit a boundary selection once per
     overlapping segment. The removal pipeline consumes this directly —
-    its per-(fp, probe) aggregates (count_distinct, min) and the range
-    merge are duplicate-tolerant, so it skips the distinct's shuffle."""
+    its per-(fp, probe) window aggregates (min struct, max≠min doc
+    test) and the range merge are duplicate-tolerant, so it skips the
+    distinct's shuffle."""
     if k < 2:
         raise ValueError("k must be >= 2")
     if window < 1:
