@@ -335,48 +335,13 @@ def winnow_fingerprints(
     ).distinct()
 
 
-def remove_duplicated_substrings(
-    docs: DataFrame,
-    k: int = 16,
-    window: int = 8,
-    text_col: str = "text",
-    hash_fn=None,
+def _cut_marked(
+    docs: DataFrame, losers: DataFrame, k: int, text_col: str
 ) -> DataFrame:
-    """(doc_id, text) with cross-document duplicated character runs cut
-    out of every occurrence except the corpus-wide smallest
-    (doc_id, pos) one. See module docstring for the guarantee and
-    granularity.
-
-    The collision probe (k-gram prefix next to the 64-bit hash, so a
-    hash merge cannot fuse different substrings) arrives ON the
-    fingerprint rows — corpus text never rides any shuffle before the
-    final per-doc rebuild join (r8 VERDICT: an earlier revision joined
-    fingerprints back to the text just to cut the probe)."""
-    from pyspark.sql import Window
-
-    probed = _winnow_raw(docs, k, window, text_col, hash_fn)
-    # loser detection is ONE pass over the fingerprint rows (a window
-    # over the (fp, probe) key), not a groups⋈probed self-join: the
-    # self-join form evaluated the Arrow winnowing scan — the
-    # operator's entire cost — once per side (review-caught). The
-    # "appears in ≥2 documents" test is max(doc_id) != min(doc_id)
-    # over the group (exact, and window-legal where count_distinct is
-    # not); the winner is the group-min (doc_id, pos) struct.
-    grp = Window.partitionBy("fp", "probe")
-    losers = (
-        probed.withColumn("_w", F.min(F.struct("doc_id", "pos")).over(grp))
-        .withColumn(
-            "_multi", F.max("doc_id").over(grp) != F.min("doc_id").over(grp)
-        )
-        .filter(
-            F.col("_multi")
-            & (
-                (F.col("doc_id") != F.col("_w.doc_id"))
-                | (F.col("pos") != F.col("_w.pos"))
-            )
-        )
-        .select("doc_id", "pos")
-    )
+    """(doc_id, text) with every marked k-char window cut: marks
+    merge into maximal ranges per doc and the survivors rebuild the
+    text — the shared tail of the batch and incremental removers.
+    Duplicate (doc_id, pos) marks are tolerated (range merge)."""
     # per-doc: marked k-char windows -> sorted (start, end) -> merge
     # overlapping/adjacent ranges -> cut from the text back to front
     ranges = losers.groupBy("doc_id").agg(
@@ -444,3 +409,119 @@ def remove_duplicated_substrings(
         ).alias("text"),
     )
     return rebuilt
+
+
+def remove_duplicated_substrings(
+    docs: DataFrame,
+    k: int = 16,
+    window: int = 8,
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """(doc_id, text) with cross-document duplicated character runs cut
+    out of every occurrence except the corpus-wide smallest
+    (doc_id, pos) one. See module docstring for the guarantee and
+    granularity.
+
+    The collision probe (k-gram prefix next to the 64-bit hash, so a
+    hash merge cannot fuse different substrings) arrives ON the
+    fingerprint rows — corpus text never rides any shuffle before the
+    final per-doc rebuild join (r8 VERDICT: an earlier revision joined
+    fingerprints back to the text just to cut the probe)."""
+    from pyspark.sql import Window
+
+    probed = _winnow_raw(docs, k, window, text_col, hash_fn)
+    # loser detection is ONE pass over the fingerprint rows (a window
+    # over the (fp, probe) key), not a groups⋈probed self-join: the
+    # self-join form evaluated the Arrow winnowing scan — the
+    # operator's entire cost — once per side (review-caught). The
+    # "appears in ≥2 documents" test is max(doc_id) != min(doc_id)
+    # over the group (exact, and window-legal where count_distinct is
+    # not); the winner is the group-min (doc_id, pos) struct.
+    grp = Window.partitionBy("fp", "probe")
+    losers = (
+        probed.withColumn("_w", F.min(F.struct("doc_id", "pos")).over(grp))
+        .withColumn(
+            "_multi", F.max("doc_id").over(grp) != F.min("doc_id").over(grp)
+        )
+        .filter(
+            F.col("_multi")
+            & (
+                (F.col("doc_id") != F.col("_w.doc_id"))
+                | (F.col("pos") != F.col("_w.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    return _cut_marked(docs, losers, k, text_col)
+
+
+def remove_substrings_against_store(
+    new_docs: DataFrame,
+    store_fps: DataFrame,
+    k: int = 16,
+    window: int = 8,
+    text_col: str = "text",
+    hash_fn=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental duplicated-substring removal: dedup a NEW shard
+    against the fingerprint store of an already-exported corpus —
+    without re-reading or re-fingerprinting a byte of it.
+
+    ``store_fps`` is (fp, probe) at minimum (the
+    :func:`winnow_fingerprints` output of everything shipped so far;
+    extra columns are ignored). Rules:
+
+    - a selection whose (fp, probe) exists in the store loses in EVERY
+      new occurrence — the exported corpus' copy is canonical and
+      cannot be edited retroactively;
+    - selections new to the store dedup among the new docs exactly as
+      the batch remover would (corpus-wide-smallest occurrence wins).
+
+    Returns ``(cleaned, new_fps)``: the deduped shard and the
+    fingerprints OF THE CLEANED TEXT to append to the store (computed
+    on the output, so the store always describes exactly what shipped;
+    that second fingerprint pass is the price of an always-consistent
+    store and is the same map-only scan shape).
+
+    Semantics note: incremental keep-one is FIRST-SEEN-wins across
+    batches (the store's copy survived when it shipped), which
+    deliberately diverges from a one-shot batch run over the
+    concatenated corpus (corpus-wide smallest (doc_id, pos) wins) —
+    the exported data cannot change, so first-seen is the only
+    consistent rule. Within one shard the two rules agree.
+
+    Scale shape: one Arrow winnowing scan of the shard, one hash join
+    of winnowed-density fingerprint rows against the store's (fp,
+    probe) keys (no text on either side), then the shared range-merge
+    + per-doc rebuild. The store never rewrites — it only appends.
+    """
+    from pyspark.sql import Window
+
+    probed = _winnow_raw(new_docs, k, window, text_col, hash_fn)
+    store_keys = (
+        store_fps.select("fp", "probe")
+        .distinct()
+        .withColumn("_in_store", F.lit(True))
+    )
+    grp = Window.partitionBy("fp", "probe")
+    marked = (
+        probed.join(store_keys, ["fp", "probe"], "left")
+        .withColumn("_w", F.min(F.struct("doc_id", "pos")).over(grp))
+        .withColumn(
+            "_multi", F.max("doc_id").over(grp) != F.min("doc_id").over(grp)
+        )
+    )
+    losers = marked.filter(
+        F.col("_in_store").isNotNull()
+        | (
+            F.col("_multi")
+            & (
+                (F.col("doc_id") != F.col("_w.doc_id"))
+                | (F.col("pos") != F.col("_w.pos"))
+            )
+        )
+    ).select("doc_id", "pos")
+    cleaned = _cut_marked(new_docs, losers, k, text_col)
+    new_fps = winnow_fingerprints(cleaned, k, window, "text", hash_fn)
+    return cleaned, new_fps

@@ -251,3 +251,55 @@ def test_winnow_plan_single_scan_single_exchange(spark, docs_df):
     assert len(re.findall(r"ArrowEvalPython|EvalPython", plan)) == 1, plan
     assert len(re.findall(r"Exchange", plan)) == 1, plan
     assert not re.findall(r"Join|CartesianProduct", plan), plan
+
+
+def test_incremental_store_dedup(spark):
+    """Incremental removal against a fingerprint store: runs shipped in
+    earlier batches are cut from EVERY new occurrence (first-seen wins
+    across batches); runs new to the store dedup within the shard; the
+    returned fingerprints describe the cleaned output, so chaining
+    batches keeps the store consistent."""
+    from ir_analyses_spark.llm.substring_dedup import (
+        remove_substrings_against_store,
+    )
+
+    old_boiler = "OLD-SHIPPED-BOILERPLATE-RUN-FROM-BATCH-ONE"
+    new_boiler = "NEW-INTRA-SHARD-DUPLICATED-RUN-HERE-TOO"
+    batch1 = spark.createDataFrame(
+        [(0, f"exported doc keeps {old_boiler} forever")],
+        "doc_id long, text string",
+    )
+    store = winnow_fingerprints(batch1, K, W)
+    batch2 = spark.createDataFrame(
+        [
+            (10, f"new alpha {old_boiler} plus {new_boiler} tail a"),
+            (11, f"new beta {new_boiler} and its own words"),
+            (12, "entirely fresh unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned, new_fps = remove_substrings_against_store(batch2, store, K, W)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # the store's run is cut from EVERY new occurrence — even the
+    # shard's smallest doc_id copy
+    assert old_boiler not in got[10]
+    # the intra-shard duplicate keeps exactly one copy (smallest doc_id)
+    assert new_boiler in got[10]
+    assert new_boiler not in got[11]
+    assert "its own words" in got[11]
+    assert got[12] == "entirely fresh unrelated content here"
+    # the appended fingerprints describe the CLEANED text: chaining a
+    # third batch against store ∪ new_fps cuts the new boiler too
+    store2 = store.select("fp", "probe").union(new_fps.select("fp", "probe"))
+    batch3 = spark.createDataFrame(
+        [(20, f"third wave {new_boiler} reappears with padding")],
+        "doc_id long, text string",
+    )
+    cleaned3, _ = remove_substrings_against_store(batch3, store2, K, W)
+    t3 = cleaned3.collect()[0]["text"]
+    assert new_boiler not in t3
+    assert "third wave" in t3
+    # store never contains cut runs: no fingerprint of the old boiler
+    # text rides new_fps (spot check via probe containment)
+    probes = {r["probe"] for r in new_fps.collect()}
+    assert not any(p in old_boiler for p in probes if len(p) == 8)
