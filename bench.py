@@ -80,8 +80,11 @@ def _ab_ref() -> str | None:
         # current tree against nearly-current code (review-caught)
         import re
 
+        # FULL history, no -n cap: a cap would silently drop the A/B
+        # column — the documented load-independent signal — once enough
+        # commits accumulate past the newest boundary (review-caught)
         out = subprocess.run(
-            ["git", "log", "-n", "500", "--format=%H %s"],
+            ["git", "log", "--format=%H %s"],
             cwd=here, capture_output=True, text=True, timeout=30,
         )
         for line in out.stdout.splitlines():
@@ -298,15 +301,36 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
-        "warmup": "plans at tiny SF; timed = median of 3 reps at target SF",
+        # self-description must track the ACTUAL protocol — a stale
+        # "3 reps" note in A/B mode would let a cross-round reader
+        # attribute the warm-only median to a real speedup
+        # (review-caught)
+        "warmup": (
+            "plans at tiny SF; cold current-only rep 0, then "
+            f"{n_pair_reps} interleaved current/baseline pairs; "
+            "timed = median of the interleaved reps"
+            if ab_queries
+            else "plans at tiny SF; timed = median of 3 reps at target SF"
+        ),
         "value_first_run": round(sum(first_run.values()), 3),
         "queries_first_run": first_run,
         "methodology_note": (
-            "value/queries are per-query medians of 3 target-SF reps "
-            "(steady state, noise-damped); value_first_run/"
-            "queries_first_run are the cold first reps - the r1-r3 "
-            "methodology - so round deltas separate methodology from "
-            "real gains"
+            (
+                "value/queries are per-query medians of the "
+                f"{n_pair_reps} interleaved (post-cold) target-SF reps; "
+                "value_first_run/queries_first_run are the cold "
+                "current-only rep 0 - the r1-r3 methodology; ab_ratio "
+                "(current/baseline, same session, counterbalanced "
+                "order) is the load-independent cross-round signal"
+            )
+            if ab_queries
+            else (
+                "value/queries are per-query medians of 3 target-SF "
+                "reps (steady state, noise-damped); value_first_run/"
+                "queries_first_run are the cold first reps - the r1-r3 "
+                "methodology - so round deltas separate methodology "
+                "from real gains"
+            )
         ),
     }
     if ab_queries:

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
 from .export import training_layout
+from .porthash import WS_CLASS as _WS
 from .html_extract import extract_text_df
 from .lm_score import _char_ngrams, train_char_lm, train_counts_sql
 from .linedup import remove_duplicate_spans, remove_global_duplicate_units
@@ -695,9 +696,9 @@ WITH base AS (
               ELSE 'test' END AS split,
          CAST(0 AS INT) AS shard,
          -- explicit class, not \\s+: RE2's \\s excludes \\x0B while the
-         -- Spark side's Java \\s includes it (see export.WS_CLASS)
+         -- Spark side's Java \\s includes it (ONE definition: porthash.WS_CLASS)
          CAST(len(list_filter(regexp_split_to_array(text,
-                                '[ \\t\\n\\r\\f\\x0B]+'),
+                                '{_WS}'),
                               w -> w != '')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (

@@ -30,12 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 _KNUTH = 2654435761
 
 
-#: token boundary class, identical in Java regex (Spark), RE2 (DuckDB
-#: oracles), and Python re: a bare \s+ silently diverges on vertical
-#: tab — Java's \s includes \x0B, RE2's does not (the clf-gate review
-#: finding, applied here too). Equals Java's ASCII \s, so Spark-side
-#: token counts are unchanged.
-WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+#: re-export of the ONE cross-engine token boundary class (see
+#: `llm/porthash.py` — a bare \s+ diverges on vertical tab between
+#: Java and RE2); kept here because mixture/curation token accounting
+#: historically imports it from this module
+from .porthash import WS_CLASS  # noqa: E402
 
 
 def whitespace_token_count(col):

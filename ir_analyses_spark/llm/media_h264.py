@@ -193,16 +193,28 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def parse_pps(nal: bytes) -> dict:
+def parse_pps(nal: bytes, has_header: bool = True) -> dict:
     """Decode a PPS NAL's leading fields (§7.3.2.2): ids + entropy
     coding mode — the part that matters for stream triage (CABAC vs
-    CAVLC)."""
+    CAVLC).
+
+    Unlike an SPS (whose full 8-bit profile_idc genuinely
+    disambiguates a bare RBSP from a headered NAL), a PPS RBSP leads
+    with ue(pps_id) and any id ≥ 1 can produce a first byte that ALSO
+    looks like a valid header (e.g. pps_id=1 encodes 0x48 —
+    review-caught: a sniffing heuristic here silently misparsed such
+    streams). So the caller must SAY which form it holds:
+    ``has_header=True`` (the default, and what avcC records carry per
+    ISO 14496-15 — complete NAL units) validates and strips the header
+    byte; ``has_header=False`` parses a bare RBSP as-is."""
     if not nal:
         raise ValueError("empty NAL unit")
-    # forbidden_zero_bit=0 + type=8; a bare PPS RBSP leads with
-    # ue(pps_id), whose first '1' stop bit for any id < 128 puts bit 7
-    # high — the same disambiguation as parse_sps
-    if nal[0] & 0x80 == 0 and nal[0] & 0x1F == 8:
+    if has_header:
+        if nal[0] & 0x80 != 0 or nal[0] & 0x1F != 8:
+            raise ValueError(
+                f"not a PPS NAL header: 0x{nal[0]:02x} (forbidden bit "
+                f"or type != 8); pass has_header=False for a bare RBSP"
+            )
         nal = nal[1:]
     r = _BitReader(_strip_emulation(nal))
     return {
@@ -226,13 +238,21 @@ def parse_avcc(record: bytes) -> dict:
         "avc_level_indication": record[3],
         "nal_length_size": (record[4] & 0x03) + 1,
     }
+    def _read_len(pos: int) -> tuple[int, int]:
+        # every malformation raises the documented ValueError — an
+        # unpack_from ending inside the 2-byte length field raised
+        # struct.error instead (review-caught)
+        if pos + 2 > len(record):
+            raise ValueError("truncated avcC record (inside length field)")
+        (ln,) = struct.unpack_from(">H", record, pos)
+        return ln, pos + 2
+
     pos = 5
     n_sps = record[pos] & 0x1F
     pos += 1
     sps_list = []
     for _ in range(n_sps):
-        (ln,) = struct.unpack_from(">H", record, pos)
-        pos += 2
+        ln, pos = _read_len(pos)
         sps_list.append(record[pos : pos + ln])
         if len(sps_list[-1]) != ln:
             raise ValueError("truncated SPS in avcC")
@@ -245,8 +265,7 @@ def parse_avcc(record: bytes) -> dict:
     pos += 1
     pps_list = []
     for _ in range(n_pps):
-        (ln,) = struct.unpack_from(">H", record, pos)
-        pos += 2
+        ln, pos = _read_len(pos)
         pps_list.append(record[pos : pos + ln])
         if len(pps_list[-1]) != ln:
             raise ValueError("truncated PPS in avcC")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io.sources import load_table
 from .export import whitespace_token_count
+from .porthash import WS_CLASS as _WS
 from .training import _KNUTH  # one source of truth for the constant
 
 _M = 1_000_000_007  # priority modulus (prime, ~2^30: ample resolution)
@@ -228,9 +229,9 @@ WITH shares AS (
 ), toks AS (
   SELECT doc_id, source,
          -- explicit class, not \\s+: RE2's \\s excludes \\x0B while the
-         -- Spark side's Java \\s includes it (see export.WS_CLASS)
+         -- Spark side's Java \\s includes it (ONE definition: porthash.WS_CLASS)
          CAST(len(list_filter(regexp_split_to_array(text,
-                                '[ \\t\\n\\r\\f\\x0B]+'),
+                                '{_WS}'),
                               w -> w != '')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (

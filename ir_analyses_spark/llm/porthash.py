@@ -34,6 +34,16 @@ _MAX_CHARS = 16
 #: B^j mod M, j = 0.._MAX_CHARS-1 — exact in every engine
 PW = [pow(B, j, M) for j in range(_MAX_CHARS)]
 
+#: THE cross-engine token boundary class — the same string literal is
+#: a valid, identical-semantics regex in Java (Spark), RE2 (DuckDB),
+#: and Python re. A bare \\s+ silently diverges: Java's \\s includes
+#: \\x0B (vertical tab) but RE2's does not, and Python's is
+#: unicode-wide. Equals Java's ASCII \\s. ONE definition
+#: (review-caught: it had drifted into six hand-copies): Spark splits,
+#: the DuckDB oracle SQL strings, and the gate trainer all import or
+#: interpolate THIS constant.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
 
 def port_hash_expr(col: Column, n_chars: int) -> Column:
     """JVM expression: the hash of ``col``'s first ``n_chars`` chars."""

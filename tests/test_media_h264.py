@@ -243,3 +243,37 @@ def test_truncated_avcc_raises_valueerror_not_indexerror():
     )  # no PPS section at all
     with pytest.raises(ValueError, match="truncated avcC"):
         parse_avcc(rec)
+
+
+def test_pps_bare_rbsp_needs_explicit_flag():
+    """Review-caught: a bare PPS RBSP with pps_id >= 1 can BEGIN with a
+    byte that also looks like a valid NAL header (0x48 0x80 is a valid
+    bare encoding of pps_id=1, sps_id=1, CAVLC), so sniffing is
+    unsound — the caller states the form."""
+    # the ambiguity witness: first byte passes both "header" tests
+    ambiguous = bytes([0x48, 0x80])
+    assert ambiguous[0] & 0x80 == 0 and ambiguous[0] & 0x1F == 8
+    got = parse_pps(ambiguous, has_header=False)
+    assert got == {"pps_id": 1, "sps_id": 1, "entropy_coding": "cavlc"}
+    # a plainly-non-header bare RBSP under the default fails loudly
+    w = _BitWriter()
+    w.ue(1).ue(1).u(1, 1)  # pps_id=1, sps_id=1, CABAC -> 0x4B...
+    bare = w.rbsp()
+    got_b = parse_pps(bare, has_header=False)
+    assert got_b == {"pps_id": 1, "sps_id": 1, "entropy_coding": "cabac"}
+    assert parse_pps(b"\x68" + bare) == got_b  # headered default path
+    with pytest.raises(ValueError, match="not a PPS NAL header"):
+        parse_pps(bare)
+
+
+def test_avcc_truncated_inside_length_field():
+    """Review-caught: a record ending inside a 2-byte length field
+    raised struct.error instead of the documented ValueError."""
+    sps = _make_sps()
+    rec = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1, 0x00])  # PPS count 1, then HALF a length field
+    )
+    with pytest.raises(ValueError, match="inside length field"):
+        parse_avcc(rec)

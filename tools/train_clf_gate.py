@@ -29,11 +29,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from ir_analyses_spark.llm.porthash import port_hash_py  # noqa: E402
+from ir_analyses_spark.llm.porthash import WS_CLASS, port_hash_py  # noqa: E402
 
 N_BUCKETS = 256
-#: must equal clf_gate.WS_CLASS (Java/RE2/Python-identical split)
-_WS = re.compile("[ \t\n\r\f\x0B]+")
+#: the ONE cross-engine token boundary class — same constant the Spark
+#: serving path and the DuckDB oracle interpolate
+_WS = re.compile(WS_CLASS)
 
 # reference half of the shared analytics vocabulary vs crawl-ish half +
 # junk: weights on SHARED tokens are what make scores vary on real rows
