@@ -90,102 +90,36 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-9 rotation (VERDICT r8 "Next round" items 1, 2, 5, rotated at
-#: round START per the ledger discipline). Registry grows 166 -> 169:
-#: the winnowing substring-dedup pair (``llm/substring_queries.py``)
-#: and the quantized classifier gate (``llm/clf_gate.py``). Window
-#: composition (50): the 6 tail-head queries the r8 VERDICT queued
-#: (mixture pair — first driver rows — plus the 4 legacy r3 rows) + 3
-#: new queries + 2 llm/training.py re-certs + 14 curation re-certs +
-#: the 20 oldest remaining rows (r5 evidence) + 5 headline r6 rows.
-#: The 39 remaining r6 rows lead the tail as round-10's window head.
+#: Round-10 rotation (VERDICT r9 "Next round" items 2-5, rotated at
+#: round START per the ledger discipline). Window composition (50):
+#: the 39 r6-vintage rows the r9 VERDICT queued as this round's window
+#: head — the ledger's oldest evidence, including ``cube_agg`` (whose
+#: r6 row predates a 4-line r7 edit to ``ops/aggregates.py``, the one
+#: r9 ledger-rule debt) — plus 6 re-certs forced by this round's
+#: planned module edits and 5 NEW queries (slots reserved below; each
+#: lands with its module commit):
 #:
-#: Round-9 module edits staling certified rows (all re-certified in
-#: this window): llm/training.py + llm/export.py (split cell
-#: pre-reduces doc_id mod 100 before the KNUTH multiply, r8 ADVICE —
-#: stales dataset_split, negative_sampling, training_export_layout,
-#: and the mixture pair via the whitespace_token_count/_KNUTH imports),
-#: llm/curation_queries.py (its TRAINING_EXPORT_SQL oracle carries the
-#: same fix — stales all 14 of the module's queries), io/warc.py
-#: (repeated-header merge — stales warc_roundtrip_parse and
-#: curation_funnel_counts), llm/curate.py (optional substring-dedup
-#: funnel stage), and vendor/pbshim (wire-type validation — covered by
-#: stateful_user_totals' tws path among the r5 re-certs).
+#: - ``llm/substring_dedup.py`` edits (store k/window/hash-scheme
+#:   versioning per r9 ADVICE; word-fusion cut contract) stale the
+#:   winnowing pair (via ``llm/substring_queries.py`` imports) and
+#:   ``curation_funnel_counts`` (via ``llm/curate.py``'s funnel stage).
+#: - ``llm/multimodal.py`` edits (H.264 header routing into
+#:   ``media_codec_features`` + the stale out-of-scope note, r9 VERDICT
+#:   item 4) stale the module's other three queries
+#:   (``media_codec_features`` itself is already in the 39).
+#: - NEW (each in a NEW module per the ledger rule, or in a module
+#:   already staled this round): ``substring_dedup_incremental``
+#:   (``llm/substring_queries.py`` — the incremental store path, item
+#:   3), ``approx_sketches_bound`` / ``hll_union_bound`` /
+#:   ``brp_lsh_bound`` (``ops/sketch_bounds.py`` — full-oracle
+#:   bound-check certificates for the 3 rows-only sketch entries, item
+#:   5), ``h264_header_parse`` (``llm/h264_queries.py``, item 4).
+#:
+#: Tail order after the window: r7 vintage (the oldest evidence once
+#: this window lands), then r8, then the 47 r9-certified rows.
 _ORDER = [
-    # ---- r9 window (50): see rotation note above ----
-    # mixture pair: FIRST driver rows (r8 tail head, oracles hardened
-    # this round: IS NOT DISTINCT FROM join)
-    "temperature_mixture_sample",
-    "token_budget_subset",
-    # the 4 legacy rows that did not fit the r8 window (latest evidence
-    # r3; modules unchanged since)
-    "apply_in_pandas_topk",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "variant_json_ops",
-    # NEW: winnowing substring-dedup surface (llm/substring_queries.py,
-    # portable polynomial k-gram hash) and the quantized classifier
-    # gate (llm/clf_gate.py) — r8 VERDICT items 2 and 5
-    "winnow_fingerprints_select",
-    "substring_dedup_rebuild",
-    "quality_classifier_gate",
-    # llm/training.py re-certs: split cell pre-reduces doc_id mod 100
-    # before the KNUTH multiply (r8 ADVICE)
-    "dataset_split",
-    "negative_sampling",
-    # llm/curation_queries.py re-certs: the module's oracle constant
-    # TRAINING_EXPORT_SQL changed (same pre-reduction), io/warc.py
-    # gained the repeated-header merge (stales warc_roundtrip_parse +
-    # curation_funnel_counts via llm/curate.py), and llm/curate.py
-    # gains the substring-dedup funnel stage this round — the
-    # module-granular staleness rule re-certifies all 14
-    "warc_roundtrip_parse",
-    "html_extract_text",
-    "quality_signals",
-    "gopher_quality_flags",
-    "url_canonicalize",
-    "url_domain_caps",
-    "robots_wildcard_rules",
-    "unicode_clean_text",
-    "line_dedup_global",
-    "span_dedup_c4",
-    "charlm_gram_counts",
-    "charlm_scoring_stats",
-    "curation_funnel_counts",
-    "training_export_layout",
-    # oldest remaining evidence (r5 rows) — refreshed while the window
-    # has room; stateful_user_totals also covers the vendored pbshim's
-    # new wire-type validation on the tws path
-    "disjunctive_pushdown",
-    "doc_fingerprint",
-    "guarded_ratio_margin",
-    "ir_summary_pipeline",
-    "language_id",
-    "market_share",
-    "pandas_udf_vectorized",
-    "product_profit",
-    "quality_score",
-    "stateful_user_totals",
-    "stream_dedup_watermark",
-    "stream_incremental_rollup",
-    "stream_session_batch",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_tumbling_batch",
-    "summary_chart_frame",
-    "text_stats",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    # 5 of the r6 rows: the headline bench set first (the rest of the
-    # r6 vintage leads the tail as round-10's window head)
-    "exact_dedup",
-    "minhash_lsh_nearup",
-    "pricing_summary",
-    "regional_revenue",
-    "window_sessionize",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head = round-10's window head: the 39 remaining r6 rows
-    # (oldest evidence after this round), then r7, then r8 (freshest)
+    # ---- r10 window (50): see rotation note above ----
+    # the 39 r6-vintage rows (ledger's oldest; includes cube_agg)
     "bpe_train_merges",
     "cohort_retention",
     "collated_string_ops",
@@ -225,6 +159,20 @@ _ORDER = [
     "trade_triangles",
     "user_rfm_segments",
     "volume_shipping",
+    # re-certs: llm/substring_dedup.py edits (store versioning +
+    # word-fusion contract) stale these three transitively
+    "winnow_fingerprints_select",
+    "substring_dedup_rebuild",
+    "curation_funnel_counts",
+    # re-certs: llm/multimodal.py H.264 routing stales the trio
+    "multimodal_features",
+    "media_resize",
+    "media_frame_sample",
+    # (5 reserved window slots: substring_dedup_incremental,
+    # approx_sketches_bound, hll_union_bound, brp_lsh_bound,
+    # h264_header_parse — inserted here by their feature commits)
+    # ---- 50-query window boundary (driver budget) ----
+    # tail head: r7 vintage (oldest evidence after this round)
     "ann_brute_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -271,6 +219,7 @@ _ORDER = [
     "window_range_interval",
     "window_ranking",
     "window_running_frames",
+    # r8 vintage
     "array_agg_ops",
     "case_conditional",
     "date_functions",
@@ -286,9 +235,6 @@ _ORDER = [
     "join_theta_bands",
     "map_ops",
     "math_functions",
-    "media_frame_sample",
-    "media_resize",
-    "multimodal_features",
     "null_semantics",
     "pandas_grouped_agg_udf",
     "python_udtf_expand",
@@ -305,6 +251,54 @@ _ORDER = [
     "txn_pyds_write",
     "txn_snapshot_merge",
     "txn_time_travel",
+    # r9 vintage (freshest: CORRECTNESS_r09 was 50/50 full-green)
+    "temperature_mixture_sample",
+    "token_budget_subset",
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "variant_json_ops",
+    "quality_classifier_gate",
+    "dataset_split",
+    "negative_sampling",
+    "warc_roundtrip_parse",
+    "html_extract_text",
+    "quality_signals",
+    "gopher_quality_flags",
+    "url_canonicalize",
+    "url_domain_caps",
+    "robots_wildcard_rules",
+    "unicode_clean_text",
+    "line_dedup_global",
+    "span_dedup_c4",
+    "charlm_gram_counts",
+    "charlm_scoring_stats",
+    "training_export_layout",
+    "disjunctive_pushdown",
+    "doc_fingerprint",
+    "guarded_ratio_margin",
+    "ir_summary_pipeline",
+    "language_id",
+    "market_share",
+    "pandas_udf_vectorized",
+    "product_profit",
+    "quality_score",
+    "stateful_user_totals",
+    "stream_dedup_watermark",
+    "stream_incremental_rollup",
+    "stream_session_batch",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_batch",
+    "summary_chart_frame",
+    "text_stats",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
+    "exact_dedup",
+    "minhash_lsh_nearup",
+    "pricing_summary",
+    "regional_revenue",
+    "window_sessionize",
 ]
 
 
