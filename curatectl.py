@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
         "config's substring_dedup_window)",
     )
     ap.add_argument(
+        "--substring-store",
+        default=None,
+        help="path of the versioned fingerprint store for INCREMENTAL "
+        "substring dedup: the batch dedups against everything earlier "
+        "batches exported (first run creates the store), and after the "
+        "export lands the shipped documents' fingerprints are appended. "
+        "Requires --substring-dedup; overrides the config's "
+        "substring_store",
+    )
+    ap.add_argument(
         "--report",
         action="store_true",
         help="also emit per-stage attrition counts (recomputes each stage)",
@@ -154,14 +164,20 @@ def main(argv: list[str] | None = None) -> int:
         v = getattr(args, flag)
         if v is not None:
             kwargs[flag] = v
+    if args.substring_store is not None:
+        kwargs["substring_store"] = args.substring_store
     if not kwargs.get("substring_dedup") and (
-        "substring_dedup_k" in kwargs or "substring_dedup_window" in kwargs
+        "substring_dedup_k" in kwargs
+        or "substring_dedup_window" in kwargs
+        or "substring_store" in kwargs
     ):
-        # a k/window without the stage enabled would silently tune
-        # NOTHING — same failure mode as min_quality_prob sans model
+        # a k/window/store without the stage enabled would silently
+        # tune NOTHING — same failure mode as min_quality_prob sans
+        # model
         raise ValueError(
-            "substring_dedup_k/substring_dedup_window require the stage "
-            "(--substring-dedup or [curation] substring_dedup = true)"
+            "substring_dedup_k/substring_dedup_window/substring_store "
+            "require the stage (--substring-dedup or [curation] "
+            "substring_dedup = true)"
         )
     if args.quality_model is not None:
         kwargs["quality_model_path"] = args.quality_model
@@ -192,6 +208,26 @@ def main(argv: list[str] | None = None) -> int:
     )
     final = stages["final"]
     final.write.mode("overwrite").parquet(args.out_dir)
+    store_path = kwargs.get("substring_store")
+    if store_path is not None:
+        # append AFTER the export lands, computed on what actually
+        # shipped (the written parquet, not the pre-gate stage) — the
+        # store must describe exactly the exported corpus. A crash
+        # between export and append leaves future batches keeping a
+        # duplicate (conservative direction); re-running the batch
+        # re-appends, and duplicate store rows are harmless (the
+        # remover groups on (fp, probe)).
+        from ir_analyses_spark.llm.substring_dedup import (
+            winnow_fingerprints,
+            write_fingerprint_store,
+        )
+
+        k = kwargs.get("substring_dedup_k", 16)
+        w = kwargs.get("substring_dedup_window", 8)
+        shipped = spark.read.parquet(args.out_dir).select("doc_id", "text")
+        write_fingerprint_store(
+            winnow_fingerprints(shipped, k=k, window=w), store_path, k, w
+        )
     out = {"out_dir": args.out_dir, "n_documents": spark.read.parquet(args.out_dir).count()}
     if args.report:
         out["funnel"] = funnel_counts(stages)

@@ -178,6 +178,7 @@ _CURATION_KEYS = frozenset(
         "substring_dedup",
         "substring_dedup_k",
         "substring_dedup_window",
+        "substring_store",
     }
 )
 

@@ -58,6 +58,7 @@ def curation_stages(
     substring_dedup: bool = False,
     substring_dedup_k: int = 16,
     substring_dedup_window: int = 8,
+    substring_store: str | None = None,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
 
@@ -87,6 +88,18 @@ def curation_stages(
     from every occurrence except the corpus-wide smallest
     (doc_id, pos) one. It runs BEFORE the perplexity/classifier gates
     so the models score the text that would actually ship.
+    ``substring_store`` (a path) makes the stage INCREMENTAL: when a
+    versioned fingerprint store
+    (`llm/substring_dedup.write_fingerprint_store`) exists there, the
+    batch dedups against everything earlier batches exported
+    (first-seen-wins across batches; the store's recorded k/window/
+    hash-scheme must match or the stage raises); when nothing exists
+    there yet, the batch-wide remover runs as usual. The funnel only
+    READS the store — appending the shipped batch's fingerprints is
+    the exporter's job AFTER its write lands (``curatectl
+    --substring-store`` does both), so a crash in between leaves
+    future batches keeping a duplicate rather than cutting text the
+    corpus never shipped.
 
     ``enforce_robots=True`` extracts the crawl's own robots.txt
     responses (`llm/robots.py`) and drops disallowed pages right after
@@ -242,16 +255,42 @@ def curation_stages(
     gate_in = line_deduped
     substring_deduped = None
     if substring_dedup:
-        from .substring_dedup import remove_duplicated_substrings
+        store_fps = store_meta = None
+        if substring_store is not None:
+            from .substring_dedup import read_fingerprint_store
 
-        # ladder bottom rung: detection ships (fp, probe) rows at
-        # winnowed density; the text rides only the final per-doc
-        # rebuild join (see llm/substring_dedup's scale posture)
-        substring_deduped = remove_duplicated_substrings(
-            gate_in.select("doc_id", "text"),
-            k=substring_dedup_k,
-            window=substring_dedup_window,
-        ).join(gate_in.select("doc_id", "url", "title"), "doc_id")
+            store_fps, store_meta = read_fingerprint_store(
+                spark, substring_store
+            )
+        if store_fps is not None:
+            from .substring_dedup import remove_substrings_against_store
+
+            # incremental form: runs already EXPORTED by earlier
+            # batches (the store's fingerprints) are cut from every
+            # new occurrence — first-seen-wins across batches; the
+            # store's recorded (k, window, hash scheme) must match or
+            # this raises before any join
+            cut, _ = remove_substrings_against_store(
+                gate_in.select("doc_id", "text"),
+                store_fps,
+                k=substring_dedup_k,
+                window=substring_dedup_window,
+                store_meta=store_meta,
+            )
+        else:
+            from .substring_dedup import remove_duplicated_substrings
+
+            # ladder bottom rung: detection ships (fp, probe) rows at
+            # winnowed density; the text rides only the final per-doc
+            # rebuild join (see llm/substring_dedup's scale posture)
+            cut = remove_duplicated_substrings(
+                gate_in.select("doc_id", "text"),
+                k=substring_dedup_k,
+                window=substring_dedup_window,
+            )
+        substring_deduped = cut.join(
+            gate_in.select("doc_id", "url", "title"), "doc_id"
+        )
         gate_in = substring_deduped
     ppl_filtered = None
     if perplexity_lm is not None:

@@ -29,7 +29,15 @@ Two operators:
   Detection is exact at k-gram granularity (duplicated runs shorter
   than w + k − 1 may be missed — the winnowing bound, documented);
   false hash merges are excluded by carrying the k-gram's FIRST 8
-  CHARS next to the 64-bit hash and grouping on both.
+  CHARS next to the 64-bit hash and grouping on both. Cuts splice at
+  k-gram extents, never word boundaries — boundary words can fuse
+  (see the cut-granularity contract on the function).
+- :func:`remove_substrings_against_store` + the versioned on-disk
+  fingerprint store (:func:`write_fingerprint_store` /
+  :func:`read_fingerprint_store`) — the incremental form: new batches
+  dedup against everything already exported, first-seen-wins across
+  batches, and the store records its (k, window, hash scheme) so an
+  incompatible call fails loudly instead of silently no-opping.
 
 Scale posture: fingerprinting is one map-only scan — k-gram hashing is
 a JVM expression and the selection pass is an Arrow-vectorized numpy
@@ -423,6 +431,20 @@ def remove_duplicated_substrings(
     (doc_id, pos) one. See module docstring for the guarantee and
     granularity.
 
+    CUT-GRANULARITY CONTRACT (r9 VERDICT item 6, decided: stay faithful
+    to Lee et al. 2022, who splice at byte offsets): cuts happen at
+    k-gram extents, NOT word boundaries, so the characters on either
+    side of a cut are concatenated verbatim — a cut that swallows
+    ``" and a "`` between ``"report"`` and ``"second"`` leaves the
+    fused token ``"reportsecond"`` in the loser. This is deliberate
+    (word-boundary snapping would re-grow text the corpus demonstrably
+    duplicates and is language-specific), but it interacts with
+    DOWNSTREAM WORD-BASED GATES: a loser document's post-cut word/
+    stopword counts can differ from either original, so quality gates
+    that run after this operator (the funnel runs Gopher rules after
+    the substring stage) must be read as gating the CUT text. Pinned by
+    ``tests/test_substring_dedup.py::test_cut_fuses_boundary_words``.
+
     The collision probe (k-gram prefix next to the 64-bit hash, so a
     hash merge cannot fuse different substrings) arrives ON the
     fingerprint rows — corpus text never rides any shuffle before the
@@ -456,6 +478,102 @@ def remove_duplicated_substrings(
     return _cut_marked(docs, losers, k, text_col)
 
 
+#: scheme tag of the default Arrow-worker rolling hash; a store built
+#: with any other ``hash_fn`` must carry its own tag (the fingerprints
+#: of two schemes never join, so a mismatch silently no-ops the dedup —
+#: r9 ADVICE; the store meta + guard below make it loud instead)
+DEFAULT_HASH_SCHEME = f"poly64-b{_POLY_B}"
+
+#: bump when the on-disk store layout changes incompatibly
+_STORE_FORMAT_VERSION = 1
+
+
+class FingerprintStoreMismatch(ValueError):
+    """A fingerprint store's recorded (k, window, hash_scheme) does not
+    match the parameters of the call trying to use it. Raised loudly:
+    mismatched fingerprints never join, so proceeding would silently
+    turn incremental dedup into a no-op while appending incompatible
+    rows (r9 ADVICE)."""
+
+
+def _check_store_meta(meta: dict, k: int, window: int, hash_scheme: str) -> None:
+    want = {"k": k, "window": window, "hash_scheme": hash_scheme}
+    got = {f: meta.get(f) for f in want}
+    if got != want:
+        raise FingerprintStoreMismatch(
+            f"fingerprint store was built with {got}, call uses {want}"
+        )
+    v = meta.get("format_version")
+    if v != _STORE_FORMAT_VERSION:
+        raise FingerprintStoreMismatch(
+            f"store format_version {v} != supported {_STORE_FORMAT_VERSION}"
+        )
+
+
+def write_fingerprint_store(
+    fps: DataFrame,
+    path: str,
+    k: int,
+    window: int,
+    hash_scheme: str = DEFAULT_HASH_SCHEME,
+) -> None:
+    """Append ``(fp, probe)`` rows to the versioned on-disk store at
+    ``path``, creating it (with its parameter record) on first write.
+
+    Layout: ``<path>/fingerprints`` (parquet, append-only) +
+    ``<path>/_store_meta`` (one JSON row: k, window, hash_scheme,
+    format_version — written via Spark so the store works on any
+    Hadoop-visible filesystem, not just the local one). Every append
+    validates the call's parameters against the recorded ones and
+    raises :class:`FingerprintStoreMismatch` instead of mixing
+    incompatible fingerprints. Single-writer append-only discipline
+    (the same contract as the txn table's manifest): the store is only
+    ever appended AFTER its batch's export lands, so a crash in
+    between leaves future batches keeping a duplicate (conservative)
+    rather than cutting text the corpus never shipped."""
+    spark = fps.sparkSession
+    meta = _read_store_meta(spark, path)
+    if meta is None:
+        spark.createDataFrame(
+            [(int(k), int(window), hash_scheme, _STORE_FORMAT_VERSION)],
+            "k int, window int, hash_scheme string, format_version int",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/_store_meta")
+    else:
+        _check_store_meta(meta, k, window, hash_scheme)
+    fps.select("fp", "probe").write.mode("append").parquet(
+        f"{path}/fingerprints"
+    )
+
+
+def _read_store_meta(spark, path: str) -> dict | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.json(f"{path}/_store_meta").head()
+    except AnalysisException:
+        return None
+    if row is None:
+        return None
+    return row.asDict()
+
+
+def read_fingerprint_store(
+    spark, path: str
+) -> tuple[DataFrame, dict] | tuple[None, None]:
+    """Load a store written by :func:`write_fingerprint_store`:
+    ``((fp, probe) DataFrame, meta dict)``, or ``(None, None)`` when no
+    store exists at ``path`` yet (the incremental pipeline's first
+    batch). A store whose meta is present but whose fingerprint data is
+    missing is corrupt and raises."""
+    meta = _read_store_meta(spark, path)
+    if meta is None:
+        return None, None
+    return (
+        spark.read.parquet(f"{path}/fingerprints").select("fp", "probe"),
+        meta,
+    )
+
+
 def remove_substrings_against_store(
     new_docs: DataFrame,
     store_fps: DataFrame,
@@ -463,6 +581,8 @@ def remove_substrings_against_store(
     window: int = 8,
     text_col: str = "text",
     hash_fn=None,
+    store_meta: dict | None = None,
+    hash_scheme: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental duplicated-substring removal: dedup a NEW shard
     against the fingerprint store of an already-exported corpus —
@@ -495,8 +615,29 @@ def remove_substrings_against_store(
     of winnowed-density fingerprint rows against the store's (fp,
     probe) keys (no text on either side), then the shared range-merge
     + per-doc rebuild. The store never rewrites — it only appends.
+
+    ``store_meta`` (the dict :func:`read_fingerprint_store` returns)
+    makes the compatibility contract executable: the call's
+    (k, window, hash scheme) must equal the store's recorded ones or
+    :class:`FingerprintStoreMismatch` is raised BEFORE any join —
+    mismatched fingerprints never join, so proceeding would silently
+    no-op the dedup while appending incompatible rows (r9 ADVICE).
+    With the default ``hash_fn=None`` the scheme is
+    :data:`DEFAULT_HASH_SCHEME`; a custom ``hash_fn`` must name its
+    scheme via ``hash_scheme`` when a meta check is requested.
     """
     from pyspark.sql import Window
+
+    if store_meta is not None:
+        scheme = hash_scheme or (
+            DEFAULT_HASH_SCHEME if hash_fn is None else None
+        )
+        if scheme is None:
+            raise ValueError(
+                "store_meta validation with a custom hash_fn requires "
+                "an explicit hash_scheme tag"
+            )
+        _check_store_meta(store_meta, k, window, scheme)
 
     probed = _winnow_raw(new_docs, k, window, text_col, hash_fn)
     store_keys = (

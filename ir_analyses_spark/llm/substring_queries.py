@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
 from .porthash import port_hash_expr, port_hash_sql
-from .substring_dedup import remove_duplicated_substrings, winnow_fingerprints
+from .substring_dedup import (
+    remove_duplicated_substrings,
+    remove_substrings_against_store,
+    winnow_fingerprints,
+)
 
 _K = 12
 _W = 6
@@ -60,6 +64,28 @@ def substring_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_substrings(
         docs, k=_K, window=_W, hash_fn=_portable_hash
     ).select("doc_id", "text")
+
+
+def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicated-substring removal against an exported
+    corpus' fingerprint store (r9 VERDICT item 3's operator,
+    `llm/substring_dedup.remove_substrings_against_store`): the even
+    doc_ids play the ALREADY-EXPORTED corpus (their winnowed
+    fingerprints are the store), the odd doc_ids are the NEW batch.
+    Store hits are cut from EVERY new occurrence (first-seen-wins
+    across batches — the shipped copy is canonical); runs new to the
+    store dedup within the batch by the corpus-wide-smallest rule.
+    Returns the cleaned new batch (doc_id, text)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exported = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = winnow_fingerprints(
+        exported, k=_K, window=_W, hash_fn=_portable_hash
+    )
+    cleaned, _ = remove_substrings_against_store(
+        new_batch, store, k=_K, window=_W, hash_fn=_portable_hash
+    )
+    return cleaned.select("doc_id", "text")
 
 
 def _gram_hash_sql() -> str:
@@ -149,12 +175,75 @@ FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+#: incremental twin of SUBSTRING_REBUILD_SQL: the selection runs once
+#: over all documents (winnowing is per-doc, so selecting on the full
+#: table equals selecting per batch), the even half's (fp, probe) set
+#: is the store, and a NEW-batch selection loses when it hits the
+#: store (every occurrence) or is an intra-batch non-winner duplicate.
+SUBSTRING_INCREMENTAL_SQL = f"""
+WITH {_selection_cte().lstrip()},
+probed AS (
+  SELECT f.doc_id, f.pos, f.fp, substr(d.text, f.pos + 1, 8) AS probe
+  FROM fps f JOIN documents d USING (doc_id)
+), store AS (
+  SELECT DISTINCT fp, probe FROM probed WHERE doc_id % 2 = 0
+), new_p AS (
+  SELECT * FROM probed WHERE doc_id % 2 = 1
+), grp AS (
+  SELECT fp, probe,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         MIN({{'d': doc_id, 'p': pos}}) AS w
+  FROM new_p GROUP BY fp, probe
+), losers AS (
+  SELECT p.doc_id, p.pos
+  FROM new_p p
+  JOIN grp g ON p.fp = g.fp AND p.probe = g.probe
+  LEFT JOIN store s ON p.fp = s.fp AND p.probe = s.probe
+  WHERE s.fp IS NOT NULL
+     OR (g.n_docs >= 2 AND (p.doc_id != g.w.d OR p.pos != g.w.p))
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_K}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM losers
+), marks AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), ranges AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_K} AS e
+  FROM marks GROUP BY doc_id, island
+), cuts AS (
+  SELECT doc_id, s, e,
+         LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+  FROM ranges
+), rebuilt AS (
+  SELECT c.doc_id,
+         COALESCE(STRING_AGG(substr(d.text, c.pe + 1, c.s - c.pe), ''
+                             ORDER BY c.s), '')
+           || substr(d.text, MAX(c.e) + 1) AS text
+  FROM cuts c JOIN documents d USING (doc_id)
+  GROUP BY c.doc_id, d.text
+)
+SELECT d.doc_id, COALESCE(r.text, d.text) AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+WHERE d.doc_id % 2 = 1
+"""
+
+
 QUERIES = {
     "winnow_fingerprints_select": winnow_fingerprints_select,
     "substring_dedup_rebuild": substring_dedup_rebuild,
+    "substring_dedup_incremental": substring_dedup_incremental,
 }
 
 ORACLES = {
     "winnow_fingerprints_select": WINNOW_FPS_SQL,
     "substring_dedup_rebuild": SUBSTRING_REBUILD_SQL,
+    "substring_dedup_incremental": SUBSTRING_INCREMENTAL_SQL,
 }

@@ -168,9 +168,11 @@ _ORDER = [
     "multimodal_features",
     "media_resize",
     "media_frame_sample",
-    # (5 reserved window slots: substring_dedup_incremental,
-    # approx_sketches_bound, hll_union_bound, brp_lsh_bound,
-    # h264_header_parse — inserted here by their feature commits)
+    # NEW: incremental substring dedup against an exported corpus'
+    # fingerprint store (r9 VERDICT item 3)
+    "substring_dedup_incremental",
+    # (4 reserved window slots: approx_sketches_bound, hll_union_bound,
+    # brp_lsh_bound, h264_header_parse — inserted by their commits)
     # ---- 50-query window boundary (driver budget) ----
     # tail head: r7 vintage (oldest evidence after this round)
     "ann_brute_topk",

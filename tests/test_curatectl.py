@@ -180,3 +180,111 @@ def test_cli_substring_knobs_without_stage_fail(tmp_path):
             ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
              "--substring-dedup-k", "24"]
         )
+
+
+def test_cli_incremental_substring_store(spark, tmp_path, capsys):
+    """r9 VERDICT item 3, end to end through the CLI: batch 1 exports
+    and seeds the versioned fingerprint store; batch 2 — which contains
+    batch 1's shipped run exactly ONCE, so only the store can know it
+    is a duplicate — gets it cut (first-seen-wins across batches); and
+    a later run with mismatched parameters fails loudly instead of
+    silently no-opping."""
+    import gzip
+
+    import pytest
+
+    from ir_analyses_spark.llm.substring_dedup import (
+        FingerprintStoreMismatch,
+    )
+    from tests.test_curate import _page, _record
+
+    boiler = (
+        "this exact disclaimer sentence is repeated verbatim across publishers"
+    )
+    store = str(tmp_path / "fps_store")
+
+    b1 = tmp_path / "crawl1"
+    b1.mkdir()
+    (b1 / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in [
+        _record(
+            "http://a.com/1",
+            _page([f"alpha filing with the details {boiler}"
+                   " and a closing note that ends the page"], "One"),
+            seq=0,
+        ),
+        _record(
+            "http://b.com/2",
+            _page(["beta page of entirely original words that carry the"
+                   " batch along nicely"], "Two"),
+            seq=1,
+        ),
+    ]))
+    out1 = tmp_path / "corpus1"
+    rc = curatectl.main(
+        ["--warc-dir", str(b1), "--out-dir", str(out1),
+         "--min-words", "8", "--substring-dedup",
+         "--substring-store", store, "--report"]
+    )
+    assert rc == 0
+    report1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report1["n_documents"] == 2
+    # batch 1 kept its single occurrence and seeded the store
+    texts1 = [r["text"] for r in spark.read.parquet(str(out1)).collect()]
+    assert sum(1 for t in texts1 if boiler in t) == 1
+    meta = spark.read.json(f"{store}/_store_meta").head()
+    assert meta["k"] == 16 and meta["window"] == 8
+    assert spark.read.parquet(f"{store}/fingerprints").count() > 0
+
+    b2 = tmp_path / "crawl2"
+    b2.mkdir()
+    (b2 / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in [
+        _record(
+            "http://c.com/3",
+            _page([f"gamma report that quotes the boilerplate {boiler}"
+                   " and a fresh tail with words of its own"], "Three"),
+            seq=0,
+        ),
+        _record(
+            "http://d.com/4",
+            _page(["delta page that adds plenty more filler prose to"
+                   " the second batch"], "Four"),
+            seq=1,
+        ),
+    ]))
+    out2 = tmp_path / "corpus2"
+    rc = curatectl.main(
+        ["--warc-dir", str(b2), "--out-dir", str(out2),
+         "--min-words", "8", "--substring-dedup",
+         "--substring-store", store, "--report"]
+    )
+    assert rc == 0
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report2["n_documents"] == 2
+    texts2 = {r["url"]: r["text"]
+              for r in spark.read.parquet(str(out2)).collect()}
+    # the shipped run is cut from batch 2's SINGLE occurrence — only
+    # the store can have flagged it
+    assert not any(boiler in t for t in texts2.values())
+    gamma = texts2["http://c.com/3"]
+    assert "gamma report" in gamma and "fresh tail" in gamma
+    # batch 2's own fingerprints were appended after its export
+    n_fps_after = spark.read.parquet(f"{store}/fingerprints").count()
+    assert n_fps_after > 0
+
+    # mismatched parameters refuse loudly (r9 ADVICE)
+    with pytest.raises(FingerprintStoreMismatch):
+        curatectl.main(
+            ["--warc-dir", str(b2), "--out-dir", str(tmp_path / "o3"),
+             "--min-words", "8", "--substring-dedup",
+             "--substring-dedup-k", "24", "--substring-store", store]
+        )
+
+
+def test_cli_substring_store_without_stage_fails(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="require the stage"):
+        curatectl.main(
+            ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
+             "--substring-store", str(tmp_path / "s")]
+        )

@@ -303,3 +303,107 @@ def test_incremental_store_dedup(spark):
     # text rides new_fps (spot check via probe containment)
     probes = {r["probe"] for r in new_fps.collect()}
     assert not any(p in old_boiler for p in probes if len(p) == 8)
+
+
+def test_fingerprint_store_roundtrip_and_meta_guard(spark, tmp_path):
+    """Versioned on-disk store: write-create records (k, window,
+    hash_scheme, format_version); appends accumulate; reads hand back
+    (fps, meta); and EVERY parameter mismatch fails loudly before any
+    join (r9 ADVICE — mismatched fingerprints never join, so a silent
+    store would no-op the dedup)."""
+    from ir_analyses_spark.llm.substring_dedup import (
+        DEFAULT_HASH_SCHEME,
+        FingerprintStoreMismatch,
+        read_fingerprint_store,
+        remove_substrings_against_store,
+        write_fingerprint_store,
+    )
+
+    path = str(tmp_path / "store")
+    none_fps, none_meta = read_fingerprint_store(spark, path)
+    assert none_fps is None and none_meta is None
+
+    batch1 = spark.createDataFrame(
+        [(0, "exported doc keeps THE-SHIPPED-RUN-OF-BATCH-ONE forever")],
+        "doc_id long, text string",
+    )
+    fps1 = winnow_fingerprints(batch1, K, W)
+    write_fingerprint_store(fps1, path, K, W)
+    stored, meta = read_fingerprint_store(spark, path)
+    assert meta["k"] == K and meta["window"] == W
+    assert meta["hash_scheme"] == DEFAULT_HASH_SCHEME
+    assert stored.count() == fps1.count()
+
+    # append accumulates (same params)
+    write_fingerprint_store(fps1, path, K, W)
+    stored2, _ = read_fingerprint_store(spark, path)
+    assert stored2.count() == 2 * fps1.count()
+
+    # mismatched k / window / scheme all refuse — on write AND on use
+    with pytest.raises(FingerprintStoreMismatch):
+        write_fingerprint_store(fps1, path, K + 2, W)
+    with pytest.raises(FingerprintStoreMismatch):
+        write_fingerprint_store(fps1, path, K, W + 1)
+    with pytest.raises(FingerprintStoreMismatch):
+        write_fingerprint_store(fps1, path, K, W, hash_scheme="xx64")
+    batch2 = spark.createDataFrame(
+        [(10, "new doc with THE-SHIPPED-RUN-OF-BATCH-ONE inside")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(FingerprintStoreMismatch):
+        remove_substrings_against_store(
+            batch2, stored, K + 2, W, store_meta=meta
+        )
+    with pytest.raises(FingerprintStoreMismatch):
+        remove_substrings_against_store(
+            batch2, stored, K, W + 1, store_meta=meta
+        )
+    # a custom hash_fn cannot claim the default scheme implicitly
+    with pytest.raises(ValueError, match="hash_scheme"):
+        remove_substrings_against_store(
+            batch2, stored, K, W,
+            hash_fn=lambda g: F.xxhash64(g), store_meta=meta,
+        )
+
+    # the matching call goes through and cuts the shipped run
+    cleaned, _ = remove_substrings_against_store(
+        batch2, stored, K, W, store_meta=meta
+    )
+    assert "THE-SHIPPED-RUN" not in cleaned.collect()[0]["text"]
+
+
+def test_cut_fuses_boundary_words(spark):
+    """Pins the cut-granularity contract (r9 VERDICT item 6, kept
+    Lee-et-al-faithful): cuts splice at k-gram extents, not word
+    boundaries, so the characters on either side of a cut concatenate
+    VERBATIM — downstream word-based gates see the fused tokens. The
+    splice itself is pinned on ``_cut_marked`` (deterministic by
+    construction: an explicit mark whose k-char window covers exactly
+    ``" and a "`` must fuse the flanking words), plus an end-to-end
+    check that the remover leaves no marker of where a cut happened."""
+    from ir_analyses_spark.llm.substring_dedup import _cut_marked
+
+    text = "alpha report and a second tail"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert text[12:19] == " and a "
+    losers = spark.createDataFrame([(1, 12)], "doc_id long, pos int")
+    cut = _cut_marked(docs, losers, k=7, text_col="text").collect()[0]
+    assert cut["text"] == "alpha reportsecond tail"  # verbatim splice
+
+    # end to end: the loser's cut leaves no separator behind — the text
+    # on both sides of the removed extent is concatenated directly
+    shared = "IDENTICAL-RUN-REPEATED-ACROSS-DOCUMENTS"
+    e2e = spark.createDataFrame(
+        [
+            (0, f"winner keeps {shared} entirely intact"),
+            (1, f"loser report {shared} second half"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_substrings(e2e, K, W).collect()
+    }
+    assert shared in got[0]
+    assert shared not in got[1]
+    assert "  " not in got[1]  # no doubled separator marks the cut

@@ -386,3 +386,30 @@ def test_winnow_density_bound(con):
         f"SELECT COUNT(DISTINCT doc_id) FROM ({_oracle('winnow_fingerprints_select')})"
     ).fetchone()[0]
     assert n_docs_with == n_docs
+
+
+def test_substring_incremental_store_path_bites(con):
+    """substring_dedup_incremental must exercise BOTH loser rules: some
+    new-batch selection loses purely to the STORE (its (fp, probe) has
+    exactly one new-batch doc, so intra-batch dedup alone could never
+    cut it), and the result must differ from running the batch remover
+    on the new batch alone — otherwise the incremental query certifies
+    nothing beyond substring_dedup_rebuild."""
+    sql = _oracle("substring_dedup_incremental")
+    # splice a diagnostic on the oracle's own CTEs: store-only losers
+    probe_sql = sql.split("), grp AS")[0] + ")" + """
+SELECT COUNT(*) FROM new_p p
+JOIN store s ON p.fp = s.fp AND p.probe = s.probe
+WHERE (SELECT COUNT(DISTINCT q.doc_id) FROM new_p q
+       WHERE q.fp = p.fp AND q.probe = p.probe) = 1
+"""
+    store_only_losers = con.execute(probe_sql).fetchone()[0]
+    assert store_only_losers > 0, "store rule never fired alone"
+    incr = dict(con.execute(sql).fetchall())
+    orig = dict(
+        con.execute(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        ).fetchall()
+    )
+    assert set(incr) == set(orig)  # cleaning never drops docs
+    assert any(incr[d] != orig[d] for d in incr), "nothing was cut"
