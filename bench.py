@@ -98,13 +98,16 @@ def _ab_ref() -> str | None:
 
 def _extract_tree(ref: str) -> str | None:
     """``git archive`` the baseline ref into a DETERMINISTIC per-ref
-    temp dir, reused across runs (mkdtemp would leak one full tree per
+    cache dir, reused across runs (mkdtemp would leak one full tree per
     bench invocation — review-caught; one dir per round-boundary sha is
-    self-limiting). None on any failure — the A/B column is
-    best-effort, never lose the record."""
+    self-limiting). The cache lives under a USER-PRIVATE 0700 directory
+    (r9 ADVICE: a world-writable tempfile.gettempdir() path lets any
+    local user pre-create the dir + completion marker and have the
+    bench import and execute their Python). None on any failure — the
+    A/B column is best-effort, never lose the record."""
+    import stat
     import subprocess
     import tarfile
-    import tempfile
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -114,7 +117,16 @@ def _extract_tree(ref: str) -> str | None:
         ).stdout.strip()
         if not sha:
             return None
-        d = os.path.join(tempfile.gettempdir(), f"bench_ab_{sha[:16]}")
+        base = os.path.join(
+            os.path.expanduser("~"), ".cache", "ir_analyses_spark_bench"
+        )
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.stat(base)
+        if st.st_uid != os.getuid() or stat.S_IMODE(st.st_mode) & 0o077:
+            # someone else owns the cache root or it is group/world
+            # accessible — refuse to trust (or write) anything under it
+            return None
+        d = os.path.join(base, f"bench_ab_{sha[:16]}")
         marker = os.path.join(d, ".extract_complete")
         if os.path.exists(marker):
             return d

@@ -138,6 +138,15 @@ def parse_sps(nal: bytes) -> dict:
     bit_depth_luma = bit_depth_chroma = 8
     if profile_idc in _HIGH_PROFILES:
         chroma_format_idc = r.ue()
+        if chroma_format_idc > 3:
+            # spec range is 0..3 (ITU-T H.264 §7.4.2.1.1); a corrupt
+            # blob decoding to anything else must surface as the
+            # permissive error-row contract's ValueError, not a
+            # KeyError escaping h264_header_features' except tuple and
+            # killing the whole Spark task (r9 ADVICE)
+            raise ValueError(
+                f"chroma_format_idc must be 0..3, got {chroma_format_idc}"
+            )
         if chroma_format_idc == 3:
             r.u(1)  # separate_colour_plane_flag
         bit_depth_luma = r.ue() + 8

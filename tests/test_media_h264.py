@@ -277,3 +277,22 @@ def test_avcc_truncated_inside_length_field():
     )
     with pytest.raises(ValueError, match="inside length field"):
         parse_avcc(rec)
+
+
+def test_corrupt_chroma_idc_is_error_row_not_task_kill(spark):
+    """r9 ADVICE: a malformed high-profile SPS decoding
+    chroma_format_idc > 3 must raise ValueError inside parse_sps (the
+    spec range is 0..3) so h264_header_features' permissive except
+    tuple turns it into an error ROW — the uncaught KeyError from the
+    _SUB_WH lookup killed the whole Spark task."""
+    bad = _make_sps(chroma=5, mbs_w=8, map_h=8)
+    with pytest.raises(ValueError, match="chroma_format_idc"):
+        parse_sps(bad)
+    df = spark.createDataFrame(
+        [(0, bad), (1, _make_sps(profile=66, level=30, mbs_w=40, map_h=30))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in h264_header_features(df).collect()}
+    assert got[0]["error"] is not None and "chroma" in got[0]["error"]
+    assert got[0]["width"] is None
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
