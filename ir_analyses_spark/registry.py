@@ -47,6 +47,7 @@ from .ops import (
     macros,
     relational,
     skew,
+    sketch_bounds,
     sqlfn,
     subqueries,
     udfs,
@@ -69,6 +70,7 @@ _MODULES = [
     udfs,
     fuzzy,
     graph,
+    sketch_bounds,
     dedup,
     similarity,
     pq,
@@ -171,8 +173,13 @@ _ORDER = [
     # NEW: incremental substring dedup against an exported corpus'
     # fingerprint store (r9 VERDICT item 3)
     "substring_dedup_incremental",
-    # (4 reserved window slots: approx_sketches_bound, hll_union_bound,
-    # brp_lsh_bound, h264_header_parse — inserted by their commits)
+    # NEW: full-oracle bound-check certificates for the 3 rows-only
+    # sketch/LSH entries (ops/sketch_bounds.py, r9 VERDICT item 5)
+    "approx_sketches_bound",
+    "hll_union_bound",
+    "brp_lsh_bound",
+    # (1 reserved window slot: h264_header_parse — lands with its
+    # feature commit)
     # ---- 50-query window boundary (driver budget) ----
     # tail head: r7 vintage (oldest evidence after this round)
     "ann_brute_topk",
