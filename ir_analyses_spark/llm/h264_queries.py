@@ -1,0 +1,273 @@
+"""Registry query + DuckDB oracle + multimodal glue for the H.264
+header parser (`llm/media_h264.py`) — r9 VERDICT item 4: the parser
+had no package consumer and no driver row. Three pieces:
+
+- a from-spec SPS/PPS/avcC SYNTHESIZER (Exp-Golomb bit writer with
+  emulation prevention, ITU-T H.264 §7.3.2.1.1 / §7.3.2.2, ISO/IEC
+  14496-15 §5.2.4.1) parameterized in closed form by ``doc_id``;
+- ``h264_header_parse`` — the registry query: synthesize one avcC
+  record per document (first ``mapInPandas``), parse it back with the
+  shipped `media_h264.h264_header_features` operator (second
+  ``mapInPandas`` — the binary column crosses Arrow between stages,
+  the same two-stage shape as ``media_codec_features``); the oracle
+  recomputes profile/level/geometry/entropy from the same doc_id
+  formulas, so any writer/parser defect (Exp-Golomb coding, emulation
+  escapes, crop-unit arithmetic, avcC length framing, CABAC flag)
+  breaks the value hash;
+- ``mp4_h264_headers`` — the multimodal-surface route: walk an
+  ISO-BMFF payload to the avc1 sample entry's ``avcC`` box (reusing
+  `llm/multimodal.py`'s box-walk helpers) and triage it with
+  ``h264_header_features``, so MP4 video headers are reachable from
+  the same binary-column plumbing as every other codec
+  (`llm/multimodal.decode_media` cross-links here).
+
+Scale shape: everything is a per-row KB-header map over Arrow batches
+— no shuffle, no Python row path.
+
+New module per the evidence-ledger rule (`llm/media_h264.py` and
+`llm/multimodal.py` keep their own query sets; helpers are imported).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io.sources import load_table
+from .media_h264 import h264_header_features
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+class _BitWriter:
+    """MSB-first bit assembler for RBSP synthesis (the writing twin of
+    media_h264's reader; shares no code with it, so the registry row
+    checks the parser against independent arithmetic)."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def u(self, val: int, n: int) -> "_BitWriter":
+        for i in range(n - 1, -1, -1):
+            self._bits.append((val >> i) & 1)
+        return self
+
+    def ue(self, k: int) -> "_BitWriter":
+        # Exp-Golomb: leadingZeroBits = floor(log2(k+1)); write that
+        # many 0s, a 1, then (k + 1 - 2^z) in z bits (§9.1)
+        z = (k + 1).bit_length() - 1
+        self.u(0, z).u(1, 1)
+        if z:
+            self.u(k + 1 - (1 << z), z)
+        return self
+
+    def rbsp(self) -> bytes:
+        bits = self._bits + [1]  # rbsp_stop_one_bit (§7.4.1)
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+        # emulation prevention (§7.4.1.1): 0x000000..0x000003 get a
+        # 0x03 byte inserted after the two zeros
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+#: doc_id → header parameters, in closed form (the oracle recomputes
+#: exactly these): profile cycles baseline/main/high, level cycles
+#: 30/31/41/51, geometry and crops derive from small moduli. Chroma
+#: stays 4:2:0 / 8-bit so the §7.4.2.1.1 crop unit is always 2.
+_PROFILES = (66, 77, 100)
+_LEVELS = (30, 31, 41, 51)
+
+
+def _params(doc_id: int) -> dict:
+    return {
+        "profile": _PROFILES[doc_id % 3],
+        "level": _LEVELS[doc_id % 4],
+        "mbs_w": doc_id % 8 + 2,
+        "map_h": doc_id % 5 + 2,
+        "crop_r": doc_id % 2,
+        "crop_b": doc_id % 3,
+        "cabac": doc_id % 2 == 0,
+    }
+
+
+def synthesize_avcc(doc_id: int) -> bytes:
+    """One AVCDecoderConfigurationRecord (avcC) with a single SPS and a
+    single PPS, all fields a closed-form function of ``doc_id``."""
+    p = _params(doc_id)
+    w = _BitWriter()
+    w.u(p["profile"], 8).u(0, 8).u(p["level"], 8)
+    w.ue(0)  # seq_parameter_set_id
+    if p["profile"] == 100:
+        w.ue(1)  # chroma_format_idc = 4:2:0
+        w.ue(0).ue(0)  # bit_depth_{luma,chroma}_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)  # seq_scaling_matrix_present_flag
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(4)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(p["mbs_w"] - 1).ue(p["map_h"] - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(0, 1)  # direct_8x8_inference_flag
+    if p["crop_r"] or p["crop_b"]:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0).ue(p["crop_r"]).ue(0).ue(p["crop_b"])
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    sps_nal = b"\x67" + w.rbsp()  # nal_ref_idc=3, type 7
+
+    w = _BitWriter()
+    w.ue(0).ue(0)  # pps_id, sps_id
+    w.u(1 if p["cabac"] else 0, 1)  # entropy_coding_mode_flag
+    pps_nal = b"\x68" + w.rbsp()  # type 8
+
+    return (
+        bytes([1, p["profile"], 0, p["level"], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps_nal))
+        + sps_nal
+        + b"\x01"
+        + struct.pack(">H", len(pps_nal))
+        + pps_nal
+    )
+
+
+def h264_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: one synthesized avcC record per document, parsed
+    back by the shipped `media_h264.h264_header_features` operator.
+    The oracle recomputes every output column from the same closed
+    doc_id formulas (width = 16·mbs − 2·crop under the 4:2:0 crop
+    unit, §7.4.2.1.1)."""
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "content": [
+                        synthesize_avcc(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payload = docs.mapInPandas(synth, "doc_id bigint, content binary")
+    return h264_header_features(payload)
+
+
+H264_HEADER_PARSE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'baseline'
+                       WHEN 1 THEN 'main'
+                       ELSE 'high' END AS profile,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                            WHEN 2 THEN 41 ELSE 51 END AS INT) AS level_idc,
+       CAST((doc_id % 8 + 2) * 16 - 2 * (doc_id % 2) AS INT) AS width,
+       CAST((doc_id % 5 + 2) * 16 - 2 * (doc_id % 3) AS INT) AS height,
+       CAST(1 AS INT) AS chroma_format_idc,
+       CAST(8 AS INT) AS bit_depth_luma,
+       CASE WHEN doc_id % 2 = 0 THEN 'cabac' ELSE 'cavlc' END
+         AS entropy_coding,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
+def find_avcc(content: bytes) -> bytes | None:
+    """The avcC payload of the first video sample entry of an ISO-BMFF
+    file, or None when the container carries no AVC configuration.
+    Box-walk helpers come from `llm/multimodal.py` (the certified MP4
+    metadata decoder); the sample-entry interior layout is ISO/IEC
+    14496-12 §12.1.3 (VisualSampleEntry: 78 bytes before child boxes).
+    """
+    from .multimodal import _find_box, _walk_boxes
+
+    moov = _find_box(content, 0, len(content), b"moov")
+    if moov is None:
+        return None
+    for t, ts, te in _walk_boxes(content, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find_box(content, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        minf = _find_box(content, mdia[0], mdia[1], b"minf")
+        stbl = _find_box(content, minf[0], minf[1], b"stbl") if minf else None
+        stsd = _find_box(content, stbl[0], stbl[1], b"stsd") if stbl else None
+        if stsd is None:
+            continue
+        ss = stsd[0]
+        (n_entries,) = struct.unpack_from(">I", content, ss + 4)
+        entry_start = ss + 8
+        for _ in range(n_entries):
+            (esize,) = struct.unpack_from(">I", content, entry_start)
+            fourcc = content[entry_start + 4 : entry_start + 8]
+            if fourcc in (b"avc1", b"avc3"):
+                # VisualSampleEntry: 8 box header + 78 fixed fields
+                inner = entry_start + 86
+                avcc = _find_box(
+                    content, inner, entry_start + esize, b"avcC"
+                )
+                if avcc is not None:
+                    return content[avcc[0] : avcc[1]]
+            entry_start += esize
+    return None
+
+
+def mp4_h264_headers(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """MP4/ISO-BMFF → H.264 stream parameters over a binary column:
+    extract each file's avcC record (``find_avcc``) and triage it with
+    `media_h264.h264_header_features` — the route from the multimodal
+    container surface into the codec-header parser. Files without an
+    AVC track yield the operator's permissive error row."""
+    import pandas as pd
+
+    def extract(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for blob in pdf[content_col]:
+                try:
+                    rec = find_avcc(bytes(blob)) if blob is not None else None
+                except (ValueError, struct.error, IndexError):
+                    rec = None
+                out.append(rec)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "content": out}
+            )
+
+    payload = df.select(id_col, content_col).mapInPandas(
+        extract, "doc_id bigint, content binary"
+    )
+    return h264_header_features(payload)
+
+
+QUERIES = {
+    "h264_header_parse": h264_header_parse,
+}
+
+ORACLES = {
+    "h264_header_parse": H264_HEADER_PARSE_SQL,
+}

@@ -871,9 +871,15 @@ def encode_mp4_meta(timescale: int, duration: int, tracks: list[dict]) -> bytes:
 def decode_media(content: bytes) -> dict:
     """Codec dispatch on magic bytes. BMP, WAV, PNG, baseline JPEG, GIF
     decode for real, and MP4/ISO-BMFF decodes container METADATA for real
-    (pure stdlib + numpy); sample decode of ffmpeg-class formats (MP4
-    frames, MP3, …) raises NotImplementedError in this container —
-    ``fake_decode_features`` is their deterministic stand-in.
+    (pure stdlib + numpy); ENTROPY-CODED SAMPLE decode of ffmpeg-class
+    formats (MP4 frames, MP3 audio, …) raises NotImplementedError in
+    this container — ``fake_decode_features`` is their deterministic
+    stand-in. H.264 STREAM HEADERS, however, parse for real:
+    `llm/media_h264.py` decodes SPS/PPS/avcC (profile, level,
+    geometry, entropy mode) from the public spec, and
+    `llm/h264_queries.mp4_h264_headers` routes an MP4 binary column
+    through ``find_avcc`` into that parser — use those for video
+    triage; only per-frame decode stays out of scope.
     """
     if content[:2] == b"BM":
         return decode_bmp(content)

@@ -27,6 +27,7 @@ from .llm import (
     clf_gate,
     curation_queries,
     dedup,
+    h264_queries,
     mixture,
     multimodal,
     pq,
@@ -83,6 +84,7 @@ _MODULES = [
     mixture,
     substring_queries,
     clf_gate,
+    h264_queries,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -178,8 +180,9 @@ _ORDER = [
     "approx_sketches_bound",
     "hll_union_bound",
     "brp_lsh_bound",
-    # (1 reserved window slot: h264_header_parse — lands with its
-    # feature commit)
+    # NEW: the H.264 header parser routed into the feature surface
+    # (llm/h264_queries.py, r9 VERDICT item 4)
+    "h264_header_parse",
     # ---- 50-query window boundary (driver budget) ----
     # tail head: r7 vintage (oldest evidence after this round)
     "ann_brute_topk",

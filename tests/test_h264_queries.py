@@ -1,0 +1,95 @@
+"""llm/h264_queries.py: the avcC synthesizer round-trips through the
+independent media_h264 parser, and the MP4 → avcC → header-features
+route extracts from a real ISO-BMFF box tree (and degrades to error
+rows on AVC-less or garbage input)."""
+
+from __future__ import annotations
+
+import struct
+
+from ir_analyses_spark.llm.h264_queries import (
+    _params,
+    find_avcc,
+    mp4_h264_headers,
+    synthesize_avcc,
+)
+from ir_analyses_spark.llm.media_h264 import parse_avcc
+from ir_analyses_spark.llm.multimodal import _mp4_box, encode_mp4_meta
+
+
+def test_synthesized_avcc_roundtrips_closed_form():
+    for doc_id in (0, 1, 2, 3, 7, 11, 101):
+        p = _params(doc_id)
+        rec = parse_avcc(synthesize_avcc(doc_id))
+        sps = rec["sps"]
+        assert sps["level_idc"] == p["level"]
+        assert sps["width"] == p["mbs_w"] * 16 - 2 * p["crop_r"]
+        assert sps["height"] == p["map_h"] * 16 - 2 * p["crop_b"]
+        assert sps["chroma_format_idc"] == 1
+        assert sps["bit_depth_luma"] == 8
+        assert rec["pps"]["entropy_coding"] == (
+            "cabac" if p["cabac"] else "cavlc"
+        )
+
+
+def _avc1_mp4(avcc_payload: bytes) -> bytes:
+    """Minimal ISO-BMFF tree carrying an avc1 VisualSampleEntry with an
+    avcC child (ISO 14496-12 §12.1.3: 78 fixed bytes before children).
+    """
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", 640, 480)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">H", 24)  # depth
+        + b"\xff\xff"  # pre_defined = -1
+    )
+    child = _mp4_box(b"avcC", avcc_payload)
+    entry = (
+        struct.pack(">I", 8 + len(body) + len(child)) + b"avc1" + body + child
+    )
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    return _mp4_box(
+        b"moov",
+        _mp4_box(
+            b"trak",
+            _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd))),
+        ),
+    )
+
+
+def test_find_avcc_walks_the_box_tree():
+    payload = synthesize_avcc(7)
+    assert find_avcc(_avc1_mp4(payload)) == payload
+    # a real (decode_mp4-compatible) MP4 whose video entry is NOT avc1
+    no_avc = encode_mp4_meta(
+        1000, 500,
+        [{"handler": b"vide", "fourcc": b"mp4v", "width": 64, "height": 48}],
+    )
+    assert find_avcc(no_avc) is None
+
+
+def test_mp4_route_parses_and_degrades(spark):
+    rows = [
+        (7, _avc1_mp4(synthesize_avcc(7))),
+        (8, encode_mp4_meta(
+            1000, 500,
+            [{"handler": b"vide", "fourcc": b"mp4v",
+              "width": 64, "height": 48}],
+        )),
+        (9, b"not an mp4 at all"),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in mp4_h264_headers(df).collect()}
+    p = _params(7)
+    assert got[7]["profile"] == "main" and got[7]["error"] is None
+    assert got[7]["width"] == p["mbs_w"] * 16 - 2 * p["crop_r"]
+    assert got[7]["entropy_coding"] == "cavlc"
+    for d in (8, 9, 10):
+        assert got[d]["error"] is not None
+        assert got[d]["width"] is None
