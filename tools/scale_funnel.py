@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""Composed-ladder scale run (r9 VERDICT item 7): synthesize a
+multi-million-page WET crawl and drive the FULL curation funnel —
+including the substring-dedup rung and the quantized classifier gate —
+in one session, timing every stage. SCALE.md's per-stage throughputs
+were measured on 500k-doc single-stage runs; this is the 5M+-doc
+composed evidence (stage outputs feed the next stage's input, shuffles
+and persists included).
+
+    python tools/scale_funnel.py --pages 5000000 --shards 64 \
+        --out /tmp/wet_scale
+    python tools/scale_funnel.py --out /tmp/wet_scale --skip-gen  # rerun
+
+Corpus shape (deterministic, derived from sf0.1 document texts so the
+vocabulary is the testdata's, not lorem ipsum):
+
+- every page gets a unique suffix (survives exact dedup — the ladder
+  must do real per-stage work, not fold 99.9% at the first rung);
+- 2% exact cross-URL duplicates (exact-dedup work);
+- 10% carry a shared ~120-char disclaimer spliced MID-LINE (invisible
+  to line dedup, cut by the substring rung from every copy but one —
+  also a deliberate hot-key skew probe: one boilerplate shared by
+  ~500k docs concentrates its winnowed fingerprint groups);
+- 1% below the Gopher word floor (quality-gate work);
+- 5k distinct domains (domain-cap window work at realistic fan-out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import multiprocessing as mp
+import os
+import time
+
+BOILER = (
+    "this exact disclaimer sentence is repeated verbatim across the "
+    "entire crawl and must be removed by the substring rung of the "
+    "dedup ladder before training"
+)
+
+_TEXTS: list[str] = []
+
+
+def _load_texts(src: str) -> list[str]:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{src}/documents.parquet') "
+        "WHERE length(text) >= 80"
+    ).fetchall()
+    return [r[0].replace("\n", " ") for r in rows]
+
+
+def _alpha(n: int) -> str:
+    """Deterministic alphabetic token for ``n`` (keeps the Gopher
+    alpha-word fraction intact — digit markers would fail it)."""
+    n += 1
+    s = ""
+    while n:
+        s += chr(97 + n % 26)
+        n //= 26
+    return s
+
+
+def _page_text(i: int, texts: list[str]) -> str:
+    """Mostly-unique page text: base vocabulary from the testdata
+    documents, a 13-char stopword prefix (under k=16, so it can never
+    seed a detected run) satisfying the Gopher stopword rule, and a
+    DOC-UNIQUE alphabetic marker woven after every second base word so
+    no cross-document shared run reaches the winnowing detection
+    guarantee (window + k − 1 = 23 chars) except the spliced BOILER —
+    the corpus must flow THROUGH the ladder, not be shredded by its
+    first dedup rung (which is exactly what happened to a plain
+    replicated corpus: every base text is a cross-doc duplicated run)."""
+    if i % 100 == 9:
+        return "tiny page"
+    if i % 50 == 7:
+        # exact duplicate of the previous page's content (different URL)
+        return _page_text(i - 1, texts)
+    words = texts[i % len(texts)].split()
+    out = ["the", "story", "of", _alpha(i)]
+    for j, w in enumerate(words):
+        out.append(w)
+        if j % 2 == 1:
+            out.append(_alpha(i * 131 + j))
+    if i % 10 == 3:
+        mid = len(out) // 2
+        out = out[:mid] + [BOILER] + out[mid:]
+    return " ".join(out)
+
+
+def _record(uri: str, body: bytes, seq: int) -> bytes:
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        f"WARC-Record-ID: <urn:uuid:s-{seq}>".encode(),
+        b"WARC-Date: 2024-01-02T03:04:05Z",
+        f"WARC-Target-URI: {uri}".encode(),
+        f"Content-Length: {len(body)}".encode(),
+    ]
+    return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _write_shard(args: tuple) -> int:
+    shard, lo, hi, out_dir = args
+    path = os.path.join(out_dir, f"part-{shard:05d}.warc.wet.gz")
+    with open(path, "wb") as fh:
+        buf = []
+        for i in range(lo, hi):
+            body = _page_text(i, _TEXTS).encode()
+            uri = f"http://site{i % 5000}.example/p/{i}"
+            buf.append(gzip.compress(_record(uri, body, i), 1))
+            if len(buf) >= 2000:
+                fh.write(b"".join(buf))
+                buf = []
+        fh.write(b"".join(buf))
+    return hi - lo
+
+
+def _init_worker(texts: list[str]) -> None:
+    global _TEXTS
+    _TEXTS = texts
+
+
+def generate(out_dir: str, pages: int, shards: int, src: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    texts = _load_texts(src)
+    per = (pages + shards - 1) // shards
+    jobs = [
+        (s, s * per, min((s + 1) * per, pages), out_dir)
+        for s in range(shards)
+        if s * per < pages
+    ]
+    with mp.Pool(
+        min(16, len(jobs)), initializer=_init_worker, initargs=(texts,)
+    ) as pool:
+        total = sum(pool.map(_write_shard, jobs))
+    print(f"generated {total} pages in {len(jobs)} shards at {out_dir}")
+
+
+def run_funnel(out_dir: str) -> dict:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from ir_analyses_spark.llm.clf_gate import score_gate_df
+    from ir_analyses_spark.llm.curate import curation_stages
+    from ir_analyses_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_funnel")
+    timings: dict[str, dict] = {}
+    t0 = time.monotonic()
+    stages = curation_stages(
+        spark,
+        out_dir,
+        input_format="wet",
+        substring_dedup=True,
+        persist_intermediates=True,
+        # sf0.1 document texts run ~40-60 words; the default Gopher
+        # floor (50 words) would gate most of the corpus and starve
+        # the later rungs of work — the run measures throughput, so
+        # keep the gates live but below the corpus's typical length
+        quality_thresholds={"min_words": 10},
+    )
+    from pyspark import StorageLevel
+
+    # persist the ladder's output before timing the gate, or the gate's
+    # wall time would mostly be a re-run of the upstream funnel lineage
+    final = stages["final"].persist(StorageLevel.MEMORY_AND_DISK)
+    n_final = final.count()
+    e2e = time.monotonic() - t0
+    timings["e2e_through_substring_and_gopher"] = {
+        "sec": round(e2e, 2),
+        "rows_out": n_final,
+    }
+    t = time.monotonic()
+    n_kept = score_gate_df(final).filter(F.col("kept")).count()
+    timings["quantized_clf_gate"] = {
+        "sec": round(time.monotonic() - t, 2),
+        "rows_out": n_kept,
+    }
+    # per-stage attrition audit (persisted intermediates reused)
+    prev = None
+    for name, df in stages.items():
+        t = time.monotonic()
+        n = df.count()
+        timings[f"stage:{name}"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "rows": n,
+            "docs_per_sec": (
+                round(prev / (time.monotonic() - t)) if prev else None
+            ),
+        }
+        prev = n
+    return timings
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pages", type=int, default=5_000_000)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument(
+        "--src", default=os.environ.get(
+            "SPARK_GRAFT_SRC_SF_DIR", "/root/testdata/sf0.1"
+        )
+    )
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_gen:
+        t = time.monotonic()
+        generate(args.out, args.pages, args.shards, args.src)
+        print(f"generation: {time.monotonic() - t:.1f}s")
+    print(json.dumps(run_funnel(args.out), indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
