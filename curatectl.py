@@ -222,8 +222,13 @@ def main(argv: list[str] | None = None) -> int:
             write_fingerprint_store,
         )
 
-        k = kwargs.get("substring_dedup_k", 16)
-        w = kwargs.get("substring_dedup_window", 8)
+        from ir_analyses_spark.llm.substring_dedup import (
+            DEFAULT_K,
+            DEFAULT_WINDOW,
+        )
+
+        k = kwargs.get("substring_dedup_k", DEFAULT_K)
+        w = kwargs.get("substring_dedup_window", DEFAULT_WINDOW)
         shipped = spark.read.parquet(args.out_dir).select("doc_id", "text")
         write_fingerprint_store(
             winnow_fingerprints(shipped, k=k, window=w), store_path, k, w

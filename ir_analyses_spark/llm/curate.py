@@ -30,6 +30,10 @@ from pyspark.storagelevel import StorageLevel
 
 from ..io.warc import read_warc, read_wet_documents
 from .html_extract import extract_text_df
+from .substring_dedup import (
+    DEFAULT_K as _SUBSTRING_DEFAULT_K,
+    DEFAULT_WINDOW as _SUBSTRING_DEFAULT_WINDOW,
+)
 from .linedup import dedup_units_within_doc, remove_global_duplicate_units
 from .lm_score import perplexity_buckets, score_with_lm
 from .quality_rules import gopher_flags_df
@@ -56,8 +60,8 @@ def curation_stages(
     min_quality_prob: float = 0.5,
     input_format: str = "warc",
     substring_dedup: bool = False,
-    substring_dedup_k: int = 16,
-    substring_dedup_window: int = 8,
+    substring_dedup_k: int = _SUBSTRING_DEFAULT_K,
+    substring_dedup_window: int = _SUBSTRING_DEFAULT_WINDOW,
     substring_store: str | None = None,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).

@@ -221,7 +221,15 @@ def find_avcc(content: bytes) -> bytes | None:
         (n_entries,) = struct.unpack_from(">I", content, ss + 4)
         entry_start = ss + 8
         for _ in range(n_entries):
+            if entry_start + 8 > stsd[1]:
+                break  # truncated entry table
             (esize,) = struct.unpack_from(">I", content, entry_start)
+            if esize < 8:
+                # spec minimum box size; a crafted esize=0 with an
+                # attacker-controlled n_entries up to 2^32-1 would
+                # otherwise spin this loop for hours inside the
+                # permissive-triage operator (review-caught DoS)
+                break
             fourcc = content[entry_start + 4 : entry_start + 8]
             if fourcc in (b"avc1", b"avc3"):
                 # VisualSampleEntry: 8 box header + 78 fixed fields

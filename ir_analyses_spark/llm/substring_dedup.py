@@ -66,6 +66,14 @@ from pyspark.sql import DataFrame, functions as F
 #: so a hash collision can never fuse different substrings
 _PROBE_CHARS = 8
 
+#: default winnowing parameters — ONE definition shared by the
+#: operator signatures here, `llm/curate.curation_stages`, and
+#: `curatectl`'s store append (review-caught: three hard-coded copies
+#: could drift, and a drifted CLI fallback would seed a store meta the
+#: funnel's own dedup then refuses)
+DEFAULT_K = 16
+DEFAULT_WINDOW = 8
+
 #: per-document segmentation bound: the k-gram hash array is built as a
 #: single row value, so an unbounded document would become an
 #: O(len·window) codegen evaluation and a very wide row (r8 VERDICT).
@@ -310,8 +318,8 @@ def _winnow_raw(
 
 def winnow_fingerprints(
     docs: DataFrame,
-    k: int = 16,
-    window: int = 8,
+    k: int = DEFAULT_K,
+    window: int = DEFAULT_WINDOW,
     text_col: str = "text",
     hash_fn=None,
     segment_chars: int = _SEGMENT_CHARS,
@@ -421,8 +429,8 @@ def _cut_marked(
 
 def remove_duplicated_substrings(
     docs: DataFrame,
-    k: int = 16,
-    window: int = 8,
+    k: int = DEFAULT_K,
+    window: int = DEFAULT_WINDOW,
     text_col: str = "text",
     hash_fn=None,
 ) -> DataFrame:
@@ -577,8 +585,8 @@ def read_fingerprint_store(
 def remove_substrings_against_store(
     new_docs: DataFrame,
     store_fps: DataFrame,
-    k: int = 16,
-    window: int = 8,
+    k: int = DEFAULT_K,
+    window: int = DEFAULT_WINDOW,
     text_col: str = "text",
     hash_fn=None,
     store_meta: dict | None = None,

@@ -116,29 +116,12 @@ grams AS (
 )"""
 
 
-WINNOW_FPS_SQL = f"""
-WITH {_selection_cte().lstrip()}
-SELECT f.doc_id, f.pos, f.fp,
-       substr(d.text, f.pos + 1, 8) AS probe
-FROM fps f JOIN documents d USING (doc_id)
-"""
-
-
-SUBSTRING_REBUILD_SQL = f"""
-WITH {_selection_cte().lstrip()},
-probed AS (
-  SELECT f.doc_id, f.pos, f.fp, substr(d.text, f.pos + 1, 8) AS probe
-  FROM fps f JOIN documents d USING (doc_id)
-), grp AS (
-  SELECT fp, probe,
-         COUNT(DISTINCT doc_id) AS n_docs,
-         MIN({{'d': doc_id, 'p': pos}}) AS w
-  FROM probed GROUP BY fp, probe
-), losers AS (
-  SELECT p.doc_id, p.pos
-  FROM probed p JOIN grp g ON p.fp = g.fp AND p.probe = g.probe
-  WHERE g.n_docs >= 2 AND (p.doc_id != g.w.d OR p.pos != g.w.p)
-), marked AS (
+#: losers -> merged ranges -> per-doc splice — the shared tail of both
+#: removal oracles (factored like ``_selection_cte``, review-caught
+#: duplication: a one-sided edit would silently desynchronize them).
+#: Expects a ``losers(doc_id, pos)`` CTE in scope; emits ``rebuilt``.
+def _rebuild_cte() -> str:
+    return f"""marked AS (
   -- a mark starts a new range when it clears every previous mark's
   -- end (cumulative max of pos+K over earlier rows); two CTE steps
   -- because window calls cannot nest
@@ -169,7 +152,32 @@ probed AS (
            || substr(d.text, MAX(c.e) + 1) AS text
   FROM cuts c JOIN documents d USING (doc_id)
   GROUP BY c.doc_id, d.text
-)
+)"""
+
+
+WINNOW_FPS_SQL = f"""
+WITH {_selection_cte().lstrip()}
+SELECT f.doc_id, f.pos, f.fp,
+       substr(d.text, f.pos + 1, 8) AS probe
+FROM fps f JOIN documents d USING (doc_id)
+"""
+
+
+SUBSTRING_REBUILD_SQL = f"""
+WITH {_selection_cte().lstrip()},
+probed AS (
+  SELECT f.doc_id, f.pos, f.fp, substr(d.text, f.pos + 1, 8) AS probe
+  FROM fps f JOIN documents d USING (doc_id)
+), grp AS (
+  SELECT fp, probe,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         MIN({{'d': doc_id, 'p': pos}}) AS w
+  FROM probed GROUP BY fp, probe
+), losers AS (
+  SELECT p.doc_id, p.pos
+  FROM probed p JOIN grp g ON p.fp = g.fp AND p.probe = g.probe
+  WHERE g.n_docs >= 2 AND (p.doc_id != g.w.d OR p.pos != g.w.p)
+), {_rebuild_cte()}
 SELECT d.doc_id, COALESCE(r.text, d.text) AS text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
@@ -201,35 +209,7 @@ probed AS (
   LEFT JOIN store s ON p.fp = s.fp AND p.probe = s.probe
   WHERE s.fp IS NOT NULL
      OR (g.n_docs >= 2 AND (p.doc_id != g.w.d OR p.pos != g.w.p))
-), marked AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos > COALESCE(MAX(pos + {_K}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  -1)
-              THEN 1 ELSE 0 END AS brk
-  FROM losers
-), marks AS (
-  SELECT doc_id, pos,
-         SUM(brk) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM marked
-), ranges AS (
-  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_K} AS e
-  FROM marks GROUP BY doc_id, island
-), cuts AS (
-  SELECT doc_id, s, e,
-         LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
-  FROM ranges
-), rebuilt AS (
-  SELECT c.doc_id,
-         COALESCE(STRING_AGG(substr(d.text, c.pe + 1, c.s - c.pe), ''
-                             ORDER BY c.s), '')
-           || substr(d.text, MAX(c.e) + 1) AS text
-  FROM cuts c JOIN documents d USING (doc_id)
-  GROUP BY c.doc_id, d.text
-)
+), {_rebuild_cte()}
 SELECT d.doc_id, COALESCE(r.text, d.text) AS text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 WHERE d.doc_id % 2 = 1

@@ -237,10 +237,21 @@ def brp_lsh_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("_n_lsh"),
-            F.sum(
-                (F.col("_sq") > F.lit(radius_sq * (1 + 1e-9))).cast("long")
+            # coalesce both sums: over an EMPTY pair set sum() is NULL
+            # and NULL==0 / NULL>=x would emit NULL verdicts where the
+            # oracle asserts TRUE (review-caught — zero pairs within
+            # the radius must certify, not hash-mismatch)
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("_sq") > F.lit(radius_sq * (1 + 1e-9))
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias("_n_unsound"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_found"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0)
+            ).alias("_n_found"),
         )
         .crossJoin(exact.agg(F.count("*").alias("n_exact_pairs")))
     )

@@ -93,3 +93,41 @@ def test_mp4_route_parses_and_degrades(spark):
     for d in (8, 9, 10):
         assert got[d]["error"] is not None
         assert got[d]["width"] is None
+
+
+def test_find_avcc_bounded_on_malicious_stsd():
+    """Review-caught DoS: entry_count up to 2^32-1 with a zero-size
+    first entry stayed in-bounds forever (no exception for the
+    permissive except tuple to catch). The walk must bail out fast on
+    sub-minimum entry sizes and truncated entry tables."""
+    import time
+
+    # stsd claims 0xFFFFFFFF entries; first entry has size 0
+    poisoned_entry = struct.pack(">I", 0) + b"avc1" + b"\x00" * 70
+    stsd = _mp4_box(
+        b"stsd", b"\x00" * 4 + struct.pack(">I", 0xFFFFFFFF) + poisoned_entry
+    )
+    blob = _mp4_box(
+        b"moov",
+        _mp4_box(
+            b"trak",
+            _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd))),
+        ),
+    )
+    t = time.monotonic()
+    assert find_avcc(blob) is None
+    assert time.monotonic() - t < 1.0
+    # truncated table: entry_count says 3 but bytes run out after 1
+    stsd2 = _mp4_box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 3)
+        + struct.pack(">I", 16) + b"mp4v" + b"\x00" * 8,
+    )
+    blob2 = _mp4_box(
+        b"moov",
+        _mp4_box(
+            b"trak",
+            _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd2))),
+        ),
+    )
+    assert find_avcc(blob2) is None

@@ -53,6 +53,19 @@ def _load_texts(src: str) -> list[str]:
     return [r[0].replace("\n", " ") for r in rows]
 
 
+def _mix(x: int) -> int:
+    """Nonlinear 32-bit integer mixer (xorshift-multiply). A LINEAR
+    marker function of (i, j) is NOT doc-unique enough (review-caught):
+    the base-text cycle length can share factors with powers of 26, so
+    markers of same-base documents share leading characters and extend
+    cross-copy shared runs past the winnowing detection bound. The
+    xor-shift steps break all modular structure."""
+    x &= 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+    x = ((x ^ (x >> 16)) * 0x45D9F3B) & 0xFFFFFFFF
+    return x ^ (x >> 16)
+
+
 def _alpha(n: int) -> str:
     """Deterministic alphabetic token for ``n`` (keeps the Gopher
     alpha-word fraction intact — digit markers would fail it)."""
@@ -80,11 +93,11 @@ def _page_text(i: int, texts: list[str]) -> str:
         # exact duplicate of the previous page's content (different URL)
         return _page_text(i - 1, texts)
     words = texts[i % len(texts)].split()
-    out = ["the", "story", "of", _alpha(i)]
+    out = ["the", "story", "of", _alpha(_mix(i))]
     for j, w in enumerate(words):
         out.append(w)
         if j % 2 == 1:
-            out.append(_alpha(i * 131 + j))
+            out.append(_alpha(_mix(i * 8191 + j)))
     if i % 10 == 3:
         mid = len(out) // 2
         out = out[:mid] + [BOILER] + out[mid:]
