@@ -291,9 +291,15 @@ def split_http_response(payload: bytes):
 
 def _decompress(content: bytes) -> bytes:
     if content[:2] == _GZIP_MAGIC:
-        # GzipFile in a loop handles concatenated members AND tolerates
-        # nothing extra; gzip.decompress already loops members too.
-        return gzip.decompress(content)
+        # stream, do NOT gzip.decompress(): stdlib decompress() loops
+        # members by re-slicing `unused_data` per member — O(members ×
+        # bytes), and the per-RECORD-member layout Common Crawl uses
+        # (this module's documented target) puts `members` in the tens
+        # of thousands per shard: a 37 MB / 78k-member WET shard took
+        # >5 min quadratic vs ~1 s streamed (caught by the 5M-page
+        # composed-ladder scale run). GzipFile reads concatenated
+        # members sequentially without the copy.
+        return gzip.GzipFile(fileobj=_io.BytesIO(content)).read()
     return content
 
 

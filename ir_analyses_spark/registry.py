@@ -10,9 +10,10 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r9: 169 — the 2 winnowing substring-dedup queries
-# live in the new module llm/substring_queries.py and the quantized
-# classifier gate in llm/clf_gate.py, per the new-ops-in-new-modules
+# (registry count r10: 174 — substring_dedup_incremental joins the
+# already-staled llm/substring_queries.py; the 3 sketch bound-check
+# certificates live in the new module ops/sketch_bounds.py and the
+# H.264 surface in llm/h264_queries.py, per the new-ops-in-new-modules
 # ledger rule)
 
 from __future__ import annotations
@@ -162,7 +163,6 @@ _ORDER = [
     "trade_pagerank",
     "trade_triangles",
     "user_rfm_segments",
-    "volume_shipping",
     # re-certs: llm/substring_dedup.py edits (store versioning +
     # word-fusion contract) stale these three transitively
     "winnow_fingerprints_select",
@@ -183,8 +183,18 @@ _ORDER = [
     # NEW: the H.264 header parser routed into the feature surface
     # (llm/h264_queries.py, r9 VERDICT item 4)
     "h264_header_parse",
+    # MID-ROUND SWAP (documented, the one deviation from the
+    # round-start rotation): the 5M-page composed-ladder scale run
+    # caught a real quadratic in io/warc.py's multi-member gzip
+    # decompress; fixing it stales warc_roundtrip_parse, whose fresh
+    # row must displace one non-staled r6 refresh — volume_shipping
+    # (newest evidence still green r6, module untouched) moves to the
+    # tail head and leads the r11 window queue instead.
+    "warc_roundtrip_parse",
     # ---- 50-query window boundary (driver budget) ----
-    # tail head: r7 vintage (oldest evidence after this round)
+    # tail head: volume_shipping (see swap note), then r7 vintage
+    # (oldest evidence after this round)
+    "volume_shipping",
     "ann_brute_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -273,7 +283,6 @@ _ORDER = [
     "quality_classifier_gate",
     "dataset_split",
     "negative_sampling",
-    "warc_roundtrip_parse",
     "html_extract_text",
     "quality_signals",
     "gopher_quality_flags",

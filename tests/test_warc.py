@@ -389,3 +389,27 @@ def test_repeated_singleton_headers_stay_first_wins():
     )
     s, ctype, body = split_http_response(payload)
     assert (s, ctype, body) == (200, "text/html", doc)
+
+
+def test_member_per_record_decompress_is_linear():
+    """Scale regression (caught by the 5M-page composed-ladder run):
+    stdlib gzip.decompress loops concatenated members by re-slicing
+    unused_data — O(members x bytes) — and Common Crawl's layout is one
+    member PER RECORD, tens of thousands per shard. The streamed
+    GzipFile path must chew a 20k-member archive in seconds (the
+    quadratic form takes minutes on 10x fewer members)."""
+    import gzip
+    import time
+
+    from ir_analyses_spark.io.warc import _decompress
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://x.example/p\r\n"
+        b"Content-Length: 40\r\n\r\n" + b"y" * 40 + b"\r\n\r\n"
+    )
+    blob = b"".join(gzip.compress(rec, 1) for _ in range(20_000))
+    t = time.monotonic()
+    out = _decompress(blob)
+    assert time.monotonic() - t < 10.0
+    assert out == rec * 20_000
