@@ -79,8 +79,9 @@ def _alpha(n: int) -> str:
 
 def _page_text(i: int, texts: list[str]) -> str:
     """Mostly-unique page text: base vocabulary from the testdata
-    documents, a 13-char stopword prefix (under k=16, so it can never
-    seed a detected run) satisfying the Gopher stopword rule, and a
+    documents, marker-separated single stopwords (max shared run
+    " the " = 5 chars — far under k=16, so no gram can cover it)
+    satisfying the Gopher stopword rule, and a
     DOC-UNIQUE alphabetic marker woven after every second base word so
     no cross-document shared run reaches the winnowing detection
     guarantee (window + k − 1 = 23 chars) except the spliced BOILER —
@@ -92,8 +93,22 @@ def _page_text(i: int, texts: list[str]) -> str:
     if i % 50 == 7:
         # exact duplicate of the previous page's content (different URL)
         return _page_text(i - 1, texts)
-    words = texts[i % len(texts)].split()
-    out = ["the", "story", "of", _alpha(_mix(i))]
+    # cap the base at 24 words: the 5M-page run's purpose is per-DOC
+    # throughput; full-length bases put ~500M winnowed fingerprint rows
+    # (22+ GB) through the substring rung's sort shuffle on one box and
+    # exhausted local disk before measuring anything
+    words = texts[i % len(texts)].split()[:24]
+    # the stopwords are SCATTERED one per slot between doc-unique
+    # markers, never as a phrase: winnowing's guarantee is one-sided —
+    # any shared run >= k MAY be detected (and in a million-doc corpus
+    # a universal run WILL be: even 4 random flanking marker chars
+    # collide between some pair of docs), so a shared "the story of"
+    # (14 chars, phrase + one flank char >= 16) was detected and cut
+    # from 93% of a 1M corpus, gating them all on stopwords. Single
+    # stopwords between markers cap the shared run at " the " = 5
+    # chars, which no k=16 gram can ever cover alone.
+    out = [_alpha(_mix(i + 0x5B1F2C)), "the",
+           _alpha(_mix(i + 0x2E7A91)), "of", _alpha(_mix(i))]
     for j, w in enumerate(words):
         out.append(w)
         if j % 2 == 1:
@@ -153,7 +168,7 @@ def generate(out_dir: str, pages: int, shards: int, src: str) -> None:
     print(f"generated {total} pages in {len(jobs)} shards at {out_dir}")
 
 
-def run_funnel(out_dir: str) -> dict:
+def run_funnel(out_dir: str, audit: bool = False) -> dict:
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -195,7 +210,10 @@ def run_funnel(out_dir: str) -> dict:
         "sec": round(time.monotonic() - t, 2),
         "rows_out": n_kept,
     }
-    # per-stage attrition audit (persisted intermediates reused)
+    if not audit:
+        return timings
+    # per-stage attrition audit (persisted intermediates reused; doubles
+    # the shuffle/spill volume, so it is opt-in at full scale)
     prev = None
     for name, df in stages.items():
         t = time.monotonic()
@@ -222,12 +240,16 @@ def main() -> int:
         )
     )
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--audit", action="store_true",
+        help="also count every stage (re-runs lineage; doubles spill)",
+    )
     args = ap.parse_args()
     if not args.skip_gen:
         t = time.monotonic()
         generate(args.out, args.pages, args.shards, args.src)
         print(f"generation: {time.monotonic() - t:.1f}s")
-    print(json.dumps(run_funnel(args.out), indent=1))
+    print(json.dumps(run_funnel(args.out, audit=args.audit), indent=1))
     return 0
 
 
