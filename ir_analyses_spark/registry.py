@@ -97,12 +97,13 @@ _MODULES = [
 #:
 #: Round-10 rotation (VERDICT r9 "Next round" items 2-5, rotated at
 #: round START per the ledger discipline). Window composition (50):
-#: the 39 r6-vintage rows the r9 VERDICT queued as this round's window
-#: head — the ledger's oldest evidence, including ``cube_agg`` (whose
-#: r6 row predates a 4-line r7 edit to ``ops/aggregates.py``, the one
-#: r9 ledger-rule debt) — plus 6 re-certs forced by this round's
-#: planned module edits and 5 NEW queries (slots reserved below; each
-#: lands with its module commit):
+#: 38 of the 39 r6-vintage rows the r9 VERDICT queued as this round's
+#: window head — the ledger's oldest evidence, including ``cube_agg``
+#: (whose r6 row predates a 4-line r7 edit to ``ops/aggregates.py``,
+#: the one r9 ledger-rule debt); the 39th, ``volume_shipping``, later
+#: yielded its slot to the documented mid-round warc swap below — plus
+#: 6 re-certs forced by this round's planned module edits, 5 NEW
+#: queries, and the swapped-in ``warc_roundtrip_parse`` (= 50):
 #:
 #: - ``llm/substring_dedup.py`` edits (store k/window/hash-scheme
 #:   versioning per r9 ADVICE; word-fusion cut contract) stale the
@@ -124,7 +125,8 @@ _MODULES = [
 #: this window lands), then r8, then the 47 r9-certified rows.
 _ORDER = [
     # ---- r10 window (50): see rotation note above ----
-    # the 39 r6-vintage rows (ledger's oldest; includes cube_agg)
+    # 38 r6-vintage rows (ledger's oldest; includes cube_agg;
+    # volume_shipping yielded its slot to the warc swap below)
     "bpe_train_merges",
     "cohort_retention",
     "collated_string_ops",

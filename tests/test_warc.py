@@ -395,10 +395,12 @@ def test_member_per_record_decompress_is_linear():
     """Scale regression (caught by the 5M-page composed-ladder run):
     stdlib gzip.decompress loops concatenated members by re-slicing
     unused_data — O(members x bytes) — and Common Crawl's layout is one
-    member PER RECORD, tens of thousands per shard. The streamed
-    GzipFile path must chew a 20k-member archive in seconds (the
-    quadratic form takes minutes on 10x fewer members)."""
-    import gzip
+    member PER RECORD, tens of thousands per shard. The threshold is
+    calibrated to actually bite (review-caught: a 20k-member / 10 s
+    canary passed on the quadratic path at 4.97 s): at 60k members the
+    quadratic form measures ~45 s on this class of box while the
+    streamed path stays ~0.3 s, so 8 s separates them by an order of
+    magnitude in both directions."""
     import time
 
     from ir_analyses_spark.io.warc import _decompress
@@ -408,8 +410,9 @@ def test_member_per_record_decompress_is_linear():
         b"WARC-Target-URI: http://x.example/p\r\n"
         b"Content-Length: 40\r\n\r\n" + b"y" * 40 + b"\r\n\r\n"
     )
-    blob = b"".join(gzip.compress(rec, 1) for _ in range(20_000))
+    member = gzip.compress(rec, 1)
+    blob = member * 60_000
     t = time.monotonic()
     out = _decompress(blob)
-    assert time.monotonic() - t < 10.0
-    assert out == rec * 20_000
+    assert time.monotonic() - t < 8.0
+    assert out == rec * 60_000

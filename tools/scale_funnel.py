@@ -17,7 +17,7 @@ vocabulary is the testdata's, not lorem ipsum):
 - every page gets a unique suffix (survives exact dedup — the ladder
   must do real per-stage work, not fold 99.9% at the first rung);
 - 2% exact cross-URL duplicates (exact-dedup work);
-- 10% carry a shared ~120-char disclaimer spliced MID-LINE (invisible
+- 10% carry a shared 153-char disclaimer spliced MID-LINE (invisible
   to line dedup, cut by the substring rung from every copy but one —
   also a deliberate hot-key skew probe: one boilerplate shared by
   ~500k docs concentrates its winnowed fingerprint groups);
