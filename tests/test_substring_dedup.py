@@ -407,3 +407,106 @@ def test_cut_fuses_boundary_words(spark):
     assert shared in got[0]
     assert shared not in got[1]
     assert "  " not in got[1]  # no doubled separator marks the cut
+
+
+def _py_selections(text):
+    """Independent selection model: winnowed (pos, fp, probe) triples
+    via the per-window Horner hash reference."""
+    return [
+        (pos, h, text[pos : pos + min(K, 8)])
+        for pos, h in _py_winnow(_ref_hashes(text))
+    ]
+
+
+def _py_incremental(batch, store_keys):
+    """Pure-Python model of remove_substrings_against_store: store hits
+    lose in EVERY occurrence; selections new to the store dedup within
+    the batch by smallest (doc_id, pos); marked k-windows merge into
+    ranges and are spliced out."""
+    groups: dict = {}
+    for d, t in batch:
+        for pos, fp, probe in _py_selections(t):
+            groups.setdefault((fp, probe), []).append((d, pos))
+    losers: dict = {d: [] for d, _ in batch}
+    for key, occs in groups.items():
+        if key in store_keys:
+            for d, pos in occs:
+                losers[d].append(pos)
+        elif len({d for d, _ in occs}) >= 2:
+            winner = min(occs)
+            for d, pos in occs:
+                if (d, pos) != winner:
+                    losers[d].append(pos)
+    out = {}
+    for d, t in batch:
+        ranges: list = []
+        for p in sorted(set(losers[d])):
+            if ranges and p <= ranges[-1][1]:
+                ranges[-1][1] = max(ranges[-1][1], p + K)
+            else:
+                ranges.append([p, p + K])
+        pieces, cur = [], 0
+        for a, b in ranges:
+            pieces.append(t[cur:a])
+            cur = b
+        pieces.append(t[cur:])
+        out[d] = "".join(pieces)
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_incremental_random_matches_python_reference(spark, seed):
+    """Randomized differential for the incremental remover: random junk
+    docs with (a) a fragment already in the exported store (must be cut
+    from EVERY new occurrence), (b) a fragment duplicated only within
+    the new batch (smallest (doc_id, pos) keeps it), and (c) clean
+    docs — the Spark operator must equal the independent Python model
+    byte-for-byte on every doc."""
+    import random
+
+    from ir_analyses_spark.llm.substring_dedup import (
+        remove_substrings_against_store,
+    )
+
+    rng = random.Random(seed)
+    frag_store = "SHIPPED-FRAGMENT-FROM-BATCH-ONE-XYZ"
+    frag_new = "NEW-INTRA-BATCH-DUPLICATED-RUN-0099"
+
+    def junk(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    store_docs = [
+        (0, junk(rng.randint(5, 40)) + frag_store + junk(rng.randint(5, 40))),
+        (1, junk(rng.randint(20, 80))),
+    ]
+    batch = []
+    for i in range(10, 22):
+        t = junk(rng.randint(0, 50))
+        r = rng.random()
+        if r < 0.35:
+            t += frag_store + junk(rng.randint(0, 30))
+        elif r < 0.7:
+            t += frag_new + junk(rng.randint(0, 30))
+        batch.append((i, t))
+
+    store_df = winnow_fingerprints(
+        spark.createDataFrame(store_docs, "doc_id long, text string"), K, W
+    )
+    batch_df = spark.createDataFrame(batch, "doc_id long, text string")
+    cleaned, _ = remove_substrings_against_store(batch_df, store_df, K, W)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+
+    store_keys = {
+        (fp, probe)
+        for _, t in store_docs
+        for _, fp, probe in _py_selections(t)
+    }
+    want = _py_incremental(batch, store_keys)
+    assert got == want
+    # the scenario is non-vacuous: at least one store cut and at least
+    # one intra-batch keep-one actually happened
+    assert any(frag_store in t for _, t in batch)
+    assert not any(frag_store in t for t in got.values())
+    n_new = sum(1 for _, t in batch if frag_new in t)
+    assert n_new >= 2
+    assert sum(1 for t in got.values() if frag_new in t) == 1
