@@ -511,3 +511,27 @@ def test_bpe_encode_vocab_broadcast_single_corpus_agg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_h264_header_parse_map_only(spark, sf_dir):
+    """The H.264 surface is pure per-row header triage: one parquet
+    scan, two Arrow python stages (synthesize, parse), and NOT ONE
+    Exchange or Join — the shape a KB-header pass over a 100 TB media
+    column must keep."""
+    plan = plan_of(spark, sf_dir, "h264_header_parse")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"ArrowEvalPython|EvalPython|MapInPandas", plan)) == 2
+
+
+def test_approx_sketches_bound_single_scan_no_join(spark, sf_dir):
+    """The sketch certificate reads lineitem ONCE: every estimate, the
+    exact distinct count, and the exact percentile band come out of one
+    grouped aggregate — no self-join, no second scan."""
+    plan = plan_of(spark, sf_dir, "approx_sketches_bound")
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"Scan parquet", plan)) == 1
