@@ -118,6 +118,15 @@ def main(argv: list[str] | None = None) -> int:
         "substring_store",
     )
     ap.add_argument(
+        "--input-format",
+        choices=("warc", "wet"),
+        default=None,
+        help="crawl distribution: 'warc' (full HTTP responses, HTML "
+        "extracted in-funnel) or 'wet' (Common Crawl's pre-extracted "
+        "text — skips the HTML stages entirely); overrides the "
+        "config's input_format (default warc)",
+    )
+    ap.add_argument(
         "--report",
         action="store_true",
         help="also emit per-stage attrition counts (recomputes each stage)",
@@ -166,6 +175,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs[flag] = v
     if args.substring_store is not None:
         kwargs["substring_store"] = args.substring_store
+    if args.input_format is not None:
+        kwargs["input_format"] = args.input_format
     if not kwargs.get("substring_dedup") and (
         "substring_dedup_k" in kwargs
         or "substring_dedup_window" in kwargs

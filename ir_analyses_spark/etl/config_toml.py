@@ -179,6 +179,7 @@ _CURATION_KEYS = frozenset(
         "substring_dedup_k",
         "substring_dedup_window",
         "substring_store",
+        "input_format",
     }
 )
 

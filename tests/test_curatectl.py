@@ -288,3 +288,42 @@ def test_cli_substring_store_without_stage_fails(tmp_path):
             ["--warc-dir", str(tmp_path), "--out-dir", str(tmp_path / "o"),
              "--substring-store", str(tmp_path / "s")]
         )
+
+
+def test_cli_wet_input_format(spark, tmp_path, capsys):
+    """--input-format wet (or [curation] input_format) reaches the WET
+    fast path from the CLI — previously curation_stages' WET mode was
+    unreachable operationally (review-caught completeness gap)."""
+    import gzip
+
+    from tests.test_curate import _wet_crawl
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "c.warc.wet.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _wet_crawl())
+    )
+    out = tmp_path / "corpus"
+    rc = curatectl.main(
+        ["--warc-dir", str(d), "--out-dir", str(out),
+         "--input-format", "wet", "--min-words", "10",
+         "--blocklist", "/dev/null", "--report"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # WET runs have no HTML stages in the funnel report
+    assert "extracted" not in report["funnel"]
+    assert report["n_documents"] > 0
+    rows = spark.read.parquet(str(out)).collect()
+    assert all(r["title"] is None for r in rows)  # WET carries no markup
+
+    # the TOML key drives the same switch
+    cfg = tmp_path / "c.toml"
+    cfg.write_text('[curation]\ninput_format = "wet"\n'
+                   '[curation.quality_thresholds]\nmin_words = 10\n')
+    out2 = tmp_path / "corpus2"
+    rc = curatectl.main(
+        ["--warc-dir", str(d), "--out-dir", str(out2), "--config", str(cfg)]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out2)).count() == len(rows)

@@ -152,12 +152,14 @@ def _init_worker(texts: list[str]) -> None:
     _TEXTS = texts
 
 
-def generate(out_dir: str, pages: int, shards: int, src: str) -> None:
+def generate(
+    out_dir: str, pages: int, shards: int, src: str, start: int = 0
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     texts = _load_texts(src)
     per = (pages + shards - 1) // shards
     jobs = [
-        (s, s * per, min((s + 1) * per, pages), out_dir)
+        (s, start + s * per, start + min((s + 1) * per, pages), out_dir)
         for s in range(shards)
         if s * per < pages
     ]
@@ -229,6 +231,56 @@ def run_funnel(out_dir: str, audit: bool = False) -> dict:
     return timings
 
 
+def run_incremental(base_dir: str, pages: int, shards: int, src: str,
+                    skip_gen: bool = False) -> dict:
+    """Incremental production shape AT SCALE, through the real CLI:
+    batch 1 (first half of the pages) runs the funnel+substring stage,
+    exports, and seeds the versioned fingerprint store; batch 2 (second
+    half — whose 10% boilerplate pages duplicate a run batch 1 already
+    shipped) dedups INCREMENTALLY against the store. Evidence: batch
+    2's output contains ZERO copies of the boilerplate (only the store
+    knows batch 1 shipped it), and the timings show what a per-batch
+    store join costs against a ~10^8-fingerprint store."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import curatectl
+    from ir_analyses_spark.session import get_spark
+
+    half = pages // 2
+    b1, b2 = f"{base_dir}/batch1", f"{base_dir}/batch2"
+    store = f"{base_dir}/fps_store"
+    if not skip_gen:
+        generate(b1, half, shards // 2, src, start=0)
+        generate(b2, pages - half, shards - shards // 2, src, start=half)
+    timings: dict[str, dict] = {}
+    spark = get_spark(app_name="scale_incremental")
+    for name, d in (("batch1_seed", b1), ("batch2_incremental", b2)):
+        t = time.monotonic()
+        rc = curatectl.main([
+            "--warc-dir", d, "--out-dir", f"{base_dir}/out_{name}",
+            "--input-format", "wet", "--min-words", "10",
+            "--substring-dedup", "--substring-store", store,
+        ])
+        assert rc == 0
+        n_out = spark.read.parquet(f"{base_dir}/out_{name}").count()
+        timings[name] = {
+            "sec": round(time.monotonic() - t, 2), "rows_out": n_out,
+        }
+    timings["store_fingerprints"] = {
+        "rows": spark.read.parquet(f"{store}/fingerprints").count()
+    }
+    from pyspark.sql import functions as F
+
+    timings["boiler_copies_in_batch2_output"] = {
+        "rows": spark.read.parquet(f"{base_dir}/out_batch2_incremental")
+        .filter(F.col("text").contains(BOILER)).count()
+    }
+    return timings
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -244,7 +296,17 @@ def main() -> int:
         "--audit", action="store_true",
         help="also count every stage (re-runs lineage; doubles spill)",
     )
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="two-batch store flow through curatectl instead of the "
+        "single composed run (see run_incremental)",
+    )
     args = ap.parse_args()
+    if args.incremental:
+        print(json.dumps(run_incremental(
+            args.out, args.pages, args.shards, args.src,
+            skip_gen=args.skip_gen), indent=1))
+        return 0
     if not args.skip_gen:
         t = time.monotonic()
         generate(args.out, args.pages, args.shards, args.src)
