@@ -131,3 +131,24 @@ def test_find_avcc_bounded_on_malicious_stsd():
         ),
     )
     assert find_avcc(blob2) is None
+
+
+def test_randomized_synth_parse_roundtrip():
+    """Hypothesis-style sweep of the full parameter grid: every
+    (profile, level, geometry, crop, entropy) combination the
+    synthesizer can emit must round-trip through the independent
+    parser to the closed-form values — the same invariant the driver's
+    oracle checks, exercised over the whole doc_id lattice instead of
+    the corpus' ids."""
+    for doc_id in range(0, 3 * 4 * 8 * 5 * 2 * 3):  # full cycle of all moduli
+        p = _params(doc_id)
+        rec = parse_avcc(synthesize_avcc(doc_id))
+        sps = rec["sps"]
+        assert rec["avc_profile_indication"] == p["profile"]
+        assert sps["level_idc"] == p["level"]
+        assert sps["width"] == p["mbs_w"] * 16 - 2 * p["crop_r"], doc_id
+        assert sps["height"] == p["map_h"] * 16 - 2 * p["crop_b"], doc_id
+        assert rec["pps"]["entropy_coding"] == (
+            "cabac" if p["cabac"] else "cavlc"
+        )
+        assert rec["n_sps"] == 1 and rec["n_pps"] == 1
