@@ -140,7 +140,10 @@ def test_randomized_synth_parse_roundtrip():
     parser to the closed-form values — the same invariant the driver's
     oracle checks, exercised over the whole doc_id lattice instead of
     the corpus' ids."""
-    for doc_id in range(0, 3 * 4 * 8 * 5 * 2 * 3):  # full cycle of all moduli
+    # the parameter lattice is a pure function of doc_id mod
+    # lcm(3, 4, 8, 5, 2, 3) = 120 — one full cycle covers every
+    # reachable combination exactly once
+    for doc_id in range(120):
         p = _params(doc_id)
         rec = parse_avcc(synthesize_avcc(doc_id))
         sps = rec["sps"]

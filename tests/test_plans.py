@@ -521,8 +521,6 @@ def test_h264_header_parse_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "h264_header_parse")
     assert "Exchange" not in plan
     assert "Join" not in plan
-    import re
-
     assert len(re.findall(r"ArrowEvalPython|EvalPython|MapInPandas", plan)) == 2
 
 
@@ -532,6 +530,4 @@ def test_approx_sketches_bound_single_scan_no_join(spark, sf_dir):
     grouped aggregate — no self-join, no second scan."""
     plan = plan_of(spark, sf_dir, "approx_sketches_bound")
     assert "Join" not in plan
-    import re
-
-    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert plan.count("Scan parquet") == 1

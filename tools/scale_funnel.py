@@ -249,12 +249,25 @@ def run_incremental(base_dir: str, pages: int, shards: int, src: str,
     import curatectl
     from ir_analyses_spark.session import get_spark
 
+    if pages < 2 or shards < 2:
+        raise ValueError("--incremental needs pages >= 2 and shards >= 2")
     half = pages // 2
     b1, b2 = f"{base_dir}/batch1", f"{base_dir}/batch2"
     store = f"{base_dir}/fps_store"
+    if os.path.exists(store):
+        # a populated store flips batch 1 into INCREMENTAL mode against
+        # the previous run's exports — every measurement would silently
+        # be garbage (review-caught). The store is append-only by
+        # design, so freshness is the caller's responsibility.
+        raise ValueError(
+            f"{store} already exists: delete it (the experiment "
+            "requires a fresh store; it is append-only by design)"
+        )
     if not skip_gen:
-        generate(b1, half, shards // 2, src, start=0)
-        generate(b2, pages - half, shards - shards // 2, src, start=half)
+        generate(b1, half, max(1, shards // 2), src, start=0)
+        generate(
+            b2, pages - half, max(1, shards - shards // 2), src, start=half
+        )
     timings: dict[str, dict] = {}
     spark = get_spark(app_name="scale_incremental")
     for name, d in (("batch1_seed", b1), ("batch2_incremental", b2)):
@@ -264,11 +277,10 @@ def run_incremental(base_dir: str, pages: int, shards: int, src: str,
             "--input-format", "wet", "--min-words", "10",
             "--substring-dedup", "--substring-store", store,
         ])
+        sec = round(time.monotonic() - t, 2)  # count below is re-read
         assert rc == 0
         n_out = spark.read.parquet(f"{base_dir}/out_{name}").count()
-        timings[name] = {
-            "sec": round(time.monotonic() - t, 2), "rows_out": n_out,
-        }
+        timings[name] = {"sec": sec, "rows_out": n_out}
     timings["store_fingerprints"] = {
         "rows": spark.read.parquet(f"{store}/fingerprints").count()
     }
