@@ -122,10 +122,17 @@ def _extract_tree(ref: str) -> str | None:
         )
         os.makedirs(base, mode=0o700, exist_ok=True)
         st = os.stat(base)
-        if st.st_uid != os.getuid() or stat.S_IMODE(st.st_mode) & 0o077:
-            # someone else owns the cache root or it is group/world
-            # accessible — refuse to trust (or write) anything under it
+        if st.st_uid != os.getuid():
+            # someone else owns the cache root — refuse to trust (or
+            # write) anything under it
             return None
+        if stat.S_IMODE(st.st_mode) & 0o077:
+            # our own dir with group/world bits (e.g. created by an
+            # earlier bench version under a permissive umask):
+            # exist_ok=True keeps the old mode, so refusing here would
+            # PERMANENTLY disable the A/B column (r10 ADVICE) — we own
+            # it, so tighten it instead of bailing
+            os.chmod(base, 0o700)
         d = os.path.join(base, f"bench_ab_{sha[:16]}")
         marker = os.path.join(d, ".extract_complete")
         if os.path.exists(marker):

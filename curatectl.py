@@ -229,13 +229,10 @@ def main(argv: list[str] | None = None) -> int:
         # re-appends, and duplicate store rows are harmless (the
         # remover groups on (fp, probe)).
         from ir_analyses_spark.llm.substring_dedup import (
-            winnow_fingerprints,
-            write_fingerprint_store,
-        )
-
-        from ir_analyses_spark.llm.substring_dedup import (
             DEFAULT_K,
             DEFAULT_WINDOW,
+            winnow_fingerprints,
+            write_fingerprint_store,
         )
 
         k = kwargs.get("substring_dedup_k", DEFAULT_K)

@@ -10,10 +10,9 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r10: 174 — substring_dedup_incremental joins the
-# already-staled llm/substring_queries.py; the 3 sketch bound-check
-# certificates live in the new module ops/sketch_bounds.py and the
-# H.264 surface in llm/h264_queries.py, per the new-ops-in-new-modules
+# (registry count r11: 176 — mp4_h264_headers joins llm/h264_queries.py
+# and fingerprint_store_compact joins llm/substring_queries.py, both
+# modules already staled this round by the r10 ADVICE fixes, per the
 # ledger rule)
 
 from __future__ import annotations
@@ -95,108 +94,42 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-10 rotation (VERDICT r9 "Next round" items 2-5, rotated at
-#: round START per the ledger discipline). Window composition (50):
-#: 38 of the 39 r6-vintage rows the r9 VERDICT queued as this round's
-#: window head — the ledger's oldest evidence, including ``cube_agg``
-#: (whose r6 row predates a 4-line r7 edit to ``ops/aggregates.py``,
-#: the one r9 ledger-rule debt); the 39th, ``volume_shipping``, later
-#: yielded its slot to the documented mid-round warc swap below — plus
-#: 6 re-certs forced by this round's planned module edits, 5 NEW
-#: queries, and the swapped-in ``warc_roundtrip_parse`` (= 50):
+#: Round-11 rotation (r10 VERDICT "Next round" item 1, rotated at round
+#: START per the ledger discipline). Window composition (50):
+#: ``volume_shipping`` (the r6 swap debt — the r10 VERDICT's queue
+#: head) + 42 of the 46 r7-vintage rows (the ledger's oldest evidence
+#: after r10 retired the r6 block) + 5 re-certs forced by this round's
+#: planned module edits + 2 NEW queries (slots reserved at rotation,
+#: filled by their implementing commits):
 #:
-#: - ``llm/substring_dedup.py`` edits (store k/window/hash-scheme
-#:   versioning per r9 ADVICE; word-fusion cut contract) stale the
-#:   winnowing pair (via ``llm/substring_queries.py`` imports) and
-#:   ``curation_funnel_counts`` (via ``llm/curate.py``'s funnel stage).
-#: - ``llm/multimodal.py`` edits (H.264 header routing into
-#:   ``media_codec_features`` + the stale out-of-scope note, r9 VERDICT
-#:   item 4) stale the module's other three queries
-#:   (``media_codec_features`` itself is already in the 39).
-#: - NEW (each in a NEW module per the ledger rule, or in a module
-#:   already staled this round): ``substring_dedup_incremental``
-#:   (``llm/substring_queries.py`` — the incremental store path, item
-#:   3), ``approx_sketches_bound`` / ``hll_union_bound`` /
-#:   ``brp_lsh_bound`` (``ops/sketch_bounds.py`` — full-oracle
-#:   bound-check certificates for the 3 rows-only sketch entries, item
-#:   5), ``h264_header_parse`` (``llm/h264_queries.py``, item 4).
+#: - ``llm/substring_dedup.py`` edits (r10 ADVICE item 1: the
+#:   meta-before-fingerprints crash window; r10 VERDICT item 3:
+#:   store compaction + stats) stale the three
+#:   ``llm/substring_queries.py`` rows and ``curation_funnel_counts``
+#:   (via ``llm/curate.py``'s funnel stage).
+#: - ``llm/h264_queries.py`` edits (r10 ADVICE item 4: the negative
+#:   doc_id modulo divergence; r10 VERDICT item 2: the
+#:   ``mp4_h264_headers`` route) stale ``h264_header_parse``.
+#: - NEW: ``mp4_h264_headers`` (ISO-BMFF→avcC→parser route, full
+#:   closed-form oracle — r10 VERDICT item 2) and
+#:   ``fingerprint_store_compact`` (store maintenance certificate —
+#:   r10 VERDICT item 3), both in modules already staled this round
+#:   per the ledger rule.
 #:
-#: Tail order after the window: r7 vintage (the oldest evidence once
-#: this window lands), then r8, then the 47 r9-certified rows.
+#: Those 7 forced slots squeeze the r7 block: its last 4 rows (the
+#: ``ops/windows.py`` family — module untouched since r7, all green)
+#: defer to the tail head and lead the r12 window queue, the same
+#: yield-a-slot precedent as r10's ``volume_shipping`` swap.
+#:
+#: Tail order after the window: the 4 deferred r7 rows (oldest
+#: evidence after this round), then r8, r9, and the 45 r10-certified
+#: rows (freshest).
 _ORDER = [
-    # ---- r10 window (50): see rotation note above ----
-    # 38 r6-vintage rows (ledger's oldest; includes cube_agg;
-    # volume_shipping yielded its slot to the warc swap below)
-    "bpe_train_merges",
-    "cohort_retention",
-    "collated_string_ops",
-    "cube_agg",
-    "customer_order_distribution",
-    "dedup_components",
-    "doc_chunking",
-    "embedding_quantize_int8",
-    "event_transition_matrix",
-    "ewma_forecast",
-    "forecast_revenue_change",
-    "funnel_conversion",
-    "fuzzy_name_pairs",
-    "large_volume_customers",
-    "late_shipment_priority",
-    "lateral_topk_per_group",
-    "media_codec_features",
-    "neardup_dedup_pipeline",
-    "ngram_jaccard_nearup",
-    "outlier_iqr_flags",
-    "pipe_syntax_rollup",
-    "pivot_sql_clause",
-    "promo_revenue_ratio",
-    "promo_stock_suppliers",
-    "recursive_inventory_chain",
-    "session_paths_topk",
-    "simhash_nearup",
-    "small_quantity_revenue",
-    "sql_udf_pricing",
-    "supplier_part_variety",
-    "timeseries_gapfill",
-    "token_length_histogram",
-    "token_topk_sketch",
-    "top_supplier_revenue",
-    "trade_bfs_hops",
-    "trade_pagerank",
-    "trade_triangles",
-    "user_rfm_segments",
-    # re-certs: llm/substring_dedup.py edits (store versioning +
-    # word-fusion contract) stale these three transitively
-    "winnow_fingerprints_select",
-    "substring_dedup_rebuild",
-    "curation_funnel_counts",
-    # re-certs: llm/multimodal.py H.264 routing stales the trio
-    "multimodal_features",
-    "media_resize",
-    "media_frame_sample",
-    # NEW: incremental substring dedup against an exported corpus'
-    # fingerprint store (r9 VERDICT item 3)
-    "substring_dedup_incremental",
-    # NEW: full-oracle bound-check certificates for the 3 rows-only
-    # sketch/LSH entries (ops/sketch_bounds.py, r9 VERDICT item 5)
-    "approx_sketches_bound",
-    "hll_union_bound",
-    "brp_lsh_bound",
-    # NEW: the H.264 header parser routed into the feature surface
-    # (llm/h264_queries.py, r9 VERDICT item 4)
-    "h264_header_parse",
-    # MID-ROUND SWAP (documented, the one deviation from the
-    # round-start rotation): the 5M-page composed-ladder scale run
-    # caught a real quadratic in io/warc.py's multi-member gzip
-    # decompress; fixing it stales warc_roundtrip_parse, whose fresh
-    # row must displace one non-staled r6 refresh — volume_shipping
-    # (newest evidence still green r6, module untouched) moves to the
-    # tail head and leads the r11 window queue instead.
-    "warc_roundtrip_parse",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head: volume_shipping (see swap note), then r7 vintage
-    # (oldest evidence after this round)
+    # ---- r11 window (50): see rotation note above ----
+    # the r6 swap debt (r10 VERDICT queue head)
     "volume_shipping",
+    # 42 of the 46 r7-vintage rows (the ops/windows.py family defers
+    # to the tail head — see rotation note)
     "ann_brute_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -239,6 +172,21 @@ _ORDER = [
     "suppliers_with_waiting_orders",
     "top_unshipped_parts",
     "unpivot_melt",
+    # re-certs: llm/substring_dedup.py edits (store crash-window fix +
+    # compaction op) stale these four transitively
+    "winnow_fingerprints_select",
+    "substring_dedup_rebuild",
+    "substring_dedup_incremental",
+    "curation_funnel_counts",
+    # re-cert: llm/h264_queries.py edits (abs(doc_id) oracle fix +
+    # the mp4_h264_headers route) stale the module
+    "h264_header_parse",
+    # NEW this round (slots 48-49, filled by their implementing
+    # commits): mp4_h264_headers (the ISO-BMFF→avcC→parser route, r10
+    # VERDICT item 2) and fingerprint_store_compact (the
+    # store-maintenance certificate, r10 VERDICT item 3)
+    # ---- 50-query window boundary (driver budget) ----
+    # tail head: the 4 deferred r7 rows (lead the r12 window queue)
     "window_lag_lead",
     "window_range_interval",
     "window_ranking",
@@ -275,7 +223,7 @@ _ORDER = [
     "txn_pyds_write",
     "txn_snapshot_merge",
     "txn_time_travel",
-    # r9 vintage (freshest: CORRECTNESS_r09 was 50/50 full-green)
+    # r9 vintage
     "temperature_mixture_sample",
     "token_budget_subset",
     "apply_in_pandas_topk",
@@ -322,6 +270,52 @@ _ORDER = [
     "pricing_summary",
     "regional_revenue",
     "window_sessionize",
+    # r10 vintage (freshest: CORRECTNESS_r10 was 50/50 full-green)
+    "bpe_train_merges",
+    "cohort_retention",
+    "collated_string_ops",
+    "cube_agg",
+    "customer_order_distribution",
+    "dedup_components",
+    "doc_chunking",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "ewma_forecast",
+    "forecast_revenue_change",
+    "funnel_conversion",
+    "fuzzy_name_pairs",
+    "large_volume_customers",
+    "late_shipment_priority",
+    "lateral_topk_per_group",
+    "media_codec_features",
+    "neardup_dedup_pipeline",
+    "ngram_jaccard_nearup",
+    "outlier_iqr_flags",
+    "pipe_syntax_rollup",
+    "pivot_sql_clause",
+    "promo_revenue_ratio",
+    "promo_stock_suppliers",
+    "recursive_inventory_chain",
+    "session_paths_topk",
+    "simhash_nearup",
+    "small_quantity_revenue",
+    "sql_udf_pricing",
+    "supplier_part_variety",
+    "timeseries_gapfill",
+    "token_length_histogram",
+    "token_topk_sketch",
+    "top_supplier_revenue",
+    "trade_bfs_hops",
+    "trade_pagerank",
+    "trade_triangles",
+    "user_rfm_segments",
+    "multimodal_features",
+    "media_resize",
+    "media_frame_sample",
+    "approx_sketches_bound",
+    "hll_union_bound",
+    "brp_lsh_bound",
+    "warc_roundtrip_parse",
 ]
 
 
