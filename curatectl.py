@@ -31,8 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
-    ap.add_argument("--warc-dir", required=True, help="directory of .warc/.warc.gz files")
-    ap.add_argument("--out-dir", required=True, help="curated corpus output (parquet)")
+    # not argparse-required: the store-maintenance mode below runs
+    # without a crawl (validated after parse)
+    ap.add_argument("--warc-dir", default=None, help="directory of .warc/.warc.gz files")
+    ap.add_argument("--out-dir", default=None, help="curated corpus output (parquet)")
     ap.add_argument(
         "--config",
         default=None,
@@ -105,7 +107,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="winnowing window for substring dedup (default 8; "
         "detection guarantee is window+k-1 chars; overrides the "
-        "config's substring_dedup_window)",
+        "config's substring_dedup_window). SIZE THIS FOR YOUR CORPUS: "
+        "the fingerprint shuffle is ~2/(w+1) rows per character, so "
+        "the test-tuned default w=8 shuffles ~10 bytes per text byte; "
+        "production corpora want w=35 (~2.5x) or w=64 (~1.3x) — see "
+        "SCALE.md. The estimated ratio is logged whenever the stage "
+        "is enabled",
     )
     ap.add_argument(
         "--substring-store",
@@ -127,6 +134,23 @@ def main(argv: list[str] | None = None) -> int:
         "config's input_format (default warc)",
     )
     ap.add_argument(
+        "--compact-store",
+        default=None,
+        metavar="STORE",
+        help="STANDALONE MAINTENANCE: distinct-compact the fingerprint "
+        "store at this path (re-run batches append duplicate rows by "
+        "design; this reclaims them) and exit — no crawl flags. Prints "
+        "one JSON line with rows/bytes before and after",
+    )
+    ap.add_argument(
+        "--store-stats",
+        default=None,
+        metavar="STORE",
+        help="STANDALONE MAINTENANCE: print one JSON line of store "
+        "stats (rows, distinct rows, files, bytes, recorded "
+        "parameters, compaction count) and exit — no crawl flags",
+    )
+    ap.add_argument(
         "--report",
         action="store_true",
         help="also emit per-stage attrition counts (recomputes each stage)",
@@ -136,6 +160,30 @@ def main(argv: list[str] | None = None) -> int:
     from ir_analyses_spark.etl.config_toml import curation_settings
     from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
     from ir_analyses_spark.session import get_spark
+
+    if args.compact_store or args.store_stats:
+        if args.warc_dir or args.out_dir:
+            ap.error(
+                "store maintenance (--compact-store/--store-stats) runs "
+                "standalone; drop --warc-dir/--out-dir"
+            )
+        from ir_analyses_spark.llm.substring_dedup import (
+            compact_fingerprint_store,
+            fingerprint_store_stats,
+        )
+
+        spark = get_spark(app_name="curatectl-maint")
+        out = {}
+        if args.compact_store:
+            out["compact"] = compact_fingerprint_store(
+                spark, args.compact_store
+            )
+        if args.store_stats:
+            out["stats"] = fingerprint_store_stats(spark, args.store_stats)
+        print(json.dumps(out))
+        return 0
+    if not args.warc_dir or not args.out_dir:
+        ap.error("--warc-dir and --out-dir are required for a curation run")
 
     # precedence: explicit CLI flag > [curation] TOML > curate.py default.
     # An EXPLICIT --config that is missing or malformed fails loudly —
@@ -189,6 +237,24 @@ def main(argv: list[str] | None = None) -> int:
             "substring_dedup_k/substring_dedup_window/substring_store "
             "require the stage (--substring-dedup or [curation] "
             "substring_dedup = true)"
+        )
+    if kwargs.get("substring_dedup"):
+        # a default-w production run must be LOUD about its shuffle
+        # bill (r10 VERDICT item 6): w=8 is tuned for correctness-SF
+        # tests and shuffles ~10 bytes per text byte
+        from ir_analyses_spark.llm.substring_dedup import (
+            DEFAULT_WINDOW as _DW,
+            estimate_shuffle_ratio,
+        )
+
+        _w = kwargs.get("substring_dedup_window", _DW)
+        print(
+            f"substring-dedup: winnowing window w={_w} selects "
+            f"~{2.0 / (_w + 1):.3f} fingerprints/char -> estimated "
+            f"~{estimate_shuffle_ratio(_w):.1f} bytes shuffled per text "
+            f"byte (production guidance: w=35 ~2.5x, w=64 ~1.3x; see "
+            f"SCALE.md and --substring-dedup-window)",
+            file=sys.stderr,
         )
     if args.quality_model is not None:
         kwargs["quality_model_path"] = args.quality_model

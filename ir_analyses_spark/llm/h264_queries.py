@@ -97,6 +97,11 @@ _LEVELS = (30, 31, 41, 51)
 
 
 def _params(doc_id: int) -> dict:
+    # abs() on BOTH sides (here and in the oracle SQL): Python's modulo
+    # is non-negative for a positive divisor while SQL's follows the
+    # dividend's sign, so a scale factor that ever shipped negative
+    # doc_ids would silently diverge the two sides (r10 ADVICE)
+    doc_id = abs(doc_id)
     return {
         "profile": _PROFILES[doc_id % 3],
         "level": _LEVELS[doc_id % 4],
@@ -176,22 +181,128 @@ def h264_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h264_header_features(payload)
 
 
+#: the closed-form header parameters, recomputed in SQL — abs() on the
+#: doc_id mirrors ``_params`` (r10 ADVICE: SQL modulo is negative for
+#: negative dividends where Python's is not)
 H264_HEADER_PARSE_SQL = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'baseline'
-                       WHEN 1 THEN 'main'
-                       ELSE 'high' END AS profile,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
-                            WHEN 2 THEN 41 ELSE 51 END AS INT) AS level_idc,
-       CAST((doc_id % 8 + 2) * 16 - 2 * (doc_id % 2) AS INT) AS width,
-       CAST((doc_id % 5 + 2) * 16 - 2 * (doc_id % 3) AS INT) AS height,
+       CASE abs(doc_id) % 3 WHEN 0 THEN 'baseline'
+                            WHEN 1 THEN 'main'
+                            ELSE 'high' END AS profile,
+       CAST(CASE abs(doc_id) % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                                 WHEN 2 THEN 41 ELSE 51 END AS INT)
+         AS level_idc,
+       CAST((abs(doc_id) % 8 + 2) * 16 - 2 * (abs(doc_id) % 2) AS INT)
+         AS width,
+       CAST((abs(doc_id) % 5 + 2) * 16 - 2 * (abs(doc_id) % 3) AS INT)
+         AS height,
        CAST(1 AS INT) AS chroma_format_idc,
        CAST(8 AS INT) AS bit_depth_luma,
-       CASE WHEN doc_id % 2 = 0 THEN 'cabac' ELSE 'cavlc' END
+       CASE WHEN abs(doc_id) % 2 = 0 THEN 'cabac' ELSE 'cavlc' END
          AS entropy_coding,
        CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
+
+
+def synthesize_mp4_avc(doc_id: int) -> bytes:
+    """One ISO-BMFF container whose video ``avc1`` sample entry carries
+    ``synthesize_avcc(doc_id)`` — the writer twin of :func:`find_avcc`
+    (r10 VERDICT item 2: the container→codec route had pytest-only
+    coverage; this gives it the same closed-form full-oracle driver
+    treatment as ``h264_header_parse``). Box plumbing is
+    `llm/multimodal._mp4_box` (the certified writer's helper); the
+    VisualSampleEntry's 78 fixed bytes (ISO/IEC 14496-12 §12.1.3) are
+    assembled here so the avcC lands as a CHILD BOX after them —
+    exactly the offset arithmetic (``entry_start + 86``) the walker
+    must get right.
+
+    Coverage shaping, all closed-form in ``doc_id``:
+
+    - ``abs(doc_id) % 7 == 0`` → an AUDIO-ONLY container (no AVC
+      track): ``find_avcc`` returns None and the parser must emit its
+      permissive null-content error row;
+    - otherwise: an audio trak FIRST (the walk must skip a non-AVC
+      trak, and inside its mdia skip mdhd/hdlr to reach minf), then
+      the video trak whose stsd holds a non-AVC visual entry (``hvc1``)
+      BEFORE the ``avc1`` — the entry loop must stride by esize past
+      it."""
+    from .multimodal import _mp4_box
+
+    def audio_trak() -> bytes:
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIIIHH", 0, 0, 48000, 0, 0x55C4, 0),
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"synth\x00",
+        )
+        entry = _mp4_box(
+            b"mp4a",
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHI", 2, 16, 0)
+            + struct.pack(">I", 48000 << 16),
+        )
+        stsd = _mp4_box(
+            b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry
+        )
+        return _mp4_box(
+            b"trak",
+            _mp4_box(
+                b"mdia",
+                mdhd + hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stsd)),
+            ),
+        )
+
+    def visual_entry(fourcc: bytes, width: int, height: int,
+                     children: bytes = b"") -> bytes:
+        # VisualSampleEntry (§12.1.3): 78 bytes of fixed fields, then
+        # child boxes — find_avcc's entry_start + 8 + 78 offset
+        body = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16  # pre_defined/reserved
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)  # frame_count
+            + b"\x00" * 32  # compressorname
+            + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        )
+        if len(body) != 78:
+            raise AssertionError(f"VisualSampleEntry body {len(body)} != 78")
+        return _mp4_box(fourcc, body + children)
+
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1"
+    )
+    traks = audio_trak()
+    if abs(doc_id) % 7 != 0:
+        p = _params(doc_id)
+        width = 16 * p["mbs_w"] - 2 * p["crop_r"]
+        height = 16 * p["map_h"] - 2 * p["crop_b"]
+        avcc_box = _mp4_box(b"avcC", synthesize_avcc(doc_id))
+        stsd = _mp4_box(
+            b"stsd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", 2)
+            # a non-AVC visual entry first: the walker must stride past
+            # it by esize, not bail or misparse
+            + visual_entry(b"hvc1", width, height)
+            + visual_entry(b"avc1", width, height, avcc_box),
+        )
+        traks += _mp4_box(
+            b"trak",
+            _mp4_box(
+                b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd))
+            ),
+        )
+    mdat = _mp4_box(b"mdat", bytes(abs(doc_id) % 256 for _ in range(8)))
+    return ftyp + _mp4_box(b"moov", traks) + mdat
 
 
 def find_avcc(content: bytes) -> bytes | None:
@@ -272,10 +383,70 @@ def mp4_h264_headers(
     return h264_header_features(payload)
 
 
+def mp4_h264_headers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the container route: synthesize one ISO-BMFF
+    file per document (``synthesize_mp4_avc``), then run the SHIPPED
+    ``mp4_h264_headers`` operator (find_avcc → h264_header_features)
+    over the binary column. Same two-Arrow-stage, zero-shuffle shape as
+    ``h264_header_parse``; the oracle adds the audio-only error branch
+    on top of the closed-form header formulas."""
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "content": [
+                        synthesize_mp4_avc(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payload = docs.mapInPandas(synth, "doc_id bigint, content binary")
+    return mp4_h264_headers(payload)
+
+
+#: the audio-only branch (abs(doc_id) % 7 = 0) must surface the
+#: parser's permissive null-content error row; every other row carries
+#: the same closed-form header parameters as H264_HEADER_PARSE_SQL
+MP4_H264_HEADERS_SQL = """
+SELECT doc_id,
+       CASE WHEN abs(doc_id) % 7 = 0 THEN NULL
+            ELSE CASE abs(doc_id) % 3 WHEN 0 THEN 'baseline'
+                                      WHEN 1 THEN 'main'
+                                      ELSE 'high' END END AS profile,
+       CAST(CASE WHEN abs(doc_id) % 7 = 0 THEN NULL
+                 ELSE CASE abs(doc_id) % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                                           WHEN 2 THEN 41 ELSE 51 END END
+            AS INT) AS level_idc,
+       CAST(CASE WHEN abs(doc_id) % 7 = 0 THEN NULL
+                 ELSE (abs(doc_id) % 8 + 2) * 16 - 2 * (abs(doc_id) % 2) END
+            AS INT) AS width,
+       CAST(CASE WHEN abs(doc_id) % 7 = 0 THEN NULL
+                 ELSE (abs(doc_id) % 5 + 2) * 16 - 2 * (abs(doc_id) % 3) END
+            AS INT) AS height,
+       CAST(CASE WHEN abs(doc_id) % 7 = 0 THEN NULL ELSE 1 END AS INT)
+         AS chroma_format_idc,
+       CAST(CASE WHEN abs(doc_id) % 7 = 0 THEN NULL ELSE 8 END AS INT)
+         AS bit_depth_luma,
+       CASE WHEN abs(doc_id) % 7 = 0 THEN NULL
+            WHEN abs(doc_id) % 2 = 0 THEN 'cabac' ELSE 'cavlc' END
+         AS entropy_coding,
+       CASE WHEN abs(doc_id) % 7 = 0 THEN 'ValueError: null content'
+            ELSE NULL END AS error
+FROM documents
+"""
+
+
 QUERIES = {
     "h264_header_parse": h264_header_parse,
+    "mp4_h264_headers": mp4_h264_headers_query,
 }
 
 ORACLES = {
     "h264_header_parse": H264_HEADER_PARSE_SQL,
+    "mp4_h264_headers": MP4_H264_HEADERS_SQL,
 }

@@ -538,7 +538,10 @@ def write_fingerprint_store(
     (the same contract as the txn table's manifest): the store is only
     ever appended AFTER its batch's export lands, so a crash in
     between leaves future batches keeping a duplicate (conservative)
-    rather than cutting text the corpus never shipped."""
+    rather than cutting text the corpus never shipped. A crash between
+    the meta write and the fingerprint append leaves a meta-only store,
+    which readers treat as EMPTY (same conservative direction) and the
+    next append repairs (r10 ADVICE)."""
     spark = fps.sparkSession
     meta = _read_store_meta(spark, path)
     if meta is None:
@@ -548,6 +551,11 @@ def write_fingerprint_store(
         ).coalesce(1).write.mode("overwrite").json(f"{path}/_store_meta")
     else:
         _check_store_meta(meta, k, window, hash_scheme)
+    # an interrupted compaction must roll back BEFORE appending: an
+    # append that recreates ``fingerprints/`` while the retired dir
+    # still holds the real data would permanently strand it (the
+    # rollback rename refuses to clobber a live dir)
+    _recover_interrupted_compaction(path)
     fps.select("fp", "probe").write.mode("append").parquet(
         f"{path}/fingerprints"
     )
@@ -565,21 +573,223 @@ def _read_store_meta(spark, path: str) -> dict | None:
     return row.asDict()
 
 
+#: directory the live fingerprints are renamed to for the duration of
+#: a compaction swap — present without ``fingerprints`` means a
+#: compaction crashed mid-swap and the original data must be restored
+_RETIRED_DIR = "fingerprints_retired"
+#: staging directory a compaction writes the distinct set to before
+#: the swap; a leftover is overwritten by the next compaction
+_COMPACTING_DIR = "fingerprints_compacting"
+
+_FPS_SCHEMA = "fp bigint, probe string"
+
+
+def _recover_interrupted_compaction(path: str) -> bool:
+    """Roll back a compaction that crashed mid-swap: ``fingerprints``
+    missing but ``fingerprints_retired`` present → rename the retired
+    (original, complete) data back. Restoring the ORIGINAL is always
+    safe — compaction is semantically a no-op (the remover groups on
+    (fp, probe)) and idempotent, so re-running it later loses nothing.
+    Returns True when a rollback happened. Local-filesystem directory
+    renames, the same scope as the txn table's maintenance surface
+    (`io/txn_maint.py`)."""
+    import os
+
+    live = os.path.join(path, "fingerprints")
+    retired = os.path.join(path, _RETIRED_DIR)
+    if not os.path.isdir(live) and os.path.isdir(retired):
+        os.rename(retired, live)
+        return True
+    return False
+
+
 def read_fingerprint_store(
     spark, path: str
 ) -> tuple[DataFrame, dict] | tuple[None, None]:
     """Load a store written by :func:`write_fingerprint_store`:
     ``((fp, probe) DataFrame, meta dict)``, or ``(None, None)`` when no
     store exists at ``path`` yet (the incremental pipeline's first
-    batch). A store whose meta is present but whose fingerprint data is
-    missing is corrupt and raises."""
+    batch).
+
+    A store whose meta is present but whose fingerprint data is missing
+    is an EMPTY store, not a corrupt one: the only flow that produces
+    it is a crash between the meta write and the first fingerprint
+    append, and treating it as empty degrades in the documented
+    conservative direction — the next batch keeps a duplicate instead
+    of cutting text, and its append repairs the store (r10 ADVICE; the
+    previous contract raised an uncaught AnalysisException until the
+    directory was manually deleted). A compaction that crashed mid-swap
+    is rolled back first (:func:`_recover_interrupted_compaction`)."""
+    from pyspark.errors import AnalysisException
+
     meta = _read_store_meta(spark, path)
     if meta is None:
         return None, None
-    return (
-        spark.read.parquet(f"{path}/fingerprints").select("fp", "probe"),
-        meta,
+    _recover_interrupted_compaction(path)
+    try:
+        fps = spark.read.parquet(f"{path}/fingerprints").select("fp", "probe")
+    except AnalysisException:
+        fps = spark.createDataFrame([], _FPS_SCHEMA)
+    return fps, meta
+
+
+def compact_fingerprint_store(spark, path: str) -> dict:
+    """Distinct-compact the append-only fingerprint store at ``path``:
+    rewrite ``fingerprints/`` as the DISTINCT (fp, probe) set, preserve
+    the parameter meta untouched, and append a compaction record to
+    ``<path>/_maintenance``. Re-running a batch appends duplicate rows
+    by design (semantically inert — the remover groups on (fp, probe))
+    but at production cadence the store grows without bound (r10
+    VERDICT: 191M rows after two 2.5M-page batches); this is the
+    maintenance op that reclaims it, mirroring what `io/txn_maint.py`'s
+    OPTIMIZE does for the txn table.
+
+    Crash-safe swap (local-filesystem renames, the txn maintenance
+    scope): the distinct set lands fully in a staging dir first, the
+    live dir is renamed aside, the staging dir renamed live, and only
+    then is the old data deleted. A crash before the final rename is
+    rolled back by :func:`_recover_interrupted_compaction` (the reader
+    calls it too), so no crash point loses fingerprints — the worst
+    outcome is the original, uncompacted store.
+
+    Returns ``{"rows_before", "rows_after", "bytes_before",
+    "bytes_after"}``. Raises ``FileNotFoundError`` when no store exists
+    at ``path`` — silently 'compacting' a typo'd path would leave the
+    operator believing the real store shrank (the same loud-failure
+    contract as ``txn_maint._require_table``)."""
+    import os
+    import shutil
+    import time
+
+    meta = _read_store_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(f"no fingerprint store at {path}")
+    _recover_interrupted_compaction(path)
+    live = os.path.join(path, "fingerprints")
+    if not os.path.isdir(live):
+        # meta-only store (crash before the first append): nothing to
+        # compact, and nothing to swap
+        return {
+            "rows_before": 0, "rows_after": 0,
+            "bytes_before": 0, "bytes_after": 0,
+        }
+    staging = os.path.join(path, _COMPACTING_DIR)
+    retired = os.path.join(path, _RETIRED_DIR)
+    fps = spark.read.parquet(live)
+    rows_before = fps.count()
+    bytes_before = _dir_bytes(live)
+    fps.select("fp", "probe").distinct().write.mode("overwrite").parquet(
+        staging
     )
+    rows_after = spark.read.parquet(staging).count()
+    os.rename(live, retired)
+    os.rename(staging, live)
+    shutil.rmtree(retired)
+    bytes_after = _dir_bytes(live)
+    record = {
+        "op": "compact",
+        "ts": time.time(),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+    }
+    spark.createDataFrame(
+        [tuple(record.values())],
+        "op string, ts double, rows_before bigint, rows_after bigint, "
+        "bytes_before bigint, bytes_after bigint",
+    ).coalesce(1).write.mode("append").json(f"{path}/_maintenance")
+    return {k: record[k] for k in (
+        "rows_before", "rows_after", "bytes_before", "bytes_after"
+    )}
+
+
+#: measured average bytes one fingerprint row adds to the loser-
+#: detection shuffle (fp int64 + probe + pos/doc_id + row overhead) —
+#: SCALE.md's r10 winnowing-shuffle calibration
+FP_ROW_SHUFFLE_BYTES = 45
+
+
+def estimate_shuffle_ratio(
+    window: int, row_bytes: int = FP_ROW_SHUFFLE_BYTES
+) -> float:
+    """Expected fingerprint-shuffle bytes PER TEXT BYTE for a winnowing
+    window ``w``: robust winnowing selects ``2/(w+1)`` fingerprints per
+    character (Schleimer et al. 2003, Thm. 2's density bound), each
+    ~:data:`FP_ROW_SHUFFLE_BYTES` on the wire. The operational surface
+    of SCALE.md's r10 sizing math (r10 VERDICT item 6): the test-tuned
+    default w=8 means ~10 bytes of shuffle per text byte — fine at
+    correctness SFs, pathological on a 100 TB corpus, where w=35
+    (~2.5×) or w=64 (~1.3×) is the guidance. `curatectl` logs this
+    estimate whenever the stage is enabled so a default-w production
+    run is loud instead of silently 10×."""
+    if window < 1:
+        raise ValueError(f"winnowing window must be >= 1, got {window}")
+    return 2.0 / (window + 1) * row_bytes
+
+
+def _dir_bytes(d: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def fingerprint_store_stats(spark, path: str) -> dict:
+    """Operator-facing stats surface for a fingerprint store: row
+    count, distinct (fp, probe) count (the size a compaction would
+    shrink it to), on-disk bytes, file count, the recorded parameters,
+    and how many compactions have run — the observability half of the
+    store lifecycle (r10 VERDICT item 3), shaped like ``DESCRIBE
+    HISTORY`` for the txn table. Raises ``FileNotFoundError`` on a
+    missing store (same contract as :func:`compact_fingerprint_store`).
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    meta = _read_store_meta(spark, path)
+    if meta is None:
+        raise FileNotFoundError(f"no fingerprint store at {path}")
+    _recover_interrupted_compaction(path)
+    live = os.path.join(path, "fingerprints")
+    try:
+        fps = spark.read.parquet(live)
+        n_rows = fps.count()
+        n_distinct = fps.select("fp", "probe").distinct().count()
+    except AnalysisException:
+        n_rows = n_distinct = 0
+    n_files = sum(
+        1
+        for _root, _dirs, files in os.walk(live)
+        for f in files
+        if f.endswith(".parquet")
+    ) if os.path.isdir(live) else 0
+    try:
+        n_compactions = (
+            spark.read.json(f"{path}/_maintenance")
+            .filter("op = 'compact'")
+            .count()
+        )
+    except AnalysisException:
+        n_compactions = 0
+    return {
+        "n_rows": n_rows,
+        "n_distinct": n_distinct,
+        "n_files": n_files,
+        "bytes": _dir_bytes(live) if os.path.isdir(live) else 0,
+        "k": meta.get("k"),
+        "window": meta.get("window"),
+        "hash_scheme": meta.get("hash_scheme"),
+        "format_version": meta.get("format_version"),
+        "n_compactions": n_compactions,
+    }
 
 
 def remove_substrings_against_store(

@@ -29,9 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..io.sources import load_table
 from .porthash import port_hash_expr, port_hash_sql
 from .substring_dedup import (
+    compact_fingerprint_store,
+    read_fingerprint_store,
     remove_duplicated_substrings,
     remove_substrings_against_store,
     winnow_fingerprints,
+    write_fingerprint_store,
 )
 
 _K = 12
@@ -86,6 +89,42 @@ def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_batch, store, k=_K, window=_W, hash_fn=_portable_hash
     )
     return cleaned.select("doc_id", "text")
+
+
+#: scheme tag for the portable polynomial these oracle-facing queries
+#: hash with (`llm/porthash.py`: B=131, M=1e9+7) — distinct from the
+#: production Arrow path's DEFAULT_HASH_SCHEME so a store built by one
+#: can never silently join the other's fingerprints
+_PORTHASH_SCHEME = "porthash-b131-m1e9+7"
+
+
+def fingerprint_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-maintenance certificate (r10 VERDICT item 3): build the
+    even-docs fingerprint store ON DISK via the real lifecycle ops —
+    `write_fingerprint_store` called TWICE with the same batch (a
+    re-run appends duplicate rows by design), then
+    `compact_fingerprint_store` — and return the store's
+    post-compaction (fp, probe) rows read back through
+    `read_fingerprint_store`. The oracle recomputes the DISTINCT
+    winnowed (fp, probe) set in DuckDB, so the driver hash proves both
+    directions: a compaction that keeps any duplicate doubles the row
+    count, one that drops a fingerprint breaks the value hash."""
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exported = docs.filter(F.col("doc_id") % 2 == 0)
+    fps = winnow_fingerprints(
+        exported, k=_K, window=_W, hash_fn=_portable_hash
+    )
+    store = tempfile.mkdtemp(prefix="fp_store_compact_")
+    write_fingerprint_store(fps, store, _K, _W, hash_scheme=_PORTHASH_SCHEME)
+    write_fingerprint_store(fps, store, _K, _W, hash_scheme=_PORTHASH_SCHEME)
+    res = compact_fingerprint_store(spark, store)
+    if res["rows_after"] > res["rows_before"]:
+        # loud invariant, not an oracle job: compaction can only shrink
+        raise RuntimeError(f"compaction grew the store: {res}")
+    compacted, _meta = read_fingerprint_store(spark, store)
+    return compacted.select("fp", "probe")
 
 
 def _gram_hash_sql() -> str:
@@ -216,14 +255,26 @@ WHERE d.doc_id % 2 = 1
 """
 
 
+#: the distinct winnowed (fp, probe) set of the even (exported) docs —
+#: exactly what a correct double-append + compact must leave on disk
+FP_STORE_COMPACT_SQL = f"""
+WITH {_selection_cte().lstrip()}
+SELECT DISTINCT f.fp, substr(d.text, f.pos + 1, 8) AS probe
+FROM fps f JOIN documents d USING (doc_id)
+WHERE d.doc_id % 2 = 0
+"""
+
+
 QUERIES = {
     "winnow_fingerprints_select": winnow_fingerprints_select,
     "substring_dedup_rebuild": substring_dedup_rebuild,
     "substring_dedup_incremental": substring_dedup_incremental,
+    "fingerprint_store_compact": fingerprint_store_compact,
 }
 
 ORACLES = {
     "winnow_fingerprints_select": WINNOW_FPS_SQL,
     "substring_dedup_rebuild": SUBSTRING_REBUILD_SQL,
     "substring_dedup_incremental": SUBSTRING_INCREMENTAL_SQL,
+    "fingerprint_store_compact": FP_STORE_COMPACT_SQL,
 }

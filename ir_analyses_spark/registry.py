@@ -181,10 +181,11 @@ _ORDER = [
     # re-cert: llm/h264_queries.py edits (abs(doc_id) oracle fix +
     # the mp4_h264_headers route) stale the module
     "h264_header_parse",
-    # NEW this round (slots 48-49, filled by their implementing
-    # commits): mp4_h264_headers (the ISO-BMFF→avcC→parser route, r10
-    # VERDICT item 2) and fingerprint_store_compact (the
-    # store-maintenance certificate, r10 VERDICT item 3)
+    # NEW this round (slots 48-49): the ISO-BMFF→avcC→parser route
+    # (r10 VERDICT item 2) and the store-maintenance certificate
+    # (r10 VERDICT item 3)
+    "mp4_h264_headers",
+    "fingerprint_store_compact",
     # ---- 50-query window boundary (driver budget) ----
     # tail head: the 4 deferred r7 rows (lead the r12 window queue)
     "window_lag_lead",

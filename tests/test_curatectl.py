@@ -290,6 +290,169 @@ def test_cli_substring_store_without_stage_fails(tmp_path):
         )
 
 
+def test_cli_export_store_crash_contract(spark, tmp_path, capsys, monkeypatch):
+    """r10 VERDICT item 4 — the prose crash contract, executable: a
+    crash between the corpus export landing and the fingerprint append
+    must (a) leave the shipped export intact, (b) degrade future
+    batches to KEEPING a duplicate — never cutting text the store
+    doesn't describe — and (c) converge once a re-run's append lands.
+    """
+    import gzip
+
+    import pytest
+
+    import ir_analyses_spark.llm.substring_dedup as sd
+    from tests.test_curate import _page, _record
+
+    boiler = (
+        "this exact disclaimer sentence is repeated verbatim across publishers"
+    )
+    store = str(tmp_path / "fps_store")
+
+    def crawl(d, url, lead):
+        d.mkdir()
+        (d / "c.warc.gz").write_bytes(gzip.compress(_record(
+            url,
+            _page([f"{lead} {boiler} and a tail of its very own words"],
+                  "T"),
+            seq=0,
+        )))
+
+    b1 = tmp_path / "crawl1"
+    crawl(b1, "http://a.com/1", "alpha filing with the details")
+
+    # the simulated crash: the export write has landed, the store
+    # append dies AFTER the meta write but BEFORE any fingerprint row
+    # (r10 ADVICE item 1's exact window)
+    def crash_append(fps, path, k, window, hash_scheme=sd.DEFAULT_HASH_SCHEME):
+        fps.sparkSession.createDataFrame(
+            [(int(k), int(window), hash_scheme, sd._STORE_FORMAT_VERSION)],
+            "k int, window int, hash_scheme string, format_version int",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/_store_meta")
+        raise RuntimeError("simulated crash between export and append")
+
+    out1 = tmp_path / "corpus1"
+    monkeypatch.setattr(sd, "write_fingerprint_store", crash_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curatectl.main(
+            ["--warc-dir", str(b1), "--out-dir", str(out1),
+             "--min-words", "8", "--substring-dedup",
+             "--substring-store", store]
+        )
+    monkeypatch.undo()
+    # (a) the export landed and shipped its text uncut
+    texts1 = [r["text"] for r in spark.read.parquet(str(out1)).collect()]
+    assert sum(1 for t in texts1 if boiler in t) == 1
+    # the store is the meta-only shape: stats read it as empty
+    st = sd.fingerprint_store_stats(spark, store)
+    assert st["n_rows"] == 0 and st["k"] == 16
+
+    # (b) a second batch against the crashed store KEEPS its copy of
+    # the boilerplate — the store doesn't describe batch 1's export,
+    # so cutting would lose text nothing shipped canonically... and
+    # conservative means keep
+    b2 = tmp_path / "crawl2"
+    crawl(b2, "http://b.com/2", "beta report that quotes")
+    out2 = tmp_path / "corpus2"
+    rc = curatectl.main(
+        ["--warc-dir", str(b2), "--out-dir", str(out2),
+         "--min-words", "8", "--substring-dedup",
+         "--substring-store", store]
+    )
+    assert rc == 0
+    texts2 = [r["text"] for r in spark.read.parquet(str(out2)).collect()]
+    assert sum(1 for t in texts2 if boiler in t) == 1  # duplicate KEPT
+    # (c) batch 2's append repaired the store: it now has fingerprints
+    assert sd.fingerprint_store_stats(spark, store)["n_rows"] > 0
+
+    # ...and from here the flow converges: a third batch with the same
+    # boilerplate gets it cut against the repaired store
+    b3 = tmp_path / "crawl3"
+    crawl(b3, "http://c.com/3", "gamma page that repeats")
+    out3 = tmp_path / "corpus3"
+    rc = curatectl.main(
+        ["--warc-dir", str(b3), "--out-dir", str(out3),
+         "--min-words", "8", "--substring-dedup",
+         "--substring-store", store]
+    )
+    assert rc == 0
+    texts3 = [r["text"] for r in spark.read.parquet(str(out3)).collect()]
+    assert not any(boiler in t for t in texts3)
+    capsys.readouterr()
+
+
+def test_cli_store_maintenance_mode(spark, tmp_path, capsys):
+    """--compact-store / --store-stats run standalone (no crawl flags)
+    and print one JSON line, mirroring txnctl for the txn table."""
+    import json as _json
+
+    import ir_analyses_spark.llm.substring_dedup as sd
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(0, "a corpus of words that is long enough to winnow some grams")],
+        "doc_id bigint, text string",
+    )
+    fps = sd.winnow_fingerprints(docs, k=16, window=8)
+    sd.write_fingerprint_store(fps, store, 16, 8)
+    sd.write_fingerprint_store(fps, store, 16, 8)  # a re-run's append
+
+    rc = curatectl.main(["--store-stats", store])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = out["stats"]["n_distinct"]
+    assert out["stats"]["n_rows"] == 2 * n > 0
+    assert out["stats"]["n_compactions"] == 0
+
+    rc = curatectl.main(["--compact-store", store, "--store-stats", store])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compact"]["rows_before"] == 2 * n
+    assert out["compact"]["rows_after"] == n
+    assert out["stats"]["n_rows"] == n
+    assert out["stats"]["n_compactions"] == 1
+
+
+def test_cli_maintenance_and_crawl_flags_are_exclusive(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        curatectl.main(
+            ["--compact-store", str(tmp_path / "s"),
+             "--warc-dir", str(tmp_path)]
+        )
+    # and a curation run still requires both crawl flags
+    with pytest.raises(SystemExit):
+        curatectl.main(["--out-dir", str(tmp_path / "o")])
+
+
+def test_cli_substring_stage_logs_shuffle_estimate(spark, tmp_path, capsys):
+    """r10 VERDICT item 6: enabling the stage must be loud about the
+    winnowing shuffle bill (w=8 ≈ 10 bytes per text byte) so a
+    default-w production run can't silently 10× its shuffle."""
+    import gzip
+
+    from tests.test_curate import _page, _record
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "c.warc.gz").write_bytes(gzip.compress(_record(
+        "http://a.com/1",
+        _page(["a page with enough plain words to clear the word gate"],
+              "One"),
+        seq=0,
+    )))
+    rc = curatectl.main(
+        ["--warc-dir", str(d), "--out-dir", str(tmp_path / "o"),
+         "--min-words", "8", "--substring-dedup"]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "w=8" in err
+    assert "~10.0 bytes shuffled per text byte" in err
+    assert "w=35" in err and "SCALE.md" in err
+
+
 def test_cli_wet_input_format(spark, tmp_path, capsys):
     """--input-format wet (or [curation] input_format) reaches the WET
     fast path from the CLI — previously curation_stages' WET mode was

@@ -12,6 +12,7 @@ from ir_analyses_spark.llm.h264_queries import (
     find_avcc,
     mp4_h264_headers,
     synthesize_avcc,
+    synthesize_mp4_avc,
 )
 from ir_analyses_spark.llm.media_h264 import parse_avcc
 from ir_analyses_spark.llm.multimodal import _mp4_box, encode_mp4_meta
@@ -131,6 +132,40 @@ def test_find_avcc_bounded_on_malicious_stsd():
         ),
     )
     assert find_avcc(blob2) is None
+
+
+def test_params_sign_agnostic():
+    """r10 ADVICE item 4: the oracle SQL's modulo follows the
+    dividend's sign while Python's does not — both sides now abs()
+    the doc_id, so a negative id means the same header."""
+    for d in (1, 2, 5, 7, 13):
+        assert _params(-d) == _params(d)
+    assert synthesize_avcc(-13) == synthesize_avcc(13)
+    assert synthesize_mp4_avc(-13) == synthesize_mp4_avc(13)
+
+
+def test_container_writer_roundtrips_through_find_avcc():
+    """The writer twin (r10 VERDICT item 2): for every doc_id lattice
+    point the synthesized container's extracted avcC must be BYTE-equal
+    to the bare synthesized record — certifying the 78-byte
+    VisualSampleEntry offset arithmetic, the esize stride past the
+    non-AVC entry, and the non-AVC-trak skip in one walk. Audio-only
+    containers (doc_id % 7 == 0) must yield None."""
+    # lcm(3,4,8,5,2,3,7) = 840 covers every (header-params × has-avc)
+    # combination; sample the full cycle sparsely + all %7 residues
+    for doc_id in (*range(16), 41, 90, 119, 210, 335, 839):
+        blob = synthesize_mp4_avc(doc_id)
+        got = find_avcc(blob)
+        if doc_id % 7 == 0:
+            assert got is None, doc_id
+        else:
+            assert got == synthesize_avcc(doc_id), doc_id
+    # the avc-bearing container also parses as a plain MP4 box tree:
+    # moov exists and the avcC sits after the 78 fixed entry bytes
+    from ir_analyses_spark.llm.multimodal import _find_box
+
+    blob = synthesize_mp4_avc(3)
+    assert _find_box(blob, 0, len(blob), b"moov") is not None
 
 
 def test_randomized_synth_parse_roundtrip():

@@ -524,6 +524,17 @@ def test_h264_header_parse_map_only(spark, sf_dir):
     assert len(re.findall(r"ArrowEvalPython|EvalPython|MapInPandas", plan)) == 2
 
 
+def test_mp4_h264_headers_map_only(spark, sf_dir):
+    """The container route keeps the same shape as the bare-avcC
+    surface: one parquet scan, three Arrow python stages (synthesize
+    container / extract avcC / parse headers — the middle one IS the
+    shipped operator), zero Exchange/Join."""
+    plan = plan_of(spark, sf_dir, "mp4_h264_headers")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"ArrowEvalPython|EvalPython|MapInPandas", plan)) == 3
+
+
 def test_approx_sketches_bound_single_scan_no_join(spark, sf_dir):
     """The sketch certificate reads lineitem ONCE: every estimate, the
     exact distinct count, and the exact percentile band come out of one
