@@ -650,7 +650,11 @@ def compact_fingerprint_store(spark, path: str) -> dict:
     then is the old data deleted. A crash before the final rename is
     rolled back by :func:`_recover_interrupted_compaction` (the reader
     calls it too), so no crash point loses fingerprints — the worst
-    outcome is the original, uncompacted store.
+    outcome is the original, uncompacted store. Concurrency: the store
+    is SINGLE-WRITER by contract (see :func:`write_fingerprint_store`),
+    and compaction counts as a write — run it in the gap between
+    batches; an append racing the staging write would vanish in the
+    swap.
 
     Returns ``{"rows_before", "rows_after", "bytes_before",
     "bytes_after"}``. Raises ``FileNotFoundError`` when no store exists

@@ -1,15 +1,23 @@
 #!/usr/bin/env python3
-"""Composed-ladder scale run (r9 VERDICT item 7): synthesize a
-multi-million-page WET crawl and drive the FULL curation funnel —
-including the substring-dedup rung and the quantized classifier gate —
-in one session, timing every stage. SCALE.md's per-stage throughputs
-were measured on 500k-doc single-stage runs; this is the 5M+-doc
-composed evidence (stage outputs feed the next stage's input, shuffles
-and persists included).
+"""Composed-ladder scale run (r9 VERDICT item 7; WARC mode r10 VERDICT
+item 5): synthesize a multi-million-page crawl and drive the FULL
+curation funnel — including the substring-dedup rung and the quantized
+classifier gate — in one session, timing every stage. SCALE.md's
+per-stage throughputs were measured on 500k-doc single-stage runs;
+this is the 5M+-doc composed evidence (stage outputs feed the next
+stage's input, shuffles and persists included).
 
     python tools/scale_funnel.py --pages 5000000 --shards 64 \
         --out /tmp/wet_scale
     python tools/scale_funnel.py --out /tmp/wet_scale --skip-gen  # rerun
+    python tools/scale_funnel.py --pages 5000000 --shards 64 \
+        --format warc --out /tmp/warc_scale   # raw-crawl HTML route
+
+``--format wet`` (default) synthesizes Common Crawl *conversion*
+records (pre-extracted text — the funnel's WET fast path);
+``--format warc`` synthesizes full HTTP *response* records with HTML
+markup, driving the HTTP-parse, HTML-extraction, link-density and
+NAV/FOOTER line-dedup chrome stages the WET path skips.
 
 Corpus shape (deterministic, derived from sf0.1 document texts so the
 vocabulary is the testdata's, not lorem ipsum):
@@ -131,15 +139,84 @@ def _record(uri: str, body: bytes, seq: int) -> bytes:
     return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
 
 
+#: crawl-universal chrome lines on every HTML page: extracted as their
+#: own text lines, they are exactly what the GLOBAL line-dedup stage
+#: exists to strip — and at 5M docs each is a maximal hot key for its
+#: xxhash64(line) group (the skew probe of the HTML path)
+NAV = "home products pricing about contact careers blog support"
+FOOTER = "copyright example corporation all rights reserved worldwide"
+
+
+def _http_record(
+    uri: str,
+    body: bytes,
+    seq: int,
+    status: str = "200 OK",
+    ctype: str = "text/html; charset=utf-8",
+) -> bytes:
+    """A WARC *response* record carrying a full HTTP message — the
+    Common Crawl raw-crawl layout (vs the WET conversion records above),
+    so the run drives the HTTP-parse + HTML-extraction stages too."""
+    payload = (
+        f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n\r\n"
+    ).encode() + body
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        f"WARC-Record-ID: <urn:uuid:s-{seq}>".encode(),
+        b"WARC-Date: 2024-01-02T03:04:05Z",
+        f"WARC-Target-URI: {uri}".encode(),
+        b"Content-Type: application/http; msgtype=response",
+        f"Content-Length: {len(payload)}".encode(),
+    ]
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _html_record(i: int, uri: str, texts: list[str]) -> bytes:
+    """One crawl page for the WARC (HTML) path. Text content comes from
+    the SAME ``_page_text`` lattice as the WET corpus (unique markers,
+    scattered stopwords, 2% exact dups, 10% mid-line boilerplate, 1%
+    sub-floor pages), wrapped in markup with crawl-universal NAV/FOOTER
+    chrome for the line-dedup stage; on top of that the HTTP/HTML-only
+    gates get work: ~0.5% link farms (link-density rule), ~0.4% non-200
+    or non-HTML responses (the HTTP gate)."""
+    if i % 500 == 13:
+        return _http_record(uri, b"gone away", i, status="404 Not Found")
+    if i % 500 == 14:
+        return _http_record(
+            uri, b'{"api": true}', i, ctype="application/json"
+        )
+    if i % 200 == 11:
+        anchors = "".join(
+            f'<a href="/{i}/{j}">{_alpha(_mix(i * 31 + j))} link {j}</a> '
+            for j in range(14)
+        )
+        return _http_record(
+            uri, f"<html><body>{anchors}</body></html>".encode(), i
+        )
+    paras = "".join(
+        f"<p>{p}</p>" for p in (_page_text(i, texts),)
+    )
+    html = (
+        f"<html><head><title>Page {_alpha(_mix(i + 7))}</title></head>"
+        f"<body><p>{NAV}</p>{paras}<p>{FOOTER}</p></body></html>"
+    )
+    return _http_record(uri, html.encode(), i)
+
+
 def _write_shard(args: tuple) -> int:
-    shard, lo, hi, out_dir = args
-    path = os.path.join(out_dir, f"part-{shard:05d}.warc.wet.gz")
+    shard, lo, hi, out_dir, fmt = args
+    suffix = "warc.wet.gz" if fmt == "wet" else "warc.gz"
+    path = os.path.join(out_dir, f"part-{shard:05d}.{suffix}")
     with open(path, "wb") as fh:
         buf = []
         for i in range(lo, hi):
-            body = _page_text(i, _TEXTS).encode()
             uri = f"http://site{i % 5000}.example/p/{i}"
-            buf.append(gzip.compress(_record(uri, body, i), 1))
+            if fmt == "wet":
+                rec = _record(uri, _page_text(i, _TEXTS).encode(), i)
+            else:
+                rec = _html_record(i, uri, _TEXTS)
+            buf.append(gzip.compress(rec, 1))
             if len(buf) >= 2000:
                 fh.write(b"".join(buf))
                 buf = []
@@ -153,13 +230,14 @@ def _init_worker(texts: list[str]) -> None:
 
 
 def generate(
-    out_dir: str, pages: int, shards: int, src: str, start: int = 0
+    out_dir: str, pages: int, shards: int, src: str, start: int = 0,
+    fmt: str = "wet",
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     texts = _load_texts(src)
     per = (pages + shards - 1) // shards
     jobs = [
-        (s, start + s * per, start + min((s + 1) * per, pages), out_dir)
+        (s, start + s * per, start + min((s + 1) * per, pages), out_dir, fmt)
         for s in range(shards)
         if s * per < pages
     ]
@@ -167,10 +245,10 @@ def generate(
         min(16, len(jobs)), initializer=_init_worker, initargs=(texts,)
     ) as pool:
         total = sum(pool.map(_write_shard, jobs))
-    print(f"generated {total} pages in {len(jobs)} shards at {out_dir}")
+    print(f"generated {total} {fmt} pages in {len(jobs)} shards at {out_dir}")
 
 
-def run_funnel(out_dir: str, audit: bool = False) -> dict:
+def run_funnel(out_dir: str, audit: bool = False, fmt: str = "wet") -> dict:
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -186,7 +264,7 @@ def run_funnel(out_dir: str, audit: bool = False) -> dict:
     stages = curation_stages(
         spark,
         out_dir,
-        input_format="wet",
+        input_format=fmt,
         substring_dedup=True,
         persist_intermediates=True,
         # sf0.1 document texts run ~40-60 words; the default Gopher
@@ -232,7 +310,7 @@ def run_funnel(out_dir: str, audit: bool = False) -> dict:
 
 
 def run_incremental(base_dir: str, pages: int, shards: int, src: str,
-                    skip_gen: bool = False) -> dict:
+                    skip_gen: bool = False, fmt: str = "wet") -> dict:
     """Incremental production shape AT SCALE, through the real CLI:
     batch 1 (first half of the pages) runs the funnel+substring stage,
     exports, and seeds the versioned fingerprint store; batch 2 (second
@@ -264,9 +342,10 @@ def run_incremental(base_dir: str, pages: int, shards: int, src: str,
             "requires a fresh store; it is append-only by design)"
         )
     if not skip_gen:
-        generate(b1, half, max(1, shards // 2), src, start=0)
+        generate(b1, half, max(1, shards // 2), src, start=0, fmt=fmt)
         generate(
-            b2, pages - half, max(1, shards - shards // 2), src, start=half
+            b2, pages - half, max(1, shards - shards // 2), src,
+            start=half, fmt=fmt,
         )
     timings: dict[str, dict] = {}
     spark = get_spark(app_name="scale_incremental")
@@ -274,7 +353,7 @@ def run_incremental(base_dir: str, pages: int, shards: int, src: str,
         t = time.monotonic()
         rc = curatectl.main([
             "--warc-dir", d, "--out-dir", f"{base_dir}/out_{name}",
-            "--input-format", "wet", "--min-words", "10",
+            "--input-format", fmt, "--min-words", "10",
             "--substring-dedup", "--substring-store", store,
         ])
         sec = round(time.monotonic() - t, 2)  # count below is re-read
@@ -305,6 +384,13 @@ def main() -> int:
     )
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument(
+        "--format", choices=("wet", "warc"), default="wet",
+        help="crawl distribution to synthesize/run: 'wet' (conversion "
+        "records, the r10 runs) or 'warc' (full HTTP responses + HTML "
+        "markup — drives the HTTP-parse, HTML-extraction, link-density "
+        "and line-dedup chrome stages too)",
+    )
+    ap.add_argument(
         "--audit", action="store_true",
         help="also count every stage (re-runs lineage; doubles spill)",
     )
@@ -317,13 +403,13 @@ def main() -> int:
     if args.incremental:
         print(json.dumps(run_incremental(
             args.out, args.pages, args.shards, args.src,
-            skip_gen=args.skip_gen), indent=1))
+            skip_gen=args.skip_gen, fmt=args.format), indent=1))
         return 0
     if not args.skip_gen:
         t = time.monotonic()
-        generate(args.out, args.pages, args.shards, args.src)
+        generate(args.out, args.pages, args.shards, args.src, fmt=args.format)
         print(f"generation: {time.monotonic() - t:.1f}s")
-    print(json.dumps(run_funnel(args.out, audit=args.audit), indent=1))
+    print(json.dumps(run_funnel(args.out, audit=args.audit, fmt=args.format), indent=1))
     return 0
 
 
