@@ -131,8 +131,17 @@ def _extract_tree(ref: str) -> str | None:
             # earlier bench version under a permissive umask):
             # exist_ok=True keeps the old mode, so refusing here would
             # PERMANENTLY disable the A/B column (r10 ADVICE) — we own
-            # it, so tighten it instead of bailing
+            # it, so tighten it instead of bailing. But anything
+            # ALREADY inside was writable while the dir was loose (a
+            # pre-planted tree + completion marker would be imported
+            # and executed below), so the cache contents are
+            # invalidated along with the mode (review-caught
+            # chmod-then-trust): wipe and re-extract.
+            import shutil
+
             os.chmod(base, 0o700)
+            for entry in os.listdir(base):
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
         d = os.path.join(base, f"bench_ab_{sha[:16]}")
         marker = os.path.join(d, ".extract_complete")
         if os.path.exists(marker):

@@ -162,10 +162,29 @@ def main(argv: list[str] | None = None) -> int:
     from ir_analyses_spark.session import get_spark
 
     if args.compact_store or args.store_stats:
-        if args.warc_dir or args.out_dir:
+        # reject EVERY crawl flag, not just the directory pair: a
+        # silently ignored --substring-dedup-window or --report on a
+        # maintenance run is the same silent-no-op failure mode the
+        # stage/threshold guards below exist for (review-caught)
+        ignored = [
+            name for name, default in (
+                ("warc_dir", None), ("out_dir", None), ("config", None),
+                ("blocklist", None), ("max_pages_per_domain", None),
+                ("max_link_char_frac", None), ("line_dedup_min_docs", None),
+                ("min_words", None), ("strict", False),
+                ("quality_model", None), ("min_quality_prob", None),
+                ("enforce_robots", False), ("substring_dedup", False),
+                ("substring_dedup_k", None), ("substring_dedup_window", None),
+                ("substring_store", None), ("input_format", None),
+                ("report", False),
+            )
+            if getattr(args, name) != default
+        ]
+        if ignored:
             ap.error(
                 "store maintenance (--compact-store/--store-stats) runs "
-                "standalone; drop --warc-dir/--out-dir"
+                f"standalone; these flags would be silently ignored: "
+                f"{', '.join('--' + n.replace('_', '-') for n in ignored)}"
             )
         from ir_analyses_spark.llm.substring_dedup import (
             compact_fingerprint_store,

@@ -585,22 +585,49 @@ _FPS_SCHEMA = "fp bigint, probe string"
 
 
 def _recover_interrupted_compaction(path: str) -> bool:
-    """Roll back a compaction that crashed mid-swap: ``fingerprints``
-    missing but ``fingerprints_retired`` present → rename the retired
-    (original, complete) data back. Restoring the ORIGINAL is always
-    safe — compaction is semantically a no-op (the remover groups on
-    (fp, probe)) and idempotent, so re-running it later loses nothing.
-    Returns True when a rollback happened. Local-filesystem directory
-    renames, the same scope as the txn table's maintenance surface
+    """Recover from a compaction that crashed at ANY point of its swap
+    (review-caught: the first revision handled only the mid-swap
+    window). The swap is write-staging → rename(live, retired) →
+    rename(staging, live) → delete(retired), so a crash leaves exactly
+    one of two shapes:
+
+    - ``fingerprints`` MISSING + retired present (crash between the two
+      renames): rename the retired (original, complete) data back.
+      Restoring the ORIGINAL is always safe — compaction is
+      semantically a no-op (the remover groups on (fp, probe)) and
+      idempotent, so re-running it later loses nothing.
+    - ``fingerprints`` present + retired present (crash after the
+      second rename, before the delete): the swap COMPLETED — live IS
+      the compacted set — so the retired dir is a fully superseded
+      copy; delete it. Appends run this recovery before writing, so
+      live can never have been recreated *around* a lingering retired
+      dir — coexistence always means post-swap.
+
+    A stale staging dir next to a live one (crash before the first
+    rename) is a derived copy of live; it is deleted here too rather
+    than waiting for the next compaction to overwrite it (it is
+    store-sized — the 288M-row run's was 3 GB).
+
+    Returns True when anything was repaired. Local-filesystem directory
+    operations, the same scope as the txn table's maintenance surface
     (`io/txn_maint.py`)."""
     import os
+    import shutil
 
     live = os.path.join(path, "fingerprints")
     retired = os.path.join(path, _RETIRED_DIR)
-    if not os.path.isdir(live) and os.path.isdir(retired):
-        os.rename(retired, live)
-        return True
-    return False
+    staging = os.path.join(path, _COMPACTING_DIR)
+    repaired = False
+    if os.path.isdir(retired):
+        if not os.path.isdir(live):
+            os.rename(retired, live)
+        else:
+            shutil.rmtree(retired)
+        repaired = True
+    if os.path.isdir(staging) and os.path.isdir(live):
+        shutil.rmtree(staging)
+        repaired = True
+    return repaired
 
 
 def read_fingerprint_store(
@@ -619,7 +646,14 @@ def read_fingerprint_store(
     of cutting text, and its append repairs the store (r10 ADVICE; the
     previous contract raised an uncaught AnalysisException until the
     directory was manually deleted). A compaction that crashed mid-swap
-    is rolled back first (:func:`_recover_interrupted_compaction`)."""
+    is rolled back first (:func:`_recover_interrupted_compaction`).
+
+    Only a MISSING fingerprints path reads as empty; any other analysis
+    error (e.g. a fingerprints dir whose parquet lacks the fp/probe
+    columns — a partial restore or foreign data) re-raises, because
+    treating it as empty would silently no-op the dedup AND let the
+    next append mix a second schema into the directory
+    (review-caught)."""
     from pyspark.errors import AnalysisException
 
     meta = _read_store_meta(spark, path)
@@ -628,9 +662,23 @@ def read_fingerprint_store(
     _recover_interrupted_compaction(path)
     try:
         fps = spark.read.parquet(f"{path}/fingerprints").select("fp", "probe")
-    except AnalysisException:
+    except AnalysisException as e:
+        if not _is_path_missing(e):
+            raise
         fps = spark.createDataFrame([], _FPS_SCHEMA)
     return fps, meta
+
+
+def _is_path_missing(e) -> bool:
+    """True when an AnalysisException means the read PATH does not
+    exist (vs schema/column errors, which must propagate).
+    ``getCondition`` is Spark 4's name; older releases spell it
+    ``getErrorClass`` (deprecated alias in 4.x — calling it warns)."""
+    getter = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    cls = (getter() if getter else None) or ""
+    return "PATH_NOT_FOUND" in cls or "Path does not exist" in str(e)
 
 
 def compact_fingerprint_store(spark, path: str) -> dict:
@@ -668,6 +716,7 @@ def compact_fingerprint_store(spark, path: str) -> dict:
     meta = _read_store_meta(spark, path)
     if meta is None:
         raise FileNotFoundError(f"no fingerprint store at {path}")
+    _require_local_store(path)
     _recover_interrupted_compaction(path)
     live = os.path.join(path, "fingerprints")
     if not os.path.isdir(live):
@@ -732,6 +781,24 @@ def estimate_shuffle_ratio(
     return 2.0 / (window + 1) * row_bytes
 
 
+def _require_local_store(path: str) -> None:
+    """The maintenance surface (compaction swap, file/byte stats) is
+    local-filesystem directory work, while the store's READ/APPEND
+    surface goes through Spark and works on any Hadoop-visible
+    filesystem. A store whose meta Spark can read but whose path is not
+    a local directory is therefore remote — refuse LOUDLY instead of
+    taking the meta-only branch and reporting an all-zero 'compaction'
+    the operator would believe (review-caught silent no-op)."""
+    import os
+
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"fingerprint-store maintenance supports local filesystems "
+            f"only (the same scope as io/txn_maint.py); {path!r} is not "
+            f"a local directory — reads and appends still work via Spark"
+        )
+
+
 def _dir_bytes(d: str) -> int:
     import os
 
@@ -761,13 +828,16 @@ def fingerprint_store_stats(spark, path: str) -> dict:
     meta = _read_store_meta(spark, path)
     if meta is None:
         raise FileNotFoundError(f"no fingerprint store at {path}")
+    _require_local_store(path)
     _recover_interrupted_compaction(path)
     live = os.path.join(path, "fingerprints")
     try:
         fps = spark.read.parquet(live)
         n_rows = fps.count()
         n_distinct = fps.select("fp", "probe").distinct().count()
-    except AnalysisException:
+    except AnalysisException as e:
+        if not _is_path_missing(e):
+            raise
         n_rows = n_distinct = 0
     n_files = sum(
         1

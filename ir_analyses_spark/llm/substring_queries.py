@@ -108,7 +108,13 @@ def fingerprint_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     `read_fingerprint_store`. The oracle recomputes the DISTINCT
     winnowed (fp, probe) set in DuckDB, so the driver hash proves both
     directions: a compaction that keeps any duplicate doubles the row
-    count, one that drops a fingerprint breaks the value hash."""
+    count, one that drops a fingerprint breaks the value hash.
+
+    Each run builds its store under a fresh ``tempfile.mkdtemp``; the
+    returned DataFrame lazily reads from it, so it cannot be deleted
+    here — cleanup is left to /tmp hygiene, the same documented
+    contract as the on-disk txn certification queries
+    (`io/txn_queries.py`)."""
     import tempfile
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")

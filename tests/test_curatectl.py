@@ -413,7 +413,7 @@ def test_cli_store_maintenance_mode(spark, tmp_path, capsys):
     assert out["stats"]["n_compactions"] == 1
 
 
-def test_cli_maintenance_and_crawl_flags_are_exclusive(tmp_path):
+def test_cli_maintenance_and_crawl_flags_are_exclusive(tmp_path, capsys):
     import pytest
 
     with pytest.raises(SystemExit):
@@ -421,6 +421,17 @@ def test_cli_maintenance_and_crawl_flags_are_exclusive(tmp_path):
             ["--compact-store", str(tmp_path / "s"),
              "--warc-dir", str(tmp_path)]
         )
+    # EVERY crawl flag is rejected, not just the directory pair — a
+    # silently ignored --substring-dedup-window or --report on a
+    # maintenance run is a silent no-op (review-caught)
+    with pytest.raises(SystemExit):
+        curatectl.main(
+            ["--store-stats", str(tmp_path / "s"),
+             "--substring-dedup-window", "35"]
+        )
+    assert "--substring-dedup-window" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        curatectl.main(["--compact-store", str(tmp_path / "s"), "--report"])
     # and a curation run still requires both crawl flags
     with pytest.raises(SystemExit):
         curatectl.main(["--out-dir", str(tmp_path / "o")])

@@ -195,6 +195,82 @@ def test_interrupted_compaction_rolls_back(spark, tmp_path):
     ).count()
 
 
+def test_post_swap_crash_reclaims_retired_dir(spark, tmp_path):
+    """Review-caught: a crash AFTER the second rename but before the
+    delete leaves live + retired coexisting; the first recovery
+    revision only handled live-missing, so the retired copy leaked
+    forever and the next compaction died on a non-empty rename target.
+    Coexistence always means the swap completed (appends recover before
+    writing, so they can never recreate live around a lingering retired
+    dir) — the retired copy is superseded and must be deleted."""
+    store = str(tmp_path / "store")
+    _seed_store(spark, store, n_appends=2)
+    live = os.path.join(store, "fingerprints")
+    retired = os.path.join(store, sd._RETIRED_DIR)
+    n = spark.read.parquet(live).count()
+
+    # simulate: swap completed (live is current), retired never deleted
+    import shutil
+
+    shutil.copytree(live, retired)
+    fps, _ = sd.read_fingerprint_store(spark, store)
+    assert fps.count() == n  # live untouched
+    assert not os.path.exists(retired)  # superseded copy reclaimed
+
+    # and the next compaction runs instead of dying on the rename
+    shutil.copytree(live, retired)
+    res = sd.compact_fingerprint_store(spark, store)
+    assert res["rows_after"] <= res["rows_before"] == n
+    assert not os.path.exists(retired)
+
+    # a stale staging dir next to a live one is store-sized garbage
+    # from a pre-rename crash: reclaimed, not left for the next compact
+    staging = os.path.join(store, sd._COMPACTING_DIR)
+    os.makedirs(staging)
+    sd.read_fingerprint_store(spark, store)
+    assert not os.path.exists(staging)
+
+
+def test_wrong_schema_fingerprints_raise_not_empty(spark, tmp_path):
+    """Review-caught: the empty-store fallback must cover ONLY a
+    missing fingerprints path — a fingerprints dir holding foreign
+    parquet (partial restore, wrong data) must raise, not silently
+    no-op the dedup and then mix schemas on the next append."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
+        "k int, window int, hash_scheme string, format_version int",
+    ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
+    spark.createDataFrame(
+        [(1, "x")], "wrong_col int, other string"
+    ).write.parquet(f"{store}/fingerprints")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        sd.read_fingerprint_store(spark, store)
+    with pytest.raises(AnalysisException):
+        sd.fingerprint_store_stats(spark, store)
+
+
+def test_maintenance_refuses_non_local_store(spark, monkeypatch, tmp_path):
+    """Review-caught: a remote (HDFS/S3) store's meta reads fine via
+    Spark but os.path.isdir is a LOCAL check, so compaction used to
+    take the meta-only branch and report an all-zero 'compaction' the
+    operator would believe. Maintenance must refuse loudly; reads and
+    appends stay Hadoop-generic."""
+    # simulate 'meta readable but path not a local directory'
+    monkeypatch.setattr(
+        sd, "_read_store_meta",
+        lambda spark, path: {"k": 16, "window": 8,
+                             "hash_scheme": sd.DEFAULT_HASH_SCHEME,
+                             "format_version": sd._STORE_FORMAT_VERSION},
+    )
+    with pytest.raises(ValueError, match="local filesystems only"):
+        sd.compact_fingerprint_store(spark, "hdfs://nn/stores/fps")
+    with pytest.raises(ValueError, match="local filesystems only"):
+        sd.fingerprint_store_stats(spark, "hdfs://nn/stores/fps")
+
+
 def test_maintenance_on_missing_store_fails_loudly(spark, tmp_path):
     """Silently 'compacting' a typo'd path would leave the operator
     believing the real store shrank — same contract as txn_maint."""

@@ -194,12 +194,10 @@ def _html_record(i: int, uri: str, texts: list[str]) -> bytes:
         return _http_record(
             uri, f"<html><body>{anchors}</body></html>".encode(), i
         )
-    paras = "".join(
-        f"<p>{p}</p>" for p in (_page_text(i, texts),)
-    )
     html = (
         f"<html><head><title>Page {_alpha(_mix(i + 7))}</title></head>"
-        f"<body><p>{NAV}</p>{paras}<p>{FOOTER}</p></body></html>"
+        f"<body><p>{NAV}</p><p>{_page_text(i, texts)}</p>"
+        f"<p>{FOOTER}</p></body></html>"
     )
     return _http_record(uri, html.encode(), i)
 
