@@ -136,12 +136,28 @@ def _extract_tree(ref: str) -> str | None:
             # pre-planted tree + completion marker would be imported
             # and executed below), so the cache contents are
             # invalidated along with the mode (review-caught
-            # chmod-then-trust): wipe and re-extract.
+            # chmod-then-trust). The wipe must actually succeed: a
+            # pre-planted SYMLINK named bench_ab_<sha> survives
+            # rmtree(ignore_errors=True) — rmtree refuses symlinks and
+            # the error was swallowed — and the marker check below
+            # would follow it into an attacker-owned tree
+            # (review-caught, verified by experiment). Unlink
+            # non-dirs/symlinks explicitly and BAIL if anything
+            # survives.
             import shutil
 
             os.chmod(base, 0o700)
             for entry in os.listdir(base):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                p = os.path.join(base, entry)
+                try:
+                    if os.path.islink(p) or not os.path.isdir(p):
+                        os.unlink(p)
+                    else:
+                        shutil.rmtree(p)
+                except OSError:
+                    pass
+            if os.listdir(base):
+                return None
         d = os.path.join(base, f"bench_ab_{sha[:16]}")
         marker = os.path.join(d, ".extract_complete")
         if os.path.exists(marker):

@@ -110,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         "config's substring_dedup_window). SIZE THIS FOR YOUR CORPUS: "
         "the fingerprint shuffle is ~2/(w+1) rows per character, so "
         "the test-tuned default w=8 shuffles ~10 bytes per text byte; "
-        "production corpora want w=35 (~2.5x) or w=64 (~1.3x) — see "
+        "production corpora want w=35 (~2.5x) or w=64 (~1.4x) — see "
         "SCALE.md. The estimated ratio is logged whenever the stage "
         "is enabled",
     )
@@ -165,20 +165,15 @@ def main(argv: list[str] | None = None) -> int:
         # reject EVERY crawl flag, not just the directory pair: a
         # silently ignored --substring-dedup-window or --report on a
         # maintenance run is the same silent-no-op failure mode the
-        # stage/threshold guards below exist for (review-caught)
+        # stage/threshold guards below exist for. Derived from the
+        # parser's own actions so a future flag can never fall out of
+        # sync with a hand-maintained list (review-caught twice)
+        maint = {"compact_store", "store_stats", "help"}
         ignored = [
-            name for name, default in (
-                ("warc_dir", None), ("out_dir", None), ("config", None),
-                ("blocklist", None), ("max_pages_per_domain", None),
-                ("max_link_char_frac", None), ("line_dedup_min_docs", None),
-                ("min_words", None), ("strict", False),
-                ("quality_model", None), ("min_quality_prob", None),
-                ("enforce_robots", False), ("substring_dedup", False),
-                ("substring_dedup_k", None), ("substring_dedup_window", None),
-                ("substring_store", None), ("input_format", None),
-                ("report", False),
-            )
-            if getattr(args, name) != default
+            a.dest
+            for a in ap._actions
+            if a.dest not in maint
+            and getattr(args, a.dest, a.default) != a.default
         ]
         if ignored:
             ap.error(
@@ -267,11 +262,16 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         _w = kwargs.get("substring_dedup_window", _DW)
+        # the guidance ratios are COMPUTED from the same function as
+        # the headline estimate — hand-written "~1.3x" for w=64
+        # contradicted the printed ~1.4 (review-caught)
         print(
             f"substring-dedup: winnowing window w={_w} selects "
             f"~{2.0 / (_w + 1):.3f} fingerprints/char -> estimated "
             f"~{estimate_shuffle_ratio(_w):.1f} bytes shuffled per text "
-            f"byte (production guidance: w=35 ~2.5x, w=64 ~1.3x; see "
+            f"byte (production guidance: "
+            f"w=35 ~{estimate_shuffle_ratio(35):.1f}x, "
+            f"w=64 ~{estimate_shuffle_ratio(64):.1f}x; see "
             f"SCALE.md and --substring-dedup-window)",
             file=sys.stderr,
         )

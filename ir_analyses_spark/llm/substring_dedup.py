@@ -551,11 +551,10 @@ def write_fingerprint_store(
         ).coalesce(1).write.mode("overwrite").json(f"{path}/_store_meta")
     else:
         _check_store_meta(meta, k, window, hash_scheme)
-    # an interrupted compaction must roll back BEFORE appending: an
-    # append that recreates ``fingerprints/`` while the retired dir
-    # still holds the real data would permanently strand it (the
-    # rollback rename refuses to clobber a live dir)
-    _recover_interrupted_compaction(path)
+    # an interrupted compaction must be resolved BEFORE appending: an
+    # append that recreates ``fingerprints/`` while the __old dir still
+    # holds the real data would permanently strand it
+    _recover_store_swap(path)
     fps.select("fp", "probe").write.mode("append").parquet(
         f"{path}/fingerprints"
     )
@@ -573,61 +572,60 @@ def _read_store_meta(spark, path: str) -> dict | None:
     return row.asDict()
 
 
-#: directory the live fingerprints are renamed to for the duration of
-#: a compaction swap — present without ``fingerprints`` means a
-#: compaction crashed mid-swap and the original data must be restored
-_RETIRED_DIR = "fingerprints_retired"
+#: directory the live fingerprints sit at while a compaction swap is in
+#: flight — `io/sinks._swap_in`'s ``__old`` convention (the store reuses
+#: the sinks staged-swap helpers rather than re-implementing the
+#: rename/rollback logic — review-caught duplication; the local copy's
+#: first revision missed a crash shape the shared helper had long
+#: handled)
+_RETIRED_DIR = "fingerprints__old"
 #: staging directory a compaction writes the distinct set to before
-#: the swap; a leftover is overwritten by the next compaction
-_COMPACTING_DIR = "fingerprints_compacting"
+#: the swap; a leftover is a store-sized derived copy reclaimed by the
+#: next WRITE entry point
+_COMPACTING_DIR = "fingerprints__staging"
 
 _FPS_SCHEMA = "fp bigint, probe string"
 
 
-def _recover_interrupted_compaction(path: str) -> bool:
-    """Recover from a compaction that crashed at ANY point of its swap
-    (review-caught: the first revision handled only the mid-swap
-    window). The swap is write-staging → rename(live, retired) →
-    rename(staging, live) → delete(retired), so a crash leaves exactly
-    one of two shapes:
-
-    - ``fingerprints`` MISSING + retired present (crash between the two
-      renames): rename the retired (original, complete) data back.
-      Restoring the ORIGINAL is always safe — compaction is
-      semantically a no-op (the remover groups on (fp, probe)) and
-      idempotent, so re-running it later loses nothing.
-    - ``fingerprints`` present + retired present (crash after the
-      second rename, before the delete): the swap COMPLETED — live IS
-      the compacted set — so the retired dir is a fully superseded
-      copy; delete it. Appends run this recovery before writing, so
-      live can never have been recreated *around* a lingering retired
-      dir — coexistence always means post-swap.
-
-    A stale staging dir next to a live one (crash before the first
-    rename) is a derived copy of live; it is deleted here too rather
-    than waiting for the next compaction to overwrite it (it is
-    store-sized — the 288M-row run's was 3 GB).
-
-    Returns True when anything was repaired. Local-filesystem directory
-    operations, the same scope as the txn table's maintenance surface
-    (`io/txn_maint.py`)."""
+def _recover_store_swap(path: str) -> None:
+    """WRITE-side recovery from a compaction crash: resolve a crashed
+    swap via `io/sinks._recover_swap` (restore ``__old`` when live is
+    missing, reclaim it when live exists), then delete any stale
+    staging copy (store-sized — the 288M-row run's was 3 GB). Called by
+    the two write entry points (append, compact) ONLY: reads must stay
+    mutation-free or a stats call racing a live compaction could rename
+    directories out from under its swap (review-caught; reads resolve
+    the crashed shape without touching it, `_store_data_dir`)."""
     import os
     import shutil
 
+    from ..io.sinks import _recover_swap
+
     live = os.path.join(path, "fingerprints")
-    retired = os.path.join(path, _RETIRED_DIR)
+    _recover_swap(live)
     staging = os.path.join(path, _COMPACTING_DIR)
-    repaired = False
-    if os.path.isdir(retired):
-        if not os.path.isdir(live):
-            os.rename(retired, live)
-        else:
-            shutil.rmtree(retired)
-        repaired = True
     if os.path.isdir(staging) and os.path.isdir(live):
         shutil.rmtree(staging)
-        repaired = True
-    return repaired
+
+
+def _store_data_dir(path: str) -> str:
+    """READ-ONLY resolution of where the fingerprints currently live:
+    normally ``<path>/fingerprints``; after a compaction crashed between
+    its two renames the only complete copy sits at ``fingerprints__old``
+    — read THAT, without repairing anything (repair is a write, and
+    reads must not race a live compaction's swap). On a non-local store
+    the isdir probes are False and the normal path falls through to
+    Spark untouched. Reader-vs-maintenance raciness is inherent (same
+    as txn vacuum vs pinned readers): a compaction finishing mid-job
+    can delete the resolved dir under an in-flight reader, which then
+    fails and retries against the repaired store."""
+    import os
+
+    live = os.path.join(path, "fingerprints")
+    old = os.path.join(path, _RETIRED_DIR)
+    if not os.path.isdir(live) and os.path.isdir(old):
+        return old
+    return live
 
 
 def read_fingerprint_store(
@@ -636,49 +634,52 @@ def read_fingerprint_store(
     """Load a store written by :func:`write_fingerprint_store`:
     ``((fp, probe) DataFrame, meta dict)``, or ``(None, None)`` when no
     store exists at ``path`` yet (the incremental pipeline's first
-    batch).
+    batch). Mutation-free: a crashed compaction swap is READ AROUND
+    (:func:`_store_data_dir`), not repaired — repair happens on the
+    next write entry point.
 
-    A store whose meta is present but whose fingerprint data is missing
-    is an EMPTY store, not a corrupt one: the only flow that produces
-    it is a crash between the meta write and the first fingerprint
-    append, and treating it as empty degrades in the documented
-    conservative direction — the next batch keeps a duplicate instead
-    of cutting text, and its append repairs the store (r10 ADVICE; the
-    previous contract raised an uncaught AnalysisException until the
-    directory was manually deleted). A compaction that crashed mid-swap
-    is rolled back first (:func:`_recover_interrupted_compaction`).
-
-    Only a MISSING fingerprints path reads as empty; any other analysis
-    error (e.g. a fingerprints dir whose parquet lacks the fp/probe
-    columns — a partial restore or foreign data) re-raises, because
-    treating it as empty would silently no-op the dedup AND let the
-    next append mix a second schema into the directory
-    (review-caught)."""
+    A store whose meta is present but whose fingerprint DATA is missing
+    reads as an EMPTY store, not a corrupt one: a crash between the
+    meta write and the first append, or one that killed an append
+    mid-job (an uncommitted ``_temporary`` dir and no data files),
+    degrades in the documented conservative direction — the next batch
+    keeps a duplicate instead of cutting text, and its append repairs
+    the store (r10 ADVICE; the previous contract raised an uncaught
+    AnalysisException until the directory was manually deleted). Any
+    OTHER analysis error (e.g. parquet lacking the fp/probe columns — a
+    partial restore or foreign data) re-raises, because treating it as
+    empty would silently no-op the dedup AND let the next append mix a
+    second schema into the directory (review-caught)."""
     from pyspark.errors import AnalysisException
 
     meta = _read_store_meta(spark, path)
     if meta is None:
         return None, None
-    _recover_interrupted_compaction(path)
     try:
-        fps = spark.read.parquet(f"{path}/fingerprints").select("fp", "probe")
+        fps = spark.read.parquet(_store_data_dir(path)).select("fp", "probe")
     except AnalysisException as e:
-        if not _is_path_missing(e):
+        if not _reads_as_empty(e):
             raise
         fps = spark.createDataFrame([], _FPS_SCHEMA)
     return fps, meta
 
 
-def _is_path_missing(e) -> bool:
-    """True when an AnalysisException means the read PATH does not
-    exist (vs schema/column errors, which must propagate).
+def _reads_as_empty(e) -> bool:
+    """True when an AnalysisException means the fingerprints path holds
+    NO committed data — path absent, or only an uncommitted
+    ``_temporary`` dir from an append killed mid-job (schema inference
+    finds no files) — vs schema/column errors, which must propagate.
     ``getCondition`` is Spark 4's name; older releases spell it
     ``getErrorClass`` (deprecated alias in 4.x — calling it warns)."""
     getter = getattr(e, "getCondition", None) or getattr(
         e, "getErrorClass", None
     )
     cls = (getter() if getter else None) or ""
-    return "PATH_NOT_FOUND" in cls or "Path does not exist" in str(e)
+    return (
+        "PATH_NOT_FOUND" in cls
+        or "UNABLE_TO_INFER_SCHEMA" in cls
+        or "Path does not exist" in str(e)
+    )
 
 
 def compact_fingerprint_store(spark, path: str) -> dict:
@@ -696,13 +697,16 @@ def compact_fingerprint_store(spark, path: str) -> dict:
     scope): the distinct set lands fully in a staging dir first, the
     live dir is renamed aside, the staging dir renamed live, and only
     then is the old data deleted. A crash before the final rename is
-    rolled back by :func:`_recover_interrupted_compaction` (the reader
-    calls it too), so no crash point loses fingerprints — the worst
-    outcome is the original, uncompacted store. Concurrency: the store
-    is SINGLE-WRITER by contract (see :func:`write_fingerprint_store`),
-    and compaction counts as a write — run it in the gap between
-    batches; an append racing the staging write would vanish in the
-    swap.
+    resolved by :func:`_recover_store_swap` at the next write entry
+    point (reads read AROUND the crashed shape without mutating), so no
+    crash point loses fingerprints — the worst outcome is the original,
+    uncompacted store. The swap itself is `io/sinks._swap_in` — the
+    SAME staged-swap helper the batch sinks promote tables with, not a
+    second implementation of the rename/rollback logic
+    (review-caught). Concurrency: the store is SINGLE-WRITER by
+    contract (see :func:`write_fingerprint_store`), and compaction
+    counts as a write — run it in the gap between batches; an append
+    racing the staging write would vanish in the swap.
 
     Returns ``{"rows_before", "rows_after", "bytes_before",
     "bytes_after"}``. Raises ``FileNotFoundError`` when no store exists
@@ -710,14 +714,15 @@ def compact_fingerprint_store(spark, path: str) -> dict:
     operator believing the real store shrank (the same loud-failure
     contract as ``txn_maint._require_table``)."""
     import os
-    import shutil
     import time
+
+    from ..io.sinks import _swap_in
 
     meta = _read_store_meta(spark, path)
     if meta is None:
         raise FileNotFoundError(f"no fingerprint store at {path}")
     _require_local_store(path)
-    _recover_interrupted_compaction(path)
+    _recover_store_swap(path)
     live = os.path.join(path, "fingerprints")
     if not os.path.isdir(live):
         # meta-only store (crash before the first append): nothing to
@@ -727,7 +732,6 @@ def compact_fingerprint_store(spark, path: str) -> dict:
             "bytes_before": 0, "bytes_after": 0,
         }
     staging = os.path.join(path, _COMPACTING_DIR)
-    retired = os.path.join(path, _RETIRED_DIR)
     fps = spark.read.parquet(live)
     rows_before = fps.count()
     bytes_before = _dir_bytes(live)
@@ -735,9 +739,7 @@ def compact_fingerprint_store(spark, path: str) -> dict:
         staging
     )
     rows_after = spark.read.parquet(staging).count()
-    os.rename(live, retired)
-    os.rename(staging, live)
-    shutil.rmtree(retired)
+    _swap_in(staging, live)
     bytes_after = _dir_bytes(live)
     record = {
         "op": "compact",
@@ -773,9 +775,11 @@ def estimate_shuffle_ratio(
     of SCALE.md's r10 sizing math (r10 VERDICT item 6): the test-tuned
     default w=8 means ~10 bytes of shuffle per text byte — fine at
     correctness SFs, pathological on a 100 TB corpus, where w=35
-    (~2.5×) or w=64 (~1.3×) is the guidance. `curatectl` logs this
-    estimate whenever the stage is enabled so a default-w production
-    run is loud instead of silently 10×."""
+    (~2.5×) or w=64 (~1.4×; 2/65·45 = 1.385 — an earlier "~1.3×"
+    rounding contradicted this function's own output, review-caught)
+    is the guidance. `curatectl` logs this estimate whenever the stage
+    is enabled so a default-w production run is loud instead of
+    silently 10×."""
     if window < 1:
         raise ValueError(f"winnowing window must be >= 1, got {window}")
     return 2.0 / (window + 1) * row_bytes
@@ -829,14 +833,26 @@ def fingerprint_store_stats(spark, path: str) -> dict:
     if meta is None:
         raise FileNotFoundError(f"no fingerprint store at {path}")
     _require_local_store(path)
-    _recover_interrupted_compaction(path)
-    live = os.path.join(path, "fingerprints")
+    # read-only like read_fingerprint_store: stats must never mutate a
+    # store a live compaction is mid-swap on (review-caught) — a
+    # crashed shape is read around via the same dir resolution
+    live = _store_data_dir(path)
     try:
-        fps = spark.read.parquet(live)
-        n_rows = fps.count()
-        n_distinct = fps.select("fp", "probe").distinct().count()
+        # ONE aggregation pass for both counts — the first revision
+        # scanned the full store twice (count, then distinct().count());
+        # at the measured 288M-row store that was half of a 33.5 s call
+        # (review-caught)
+        row = (
+            spark.read.parquet(live)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("fp", "probe").alias("d"),
+            )
+            .head()
+        )
+        n_rows, n_distinct = row["n"], row["d"]
     except AnalysisException as e:
-        if not _is_path_missing(e):
+        if not _reads_as_empty(e):
             raise
         n_rows = n_distinct = 0
     n_files = sum(

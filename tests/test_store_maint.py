@@ -148,12 +148,14 @@ def test_meta_only_store_is_empty_not_corrupt(spark, tmp_path):
     }
 
 
-def test_interrupted_compaction_rolls_back(spark, tmp_path):
+def test_interrupted_compaction_recovery(spark, tmp_path):
     """A compaction that crashed between the two renames leaves
-    ``fingerprints_retired`` holding the only copy of the data; every
-    entry point (read, append, compact, stats) must restore it before
-    touching the store, or an append would recreate ``fingerprints/``
-    and strand the retired rows forever."""
+    ``fingerprints__old`` holding the only copy of the data. READS must
+    resolve that shape WITHOUT mutating it (a stats/read call racing a
+    live compaction must never rename directories out from under its
+    swap — review-caught); WRITE entry points (append, compact) repair
+    it before touching the store, or an append would recreate
+    ``fingerprints/`` and strand the old rows forever."""
     store = str(tmp_path / "store")
     _seed_store(spark, store, n_appends=2)
     n = spark.read.parquet(f"{store}/fingerprints").count()
@@ -164,14 +166,15 @@ def test_interrupted_compaction_rolls_back(spark, tmp_path):
         os.path.join(store, sd._RETIRED_DIR),
     )
     fps, _ = sd.read_fingerprint_store(spark, store)
-    assert fps.count() == n  # recovered, nothing lost
-    assert not os.path.exists(os.path.join(store, sd._RETIRED_DIR))
+    assert fps.count() == n  # read AROUND the crash, nothing lost
+    # ...and the crashed shape is untouched: reads are mutation-free
+    assert os.path.exists(os.path.join(store, sd._RETIRED_DIR))
+    assert not os.path.exists(os.path.join(store, "fingerprints"))
+    st = sd.fingerprint_store_stats(spark, store)
+    assert st["n_rows"] == n  # stats read around it too
+    assert os.path.exists(os.path.join(store, sd._RETIRED_DIR))
 
-    # same crash, repaired by the APPEND path (the strand scenario)
-    os.rename(
-        os.path.join(store, "fingerprints"),
-        os.path.join(store, sd._RETIRED_DIR),
-    )
+    # the APPEND path repairs (the strand scenario)
     new_fps = sd.winnow_fingerprints(
         _docs(spark, NEW_BATCH), k=16, window=8
     )
@@ -181,7 +184,7 @@ def test_interrupted_compaction_rolls_back(spark, tmp_path):
     assert not os.path.exists(os.path.join(store, sd._RETIRED_DIR))
 
     # same crash, repaired by the COMPACT path; a stale staging dir
-    # from the crashed attempt is overwritten, not tripped over
+    # from the crashed attempt is reclaimed, not tripped over
     os.rename(
         os.path.join(store, "fingerprints"),
         os.path.join(store, sd._RETIRED_DIR),
@@ -193,42 +196,73 @@ def test_interrupted_compaction_rolls_back(spark, tmp_path):
     assert res["rows_after"] == spark.read.parquet(
         f"{store}/fingerprints"
     ).count()
+    assert not os.path.exists(staging)
 
 
-def test_post_swap_crash_reclaims_retired_dir(spark, tmp_path):
+def test_post_swap_crash_reclaims_superseded_dir(spark, tmp_path):
     """Review-caught: a crash AFTER the second rename but before the
-    delete leaves live + retired coexisting; the first recovery
-    revision only handled live-missing, so the retired copy leaked
-    forever and the next compaction died on a non-empty rename target.
-    Coexistence always means the swap completed (appends recover before
-    writing, so they can never recreate live around a lingering retired
-    dir) — the retired copy is superseded and must be deleted."""
+    delete leaves live + __old coexisting; the first recovery revision
+    only handled live-missing, so the superseded copy leaked forever
+    and the next compaction died on a non-empty rename target.
+    Coexistence always means the swap completed (write entry points
+    recover before writing, so they can never recreate live around a
+    lingering __old dir) — reads use live and leave the shape alone;
+    the next WRITE reclaims it."""
     store = str(tmp_path / "store")
     _seed_store(spark, store, n_appends=2)
     live = os.path.join(store, "fingerprints")
     retired = os.path.join(store, sd._RETIRED_DIR)
     n = spark.read.parquet(live).count()
 
-    # simulate: swap completed (live is current), retired never deleted
+    # simulate: swap completed (live is current), __old never deleted
     import shutil
 
     shutil.copytree(live, retired)
     fps, _ = sd.read_fingerprint_store(spark, store)
-    assert fps.count() == n  # live untouched
-    assert not os.path.exists(retired)  # superseded copy reclaimed
+    assert fps.count() == n  # reads use LIVE when both exist
+    assert os.path.exists(retired)  # ...and never mutate
 
-    # and the next compaction runs instead of dying on the rename
-    shutil.copytree(live, retired)
+    # the next compaction reclaims it and runs instead of dying on a
+    # non-empty rename target
     res = sd.compact_fingerprint_store(spark, store)
     assert res["rows_after"] <= res["rows_before"] == n
     assert not os.path.exists(retired)
 
     # a stale staging dir next to a live one is store-sized garbage
-    # from a pre-rename crash: reclaimed, not left for the next compact
+    # from a pre-rename crash: the next WRITE reclaims it
     staging = os.path.join(store, sd._COMPACTING_DIR)
     os.makedirs(staging)
-    sd.read_fingerprint_store(spark, store)
+    sd.write_fingerprint_store(
+        sd.winnow_fingerprints(_docs(spark, NEW_BATCH), k=16, window=8),
+        store, 16, 8,
+    )
     assert not os.path.exists(staging)
+
+
+def test_append_killed_mid_job_reads_as_empty(spark, tmp_path):
+    """Review-caught: an append killed mid-job (executor OOM, SIGKILL)
+    leaves fingerprints/ holding only an uncommitted ``_temporary`` dir
+    and no data files — UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND.
+    That too must read as an EMPTY store (conservative keep-a-duplicate
+    direction, repaired by the next append), not brick every later
+    incremental batch."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
+        "k int, window int, hash_scheme string, format_version int",
+    ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
+    os.makedirs(os.path.join(store, "fingerprints", "_temporary", "0"))
+
+    fps, meta = sd.read_fingerprint_store(spark, store)
+    assert meta is not None and fps.count() == 0
+    assert sd.fingerprint_store_stats(spark, store)["n_rows"] == 0
+    # the next append repairs the store
+    sd.write_fingerprint_store(
+        sd.winnow_fingerprints(_docs(spark, DOCS), k=16, window=8),
+        store, 16, 8,
+    )
+    fps2, _ = sd.read_fingerprint_store(spark, store)
+    assert fps2.count() > 0
 
 
 def test_wrong_schema_fingerprints_raise_not_empty(spark, tmp_path):
