@@ -304,6 +304,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     final = stages["final"]
     final.write.mode("overwrite").parquet(args.out_dir)
+    # audit BEFORE the store append: funnel_counts re-executes stage
+    # lineage, and on a store left mid-swap by a crashed compaction
+    # that lineage reads fingerprints__old — which the append's
+    # recovery renames away, so a report computed after the append
+    # would fail a batch whose export and append both landed
+    # (review-caught; see read_fingerprint_store's lineage caveat)
+    funnel = funnel_counts(stages) if args.report else None
     store_path = kwargs.get("substring_store")
     if store_path is not None:
         # append AFTER the export lands, computed on what actually
@@ -327,8 +334,8 @@ def main(argv: list[str] | None = None) -> int:
             winnow_fingerprints(shipped, k=k, window=w), store_path, k, w
         )
     out = {"out_dir": args.out_dir, "n_documents": spark.read.parquet(args.out_dir).count()}
-    if args.report:
-        out["funnel"] = funnel_counts(stages)
+    if funnel is not None:
+        out["funnel"] = funnel
     print(json.dumps(out))
     return 0
 

@@ -636,7 +636,12 @@ def read_fingerprint_store(
     store exists at ``path`` yet (the incremental pipeline's first
     batch). Mutation-free: a crashed compaction swap is READ AROUND
     (:func:`_store_data_dir`), not repaired — repair happens on the
-    next write entry point.
+    next write entry point. LINEAGE CAVEAT that follows: a DataFrame
+    resolved against the crashed shape reads ``fingerprints__old``
+    paths, which the next WRITE's recovery renames away — re-executing
+    such a plan after a write fails. Materialize or re-read after
+    writes; `curatectl` orders its funnel audit before the store
+    append for exactly this reason (review-caught).
 
     A store whose meta is present but whose fingerprint DATA is missing
     reads as an EMPTY store, not a corrupt one: a crash between the
@@ -732,13 +737,38 @@ def compact_fingerprint_store(spark, path: str) -> dict:
             "bytes_before": 0, "bytes_after": 0,
         }
     staging = os.path.join(path, _COMPACTING_DIR)
-    fps = spark.read.parquet(live)
-    rows_before = fps.count()
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Observation
+
     bytes_before = _dir_bytes(live)
-    fps.select("fp", "probe").distinct().write.mode("overwrite").parquet(
-        staging
-    )
-    rows_after = spark.read.parquet(staging).count()
+    # ONE scan: both counts ride the rewrite job as observations — a
+    # separate count() re-read the full store before the distinct
+    # rescanned it, the same double-scan this round's stats fix
+    # removed (review-caught)
+    obs_in, obs_out = Observation(), Observation()
+    try:
+        (
+            spark.read.parquet(live)
+            .observe(obs_in, F.count(F.lit(1)).alias("n"))
+            .select("fp", "probe")
+            .distinct()
+            .observe(obs_out, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    except AnalysisException as e:
+        # an append killed mid-job leaves live/ holding only an
+        # uncommitted _temporary dir: the same no-committed-data shape
+        # the READ surface treats as empty must not crash the very
+        # maintenance command an operator reaches for (review-caught);
+        # schema errors still propagate
+        if not _reads_as_empty(e):
+            raise
+        return {
+            "rows_before": 0, "rows_after": 0,
+            "bytes_before": 0, "bytes_after": 0,
+        }
+    rows_before, rows_after = obs_in.get["n"], obs_out.get["n"]
     _swap_in(staging, live)
     bytes_after = _dir_bytes(live)
     record = {
@@ -803,16 +833,31 @@ def _require_local_store(path: str) -> None:
         )
 
 
+def _committed_files(d: str):
+    """Walk only the COMMITTED files of a Spark output directory:
+    prune ``_``/``.``-prefixed dirs (``_temporary`` task attempts from
+    an append killed mid-job can hold GBs of uncommitted parquet) and
+    skip hidden/marker files — otherwise stats would report n_rows=0
+    next to nonzero files/bytes for the same store and an operator
+    would schedule a compaction off phantom bytes (review-caught)."""
+    import os
+
+    for root, dirs, files in os.walk(d):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")):
+                yield os.path.join(root, f)
+
+
 def _dir_bytes(d: str) -> int:
     import os
 
     total = 0
-    for root, _dirs, files in os.walk(d):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
+    for p in _committed_files(d):
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
     return total
 
 
@@ -857,9 +902,8 @@ def fingerprint_store_stats(spark, path: str) -> dict:
         n_rows = n_distinct = 0
     n_files = sum(
         1
-        for _root, _dirs, files in os.walk(live)
-        for f in files
-        if f.endswith(".parquet")
+        for p in _committed_files(live)
+        if p.endswith(".parquet")
     ) if os.path.isdir(live) else 0
     try:
         n_compactions = (

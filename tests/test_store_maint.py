@@ -251,11 +251,29 @@ def test_append_killed_mid_job_reads_as_empty(spark, tmp_path):
         [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
         "k int, window int, hash_scheme string, format_version int",
     ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
-    os.makedirs(os.path.join(store, "fingerprints", "_temporary", "0"))
+    # the real kill shape: an uncommitted TASK ATTEMPT dir (the
+    # committer's _temporary/<appAttempt>/_temporary/attempt_* layout —
+    # a bare file at _temporary/0/ would collide with the next append's
+    # own committer bookkeeping, which a real kill never produces)
+    attempt = os.path.join(
+        store, "fingerprints", "_temporary", "0", "_temporary",
+        "attempt_202408152100_0001_m_000000_0",
+    )
+    os.makedirs(attempt)
+    # give the uncommitted attempt real bytes: stats must NOT report
+    # them next to n_rows=0 (an operator would schedule a compaction
+    # off phantom bytes — review-caught)
+    with open(os.path.join(attempt, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00" * 4096)
 
     fps, meta = sd.read_fingerprint_store(spark, store)
     assert meta is not None and fps.count() == 0
-    assert sd.fingerprint_store_stats(spark, store)["n_rows"] == 0
+    st = sd.fingerprint_store_stats(spark, store)
+    assert st["n_rows"] == st["n_files"] == st["bytes"] == 0
+    # the maintenance command itself must not crash on this shape
+    # (review-caught: it raised UNABLE_TO_INFER_SCHEMA — the one store
+    # an operator reaches for --compact-store on)
+    assert sd.compact_fingerprint_store(spark, store)["rows_before"] == 0
     # the next append repairs the store
     sd.write_fingerprint_store(
         sd.winnow_fingerprints(_docs(spark, DOCS), k=16, window=8),
