@@ -738,21 +738,23 @@ def compact_fingerprint_store(spark, path: str) -> dict:
         }
     staging = os.path.join(path, _COMPACTING_DIR)
     from pyspark.errors import AnalysisException
-    from pyspark.sql import Observation
 
     bytes_before = _dir_bytes(live)
-    # ONE scan: both counts ride the rewrite job as observations — a
-    # separate count() re-read the full store before the distinct
-    # rescanned it, the same double-scan this round's stats fix
-    # removed (review-caught)
-    obs_in, obs_out = Observation(), Observation()
+    # The row counts are plain parquet count()s — footer-metadata reads
+    # under Spark's count pushdown, not data scans, so they cost file
+    # listing + footers, not a second pass over the 4.6 GB store. Do
+    # NOT fold them into the rewrite via pyspark.sql.Observation: an
+    # Observation on this shared session left
+    # spark.sql.classic.ObservationManager reachable from LATER,
+    # unrelated RDD closures (MLlib fits), failing them all with
+    # NotSerializableException — reproduced in this repo's own suite
+    # (store-maint test then any test_quality_clf fit in one session).
     try:
+        rows_before = spark.read.parquet(live).count()
         (
             spark.read.parquet(live)
-            .observe(obs_in, F.count(F.lit(1)).alias("n"))
             .select("fp", "probe")
             .distinct()
-            .observe(obs_out, F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
             .parquet(staging)
         )
@@ -768,7 +770,7 @@ def compact_fingerprint_store(spark, path: str) -> dict:
             "rows_before": 0, "rows_after": 0,
             "bytes_before": 0, "bytes_after": 0,
         }
-    rows_before, rows_after = obs_in.get["n"], obs_out.get["n"]
+    rows_after = spark.read.parquet(staging).count()
     _swap_in(staging, live)
     bytes_after = _dir_bytes(live)
     record = {
