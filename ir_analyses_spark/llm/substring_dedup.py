@@ -763,15 +763,22 @@ def compact_fingerprint_store(spark, path: str) -> dict:
         # uncommitted _temporary dir: the same no-committed-data shape
         # the READ surface treats as empty must not crash the very
         # maintenance command an operator reaches for (review-caught);
-        # schema errors still propagate
+        # schema errors still propagate. Compaction is a WRITE under
+        # the single-writer contract, so it also RECLAIMS the
+        # uncommitted garbage — without this the dead attempt's bytes
+        # (GBs) were invisible to stats' committed-only accounting and
+        # no tool would ever delete them (review-caught)
         if not _reads_as_empty(e):
             raise
+        _reclaim_uncommitted(live)
         return {
             "rows_before": 0, "rows_after": 0,
             "bytes_before": 0, "bytes_after": 0,
         }
     rows_after = spark.read.parquet(staging).count()
     _swap_in(staging, live)
+    # the swap replaced live wholesale, which already drops any stale
+    # _temporary that rode along in the OLD dir; nothing to reclaim
     bytes_after = _dir_bytes(live)
     record = {
         "op": "compact",
@@ -835,6 +842,43 @@ def _require_local_store(path: str) -> None:
         )
 
 
+def _reclaim_uncommitted(live: str) -> None:
+    """Delete uncommitted ``_temporary`` committer debris under a
+    fingerprints dir — called only from WRITE entry points (compaction;
+    the single-writer contract means no append can be mid-flight).
+    Uncommitted attempts are garbage by definition: their job died
+    before commit, and no committed file ever lives under
+    ``_temporary``."""
+    import os
+    import shutil
+
+    p = os.path.join(live, "_temporary")
+    if os.path.isdir(p):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _uncommitted_bytes(d: str) -> int:
+    """Bytes under pruned (``_``/``.``-prefixed) directories — the
+    complement of :func:`_committed_files`: committed-only accounting
+    must not make a dead append attempt's GBs INVISIBLE to an operator
+    chasing a disk alert (review-caught), so stats reports them in
+    their own field instead of mixing them into ``bytes``."""
+    import os
+
+    total = 0
+    for root, dirs, files in os.walk(d):
+        pruned = [x for x in dirs if x.startswith(("_", "."))]
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        for sub in pruned:
+            for r2, _d2, f2 in os.walk(os.path.join(root, sub)):
+                for f in f2:
+                    try:
+                        total += os.path.getsize(os.path.join(r2, f))
+                    except OSError:
+                        pass
+    return total
+
+
 def _committed_files(d: str):
     """Walk only the COMMITTED files of a Spark output directory:
     prune ``_``/``.``-prefixed dirs (``_temporary`` task attempts from
@@ -888,12 +932,18 @@ def fingerprint_store_stats(spark, path: str) -> dict:
         # ONE aggregation pass for both counts — the first revision
         # scanned the full store twice (count, then distinct().count());
         # at the measured 288M-row store that was half of a 33.5 s call
-        # (review-caught)
+        # (review-caught). count_distinct over a STRUCT, not the bare
+        # columns: COUNT(DISTINCT fp, probe) silently drops rows where
+        # either side is NULL, so n_distinct would understate "the size
+        # a compaction would shrink it to" forever on a store holding
+        # such a row and the operator would chase a gap no compaction
+        # closes (review-caught; the struct form counts them exactly
+        # like the compactor's distinct())
         row = (
             spark.read.parquet(live)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.count_distinct("fp", "probe").alias("d"),
+                F.count_distinct(F.struct("fp", "probe")).alias("d"),
             )
             .head()
         )
@@ -920,6 +970,12 @@ def fingerprint_store_stats(spark, path: str) -> dict:
         "n_distinct": n_distinct,
         "n_files": n_files,
         "bytes": _dir_bytes(live) if os.path.isdir(live) else 0,
+        # committer debris from a killed append — reported separately
+        # so committed-only accounting can't hide GBs from a disk
+        # investigation; a compaction (a write) reclaims them
+        "uncommitted_bytes": (
+            _uncommitted_bytes(live) if os.path.isdir(live) else 0
+        ),
         "k": meta.get("k"),
         "window": meta.get("window"),
         "hash_scheme": meta.get("hash_scheme"),

@@ -270,10 +270,19 @@ def test_append_killed_mid_job_reads_as_empty(spark, tmp_path):
     assert meta is not None and fps.count() == 0
     st = sd.fingerprint_store_stats(spark, store)
     assert st["n_rows"] == st["n_files"] == st["bytes"] == 0
+    # ...but the dead attempt's bytes are NOT invisible: they show in
+    # their own field, so a disk investigation finds them
+    # (review-caught: committed-only accounting hid them entirely)
+    assert st["uncommitted_bytes"] >= 4096
     # the maintenance command itself must not crash on this shape
     # (review-caught: it raised UNABLE_TO_INFER_SCHEMA — the one store
-    # an operator reaches for --compact-store on)
+    # an operator reaches for --compact-store on) — and, being a WRITE,
+    # it RECLAIMS the uncommitted garbage no other tool would delete
     assert sd.compact_fingerprint_store(spark, store)["rows_before"] == 0
+    assert not os.path.exists(
+        os.path.join(store, "fingerprints", "_temporary")
+    )
+    assert sd.fingerprint_store_stats(spark, store)["uncommitted_bytes"] == 0
     # the next append repairs the store
     sd.write_fingerprint_store(
         sd.winnow_fingerprints(_docs(spark, DOCS), k=16, window=8),
@@ -330,6 +339,31 @@ def test_maintenance_on_missing_store_fails_loudly(spark, tmp_path):
         sd.compact_fingerprint_store(spark, str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError):
         sd.fingerprint_store_stats(spark, str(tmp_path / "nope"))
+
+
+def test_stats_distinct_counts_null_bearing_rows(spark, tmp_path):
+    """Review-caught: COUNT(DISTINCT fp, probe) silently drops rows
+    where either column is NULL, while the compactor's distinct()
+    keeps them — n_distinct would understate the post-compaction size
+    forever and the operator would chase a gap no compaction closes.
+    The struct form must count them like the compactor does."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
+        "k int, window int, hash_scheme string, format_version int",
+    ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
+    spark.createDataFrame(
+        [(None, "x"), (None, "x"), (1, None), (1, "y")],
+        "fp bigint, probe string",
+    ).write.parquet(f"{store}/fingerprints")
+
+    st = sd.fingerprint_store_stats(spark, store)
+    assert st["n_rows"] == 4
+    assert st["n_distinct"] == 3  # (NULL,'x') dedups; (1,NULL) counts
+    res = sd.compact_fingerprint_store(spark, store)
+    assert res["rows_after"] == 3
+    st2 = sd.fingerprint_store_stats(spark, store)
+    assert st2["n_rows"] == st2["n_distinct"] == 3  # converged
 
 
 def test_estimate_shuffle_ratio():
