@@ -1,0 +1,103 @@
+"""First-seen n-gram novelty scoring (LLM-pipeline ext).
+
+A curation signal the dedup ladder doesn't give directly: for each
+document, the fraction of its distinct word 3-grams that appear for the
+FIRST time in corpus order (doc_id — the ingestion-order proxy the
+synthetic tables encode). Low novelty means the doc is mostly n-grams
+the corpus has already seen — boilerplate, templates, near-copies that
+slipped under the pairwise thresholds; training-data pipelines use
+exactly this family of signals to down-weight repetitive content
+(cf. the repetition removal analysis in Gopher, Rae et al. 2021
+§A.2.3, and C4's span-level "seen before" rule, Raffel et al. 2020 —
+`llm/linedup.py` implements the span form; this is the document-level
+score).
+
+Scale shape (the design constraint): the gram TEXT never rides a
+shuffle. Grams are hashed to a 60-bit integer at the scan projection
+(`bloomdecon._md5_long` — the repo's portable md5 slice family, so the
+DuckDB oracle reproduces the exact same keys), and everything after the
+per-doc distinct is fixed-width (doc_id, hg) rows:
+
+1. distinct (doc_id, hg)          — shuffle 1, 16-byte rows
+2. min(doc_id) over (partition by hg) — shuffle 2 (window, no join-back)
+3. groupBy doc_id counts          — shuffle 3, partial-agg combined
+
+First-seen semantics are defined OVER THE HASH: a 60-bit collision
+merges two grams identically in both engines (deterministic, value-
+parity preserved; at ~10^12 distinct grams expect ~400k collisions —
+noise for a score, and the width is a parameter if it ever matters).
+
+The `mostly_boilerplate` cut (4·n_novel < n_ngrams) and both score
+extremes are non-vacuous at the correctness SFs (pinned by
+tests/test_novelty.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..io.sources import load_table
+from .bloomdecon import _md5_long, word_ngrams
+
+
+def ngram_novelty_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ngrams, n_novel, novelty, mostly_boilerplate) over
+    distinct hashed word 3-grams; `novelty` is one IEEE division of two
+    exact integer counts (deterministic cross-engine)."""
+    pairs = (
+        word_ngrams(docs, distinct=False)
+        .select("doc_id", _md5_long("g", 1).alias("hg"))
+        .distinct()
+    )
+    firsts = pairs.withColumn(
+        "first_doc", F.min("doc_id").over(W.partitionBy("hg"))
+    )
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum((F.col("doc_id") == F.col("first_doc")).cast("int")).alias(
+            "n_novel"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_ngrams")).alias("novelty"),
+        (F.lit(4) * F.col("n_novel") < F.col("n_ngrams")).alias(
+            "mostly_boilerplate"
+        ),
+    )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: novelty scores over the documents table."""
+    return ngram_novelty_scores(load_table(spark, "documents", sf_dir))
+
+
+NGRAM_NOVELTY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+             || ' ' || w[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT) AS hg
+  FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)
+),
+firsts AS (
+  SELECT doc_id, hg, MIN(doc_id) OVER (PARTITION BY hg) AS first_doc
+  FROM grams
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams,
+         CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM firsts GROUP BY 1
+)
+SELECT doc_id, n_ngrams, n_novel,
+       n_novel * 1.0 / n_ngrams AS novelty,
+       4 * n_novel < n_ngrams AS mostly_boilerplate
+FROM per_doc
+"""
+
+QUERIES = {"ngram_novelty": ngram_novelty}
+ORACLES = {"ngram_novelty": NGRAM_NOVELTY_SQL}

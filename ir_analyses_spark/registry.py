@@ -24,12 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .io import txn_queries
 from .llm import (
+    bloomdecon,
     clf_gate,
     curation_queries,
     dedup,
     h264_queries,
     mixture,
     multimodal,
+    novelty,
     pq,
     sampling,
     similarity,
@@ -85,6 +87,8 @@ _MODULES = [
     substring_queries,
     clf_gate,
     h264_queries,
+    bloomdecon,
+    novelty,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -317,6 +321,11 @@ _ORDER = [
     "hll_union_bound",
     "brp_lsh_bound",
     "warc_roundtrip_parse",
+    # ---- r11 tail additions (NEW modules — no certified row staled;
+    # first driver rows in the r12+ windows; covered every pytest run
+    # by the full-registry parity sweep) ----
+    "bloom_ngram_decontaminate",
+    "ngram_novelty",
 ]
 
 

@@ -1,0 +1,72 @@
+"""First-seen n-gram novelty invariants (llm/novelty.py).
+
+Value parity vs DuckDB is covered by test_oracle_parity; these pin the
+semantics and the plan physics.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.llm.novelty import ngram_novelty_scores
+from ir_analyses_spark.registry import all_oracles, all_queries
+
+
+@pytest.fixture(scope="module", params=["0.001", "0.01"])
+def per_doc(request):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf{request.param}/documents.parquet')"
+    )
+    return con.execute(all_oracles()["ngram_novelty"]).df()
+
+
+def test_score_domain_and_consistency(per_doc):
+    assert (per_doc["n_novel"] <= per_doc["n_ngrams"]).all()
+    assert (per_doc["n_novel"] >= 0).all()
+    assert ((per_doc["novelty"] >= 0) & (per_doc["novelty"] <= 1)).all()
+
+
+def test_both_extremes_and_cut_fire(per_doc):
+    """Vacuity: the corpus must exercise all-novel docs, zero-novel docs,
+    and both sides of the mostly_boilerplate cut at the correctness SFs —
+    otherwise the first-seen window could be broken and parity still
+    green."""
+    assert (per_doc["novelty"] == 1.0).any()
+    assert (per_doc["novelty"] == 0.0).any()
+    b = per_doc["mostly_boilerplate"].sum()
+    assert 0 < b < len(per_doc)
+
+
+def test_exact_duplicate_scores_zero(spark):
+    """First-seen semantics on a controlled corpus: an exact duplicate
+    later in doc_id order scores novelty 0; the original scores 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty_scores(docs).collect()}
+    assert rows[1]["novelty"] == 1.0 and rows[1]["mostly_boilerplate"] is False
+    assert rows[2]["novelty"] == 0.0 and rows[2]["mostly_boilerplate"] is True
+    assert rows[3]["novelty"] == 1.0
+
+
+def test_shuffles_are_fixed_width(spark, sf_dir):
+    """The contract in the module docstring: exactly 3 exchanges, every
+    one keyed on longs only — the gram STRING never rides a shuffle."""
+    df = all_queries()["ngram_novelty"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 3
+    for p in parts:
+        cols = [c.strip() for c in p.split(",")[:-1]]  # last item = numPartitions
+        assert cols and all("#" in c and c.split("#")[1].endswith("L") for c in cols), p
