@@ -1,0 +1,169 @@
+"""DSIR-style importance weighting for data selection (LLM ext).
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+score every raw document by the log-likelihood ratio of a TARGET
+distribution vs the RAW distribution over hashed n-gram features, then
+sample proportionally. This module implements the scoring operator with
+hashed-UNIGRAM features (the paper's feature family at n=1) and an
+above-corpus-mean selection gate:
+
+    w(doc) = Σ_tokens [ ln p_tgt(b(w)) − ln p_raw(b(w)) ]
+
+with add-one smoothing per bucket, b(w) = md5_60(w) mod B — the repo's
+portable cross-engine hash family, so the DuckDB oracle reproduces the
+bucketing exactly.
+
+Float discipline (this is the transcendental-log case
+`ops/helpers.py` warns about): every ln is evaluated on an INTEGER
+count — the same IEEE input in both engines — then the per-bucket term
+``ln(c_tgt+1) − ln(c_raw+1)`` is rounded to 6 decimals and CAST TO
+DECIMAL before any aggregation, so the per-doc sum is exact decimal
+arithmetic, immune to partial-agg reordering (same posture as
+``ROUND(LN(x),6)`` in `ops/relational.math_functions`). The selection
+gate compares ``N·w_i > Σw`` in decimals — no float division anywhere.
+
+Scale shape: bucket terms are a B-row table (B=64 here; 10^4–10^5 in
+the paper) — broadcast; the token stream aggregates per (doc, bucket)
+map-side before the join, so the heavy shuffle carries fixed-width
+(doc_id, bucket, count) rows; two scalar totals ride a 1-row cross
+join. At 100 TB the only growing state is the per-doc partial — the
+classic two-level aggregate.
+
+On the synthetic corpus the languages share a generator vocabulary, so
+target (lang='en') enrichment is mild but real — the en selection rate
+exceeds every other language's at both correctness SFs (pinned in
+tests/test_dsir.py; a real multilingual corpus separates far harder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.sources import load_table
+from .bloomdecon import _md5_long
+
+#: hashed feature buckets (paper uses 10^4-10^5; sized down to 64 so the
+#: defining behavior of HASHED features — distinct words sharing a bucket —
+#: is actually exercised on the synthetic 31-word vocabulary: 31 words map
+#: to 24 buckets, 7 collisions, pinned in tests/test_dsir.py)
+_B = 64
+#: decimal type for exact term aggregation
+_DEC = "decimal(20,6)"
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """(doc_id, lang, n_tokens, logweight, selected) — importance
+    log-weights of every doc against the ``lang == target_lang`` target
+    distribution, selection-gated at the corpus mean."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "lang", (_md5_long("w", 1) % _B).alias("b"))
+    doc_bucket = toks.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # per-bucket term table (≤ B rows): ln on integer counts only, then
+    # round→decimal so every downstream sum is exact
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        toks.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    terms = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(F.coalesce("c_tgt", F.lit(0)) + F.lit(1))
+                - F.log(F.col("c_raw") + F.lit(1)),
+                6,
+            )
+            .cast(_DEC)
+            .alias("term"),
+        )
+    )
+    # normalizing constant ln(T_raw) − ln(T_tgt) from the two scalar
+    # totals (+B smoothing mass), as a 1-row broadcast
+    totals = toks.agg(
+        (F.count(F.lit(1)) + F.lit(_B)).alias("t_raw"),
+        (
+            F.count(F.when(F.col("lang") == target_lang, 1)) + F.lit(_B)
+        ).alias("t_tgt"),
+    ).select(
+        F.round(F.log("t_raw") - F.log("t_tgt"), 6).cast(_DEC).alias("norm")
+    )
+    weights = (
+        doc_bucket.join(F.broadcast(terms), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("term"))
+                + F.sum("c") * F.first("norm")
+            ).alias("w_dec"),
+        )
+    )
+    gate = weights.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_dec").alias("w_total"),
+    )
+    return (
+        weights.crossJoin(F.broadcast(gate))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("w_dec").cast("double").alias("logweight"),
+            (F.col("n_docs") * F.col("w_dec") > F.col("w_total")).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: DSIR log-weights + mean-gated selection over the
+    documents table, target = English."""
+    return dsir_weights(load_table(spark, "documents", sf_dir))
+
+
+DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % {_B} AS b
+  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents)
+),
+doc_bucket AS (
+  SELECT doc_id, lang, b, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3
+),
+tgt AS (SELECT b, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT b, COUNT(*) AS c_raw FROM toks GROUP BY 1),
+terms AS (
+  SELECT r.b,
+         CAST(ROUND(LN(COALESCE(t.c_tgt, 0) + 1) - LN(r.c_raw + 1), 6)
+              AS DECIMAL(20,6)) AS term
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b
+),
+norm AS (
+  SELECT CAST(ROUND(
+           LN((SELECT COUNT(*) FROM toks) + {_B})
+           - LN((SELECT COUNT(*) FROM toks WHERE lang = 'en') + {_B}), 6)
+         AS DECIMAL(20,6)) AS norm
+),
+weights AS (
+  SELECT d.doc_id, d.lang, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+         SUM(d.c * te.term) + SUM(d.c) * (SELECT norm FROM norm) AS w_dec
+  FROM doc_bucket d JOIN terms te ON d.b = te.b
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(w_dec AS DOUBLE) AS logweight,
+       (SELECT COUNT(*) FROM weights) * w_dec
+         > (SELECT SUM(w_dec) FROM weights) AS selected
+FROM weights
+"""
+
+QUERIES = {"dsir_importance_select": dsir_importance_select}
+ORACLES = {"dsir_importance_select": DSIR_SQL}

@@ -13,7 +13,9 @@ Names must be globally unique; the merge asserts it.
 # (registry count r11: 176 — mp4_h264_headers joins llm/h264_queries.py
 # and fingerprint_store_compact joins llm/substring_queries.py, both
 # modules already staled this round by the r10 ADVICE fixes, per the
-# ledger rule)
+# ledger rule; session 2 grows it to 185 with nine NEW-module tail
+# entries — see the tail section of _ORDER — touching no certified
+# row's defining module)
 
 from __future__ import annotations
 
@@ -22,13 +24,16 @@ from functools import cache
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .io import txn_queries
+from .io import txn_queries, warc_datasource
 from .llm import (
     bloomdecon,
     clf_gate,
+    cooc,
     curation_queries,
     dedup,
+    dsir,
     h264_queries,
+    knn,
     mixture,
     multimodal,
     novelty,
@@ -42,15 +47,18 @@ from .llm import (
 )
 from .ops import (
     aggregates,
+    attribution,
     collections,
     events,
     fuzzy,
     graph,
     joins,
+    layout,
     macros,
     relational,
     skew,
     sketch_bounds,
+    skyline,
     sqlfn,
     subqueries,
     udfs,
@@ -61,6 +69,7 @@ from .streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     aggregates,
+    attribution,
     events,
     joins,
     relational,
@@ -74,6 +83,8 @@ _MODULES = [
     fuzzy,
     graph,
     sketch_bounds,
+    layout,
+    skyline,
     dedup,
     similarity,
     pq,
@@ -89,9 +100,13 @@ _MODULES = [
     h264_queries,
     bloomdecon,
     novelty,
+    knn,
+    dsir,
+    cooc,
     streaming_pipeline,
     ir_demo,
     txn_queries,
+    warc_datasource,
 ]
 
 #: Explicit registry order. The driver's correctness sweep has a bounded
@@ -326,6 +341,13 @@ _ORDER = [
     # by the full-registry parity sweep) ----
     "bloom_ngram_decontaminate",
     "ngram_novelty",
+    "zorder_layout",
+    "knn_classify",
+    "dsir_importance_select",
+    "skyline_parts",
+    "warc_source_scan",
+    "pmi_cooccurrence",
+    "attribution_touchpoints",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Co-occurrence lift invariants (llm/cooc.py).
+
+Value parity vs DuckDB is covered by test_oracle_parity; these pin the
+association semantics and the cut's non-vacuity.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ir_analyses_spark.llm.cooc import _LIFT_CUT, cooccurrence_lift
+from ir_analyses_spark.registry import all_oracles
+
+
+@pytest.fixture(scope="module", params=["0.001", "0.01"])
+def pairs(request):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf{request.param}/documents.parquet')"
+    )
+    return con.execute(all_oracles()["pmi_cooccurrence"]).df()
+
+
+def test_pair_canonicalization_and_counts(pairs):
+    """Each unordered pair appears once (w1 < w2), and co-occurrence
+    can never exceed either marginal."""
+    assert (pairs["w1"] < pairs["w2"]).all()
+    assert not pairs.duplicated(["w1", "w2"]).any()
+    assert (pairs["c_xy"] <= pairs[["c_x", "c_y"]].min(axis=1)).all()
+
+
+def test_association_cut_splits(pairs):
+    """Both sides of the lift cut fire at the correctness SFs, and
+    anti-associated pairs (lift < 0.95) exist too — the score must not
+    be degenerate at 1."""
+    assoc = pairs["associated"].sum()
+    assert 0 < assoc < len(pairs)
+    assert (pairs["lift"] < 0.95).any()
+
+
+def test_known_corpus_lift(spark):
+    """Controlled fixture: 'alpha beta' always co-occur (lift = N/c²
+    > 1), 'alpha gamma' never do (no pair row); an independent pair
+    sits at lift ≈ 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta x y"),
+            (2, "alpha beta"),
+            (3, "gamma x"),
+            (4, "gamma y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in cooccurrence_lift(docs).collect()
+    }
+    ab = out[("alpha", "beta")]
+    assert ab["c_xy"] == 2 and ab["lift"] == 4 * 2 / (2 * 2) and ab["associated"]
+    assert ("alpha", "gamma") not in out  # never share a doc
+    xy = out[("x", "y")]  # co-occur exactly at independence: lift = 1
+    assert xy["c_xy"] == 1 and xy["lift"] == 1.0 and not xy["associated"]
+
+
+def test_plan_broadcasts_unigrams(spark, sf_dir):
+    """The two unigram-count joins and the scalar N must broadcast; no
+    sort-merge join anywhere (the pair stream is the only shuffle)."""
+    from ir_analyses_spark.registry import all_queries
+
+    plan = (
+        all_queries()["pmi_cooccurrence"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # scalar N
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,82 @@
+"""k-NN classification invariants (llm/knn.py).
+
+Value parity vs DuckDB is covered by test_oracle_parity; these pin the
+vote semantics, split hygiene, and plan physics.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ir_analyses_spark.llm.knn import _K, _TEST_MOD, knn_predictions
+from ir_analyses_spark.registry import all_oracles, all_queries
+
+
+@pytest.fixture(scope="module", params=["0.001", "0.01"])
+def preds(request):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf{request.param}/embeddings.parquet')"
+    )
+    return con.execute(all_oracles()["knn_classify"]).df()
+
+
+def test_one_prediction_per_heldout_vector(preds):
+    assert preds["vec_id"].is_unique
+    assert (preds["vec_id"] % _TEST_MOD == 0).all()
+
+
+def test_votes_domain_and_both_outcomes(preds):
+    """Votes live in [1, k]; the accuracy is strictly between 0 and 1 at
+    the correctness SFs (both `correct` branches fire — a split leak
+    that copies the query vector into train would drive accuracy toward
+    1 on duplicated vectors and trip this)."""
+    assert preds["votes"].between(1, _K).all()
+    assert 0 < preds["correct"].mean() < 1
+
+
+def test_vote_ties_exercised(preds):
+    """votes == 1 means all k neighbors carried distinct labels, so the
+    (votes DESC, label ASC) tiebreak decided the prediction — the
+    corpus must exercise that path or the tiebreak is untested."""
+    assert (preds["votes"] == 1).any()
+
+
+def test_known_neighborhood(spark):
+    """Controlled fixture: the held-out vector (vec_id 0) sits on top of
+    three identical train vectors labeled 7 and two labeled 3 — the
+    majority must be 7 with 3 votes."""
+    rows = [
+        (0, [1.0, 0.0], 3),  # held out (vec_id % 10 == 0)
+        (1, [1.0, 0.001], 7),
+        (2, [1.0, 0.002], 7),
+        (3, [1.0, 0.003], 7),
+        (4, [1.0, 0.004], 3),
+        (5, [1.0, 0.005], 3),
+        (6, [-1.0, 0.5], 9),  # far away — must not make top-5
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_predictions(emb).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["vec_id"] == 0 and r["pred_label"] == 7 and r["votes"] == 3
+    assert r["correct"] is False and r["true_label"] == 3
+
+
+def test_plan_broadcasts_heldout_side(spark, sf_dir):
+    """The bounded query set must broadcast; the candidate scan never
+    shuffles for the pairing (only the k·|test| survivors shuffle into
+    the vote)."""
+    plan = (
+        all_queries()["knn_classify"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
