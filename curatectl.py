@@ -125,6 +125,25 @@ def main(argv: list[str] | None = None) -> int:
         "substring_store",
     )
     ap.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="PARQUET",
+        help="benchmark decontamination: parquet of eval/benchmark docs "
+        "(a 'text' column) whose word 3-grams feed a Bloom filter; any "
+        "curated doc with more than --decontaminate-max-permille of its "
+        "3-grams flagged is dropped after the dedup stages. The filter "
+        "broadcast is O(m bits) however large the eval suite "
+        "(llm/bloomdecon.py); overrides the config's decontaminate_path",
+    )
+    ap.add_argument(
+        "--decontaminate-max-permille",
+        type=int,
+        default=None,
+        help="drop threshold in 1/1000 of a doc's distinct 3-grams "
+        "(default 100 = 10%%); requires --decontaminate; overrides the "
+        "config's decontaminate_max_permille",
+    )
+    ap.add_argument(
         "--input-format",
         choices=("warc", "wet"),
         default=None,
@@ -239,6 +258,17 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["substring_store"] = args.substring_store
     if args.input_format is not None:
         kwargs["input_format"] = args.input_format
+    if args.decontaminate is not None:
+        kwargs["decontaminate_path"] = args.decontaminate
+    if args.decontaminate_max_permille is not None:
+        kwargs["decontaminate_max_permille"] = args.decontaminate_max_permille
+    if "decontaminate_max_permille" in kwargs and "decontaminate_path" not in kwargs:
+        # a threshold without a benchmark would silently gate NOTHING —
+        # same failure mode as min_quality_prob sans model
+        raise ValueError(
+            "decontaminate_max_permille requires a benchmark corpus "
+            "(--decontaminate or [curation] decontaminate_path)"
+        )
     if not kwargs.get("substring_dedup") and (
         "substring_dedup_k" in kwargs
         or "substring_dedup_window" in kwargs
@@ -282,6 +312,7 @@ def main(argv: list[str] | None = None) -> int:
     if not kwargs.get("blocked_domains"):
         kwargs.pop("blocked_domains", None)
 
+    decon_path = kwargs.pop("decontaminate_path", None)
     model_path = kwargs.pop("quality_model_path", None)
     if model_path is None and "min_quality_prob" in kwargs:
         # a threshold without a model would silently gate NOTHING —
@@ -291,6 +322,16 @@ def main(argv: list[str] | None = None) -> int:
             "(--quality-model or [curation] quality_model_path)"
         )
     spark = get_spark(app_name="curatectl")
+    if decon_path is not None:
+        # benchmark corpus for the Bloom decontamination stage; a bad
+        # path or missing text column fails loudly here, not mid-funnel
+        bench = spark.read.parquet(decon_path)
+        if "text" not in bench.columns:
+            raise ValueError(
+                f"--decontaminate parquet at {decon_path} has no 'text' "
+                f"column (columns: {bench.columns})"
+            )
+        kwargs["decontaminate_bench"] = bench.select("text")
     if model_path is not None:
         # a saved llm/quality_clf model; load fails loudly on a bad path
         from pyspark.ml import PipelineModel

@@ -180,6 +180,8 @@ _CURATION_KEYS = frozenset(
         "substring_dedup_window",
         "substring_store",
         "input_format",
+        "decontaminate_path",
+        "decontaminate_max_permille",
     }
 )
 

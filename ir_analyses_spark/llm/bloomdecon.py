@@ -195,6 +195,61 @@ def bloom_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_decontaminate_filter(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    *,
+    max_hit_permille: int = 100,
+) -> DataFrame:
+    """Production gate form (the funnel stage `llm/curate.py` wires):
+    drop every doc whose Bloom-flagged 3-gram share exceeds
+    ``max_hit_permille``/1000 of its distinct 3-grams — integer
+    comparison, no float threshold. ``docs`` needs (doc_id, text) plus
+    any passthrough columns (all preserved); ``bench_docs`` needs
+    ``text``.
+
+    Docs too short to have a 3-gram cannot hit the filter and are KEPT
+    (the word-count rule owns short-doc judgement — same division of
+    labor as the perplexity stage's NULL-keep).
+    """
+    bits = bloom_bits(word_ngrams(bench_docs.select(F.col("text"))
+                                  .withColumn("doc_id", F.lit(0))))
+    probes = _with_probes(word_ngrams(docs.select("doc_id", "text")))
+    exploded = probes.select(
+        "doc_id",
+        "g",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("h1") + F.lit(j) * F.col("h2")) % _M_BITS
+                    for j in range(_K_HASHES)
+                ]
+            )
+        ).alias("pos"),
+    )
+    stats = (
+        exploded.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id", "g")
+        .agg((F.count("_set") == _K_HASHES).cast("int").alias("bloom_in"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("bloom_in").alias("_hits"),
+        )
+    )
+    keep = (
+        docs.join(stats, "doc_id", "left")
+        .filter(
+            F.col("_n").isNull()
+            | (F.lit(1000) * F.col("_hits") <= F.lit(max_hit_permille) * F.col("_n"))
+        )
+        .drop("_n", "_hits")
+    )
+    return keep
+
+
 BLOOM_DECONTAMINATE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents

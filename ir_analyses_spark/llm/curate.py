@@ -63,6 +63,8 @@ def curation_stages(
     substring_dedup_k: int = _SUBSTRING_DEFAULT_K,
     substring_dedup_window: int = _SUBSTRING_DEFAULT_WINDOW,
     substring_store: str | None = None,
+    decontaminate_bench: DataFrame | None = None,
+    decontaminate_max_permille: int = 100,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
 
@@ -82,8 +84,18 @@ def curation_stages(
     Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
     ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,
     ``content_like``, ``normalized``, ``exact_deduped``,
-    ``line_deduped``, [``substring_deduped``,] [``ppl_filtered``,]
-    [``clf_filtered``,] ``final``.
+    ``line_deduped``, [``substring_deduped``,] [``decontaminated``,]
+    [``ppl_filtered``,] [``clf_filtered``,] ``final``.
+
+    ``decontaminate_bench`` (a DataFrame with a ``text`` column — the
+    eval/benchmark corpus) adds Bloom-filter benchmark decontamination
+    (`llm/bloomdecon.bloom_decontaminate_filter`) right after the dedup
+    stages: a doc is dropped when more than
+    ``decontaminate_max_permille``/1000 of its distinct word 3-grams
+    hit the benchmark's Bloom filter (integer threshold, no float cut;
+    docs too short for a 3-gram are kept — the word-count rule owns
+    short docs). The filter broadcast is O(m bits) however large the
+    eval suite, so the stage is map-side against the funnel stream.
 
     ``substring_dedup=True`` runs the dedup ladder's bottom rung
     (`llm/substring_dedup.remove_duplicated_substrings`) right after
@@ -296,6 +308,19 @@ def curation_stages(
             gate_in.select("doc_id", "url", "title"), "doc_id"
         )
         gate_in = substring_deduped
+    decontaminated = None
+    if decontaminate_bench is not None:
+        from .bloomdecon import bloom_decontaminate_filter
+
+        # after the dedup stages (score/ship what survived them), before
+        # the model gates — the standard late-pipeline placement for
+        # eval-set decontamination
+        decontaminated = bloom_decontaminate_filter(
+            gate_in,
+            decontaminate_bench,
+            max_hit_permille=decontaminate_max_permille,
+        )
+        gate_in = decontaminated
     ppl_filtered = None
     if perplexity_lm is not None:
         if max_ppl_bucket is None:
@@ -357,6 +382,11 @@ def curation_stages(
         **(
             {"substring_deduped": substring_deduped}
             if substring_deduped is not None
+            else {}
+        ),
+        **(
+            {"decontaminated": decontaminated}
+            if decontaminated is not None
             else {}
         ),
         **({"ppl_filtered": ppl_filtered} if ppl_filtered is not None else {}),

@@ -1,0 +1,141 @@
+"""Bloom-decontamination funnel stage + CLI wiring (r11 s2).
+
+The stage contract: a curated doc sharing more than max_permille/1000
+of its distinct word 3-grams with the benchmark corpus is dropped after
+the dedup stages; everything else (including docs too short to have a
+3-gram) passes through untouched, with all passthrough columns intact.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+import curatectl
+from ir_analyses_spark.llm.bloomdecon import bloom_decontaminate_filter
+from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
+from tests.test_curate import CRAWL, GOOD_A
+
+#: the text of GOOD_A's unique paragraph (the page body the funnel
+#: extracts once NAV/FOOTER lines are line-deduped away)
+_A_PARA = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "bank today"
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crawl_decon")
+    (d / "crawl.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in CRAWL)
+    )
+    return d
+
+
+def test_stage_drops_contaminated_doc(spark, crawl_dir):
+    bench = spark.createDataFrame([(_A_PARA,)], "text string")
+    stages = curation_stages(
+        spark,
+        str(crawl_dir),
+        blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+        decontaminate_bench=bench,
+    )
+    n = funnel_counts(stages)
+    # baseline funnel (test_curate.test_funnel_attrition): line_deduped=4,
+    # final=3 with /a surviving. The benchmark contains A's paragraph →
+    # the decontamination stage drops exactly that doc.
+    assert n["line_deduped"] == 4
+    assert n["decontaminated"] == 3
+    assert n["final"] == 2
+    urls = {r["url"] for r in stages["final"].collect()}
+    assert not any("/a" in u for u in urls)
+    assert any("/b" in u for u in urls) and any("/c" in u for u in urls)
+
+
+def test_unrelated_benchmark_drops_nothing(spark, crawl_dir):
+    bench = spark.createDataFrame(
+        [("completely unrelated benchmark sentence about aardvarks",)],
+        "text string",
+    )
+    stages = curation_stages(
+        spark,
+        str(crawl_dir),
+        blocked_domains=["spam.example"],
+        quality_thresholds={"min_words": 10},
+        decontaminate_bench=bench,
+    )
+    n = funnel_counts(stages)
+    assert n["decontaminated"] == n["line_deduped"]
+    assert n["final"] == 3
+
+
+def test_short_docs_kept_and_columns_preserved(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two", "u1", "t1"), (2, _A_PARA, "u2", "t2")],
+        "doc_id long, text string, url string, title string",
+    )
+    bench = spark.createDataFrame([(_A_PARA,)], "text string")
+    out = bloom_decontaminate_filter(docs, bench)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 has no 3-grams → kept; doc 2 is the benchmark itself → dropped
+    assert set(rows) == {1}
+    assert rows[1]["url"] == "u1" and rows[1]["title"] == "t1"
+
+
+def test_cli_decontaminate_end_to_end(spark, tmp_path, capsys):
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(_A_PARA,)], "text string").write.parquet(
+        bench_path
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in CRAWL)
+    )
+    out = str(tmp_path / "out")
+    rc = curatectl.main(
+        [
+            "--warc-dir", str(crawl),
+            "--out-dir", out,
+            "--min-words", "10",
+            "--decontaminate", bench_path,
+            "--decontaminate-max-permille", "100",
+            "--report",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["funnel"]["decontaminated"] < report["funnel"]["line_deduped"]
+    final = spark.read.parquet(out)
+    assert not any("/a" in u for u in [r["url"] for r in final.collect()])
+
+
+def test_cli_permille_without_benchmark_fails(tmp_path):
+    with pytest.raises(ValueError, match="decontaminate_max_permille"):
+        curatectl.main(
+            [
+                "--warc-dir", str(tmp_path),
+                "--out-dir", str(tmp_path / "o"),
+                "--decontaminate-max-permille", "50",
+            ]
+        )
+
+
+def test_cli_benchmark_without_text_column_fails(spark, tmp_path):
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,)], "x long").write.parquet(bad)
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "c.warc.gz").write_bytes(gzip.compress(CRAWL[0]))
+    with pytest.raises(ValueError, match="no 'text' column"):
+        curatectl.main(
+            [
+                "--warc-dir", str(crawl),
+                "--out-dir", str(tmp_path / "o"),
+                "--decontaminate", bad,
+            ]
+        )
