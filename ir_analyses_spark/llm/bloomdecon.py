@@ -211,13 +211,24 @@ def bloom_decontaminate_filter(
     Docs too short to have a 3-gram cannot hit the filter and are KEPT
     (the word-count rule owns short-doc judgement — same division of
     labor as the perplexity stage's NULL-keep).
+
+    Scale difference vs the certificate query: the per-doc distinct
+    here dedups on the (h1, h2) probe PAIR — 120 bits, computed at the
+    scan — so the gram STRING never rides the shuffle (the
+    `llm/novelty.py` discipline); the certificate keeps the string
+    because its audit column needs the exact benchmark set.
     """
     bits = bloom_bits(word_ngrams(bench_docs.select(F.col("text"))
                                   .withColumn("doc_id", F.lit(0))))
-    probes = _with_probes(word_ngrams(docs.select("doc_id", "text")))
+    probes = (
+        _with_probes(word_ngrams(docs.select("doc_id", "text"), distinct=False))
+        .select("doc_id", "h1", "h2")
+        .distinct()
+    )
     exploded = probes.select(
         "doc_id",
-        "g",
+        "h1",
+        "h2",
         F.explode(
             F.array(
                 *[
@@ -231,7 +242,7 @@ def bloom_decontaminate_filter(
         exploded.join(
             F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
         )
-        .groupBy("doc_id", "g")
+        .groupBy("doc_id", "h1", "h2")
         .agg((F.count("_set") == _K_HASHES).cast("int").alias("bloom_in"))
         .groupBy("doc_id")
         .agg(

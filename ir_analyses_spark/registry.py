@@ -13,7 +13,7 @@ Names must be globally unique; the merge asserts it.
 # (registry count r11: 176 — mp4_h264_headers joins llm/h264_queries.py
 # and fingerprint_store_compact joins llm/substring_queries.py, both
 # modules already staled this round by the r10 ADVICE fixes, per the
-# ledger rule; session 2 grows it to 185 with nine NEW-module tail
+# ledger rule; session 2 grows it to 186 with ten NEW-module tail
 # entries — see the tail section of _ORDER — touching no certified
 # row's defining module)
 
@@ -32,6 +32,7 @@ from .llm import (
     curation_queries,
     dedup,
     dsir,
+    fim,
     h264_queries,
     knn,
     mixture,
@@ -103,6 +104,7 @@ _MODULES = [
     knn,
     dsir,
     cooc,
+    fim,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -348,6 +350,7 @@ _ORDER = [
     "warc_source_scan",
     "pmi_cooccurrence",
     "attribution_touchpoints",
+    "fim_psm_split",
 ]
 
 

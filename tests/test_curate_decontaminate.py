@@ -86,6 +86,42 @@ def test_short_docs_kept_and_columns_preserved(spark):
     assert rows[1]["url"] == "u1" and rows[1]["title"] == "t1"
 
 
+def test_gate_shuffles_are_fixed_width(spark):
+    """The production gate's contract (module docstring): the per-doc
+    distinct dedups on the 120-bit probe pair, so every exchange in the
+    gate's plan is keyed on long columns only — the gram string never
+    rides a shuffle."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta", "u", "t")
+         for i in range(20)],
+        "doc_id long, text string, url string, title string",
+    )
+    bench = spark.createDataFrame([(_A_PARA,)], "text string")
+    plan = (
+        bloom_decontaminate_filter(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts
+    string_keyed = [
+        p
+        for p in parts
+        if not all(
+            "#" in c and c.split("#")[1].endswith("L")
+            for c in [c.strip() for c in p.split(",")[:-1]]
+        )
+    ]
+    # exactly one string-keyed exchange is allowed: the BENCHMARK-side
+    # bits build (eval-suite-sized, a dimension); every corpus-side
+    # exchange — including the probe-pair distinct — is long-keyed
+    assert len(string_keyed) == 1, parts
+    assert any(re.match(r"doc_id#\d+L, h1#\d+L, h2#\d+L", p) for p in parts), parts
+
+
 def test_cli_decontaminate_end_to_end(spark, tmp_path, capsys):
     bench_path = str(tmp_path / "bench.parquet")
     spark.createDataFrame([(_A_PARA,)], "text string").write.parquet(
