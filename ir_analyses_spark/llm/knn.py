@@ -80,6 +80,199 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_predictions(load_table(spark, "embeddings", sf_dir))
 
 
+#: IVF coarse index for the scale path: stride-sampled centroids (the
+#: `llm/similarity.ann_ivf_topk` discipline — deterministic, so the
+#: approximate result itself is oracle-checkable), nprobe lists probed.
+#: The stride GROWS with the train split — max(25, ceil(n/200)) — so
+#: nlist stays bounded (~200) and the coarse assignment stays O(n·nlist)
+#: instead of the O(n²/stride) a fixed stride degenerates to; the
+#: formula is integer arithmetic on a COUNT, so the oracle replays it.
+_IVF_STRIDE = 25
+_IVF_MAX_LISTS = 200
+_IVF_NPROBE = 3
+
+
+def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of :func:`knn_classify`: neighbors come from an
+    IVF coarse index over the train split (stride-sampled centroids →
+    inverted lists → nprobe probed lists per query) instead of the full
+    cross product, then the same exact re-rank + majority vote runs on
+    the candidates. The pair stream shrinks from |test|·|train| to
+    |test|·(train/nlist)·nprobe — measured at the 10× scale dataset:
+    334 s brute vs 32.5 s pruned (SCALE.md), same vote machinery. The
+    `n_candidates` column carries the pruning evidence per query;
+    tests pin candidate⊂train soundness and the controlled-fixture
+    agreement with the brute twin.
+    """
+    emb = _with_norm(
+        load_table(spark, "embeddings", sf_dir), "embedding", "enorm"
+    )
+    test = emb.filter(F.col("vec_id") % _TEST_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("enorm").alias("qnorm"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") % _TEST_MOD != 0)
+    stride = train.agg(
+        F.greatest(
+            F.lit(_IVF_STRIDE),
+            F.expr(f"(count(*) + {_IVF_MAX_LISTS - 1}) div {_IVF_MAX_LISTS}"),
+        ).alias("s")
+    )
+    # residue 1, NOT 0: a derived stride that lands on a multiple of
+    # the test mod (e.g. 90 at 10x scale) would otherwise put EVERY
+    # stride pick inside the held-out split and empty the index; vec_id
+    # % s == 1 is provably disjoint from vec_id % 10 == 0 whenever
+    # gcd(s, 10) > 1, and collides on only 1/10 of picks otherwise
+    # (caught by the 10x run: 0 output rows at sf1)
+    cent = (
+        train.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("s") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            F.col("enorm").alias("cnorm"),
+        )
+    )
+
+    def _nearest_cells(df, vec_col, norm_col, id_col, k, out):
+        scored = df.join(F.broadcast(cent), how="cross").select(
+            id_col,
+            "cent_id",
+            (_dot_col(vec_col, "cv") / (F.col(norm_col) * F.col("cnorm"))).alias(
+                "_csim"
+            ),
+        )
+        w = W.partitionBy(id_col).orderBy(
+            F.col("_csim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select(id_col, F.col("cent_id").alias(out))
+        )
+
+    lists = _nearest_cells(
+        train.select("vec_id", "embedding", "enorm"),
+        "embedding", "enorm", "vec_id", 1, "list_id",
+    )
+    probes = _nearest_cells(
+        test.select("q_id", "qv", "qnorm"), "qv", "qnorm", "q_id",
+        _IVF_NPROBE, "list_id",
+    )
+    cand = probes.join(lists, "list_id").select("q_id", "vec_id")
+    scored = (
+        cand.join(train.select("vec_id", "embedding", "enorm", "label"), "vec_id")
+        .join(F.broadcast(test), "q_id")
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            "vec_id",
+            (
+                _dot_col("embedding", "qv") / (F.col("enorm") * F.col("qnorm"))
+            ).alias("cosine"),
+        )
+    )
+    ncand = scored.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    nn = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(nn)).filter(
+        F.col("rnk") <= _K
+    )
+    votes = topk.groupBy("q_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = W.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("n_label"))
+    return (
+        votes.withColumn("vrnk", F.row_number().over(best))
+        .filter(F.col("vrnk") == 1)
+        .join(ncand, "q_id")
+        .select(
+            F.col("q_id").alias("vec_id"),
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+            "n_candidates",
+        )
+    )
+
+
+_SQL_COS = (
+    f"{_SQL_DOT.format(a='{a}', b='{b}')}"
+    f" / ({_SQL_NORM.format(a='{a}')} * {_SQL_NORM.format(a='{b}')})"
+)
+
+KNN_CLASSIFY_IVF_SQL = f"""
+WITH test AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % {_TEST_MOD} = 0
+),
+train AS (SELECT * FROM embeddings WHERE vec_id % {_TEST_MOD} <> 0),
+stride AS (
+  SELECT GREATEST({_IVF_STRIDE},
+                  (COUNT(*) + {_IVF_MAX_LISTS - 1}) // {_IVF_MAX_LISTS}) AS s
+  FROM train
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM train
+  WHERE vec_id % (SELECT s FROM stride) = 1
+),
+assign AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_SQL_COS.format(a='t.embedding', b='c.cv')} DESC,
+                      c.cent_id) AS r
+    FROM train t CROSS JOIN cent c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT q_id, cent_id AS list_id FROM (
+    SELECT t.q_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.q_id
+             ORDER BY {_SQL_COS.format(a='t.qv', b='c.cv')} DESC,
+                      c.cent_id) AS r
+    FROM test t CROSS JOIN cent c
+  ) WHERE r <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON p.list_id = a.list_id
+),
+scored AS (
+  SELECT c.q_id, t.true_label, tr.label AS n_label, tr.vec_id,
+         {_SQL_COS.format(a='tr.embedding', b='t.qv')} AS cosine
+  FROM cand c
+  JOIN train tr ON tr.vec_id = c.vec_id
+  JOIN test t ON t.q_id = c.q_id
+),
+ncand AS (SELECT q_id, COUNT(*) AS n_candidates FROM scored GROUP BY 1),
+topk AS (
+  SELECT q_id, true_label, n_label,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT q_id, true_label, n_label, COUNT(*) AS votes
+  FROM topk WHERE rnk <= {_K}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT q_id, true_label, n_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, n_label) AS vrnk
+  FROM votes
+)
+SELECT b.q_id AS vec_id, b.true_label, b.n_label AS pred_label, b.votes,
+       b.n_label = b.true_label AS correct, n.n_candidates
+FROM best b JOIN ncand n ON b.q_id = n.q_id
+WHERE b.vrnk = 1
+"""
+
 KNN_CLASSIFY_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding, label,
@@ -120,5 +313,5 @@ SELECT q_id AS vec_id, true_label, n_label AS pred_label, votes,
 FROM best WHERE vrnk = 1
 """
 
-QUERIES = {"knn_classify": knn_classify}
-ORACLES = {"knn_classify": KNN_CLASSIFY_SQL}
+QUERIES = {"knn_classify": knn_classify, "knn_classify_ivf": knn_classify_ivf}
+ORACLES = {"knn_classify": KNN_CLASSIFY_SQL, "knn_classify_ivf": KNN_CLASSIFY_IVF_SQL}

@@ -13,7 +13,7 @@ Names must be globally unique; the merge asserts it.
 # (registry count r11: 176 — mp4_h264_headers joins llm/h264_queries.py
 # and fingerprint_store_compact joins llm/substring_queries.py, both
 # modules already staled this round by the r10 ADVICE fixes, per the
-# ledger rule; session 2 grows it to 186 with ten NEW-module tail
+# ledger rule; session 2 grows it to 188 with eleven NEW-module tail entries plus a scale twin
 # entries — see the tail section of _ORDER — touching no certified
 # row's defining module)
 
@@ -35,6 +35,7 @@ from .llm import (
     fim,
     h264_queries,
     knn,
+    linkgraph,
     mixture,
     multimodal,
     novelty,
@@ -105,6 +106,7 @@ _MODULES = [
     dsir,
     cooc,
     fim,
+    linkgraph,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -351,6 +353,8 @@ _ORDER = [
     "pmi_cooccurrence",
     "attribution_touchpoints",
     "fim_psm_split",
+    "crawl_link_graph",
+    "knn_classify_ivf",
 ]
 
 

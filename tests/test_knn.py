@@ -68,6 +68,73 @@ def test_known_neighborhood(spark):
     assert r["correct"] is False and r["true_label"] == 3
 
 
+@pytest.fixture(scope="module", params=["0.001", "0.01"])
+def ivf_preds(request):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf{request.param}/embeddings.parquet')"
+    )
+    return con.execute(all_oracles()["knn_classify_ivf"]).df(), con
+
+
+def test_ivf_prunes_and_stays_sound(ivf_preds):
+    """The scale twin must (a) predict for EVERY held-out vector — an
+    empty coarse index (the stride/test-mod collision the 10× run
+    caught) would drop queries silently; (b) actually prune — mean
+    candidates well under the train size; (c) keep votes in domain."""
+    preds, con = ivf_preds
+    n_test = con.execute(
+        "SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0"
+    ).fetchone()[0]
+    n_train = con.execute(
+        "SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 0"
+    ).fetchone()[0]
+    assert len(preds) == n_test
+    assert preds["n_candidates"].mean() < n_train / 3
+    assert (preds["n_candidates"] >= _K).all() or (preds["votes"] >= 1).all()
+    assert preds["votes"].between(1, _K).all()
+    assert 0 < preds["correct"].mean() < 1
+
+
+def test_ivf_agrees_on_clustered_fixture(spark):
+    """On a corpus with REAL cluster structure (queries sit inside tight
+    train clusters), the IVF twin must reproduce the brute prediction —
+    coarse quantization only diverges when neighbors straddle cells."""
+    from ir_analyses_spark.llm.knn import knn_classify_ivf
+
+    import pandas as pd
+
+    # 3 tight clusters of 40 train vectors each (ids ≡ 1 mod 10 — never
+    # in the held-out split) + 3 explicit held-out queries (ids ≡ 0)
+    rows = []
+    for c, base in enumerate([(1.0, 0.0), (0.0, 1.0), (-1.0, 0.5)]):
+        for j in range(40):
+            rows.append((c * 1000 + j * 10 + 1, [base[0] + j * 1e-3, base[1]], c))
+    rows += [
+        (1000, [1.0, 0.001], 9),   # near cluster 0 → predict 0
+        (2000, [0.001, 1.0], 9),   # near cluster 1 → predict 1
+        (3000, [-1.0, 0.501], 9),  # near cluster 2 → predict 2
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    brute = {r["vec_id"]: r["pred_label"] for r in knn_predictions(emb).collect()}
+    # ivf path works on the loaded table shape; emulate via temp view by
+    # monkeypatching load_table is overkill — recompute through the
+    # module's internals by writing the frame to a temp dir
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="knn_ivf_fixture_")
+    emb.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    ivf = {
+        r["vec_id"]: r["pred_label"]
+        for r in knn_classify_ivf(spark, d).collect()
+    }
+    assert set(ivf) == set(brute) == {1000, 2000, 3000}
+    assert ivf == brute == {1000: 0, 2000: 1, 3000: 2}
+
+
 def test_plan_broadcasts_heldout_side(spark, sf_dir):
     """The bounded query set must broadcast; the candidate scan never
     shuffles for the pairing (only the k·|test| survivors shuffle into
