@@ -195,6 +195,67 @@ def bloom_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packed_bloom_words(bench_docs: DataFrame) -> list[int]:
+    """The filter as ``_M_BITS // 64`` signed 64-bit words. The collect
+    is bounded by the FILTER SIZE (≤ m/64 + m rows), a CONSTANT of the
+    operator — never by the benchmark or the corpus — so this is legal
+    at any scale (the whole point of a Bloom filter is that this
+    materialization is small)."""
+    bits = bloom_bits(
+        word_ngrams(bench_docs.select(F.col("text")).withColumn("doc_id", F.lit(0)))
+    )
+    words = [0] * (_M_BITS // 64)
+    for r in bits.collect():
+        pos = int(r["pos"])
+        words[pos // 64] |= 1 << (pos % 64)
+    # wrap to signed for Spark long literals
+    return [(w + 2**63) % 2**64 - 2**63 for w in words]
+
+
+def _member_expr(words: list[int], permille: int) -> str:
+    """keep-predicate SQL over a `text` column: per-row gram array →
+    md5 probe pairs → packed-word bit tests — no join, no shuffle."""
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    def bit(pos_expr: str) -> str:
+        return (
+            f"((shiftright(element_at({arr}, "
+            f"CAST(({pos_expr}) DIV 64 AS INT) + 1), "
+            f"CAST(({pos_expr}) % 64 AS INT)) & 1) = 1)"
+        )
+
+    probes = " AND ".join(
+        bit(f"(p.a + {j} * p.b) % {_M_BITS}") for j in range(_K_HASHES)
+    )
+    return f"""
+    CASE WHEN size(split(text, ' ')) < 3 THEN true ELSE (
+      WITH_GRAMS
+    ) END
+    """.replace(
+        "WITH_GRAMS",
+        f"""
+        1000 * size(filter(
+          transform(
+            array_distinct(transform(
+              sequence(1, size(split(text, ' ')) - 2),
+              i -> concat_ws(' ',
+                element_at(split(text, ' '), i),
+                element_at(split(text, ' '), i + 1),
+                element_at(split(text, ' '), i + 2)))),
+            g -> named_struct(
+              'a', CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT),
+              'b', CAST(conv(substring(md5(g), 17, 15), 16, 10) AS BIGINT))),
+          p -> {probes}))
+        <= {permille} * size(array_distinct(transform(
+              sequence(1, size(split(text, ' ')) - 2),
+              i -> concat_ws(' ',
+                element_at(split(text, ' '), i),
+                element_at(split(text, ' '), i + 1),
+                element_at(split(text, ' '), i + 2)))))
+        """,
+    )
+
+
 def bloom_decontaminate_filter(
     docs: DataFrame,
     bench_docs: DataFrame,
@@ -217,6 +278,16 @@ def bloom_decontaminate_filter(
     scan — so the gram STRING never rides the shuffle (the
     `llm/novelty.py` discipline); the certificate keeps the string
     because its audit column needs the exact benchmark set.
+
+    Two physical forms, both tested, MEASURED at 1M pages/local[32]
+    (SCALE.md): this default is the codegen explode/join form (+14 s
+    over the 44.5 s funnel baseline); the zero-shuffle packed form
+    (:func:`bloom_decontaminate_filter_packed`) measured +31-36 s —
+    higher-order-function lambdas run OUTSIDE whole-stage codegen, so
+    trading a fixed-width shuffle for interpreted per-row lambdas LOSES
+    single-node. Pick the packed form only where its statelessness is
+    the point (streaming) or shuffle capacity is the binding
+    constraint.
     """
     bits = bloom_bits(word_ngrams(bench_docs.select(F.col("text"))
                                   .withColumn("doc_id", F.lit(0))))
@@ -250,7 +321,7 @@ def bloom_decontaminate_filter(
             F.sum("bloom_in").alias("_hits"),
         )
     )
-    keep = (
+    return (
         docs.join(stats, "doc_id", "left")
         .filter(
             F.col("_n").isNull()
@@ -258,7 +329,31 @@ def bloom_decontaminate_filter(
         )
         .drop("_n", "_hits")
     )
-    return keep
+
+
+def bloom_decontaminate_filter_packed(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    *,
+    max_hit_permille: int = 100,
+) -> DataFrame:
+    """The zero-shuffle form of :func:`bloom_decontaminate_filter`: the
+    filter packs into ``m/64`` long words (:func:`packed_bloom_words` —
+    the collect is bounded by m, a constant) and the whole gate becomes
+    ONE per-row predicate: gram array → md5 probe pair → packed-word
+    bit tests. Zero joins, zero shuffles, zero state on the corpus side
+    (plan-pinned), which makes the stage STREAMING-legal by
+    construction — the `streaming/curate_stream.py` stateless-
+    projection argument. Identical keep set to the default form
+    (tested).
+
+    Honest measurement (1M pages, local[32], SCALE.md): SLOWER than the
+    default single-node — the higher-order-function lambdas are
+    interpreted, not codegen'd — so this form is for streaming and
+    shuffle-bound clusters, not a drop-in upgrade.
+    """
+    words = packed_bloom_words(bench_docs)
+    return docs.filter(F.expr(_member_expr(words, max_hit_permille)))
 
 
 BLOOM_DECONTAMINATE_SQL = f"""

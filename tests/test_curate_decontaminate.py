@@ -86,21 +86,24 @@ def test_short_docs_kept_and_columns_preserved(spark):
     assert rows[1]["url"] == "u1" and rows[1]["title"] == "t1"
 
 
-def test_gate_shuffles_are_fixed_width(spark):
-    """The production gate's contract (module docstring): the per-doc
-    distinct dedups on the 120-bit probe pair, so every exchange in the
-    gate's plan is keyed on long columns only — the gram string never
-    rides a shuffle."""
-    import re
-
-    docs = spark.createDataFrame(
+def _fixture_docs(spark):
+    return spark.createDataFrame(
         [(i, f"word{i} alpha beta gamma delta epsilon zeta", "u", "t")
          for i in range(20)],
         "doc_id long, text string, url string, title string",
     )
+
+
+def test_default_gate_shuffles_are_fixed_width(spark):
+    """Default (codegen) gate contract: the per-doc distinct dedups on
+    the 120-bit probe pair, so the only string-keyed exchange is the
+    BENCHMARK-side bits build (eval-suite-sized) — every corpus-side
+    exchange is long-keyed."""
+    import re
+
     bench = spark.createDataFrame([(_A_PARA,)], "text string")
     plan = (
-        bloom_decontaminate_filter(docs, bench)
+        bloom_decontaminate_filter(_fixture_docs(spark), bench)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -115,11 +118,80 @@ def test_gate_shuffles_are_fixed_width(spark):
             for c in [c.strip() for c in p.split(",")[:-1]]
         )
     ]
-    # exactly one string-keyed exchange is allowed: the BENCHMARK-side
-    # bits build (eval-suite-sized, a dimension); every corpus-side
-    # exchange — including the probe-pair distinct — is long-keyed
     assert len(string_keyed) == 1, parts
     assert any(re.match(r"doc_id#\d+L, h1#\d+L, h2#\d+L", p) for p in parts), parts
+
+
+def test_packed_gate_is_zero_shuffle_projection(spark):
+    """Packed-form contract: one per-row predicate — the corpus-side
+    plan has NO exchange, join, aggregate, or generator, which is the
+    streaming-legality argument (stateless projection, the
+    `streaming/curate_stream.py` pattern)."""
+    from ir_analyses_spark.llm.bloomdecon import (
+        bloom_decontaminate_filter_packed,
+    )
+
+    bench = spark.createDataFrame([(_A_PARA,)], "text string")
+    plan = (
+        bloom_decontaminate_filter_packed(_fixture_docs(spark), bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in ("Exchange", "Join", "HashAggregate", "Generate"):
+        assert op not in plan, (op, plan)
+
+
+def test_both_gate_forms_agree(spark):
+    """The packed form must keep EXACTLY the default form's set, at a
+    threshold where the cut is live (some docs dropped, some kept)."""
+    from ir_analyses_spark.llm.bloomdecon import (
+        bloom_decontaminate_filter_packed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _A_PARA if i % 3 == 0 else f"totally different text {i} "
+          "with many unrelated words here", "u", "t") for i in range(30)],
+        "doc_id long, text string, url string, title string",
+    )
+    bench = spark.createDataFrame([(_A_PARA,)], "text string")
+    a = {r["doc_id"] for r in bloom_decontaminate_filter(docs, bench).collect()}
+    b = {
+        r["doc_id"]
+        for r in bloom_decontaminate_filter_packed(docs, bench).collect()
+    }
+    assert a == b
+    assert 0 < len(a) < 30
+
+
+def test_packed_words_match_bits_table(spark):
+    """The packed representation must encode exactly the bits table the
+    certificate uses — bit-for-bit."""
+    from ir_analyses_spark.llm.bloomdecon import (
+        _M_BITS,
+        bloom_bits,
+        packed_bloom_words,
+        word_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    bench = spark.createDataFrame([(_A_PARA,), ("more words here too",)],
+                                  "text string")
+    words = packed_bloom_words(bench)
+    assert len(words) == _M_BITS // 64
+    expected = {
+        r["pos"]
+        for r in bloom_bits(
+            word_ngrams(bench.withColumn("doc_id", F.lit(0)))
+        ).collect()
+    }
+    got = {
+        i * 64 + b
+        for i, w in enumerate(words)
+        for b in range(64)
+        if (w >> b) & 1
+    }
+    assert got == expected and expected
 
 
 def test_cli_decontaminate_end_to_end(spark, tmp_path, capsys):
