@@ -289,6 +289,7 @@ def bloom_decontaminate_filter(
     the point (streaming) or shuffle capacity is the binding
     constraint.
     """
+    _check_permille(max_hit_permille)
     bits = bloom_bits(word_ngrams(bench_docs.select(F.col("text"))
                                   .withColumn("doc_id", F.lit(0))))
     probes = (
@@ -352,8 +353,19 @@ def bloom_decontaminate_filter_packed(
     interpreted, not codegen'd — so this form is for streaming and
     shuffle-bound clusters, not a drop-in upgrade.
     """
+    _check_permille(max_hit_permille)
     words = packed_bloom_words(bench_docs)
     return docs.filter(F.expr(_member_expr(words, max_hit_permille)))
+
+
+def _check_permille(v: int) -> None:
+    # a permille outside [0, 1000] silently degenerates the gate (<0
+    # drops every doc with any gram, >1000 keeps everything) — the same
+    # silent-no-op class curatectl guards against for min_quality_prob
+    if not 0 <= v <= 1000:
+        raise ValueError(
+            f"max_hit_permille must be in [0, 1000], got {v}"
+        )
 
 
 BLOOM_DECONTAMINATE_SQL = f"""

@@ -20,8 +20,14 @@ Resolution contract (documented subset, deliberately conservative):
 
 The href pattern lives in the Java∩RE2 regex subset (the
 `llm/html_extract.py` discipline) so the DuckDB oracle executes the
-same pattern text; resolution is pure string expressions (parse_url on
-the Spark side, the same split spelled in SQL on the oracle side).
+same pattern text. Pattern scope (documented subset): lowercase
+``<a … href="…"`` with double quotes and at least one attribute
+character after ``<a `` — the form every HTML serializer emits;
+uppercase tags and single-quoted hrefs are out of scope here the same
+way they are for `llm/html_extract.py`'s codegen fast path (its
+faithful stdlib tier is the escape hatch for archival markup).
+Resolution is pure string expressions (parse_url on the Spark side,
+the same split spelled in SQL on the oracle side).
 
 Scale shape: extraction is a per-row projection (regexp_extract_all →
 explode); the only shuffle is the host-level degree aggregate on

@@ -11,7 +11,6 @@ from datetime import datetime
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from ir_analyses_spark.ops.attribution import (
     _LOOKBACK_US,

@@ -9,7 +9,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from ir_analyses_spark.llm.cooc import _LIFT_CUT, cooccurrence_lift
+from ir_analyses_spark.llm.cooc import cooccurrence_lift
 from ir_analyses_spark.registry import all_oracles
 
 

@@ -16,7 +16,7 @@ import pytest
 import curatectl
 from ir_analyses_spark.llm.bloomdecon import bloom_decontaminate_filter
 from ir_analyses_spark.llm.curate import curation_stages, funnel_counts
-from tests.test_curate import CRAWL, GOOD_A
+from tests.test_curate import CRAWL
 
 #: the text of GOOD_A's unique paragraph (the page body the funnel
 #: extracts once NAV/FOOTER lines are line-deduped away)
@@ -220,6 +220,24 @@ def test_cli_decontaminate_end_to_end(spark, tmp_path, capsys):
     assert report["funnel"]["decontaminated"] < report["funnel"]["line_deduped"]
     final = spark.read.parquet(out)
     assert not any("/a" in u for u in [r["url"] for r in final.collect()])
+
+
+def test_gate_rejects_out_of_range_permille(spark):
+    """A permille outside [0, 1000] silently degenerates the gate —
+    both forms must refuse it (second-pass review finding)."""
+    from ir_analyses_spark.llm.bloomdecon import (
+        bloom_decontaminate_filter_packed,
+    )
+
+    docs = _fixture_docs(spark)
+    bench = spark.createDataFrame([(_A_PARA,)], "text string")
+    for bad in (-1, 1001):
+        with pytest.raises(ValueError, match="max_hit_permille"):
+            bloom_decontaminate_filter(docs, bench, max_hit_permille=bad)
+        with pytest.raises(ValueError, match="max_hit_permille"):
+            bloom_decontaminate_filter_packed(
+                docs, bench, max_hit_permille=bad
+            )
 
 
 def test_cli_permille_without_benchmark_fails(tmp_path):

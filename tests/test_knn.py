@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from ir_analyses_spark.llm.knn import _K, _TEST_MOD, knn_predictions
 from ir_analyses_spark.registry import all_oracles, all_queries
@@ -102,8 +101,6 @@ def test_ivf_agrees_on_clustered_fixture(spark):
     train clusters), the IVF twin must reproduce the brute prediction —
     coarse quantization only diverges when neighbors straddle cells."""
     from ir_analyses_spark.llm.knn import knn_classify_ivf
-
-    import pandas as pd
 
     # 3 tight clusters of 40 train vectors each (ids ≡ 1 mod 10 — never
     # in the held-out split) + 3 explicit held-out queries (ids ≡ 0)

@@ -10,7 +10,6 @@ import re
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from ir_analyses_spark.llm.novelty import ngram_novelty_scores
 from ir_analyses_spark.registry import all_oracles, all_queries

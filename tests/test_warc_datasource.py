@@ -8,14 +8,12 @@ buffer holds one record, not the file.
 
 from __future__ import annotations
 
-import gzip
 import io
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
-from ir_analyses_spark.io.warc import WarcFormatError, read_warc
+from ir_analyses_spark.io.warc import read_warc
 from ir_analyses_spark.io.warc_datasource import (
     WarcDataSource,
     _record_bytes,
