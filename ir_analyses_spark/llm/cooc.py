@@ -18,10 +18,15 @@ PMI itself = ln(lift), monotone in it — thresholds translate 1:1.
 Scale shape: the pair stream comes from a per-doc self-join on doc_id
 (each doc contributes |tokens|² /2 fixed-width pairs — the classic
 co-occurrence shuffle; at web scale you bound it per doc with a window
-cap or frequency floor first), pair counts aggregate partial+final, and
-the two unigram joins broadcast a vocabulary-sized count table. The
-scalar N rides a 1-row broadcast. Nothing re-touches text after the
-first distinct.
+cap or frequency floor first, and a blowup guard below REFUSES a
+corpus whose Σ|tokens|² exceeds the pair budget — the
+`llm/dedup._require_bounded_self_join` contract: an explicit error
+beats an executor OOM), pair counts aggregate partial+final, and the
+two unigram joins broadcast the unigram count table — broadcastable
+precisely because the same frequency floor that bounds the pair stream
+bounds the vocabulary; on an un-floored open-vocabulary corpus drop
+the broadcast hint and let AQE pick the join side. The scalar N rides
+a 1-row broadcast. Nothing re-touches text after the first distinct.
 
 The `associated` cut (lift > 1.05) and its complement both fire at the
 correctness SFs (pinned in tests/test_cooc.py — the synthetic corpus's
@@ -36,14 +41,37 @@ from ..io.sources import load_table
 
 #: association threshold on lift (PMI > ln 1.05 ≈ 0.049)
 _LIFT_CUT = 1.05
+#: refuse per-doc self-joins past this many pair rows (dedup.py budget)
+_PAIR_BUDGET = 100_000_000
+
+
+def _require_bounded_pairs(toks: DataFrame) -> None:
+    blowup = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("b"))
+        .collect()[0]["b"]
+    )
+    if blowup and blowup > _PAIR_BUDGET:
+        raise RuntimeError(
+            f"pmi_cooccurrence: per-doc token self-join would produce "
+            f"~{blowup:,} pair rows (> budget {_PAIR_BUDGET:,}) — apply "
+            "a frequency floor or per-doc token cap before pairing"
+        )
 
 
 def cooccurrence_lift(docs: DataFrame) -> DataFrame:
     """(w1, w2, c_xy, c_x, c_y, lift, associated) over document-level
     distinct token pairs, w1 < w2."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
+    # the token frame feeds FOUR consumers (guard, unigram counts, N,
+    # both self-join sides) — checkpoint once so the explode + distinct
+    # doesn't replay per consumer (the containment_nearup pattern)
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _require_bounded_pairs(toks)
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n = toks.agg(F.countDistinct("doc_id").alias("n"))
     a, b = toks.alias("a"), toks.alias("b")

@@ -16,11 +16,21 @@ Scale shape (the design constraint): the gram TEXT never rides a
 shuffle. Grams are hashed to a 60-bit integer at the scan projection
 (`bloomdecon._md5_long` — the repo's portable md5 slice family, so the
 DuckDB oracle reproduces the exact same keys), and everything after the
-per-doc distinct is fixed-width (doc_id, hg) rows:
+per-doc distinct is fixed-width (doc_id, hg) rows. Every downstream
+step is a PARTIAL-AGGREGATING groupBy — deliberately NO window and NO
+join-back on hg: the most frequent grams are universal boilerplate,
+i.e. exactly what this operator measures, so an hg-partitioned window
+would put 10^9 rows of "the same disclaimer" in one task; map-side
+combine collapses each partition's contribution to a hot gram to ONE
+row before it ships (third-review-pass fix; the first draft used a
+window min):
 
-1. distinct (doc_id, hg)          — shuffle 1, 16-byte rows
-2. min(doc_id) over (partition by hg) — shuffle 2 (window, no join-back)
-3. groupBy doc_id counts          — shuffle 3, partial-agg combined
+1. distinct (doc_id, hg)                       — shuffle 1
+2. n_ngrams:  groupBy doc_id count             — per-doc, partial
+3. first_doc: groupBy hg min(doc_id)           — skew-safe partial
+4. n_novel:   firsts groupBy first_doc count   — per-doc, partial
+5. one per-doc-sized join of (2) and (4) — a doc with zero firsts
+   left-fills n_novel = 0
 
 First-seen semantics are defined OVER THE HASH: a 60-bit collision
 merges two grams identically in both engines (deterministic, value-
@@ -34,7 +44,7 @@ tests/test_novelty.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
 from .bloomdecon import _md5_long, word_ngrams
@@ -48,15 +58,20 @@ def ngram_novelty_scores(docs: DataFrame) -> DataFrame:
         word_ngrams(docs, distinct=False)
         .select("doc_id", _md5_long("g", 1).alias("hg"))
         .distinct()
+        # feeds two aggregate consumers — materialize the distinct once
+        .localCheckpoint(eager=True)
     )
-    firsts = pairs.withColumn(
-        "first_doc", F.min("doc_id").over(W.partitionBy("hg"))
+    totals = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    novel = (
+        pairs.groupBy("hg")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    per_doc = firsts.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum((F.col("doc_id") == F.col("first_doc")).cast("int")).alias(
-            "n_novel"
-        ),
+    per_doc = totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
     )
     return per_doc.select(
         "doc_id",

@@ -64,6 +64,21 @@ def test_known_corpus_lift(spark):
     assert xy["c_xy"] == 1 and xy["lift"] == 1.0 and not xy["associated"]
 
 
+def test_pair_blowup_guard_bites(spark, monkeypatch):
+    """A corpus whose per-doc token sets would explode the self-join
+    must be REFUSED loudly (the dedup.py budget contract), not OOM the
+    executors. Budget lowered so a small fixture trips it."""
+    from ir_analyses_spark.llm import cooc as mod
+
+    monkeypatch.setattr(mod, "_PAIR_BUDGET", 1_000)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(40))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="frequency floor"):
+        mod.cooccurrence_lift(docs)
+
+
 def test_plan_broadcasts_unigrams(spark, sf_dir):
     """The two unigram-count joins and the scalar N must broadcast; no
     sort-merge join anywhere (the pair stream is the only shuffle)."""

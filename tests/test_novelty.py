@@ -59,13 +59,17 @@ def test_exact_duplicate_scores_zero(spark):
     assert rows[3]["novelty"] == 1.0
 
 
-def test_shuffles_are_fixed_width(spark, sf_dir):
-    """The contract in the module docstring: exactly 3 exchanges, every
-    one keyed on longs only — the gram STRING never rides a shuffle."""
+def test_shuffles_are_fixed_width_and_windowless(spark, sf_dir):
+    """The contract in the module docstring: every exchange is keyed on
+    longs only — the gram STRING never rides a shuffle — and there is
+    NO window operator (the hg-partitioned window would hot-spot on
+    universal boilerplate grams; every step must be a partial-
+    aggregating groupBy)."""
     df = all_queries()["ngram_novelty"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert len(parts) == 3
+    assert 3 <= len(parts) <= 4
     for p in parts:
         cols = [c.strip() for c in p.split(",")[:-1]]  # last item = numPartitions
         assert cols and all("#" in c and c.split("#")[1].endswith("L") for c in cols), p
