@@ -191,3 +191,42 @@ def test_bloom_gate_threeway_random(spark):
             assert len(c) < len(docs)
         assert c  # never drops everything at these permilles... unless
         # the small vocab saturates — then the assert above documents it
+
+
+def test_novelty_random_vs_python_model(spark):
+    """Random small-vocabulary corpora vs an independent Python
+    first-seen model over the SAME md5-hashed gram keys — guards the
+    skew-robust aggregation rewrite (groupBy-min + count-of-firsts)
+    beyond value parity."""
+    from ir_analyses_spark.llm.novelty import ngram_novelty_scores
+
+    rng = random.Random(20260816)
+    vocab = [f"v{i}" for i in range(9)]
+    docs = [
+        (i * 7 + 3, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+        for i in range(50)
+    ]
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_novel"])
+        for r in ngram_novelty_scores(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    def hg(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[0:15], 16)
+
+    first = {}
+    expect = {}
+    for doc_id, text in sorted(docs):  # first-seen is by doc_id order
+        w = text.split(" ")
+        gs = {hg(" ".join(w[i : i + 3])) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+        if not gs:
+            continue  # docs with no grams have no output row
+        novel = 0
+        for g in gs:
+            if g not in first:
+                first[g] = doc_id
+                novel += 1
+        expect[doc_id] = (len(gs), novel)
+    assert got == expect and expect
