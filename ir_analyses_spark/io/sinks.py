@@ -567,8 +567,15 @@ def compact_small_files(
     import math
 
     def _data_files(d: str) -> list[str]:
+        # prune _/.-prefixed dirs (mirrors llm/substring_dedup.
+        # _committed_files): a write killed mid-job leaves _temporary
+        # task-attempt dirs holding uncommitted parquet, and counting
+        # that debris would inflate files_before/total — compaction
+        # would size its output off bytes the table never committed
+        # (r11 VERDICT item 2)
         out = []
-        for root, _dirs, files in os.walk(d):
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             out += [
                 os.path.join(root, f)
                 for f in files

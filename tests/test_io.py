@@ -601,6 +601,38 @@ def test_compact_small_files(spark, tmp_path):
     assert sorted(r["v"] for r in df.collect()) == sorted(2 * i for i in range(1000))
 
 
+def test_compact_ignores_uncommitted_temporary_debris(spark, tmp_path):
+    """A write killed mid-job leaves a ``_temporary`` task-attempt tree
+    holding uncommitted parquet. Compaction must neither count that
+    debris (files_before/total-bytes would lie) nor resurrect it into
+    the compacted table — the same bug class the fingerprint store's
+    ``_committed_files`` fixed (r11 VERDICT item 2)."""
+    import os
+
+    target = str(tmp_path / "killed")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(
+        target
+    )
+    # simulate the kill: a task-attempt dir with a large orphan file
+    debris = os.path.join(
+        target, "_temporary", "0", "_temporary", "attempt_0_0_m_0_0"
+    )
+    os.makedirs(debris)
+    spark.range(10_000).selectExpr("id", "id AS v").coalesce(1).write.parquet(
+        os.path.join(debris, "orphan")
+    )
+    # nested parquet files now exist under _temporary; also one directly
+    with open(os.path.join(debris, "part-zzz.parquet"), "wb") as fh:
+        fh.write(b"\x00" * (1 << 20))
+    stats = sinks.compact_small_files(spark, target)
+    assert stats["files_before"] == 4  # debris not counted
+    assert stats["files_after"] == 1
+    got = spark.read.parquet(target)
+    assert got.count() == 100  # debris rows not resurrected
+    # the swap replaced the directory wholesale — no _temporary left
+    assert not os.path.exists(os.path.join(target, "_temporary"))
+
+
 def test_compact_small_files_partitioned(spark, tmp_path):
     """Partitioned compaction keeps the directory layout (partition pruning
     still works afterwards) while collapsing per-directory shards."""
