@@ -92,8 +92,8 @@ _IVF_MAX_LISTS = 200
 _IVF_NPROBE = 3
 
 
-def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE form of :func:`knn_classify`: neighbors come from an
+def knn_ivf_predictions(emb: DataFrame) -> DataFrame:
+    """The SCALE form of :func:`knn_predictions`: neighbors come from an
     IVF coarse index over the train split (stride-sampled centroids →
     inverted lists → nprobe probed lists per query) instead of the full
     cross product, then the same exact re-rank + majority vote runs on
@@ -104,9 +104,7 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests pin candidate⊂train soundness and the controlled-fixture
     agreement with the brute twin.
     """
-    emb = _with_norm(
-        load_table(spark, "embeddings", sf_dir), "embedding", "enorm"
-    )
+    emb = _with_norm(emb, "embedding", "enorm")
     test = emb.filter(F.col("vec_id") % _TEST_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
@@ -135,6 +133,20 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("enorm").alias("cnorm"),
         )
     )
+    # an id space with NO residue-1 member (e.g. all-even vec_ids under
+    # an even stride) would otherwise build an empty index and emit
+    # ZERO rows — the same silent-empty failure class the residue-0 bug
+    # above had, and the oracle degenerates identically so parity would
+    # stay green on garbage. Fail loudly instead (the cooc pair-budget
+    # guard contract); the scan stops at the first centroid found, so
+    # the healthy-path cost is one short job. (r11 ADVICE)
+    if cent.limit(1).count() == 0:
+        raise RuntimeError(
+            "knn_classify_ivf: stride sampling selected zero centroids "
+            "(no train vec_id ≡ 1 mod stride) — the id space has no "
+            "residue-1 members; re-key the vectors or pick a different "
+            "centroid residue"
+        )
 
     def _nearest_cells(df, vec_col, norm_col, id_col, k, out):
         scored = df.join(F.broadcast(cent), how="cross").select(
@@ -197,6 +209,12 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
         )
     )
+
+
+def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: IVF-pruned 5-NN classify over embeddings (the
+    scale twin of `knn_classify`)."""
+    return knn_ivf_predictions(load_table(spark, "embeddings", sf_dir))
 
 
 _SQL_COS = (

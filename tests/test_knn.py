@@ -144,3 +144,23 @@ def test_plan_broadcasts_heldout_side(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_empty_centroid_set_fails_loudly(spark):
+    """An id space with no residue-1 member under the derived stride
+    must REFUSE, not silently emit zero rows (r11 ADVICE: the oracle
+    degenerates identically, so parity could never catch the empty
+    index)."""
+    import pytest as _pytest
+
+    from ir_analyses_spark.llm.knn import knn_ivf_predictions
+
+    # vec_id ≡ 2 mod 50: none are test-split (2 mod 10), so train is
+    # the FULL set — yet vec_id mod 25 is always 2, so the 25-floor
+    # stride finds no residue-1 centroid
+    emb = spark.createDataFrame(
+        [(i * 50 + 2, [float(i), 1.0], f"l{i % 2}") for i in range(40)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with _pytest.raises(RuntimeError, match="zero centroids"):
+        knn_ivf_predictions(emb).collect()
