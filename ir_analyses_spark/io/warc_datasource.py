@@ -21,11 +21,23 @@ one record), then hands the record's bytes to the canonical
 transfer/content decoding, and every future fix there apply here
 automatically and cannot diverge.
 
+Filesystem routing: listing and opening go through ``pyarrow.fs``
+(r11 ADVICE — the first draft was os.listdir/open, local-only, while
+the module is positioned as the Common Crawl scale path and crawl
+shards at that scale live on object stores). A plain path stays on
+the local FS; a URI (``s3://…``, ``hdfs://…``, ``file://…``) resolves
+via ``pyarrow.fs.FileSystem.from_uri`` on the DRIVER (partition
+planning) and again on each EXECUTOR (record streaming) — partitions
+carry the full URI, so every task opens its shard directly against
+the object store with a sequential ``open_input_stream`` (no seek
+required: the gzip magic sniff replays its two bytes through
+``_HeadStream``).
+
 Usage::
 
     spark.dataSource.register(WarcDataSource)
     df = (spark.read.format("warc")
-          .option("path", "/crawl/shards")        # dir or single file
+          .option("path", "/crawl/shards")        # dir/file or URI
           .option("parse_http", "true")           # default true
           .option("permissive", "true")           # default false
           .load())
@@ -125,6 +137,39 @@ def iter_warc_records_stream(
         offset += need
 
 
+def _fs_and_path(path: str):
+    """Resolve a path-or-URI to ``(pyarrow FileSystem, fs-local path)``.
+    Plain paths stay on the local FS; anything with a scheme routes
+    through ``FileSystem.from_uri`` — so ``option("path")`` accepts the
+    object-store URIs 100 TB crawl shards actually live on."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+class _HeadStream:
+    """Replays sniffed magic bytes ahead of the remaining stream:
+    ``open_input_stream`` is sequential-only on object stores (no
+    seek-back), and both gzip and the framing loop only ever call
+    ``read``."""
+
+    def __init__(self, head: bytes, fp):
+        self._head, self._fp = head, fp
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out, self._head = self._head + self._fp.read(), b""
+                return out
+            out, self._head = self._head[:n], self._head[n:]
+            if len(out) < n:
+                out += self._fp.read(n - len(out))
+            return out
+        return self._fp.read(n)
+
+
 class _WarcFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -140,21 +185,36 @@ class WarcSourceReader(DataSourceReader):
 
     def partitions(self) -> list[_WarcFilePartition]:
         # one partition per file — WARC's unit of parallelism (the file
-        # is non-splittable; Common Crawl shards at ~1 GB per file)
-        if os.path.isfile(self.root):
+        # is non-splittable; Common Crawl shards at ~1 GB per file).
+        # Partitions carry the ORIGINAL scheme so each executor task
+        # re-resolves the filesystem and opens its shard directly.
+        from pyarrow import fs as pafs
+
+        fs, root = _fs_and_path(self.root)
+        scheme = self.root.split("://", 1)[0] + "://" if "://" in self.root else ""
+        info = fs.get_file_info(root)
+        if info.type == pafs.FileType.File:
             return [_WarcFilePartition(self.root)]
+        if info.type != pafs.FileType.Directory:
+            raise FileNotFoundError(
+                f"warc source path does not exist: {self.root}"
+            )
+        sel = pafs.FileSelector(root, recursive=False)
         return [
-            _WarcFilePartition(os.path.join(self.root, f))
-            for f in sorted(os.listdir(self.root))
-            if ".warc" in f
+            _WarcFilePartition(scheme + i.path)
+            for i in sorted(fs.get_file_info(sel), key=lambda i: i.path)
+            if i.type == pafs.FileType.File
+            and ".warc" in os.path.basename(i.path)
         ]
 
     def _rows(self, path: str) -> Iterator[dict]:
-        with open(path, "rb") as raw:
+        fs, fs_path = _fs_and_path(path)
+        with fs.open_input_stream(fs_path) as raw:
             head = raw.read(2)
-            raw.seek(0)
             fp: BinaryIO = (
-                gzip.GzipFile(fileobj=raw) if head == _GZIP_MAGIC else raw
+                gzip.GzipFile(fileobj=_HeadStream(head, raw))
+                if head == _GZIP_MAGIC
+                else _HeadStream(head, raw)
             )
             it = iter_warc_records_stream(fp, source=path)
             seq = 0
@@ -282,7 +342,13 @@ def write_fixture_warcs(rows, out_dir: str, n_files: int = 8) -> None:
 
 def warc_source_scan(spark, sf_dir: str):
     """Registry entry: documents → WARC files → format("warc") → decoded
-    fields (identity oracle)."""
+    fields (identity oracle). The fixture directory is DETERMINISTIC
+    per sf_dir and rewritten in place on every invocation (r11 ADVICE:
+    mkdtemp leaked a full corpus copy per certificate run) — fine for
+    the single-process certificate; production reads existing shards
+    and never synthesizes."""
+    import hashlib
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -295,7 +361,10 @@ def warc_source_scan(spark, sf_dir: str):
         .select("doc_id", "text")
         .collect()
     ]
-    tmp = tempfile.mkdtemp(prefix="warc_ds_fixture_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tmp = os.path.join(tempfile.gettempdir(), f"warc_ds_fixture_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     write_fixture_warcs(rows, tmp)
     spark.dataSource.register(WarcDataSource)
     df = (
