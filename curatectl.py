@@ -145,12 +145,39 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--input-format",
-        choices=("warc", "wet"),
+        choices=("warc", "warc-stream", "wet"),
         default=None,
-        help="crawl distribution: 'warc' (full HTTP responses, HTML "
-        "extracted in-funnel) or 'wet' (Common Crawl's pre-extracted "
-        "text — skips the HTML stages entirely); overrides the "
-        "config's input_format (default warc)",
+        help="crawl distribution: 'warc' (full HTTP responses via the "
+        "binaryFile route — whole decompressed shard per task), "
+        "'warc-stream' (same WARC files through the streaming Python "
+        "DataSource — ONE record per task peak memory, the posture "
+        "~1 GB Common Crawl shards want), or 'wet' (Common Crawl's "
+        "pre-extracted text — skips the HTML stages entirely); "
+        "overrides the config's input_format (default warc)",
+    )
+    ap.add_argument(
+        "--novelty-filter",
+        action="store_true",
+        help="drop documents whose first-seen word-3-gram share is "
+        "below --novelty-min-permille (boilerplate/template suppression "
+        "after the dedup stages); ORs with the config's novelty_filter",
+    )
+    ap.add_argument(
+        "--novelty-min-permille",
+        type=int,
+        default=None,
+        help="novelty keep threshold in 1/1000 of a doc's distinct "
+        "3-grams (default 250 = 25%%); requires --novelty-filter; "
+        "overrides the config's novelty_min_permille",
+    )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="PARQUET",
+        help="DSIR importance selection: parquet of target-domain docs "
+        "(a 'text' column); only curated docs whose importance "
+        "log-weight against this target exceeds the corpus mean "
+        "survive (llm/dsir.py); overrides the config's dsir_target_path",
     )
     ap.add_argument(
         "--compact-store",
@@ -262,6 +289,19 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["decontaminate_path"] = args.decontaminate
     if args.decontaminate_max_permille is not None:
         kwargs["decontaminate_max_permille"] = args.decontaminate_max_permille
+    if args.novelty_filter:
+        kwargs["novelty_filter"] = True
+    if args.novelty_min_permille is not None:
+        kwargs["novelty_min_permille"] = args.novelty_min_permille
+    if args.dsir_target is not None:
+        kwargs["dsir_target_path"] = args.dsir_target
+    if "novelty_min_permille" in kwargs and not kwargs.get("novelty_filter"):
+        # a threshold without the stage enabled would silently tune
+        # NOTHING — same failure mode as min_quality_prob sans model
+        raise ValueError(
+            "novelty_min_permille requires the stage (--novelty-filter "
+            "or [curation] novelty_filter = true)"
+        )
     if "decontaminate_max_permille" in kwargs and "decontaminate_path" not in kwargs:
         # a threshold without a benchmark would silently gate NOTHING —
         # same failure mode as min_quality_prob sans model
@@ -313,6 +353,7 @@ def main(argv: list[str] | None = None) -> int:
         kwargs.pop("blocked_domains", None)
 
     decon_path = kwargs.pop("decontaminate_path", None)
+    dsir_target_path = kwargs.pop("dsir_target_path", None)
     model_path = kwargs.pop("quality_model_path", None)
     if model_path is None and "min_quality_prob" in kwargs:
         # a threshold without a model would silently gate NOTHING —
@@ -332,6 +373,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"column (columns: {bench.columns})"
             )
         kwargs["decontaminate_bench"] = bench.select("text")
+    if dsir_target_path is not None:
+        # target-domain corpus for DSIR selection; a bad path or
+        # missing text column fails loudly here, not mid-funnel
+        tgt = spark.read.parquet(dsir_target_path)
+        if "text" not in tgt.columns:
+            raise ValueError(
+                f"--dsir-target parquet at {dsir_target_path} has no "
+                f"'text' column (columns: {tgt.columns})"
+            )
+        kwargs["dsir_target"] = tgt.select("text")
     if model_path is not None:
         # a saved llm/quality_clf model; load fails loudly on a bad path
         from pyspark.ml import PipelineModel

@@ -182,6 +182,9 @@ _CURATION_KEYS = frozenset(
         "input_format",
         "decontaminate_path",
         "decontaminate_max_permille",
+        "novelty_filter",
+        "novelty_min_permille",
+        "dsir_target_path",
     }
 )
 

@@ -65,6 +65,9 @@ def curation_stages(
     substring_store: str | None = None,
     decontaminate_bench: DataFrame | None = None,
     decontaminate_max_permille: int = 100,
+    novelty_filter: bool = False,
+    novelty_min_permille: int = 250,
+    dsir_target: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The curation funnel as named stages (each a DataFrame).
 
@@ -81,11 +84,33 @@ def curation_stages(
     not enforcing a requested compliance filter is the one failure
     mode a curation run must not have.
 
+    ``input_format="warc-stream"`` reads the same WARC distribution
+    through the streaming Python DataSource
+    (`io/warc_datasource.WarcDataSource`, r11 VERDICT item 4) instead
+    of the binaryFile route: identical schema and record semantics
+    (row-for-row pinned by tests), but per-task peak memory is ONE
+    RECORD + a 64 KiB chunk instead of one whole decompressed shard —
+    the right default posture for ~1 GB Common Crawl shards. Every
+    stage downstream is byte-identical; only the scan route changes.
+
     Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
     ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,
     ``content_like``, ``normalized``, ``exact_deduped``,
     ``line_deduped``, [``substring_deduped``,] [``decontaminated``,]
-    [``ppl_filtered``,] [``clf_filtered``,] ``final``.
+    [``novelty_filtered``,] [``dsir_selected``,] [``ppl_filtered``,]
+    [``clf_filtered``,] ``final``.
+
+    ``novelty_filter=True`` adds the first-seen n-gram novelty gate
+    (`llm/novelty.novelty_gate`): a doc is dropped when fewer than
+    ``novelty_min_permille``/1000 of its distinct word 3-grams are
+    corpus-order firsts (integer threshold; sub-3-word docs are kept —
+    the word-count rule owns short docs). ``dsir_target`` (a DataFrame
+    with a ``text`` column — the target-domain corpus, e.g. a
+    Wikipedia sample) adds DSIR importance selection
+    (`llm/dsir.dsir_gate`): only docs whose importance log-weight
+    against that target exceeds the corpus mean survive. Both sit
+    after the dedup/decontamination stages and before the model gates
+    — score what would ship, gate before the expensive models run.
 
     ``decontaminate_bench`` (a DataFrame with a ``text`` column — the
     eval/benchmark corpus) adds Bloom-filter benchmark decontamination
@@ -146,9 +171,10 @@ def curation_stages(
     ``.unpersist()`` on those stages when the run is done, or pass
     False for fully lazy plans.
     """
-    if input_format not in ("warc", "wet"):
+    if input_format not in ("warc", "wet", "warc-stream"):
         raise ValueError(
-            f"input_format must be 'warc' or 'wet', got {input_format!r}"
+            f"input_format must be 'warc', 'warc-stream' or 'wet', "
+            f"got {input_format!r}"
         )
     wet = input_format == "wet"
     if wet and enforce_robots:
@@ -183,9 +209,26 @@ def curation_stages(
             .filter(F.col("url").isNotNull())
         )
     else:
-        records = read_warc(
-            spark, warc_path, parse_http=True, permissive=permissive
-        )
+        if input_format == "warc-stream":
+            # the record-bounded-memory scan route: same schema, same
+            # strict/permissive contract as read_warc (row-for-row
+            # pinned in tests/test_warc_datasource.py) — registration
+            # is idempotent, and the path option takes object-store
+            # URIs via the DataSource's pyarrow-FS routing
+            from ..io.warc_datasource import WarcDataSource
+
+            spark.dataSource.register(WarcDataSource)
+            records = (
+                spark.read.format("warc")
+                .option("path", warc_path)
+                .option("parse_http", "true")
+                .option("permissive", "true" if permissive else "false")
+                .load()
+            )
+        else:
+            records = read_warc(
+                spark, warc_path, parse_http=True, permissive=permissive
+            )
         pages = (
             records.filter(
                 (F.col("warc_type") == "response")
@@ -321,6 +364,26 @@ def curation_stages(
             max_hit_permille=decontaminate_max_permille,
         )
         gate_in = decontaminated
+    novelty_filtered = None
+    if novelty_filter:
+        from .novelty import novelty_gate
+
+        # first-seen n-gram gate: hashed-gram longs only on the wire
+        # (the text column rides just the final anti-join), integer
+        # threshold, short docs kept — see llm/novelty.novelty_gate
+        novelty_filtered = novelty_gate(
+            gate_in, min_novelty_permille=novelty_min_permille
+        )
+        gate_in = novelty_filtered
+    dsir_selected = None
+    if dsir_target is not None:
+        from .dsir import dsir_gate
+
+        # DSIR above-mean importance selection against the target
+        # corpus: B-row term table broadcast, fixed-width shuffles,
+        # passthrough via one left_semi — see llm/dsir.dsir_gate
+        dsir_selected = dsir_gate(gate_in, dsir_target)
+        gate_in = dsir_selected
     ppl_filtered = None
     if perplexity_lm is not None:
         if max_ppl_bucket is None:
@@ -387,6 +450,16 @@ def curation_stages(
         **(
             {"decontaminated": decontaminated}
             if decontaminated is not None
+            else {}
+        ),
+        **(
+            {"novelty_filtered": novelty_filtered}
+            if novelty_filtered is not None
+            else {}
+        ),
+        **(
+            {"dsir_selected": dsir_selected}
+            if dsir_selected is not None
             else {}
         ),
         **({"ppl_filtered": ppl_filtered} if ppl_filtered is not None else {}),

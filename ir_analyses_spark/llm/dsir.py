@@ -128,6 +128,75 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(load_table(spark, "documents", sf_dir))
 
 
+def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
+    """Funnel gate form (r11 VERDICT item 7): keep the documents whose
+    DSIR importance log-weight sits above the corpus mean, where the
+    TARGET distribution comes from a separate target-domain corpus
+    (``target_docs`` needs a ``text`` column — the paper's actual
+    deployment shape: target = Wikipedia/books, raw = the crawl; the
+    registry twin's lang-split target is the self-contained certificate
+    of the same algebra). ``docs`` needs (doc_id, text) plus any
+    passthrough columns — all preserved via one left_semi join; docs
+    with no tokens score 0·norm = 0 via the bucket join's inner
+    semantics and simply follow the mean gate.
+
+    Same float discipline as :func:`dsir_weights`: ln only on integer
+    counts, round(·,6)→decimal before aggregation, the gate compares
+    ``N·w_i > Σw`` in decimals. Same scale shape: the B-row term table
+    broadcasts, the heavy shuffle carries fixed-width (doc_id, bucket,
+    count) rows, the target corpus contributes one bounded aggregate.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", (_md5_long("w", 1) % _B).alias("b"))
+    doc_bucket = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_toks = target_docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).select((_md5_long("w", 1) % _B).alias("b"))
+    tgt = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    terms = raw.join(tgt, "b", "left").select(
+        "b",
+        F.round(
+            F.log(F.coalesce("c_tgt", F.lit(0)) + F.lit(1))
+            - F.log(F.col("c_raw") + F.lit(1)),
+            6,
+        )
+        .cast(_DEC)
+        .alias("term"),
+    )
+    totals = (
+        toks.agg((F.count(F.lit(1)) + F.lit(_B)).alias("t_raw"))
+        .crossJoin(
+            tgt_toks.agg((F.count(F.lit(1)) + F.lit(_B)).alias("t_tgt"))
+        )
+        .select(
+            F.round(F.log("t_raw") - F.log("t_tgt"), 6).cast(_DEC).alias("norm")
+        )
+    )
+    weights = (
+        doc_bucket.join(F.broadcast(terms), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("term"))
+                + F.sum("c") * F.first("norm")
+            ).alias("w_dec")
+        )
+    )
+    gate = weights.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_dec").alias("w_total"),
+    )
+    keep = (
+        weights.crossJoin(F.broadcast(gate))
+        .filter(F.col("n_docs") * F.col("w_dec") > F.col("w_total"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
 DSIR_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang,

@@ -501,3 +501,58 @@ def test_cli_wet_input_format(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert spark.read.parquet(str(out2)).count() == len(rows)
+
+
+def test_cli_warc_stream_route_and_gates(spark, tmp_path, capsys):
+    """--input-format warc-stream drives the streaming-DataSource scan
+    (r11 VERDICT item 4) and composes with the novelty + DSIR gate
+    knobs (item 7) — the CLI reaches the record-bounded-memory route
+    end to end."""
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in CRAWL)
+    )
+    target = tmp_path / "target.parquet"
+    spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], "text string"
+    ).write.parquet(str(target))
+    out_dir = tmp_path / "corpus_stream"
+    rc = curatectl.main(
+        [
+            "--warc-dir", str(warc_dir),
+            "--out-dir", str(out_dir),
+            "--input-format", "warc-stream",
+            "--min-words", "10",
+            "--novelty-filter",
+            "--novelty-min-permille", "1",
+            "--dsir-target", str(target),
+            "--report",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["funnel"]["records"] == 11  # stream route scans all
+    assert "novelty_filtered" in report["funnel"]
+    assert "dsir_selected" in report["funnel"]
+    assert (
+        report["funnel"]["dsir_selected"]
+        <= report["funnel"]["novelty_filtered"]
+    )
+    assert report["n_documents"] == report["funnel"]["final"] > 0
+
+
+def test_cli_novelty_threshold_without_stage_fails(tmp_path):
+    """--novelty-min-permille without --novelty-filter would silently
+    tune nothing — must refuse (the min_quality_prob-sans-model
+    contract)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="novelty_min_permille"):
+        curatectl.main(
+            [
+                "--warc-dir", str(tmp_path),
+                "--out-dir", str(tmp_path / "o"),
+                "--novelty-min-permille", "100",
+            ]
+        )

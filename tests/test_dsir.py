@@ -106,3 +106,28 @@ def test_term_table_bounded_and_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1  # term join
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # two scalar gates
+
+
+def test_dsir_gate_matches_registry_selection(spark, sf_dir):
+    """The funnel gate form (external target corpus) must reproduce the
+    registry twin's selection exactly when the target corpus IS the
+    en-language subset — same counts, same smoothing, same decimal
+    algebra, so the kept doc_id set is equal, and passthrough columns
+    survive."""
+    from ir_analyses_spark.io.sources import load_table
+    from ir_analyses_spark.llm.dsir import dsir_gate, dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text", "source"
+    )
+    want = {
+        r["doc_id"]
+        for r in dsir_weights(docs.select("doc_id", "lang", "text"))
+        .filter("selected")
+        .collect()
+    }
+    got_rows = dsir_gate(
+        docs, docs.filter("lang = 'en'").select("text")
+    ).collect()
+    assert {r["doc_id"] for r in got_rows} == want
+    assert set(got_rows[0].asDict()) == {"doc_id", "lang", "text", "source"}
