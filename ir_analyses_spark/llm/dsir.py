@@ -197,6 +197,19 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
+def dsir_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the funnel-gate form certified end to end — the
+    external target corpus is the en-language subset handed in as a
+    SEPARATE text-only frame, so the gate's two-corpus plumbing (target
+    aggregate, raw aggregate, cross-frame normalizer) is what the
+    oracle checks; the kept set provably equals the registry twin's
+    ``selected`` rows (pinned in tests/test_dsir.py)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    return dsir_gate(docs, docs.filter(F.col("lang") == "en").select("text"))
+
+
 DSIR_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -234,5 +247,53 @@ SELECT doc_id, lang, n_tokens,
 FROM weights
 """
 
-QUERIES = {"dsir_importance_select": dsir_importance_select}
-ORACLES = {"dsir_importance_select": DSIR_SQL}
+#: the gate replayed in SQL: same bucket/term/norm algebra as DSIR_SQL
+#: (target = en tokens, raw = all tokens), weights per doc_id only,
+#: then a semi join keeps above-mean docs with passthrough columns
+DSIR_GATE_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % {_B} AS b
+  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents)
+),
+doc_bucket AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+tgt AS (SELECT b, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT b, COUNT(*) AS c_raw FROM toks GROUP BY 1),
+terms AS (
+  SELECT r.b,
+         CAST(ROUND(LN(COALESCE(t.c_tgt, 0) + 1) - LN(r.c_raw + 1), 6)
+              AS DECIMAL(20,6)) AS term
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b
+),
+norm AS (
+  SELECT CAST(ROUND(
+           LN((SELECT COUNT(*) FROM toks) + {_B})
+           - LN((SELECT COUNT(*) FROM toks WHERE lang = 'en') + {_B}), 6)
+         AS DECIMAL(20,6)) AS norm
+),
+weights AS (
+  SELECT d.doc_id,
+         SUM(d.c * te.term) + SUM(d.c) * (SELECT norm FROM norm) AS w_dec
+  FROM doc_bucket d JOIN terms te ON d.b = te.b
+  GROUP BY d.doc_id
+),
+keep AS (
+  SELECT doc_id FROM weights
+  WHERE (SELECT COUNT(*) FROM weights) * w_dec
+          > (SELECT SUM(w_dec) FROM weights)
+)
+SELECT d.doc_id, d.lang, d.text
+FROM documents d SEMI JOIN keep k ON d.doc_id = k.doc_id
+"""
+
+QUERIES = {
+    "dsir_importance_select": dsir_importance_select,
+    "dsir_gate_docs": dsir_gate_docs,
+}
+ORACLES = {
+    "dsir_importance_select": DSIR_SQL,
+    "dsir_gate_docs": DSIR_GATE_DOCS_SQL,
+}

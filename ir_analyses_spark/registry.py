@@ -359,6 +359,10 @@ _ORDER = [
     "h264_header_parse",
     "mp4_h264_headers",
     "fingerprint_store_compact",
+    # ---- r12 tail additions (modules already staled this round — no
+    # certified row touched; first driver rows in the r13+ windows;
+    # covered every pytest run by the full-registry parity sweep) ----
+    "dsir_gate_docs",
 ]
 
 
