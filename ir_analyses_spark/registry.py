@@ -10,12 +10,12 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r12: 190 — r11 closed at 188 with twelve tail
+# (registry count r12: 191 — r11 closed at 188 with twelve tail
 # entries: eleven new-module rows plus one scale twin
-# (knn_classify_ivf); r12 adds pmi_cooccurrence_floored (llm/cooc.py)
-# and novelty_gate_docs (llm/novelty.py), both in modules already
-# staled this round by the r11 VERDICT/ADVICE fixes, per the ledger
-# rule)
+# (knn_classify_ivf); r12 adds pmi_cooccurrence_floored (llm/cooc.py),
+# novelty_gate_docs (llm/novelty.py) and dsir_gate_docs (llm/dsir.py),
+# all in modules already staled this round by the r11 VERDICT/ADVICE
+# fixes, per the ledger rule)
 
 from __future__ import annotations
 
