@@ -34,6 +34,7 @@ from .llm import (
     dsir,
     fim,
     h264_queries,
+    heavy,
     knn,
     linkgraph,
     mixture,
@@ -57,6 +58,7 @@ from .ops import (
     joins,
     layout,
     macros,
+    outliers,
     relational,
     skew,
     sketch_bounds,
@@ -107,6 +109,8 @@ _MODULES = [
     cooc,
     fim,
     linkgraph,
+    heavy,
+    outliers,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -363,6 +367,8 @@ _ORDER = [
     # certified row touched; first driver rows in the r13+ windows;
     # covered every pytest run by the full-registry parity sweep) ----
     "dsir_gate_docs",
+    "heavy_hitters_tokens",
+    "mad_outliers",
 ]
 
 
