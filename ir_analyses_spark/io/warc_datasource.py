@@ -33,6 +33,16 @@ the object store with a sequential ``open_input_stream`` (no seek
 required: the gzip magic sniff replays its two bytes through
 ``_HeadStream``).
 
+Path canonicalization (r12): the emitted ``path`` column uses
+Hadoop/binaryFile's local rendering (``file:/abs/path``) so document
+identity — ``doc_id = xxhash64(path#record_seq)`` in the curation
+funnel — is IDENTICAL whichever scan route read the shard; before
+this, the routes' min-doc_id tie-breaks diverged and a 1M-page funnel
+shipped measurably different corpora per route. Caveat: for object
+stores the URI is hashed as given, and Hadoop spells S3 ``s3a://``
+where pyarrow spells ``s3://`` — don't mix scan routes over the same
+remote corpus without pinning one spelling.
+
 Usage::
 
     spark.dataSource.register(WarcDataSource)
@@ -141,9 +151,13 @@ def _fs_and_path(path: str):
     """Resolve a path-or-URI to ``(pyarrow FileSystem, fs-local path)``.
     Plain paths stay on the local FS; anything with a scheme routes
     through ``FileSystem.from_uri`` — so ``option("path")`` accepts the
-    object-store URIs 100 TB crawl shards actually live on."""
+    object-store URIs 100 TB crawl shards actually live on. The
+    single-slash ``file:/x`` form (Hadoop's local rendering — what the
+    canonical partition paths carry, see ``partitions``) is local."""
     from pyarrow import fs as pafs
 
+    if path.startswith("file:") and "://" not in path:
+        return pafs.LocalFileSystem(), path[len("file:"):]
     if "://" in path:
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
@@ -186,15 +200,30 @@ class WarcSourceReader(DataSourceReader):
     def partitions(self) -> list[_WarcFilePartition]:
         # one partition per file — WARC's unit of parallelism (the file
         # is non-splittable; Common Crawl shards at ~1 GB per file).
-        # Partitions carry the ORIGINAL scheme so each executor task
-        # re-resolves the filesystem and opens its shard directly.
+        # Partition paths are CANONICAL, matching Hadoop/binaryFile's
+        # rendering for local files ("file:/abs/path", single slash):
+        # the emitted `path` column feeds document identity downstream
+        # (doc_id = xxhash64(path#record_seq), llm/curate.py), and a
+        # route-dependent rendering silently flips every min-doc_id
+        # tie-break — at 1M pages the two routes' curated corpora
+        # diverged by live rows, not just dedup-twin picks (r12 fix).
+        # Non-file schemes keep their original URI; the caveat that
+        # s3:// here vs binaryFile's s3a:// still differ is documented
+        # in the module docstring.
         from pyarrow import fs as pafs
 
         fs, root = _fs_and_path(self.root)
-        scheme = self.root.split("://", 1)[0] + "://" if "://" in self.root else ""
+        local = isinstance(fs, pafs.LocalFileSystem)
+        scheme = (
+            "file:" if local
+            else self.root.split("://", 1)[0] + "://" if "://" in self.root
+            else ""
+        )
+        if local:
+            root = os.path.abspath(root)
         info = fs.get_file_info(root)
         if info.type == pafs.FileType.File:
-            return [_WarcFilePartition(self.root)]
+            return [_WarcFilePartition(scheme + root)]
         if info.type != pafs.FileType.Directory:
             raise FileNotFoundError(
                 f"warc source path does not exist: {self.root}"

@@ -384,12 +384,15 @@ def test_warc_stream_route_identical_funnel(spark, tmp_path_factory):
         spark, str(d), input_format="warc-stream", **kw
     )
     assert funnel_counts(via_files) == funnel_counts(via_stream)
-    # urls can differ ONLY on the exact-dedup winner between
-    # byte-identical twins: doc_id hashes the scan path, and the two
-    # routes render it differently (file:/ URI vs plain path), so
-    # min(doc_id) may pick the other twin — the documented either-twin
-    # ambiguity (see test_final_corpus_content). Content must agree.
-    key = lambda rows: sorted((r["title"], r["text"]) for r in rows)
+    # FULL byte equality, doc_id/url included: the DataSource's path
+    # column is canonicalized to binaryFile's rendering (r12 fix), so
+    # document identity — xxhash64(path#record_seq) — is route-
+    # independent and every min-doc_id tie-break lands identically.
+    # (Before the fix only (title, text) could be compared, and at
+    # 1M pages even that diverged: the substring rung's first-seen
+    # winner flipped with doc_id and the kept-vs-cut text then passed
+    # the word floor differently.)
+    key = lambda rows: sorted(map(tuple, rows))
     assert key(via_files["final"].collect()) == key(
         via_stream["final"].collect()
     )

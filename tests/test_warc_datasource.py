@@ -47,16 +47,20 @@ def _read_ds(spark, path, **opts):
 def test_rows_equal_binaryfile_path(registered, warc_dir):
     """The DataSource must produce exactly what read_warc produces on
     the same files (both layouts present in the fixture), parse_http
-    both ways."""
+    both ways — INCLUDING the path column: doc_id downstream is
+    xxhash64(path#record_seq), so a route-dependent path rendering
+    silently changes document identity (the r12 fix — the first
+    version of this test dropped path and the 1M-page funnel shipped
+    different corpora per scan route)."""
     for parse_http in (True, False):
         ds = _read_ds(
             registered, warc_dir, parse_http=str(parse_http).lower()
-        ).drop("path")
-        bf = read_warc(registered, warc_dir, parse_http=parse_http).drop("path")
-        key = ["record_id"]
+        )
+        bf = read_warc(registered, warc_dir, parse_http=parse_http)
         a = sorted(ds.collect(), key=lambda r: r["record_id"])
         b = sorted(bf.collect(), key=lambda r: r["record_id"])
         assert a == b and len(a) == len(_DOCS)
+        assert all(r["path"].startswith("file:/") for r in a)
 
 
 def test_one_partition_per_file(registered, warc_dir):
@@ -156,7 +160,9 @@ def test_file_uri_path_routes_through_pyarrow_fs(registered, warc_dir):
         .select("path", "record_seq", "record_id")
         .collect()
     )
-    key = lambda r: (os.path.basename(r["path"]), r["record_seq"])
+    # both spellings canonicalize to the same file:/ partition paths,
+    # so the rows — path INCLUDED (doc_id feeds off it) — are identical
+    key = lambda r: (r["path"], r["record_seq"])
     assert sorted((key(r), r["record_id"]) for r in via_uri) == sorted(
         (key(r), r["record_id"]) for r in plain
     )
