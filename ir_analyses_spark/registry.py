@@ -10,12 +10,15 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r12: 191 — r11 closed at 188 with twelve tail
+# (registry count r12: 195 — r11 closed at 188 with twelve tail
 # entries: eleven new-module rows plus one scale twin
 # (knn_classify_ivf); r12 adds pmi_cooccurrence_floored (llm/cooc.py),
-# novelty_gate_docs (llm/novelty.py) and dsir_gate_docs (llm/dsir.py),
-# all in modules already staled this round by the r11 VERDICT/ADVICE
-# fixes, per the ledger rule)
+# novelty_gate_docs (llm/novelty.py) and dsir_gate_docs (llm/dsir.py)
+# — all in modules already staled this round by the r11 VERDICT/ADVICE
+# fixes, per the ledger rule — plus four rows in NEW modules (stale
+# nothing): heavy_hitters_tokens (llm/heavy.py), mad_outliers
+# (ops/outliers.py), bm25_score_docs and inverted_index_postings
+# (llm/retrieval.py))
 
 from __future__ import annotations
 
@@ -41,6 +44,7 @@ from .llm import (
     multimodal,
     novelty,
     pq,
+    retrieval,
     sampling,
     similarity,
     substring_queries,
@@ -111,6 +115,7 @@ _MODULES = [
     linkgraph,
     heavy,
     outliers,
+    retrieval,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -369,6 +374,8 @@ _ORDER = [
     "dsir_gate_docs",
     "heavy_hitters_tokens",
     "mad_outliers",
+    "bm25_score_docs",
+    "inverted_index_postings",
 ]
 
 
