@@ -19,13 +19,19 @@ per-partition bounds contradicts the total), so every true heavy
 hitter appears in at least one summary — candidates can only be
 over-complete, never under.
 
-Phase 2: the union of summaries (≤ k rows PER PARTITION — a few KB)
-is broadcast as the candidate set; one semi-join + groupBy recounts
+Phase 2: the union of summaries (≤ k rows PER PARTITION) is distinct'd
+and broadcast as the candidate set; one semi-join + groupBy recounts
 only candidate tokens exactly, and an integer-arithmetic filter
 (cnt·1000 > n·phi_permille, no float cut) keeps the true heavy
 hitters. The result provably EQUALS the full groupBy answer — the
 sketch only prunes the shuffle, never the semantics — which is why
 this row carries a full DuckDB oracle rather than a bound twin.
+Candidate-set sizing at 100 TB: the k·P worst case (10^5 partitions ×
+k≈33 ≈ 3M tokens) is still a tens-of-MB broadcast, and the distinct
+collapses it far below that in practice — a genuinely heavy token
+appears in MOST partitions' summaries, and a partition whose stream
+is locally uniform contributes few or zero survivors (every counter
+decrements away; pinned in tests/test_heavy.py).
 
 At 100 TB: the only shuffles are the ≤ k·P-row summary union and the
 candidate-only recount (heavy tokens are by definition few); the
