@@ -209,7 +209,7 @@ per_doc AS (
   FROM pos GROUP BY w, doc_id
 )
 SELECT w AS token, COUNT(*) AS df,
-       SUM(tf) AS total_tf,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
        STRING_AGG(entry, ';' ORDER BY doc_id) AS postings
 FROM per_doc GROUP BY w
 """
