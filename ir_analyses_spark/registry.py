@@ -10,7 +10,11 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r12: 195 — r11 closed at 188 with twelve tail
+# (registry count r13: 196 — r12 closed at 195; r13 adds
+# inverted_index_postings_sharded (llm/retrieval.py), the scale-safe
+# segmented twin of inverted_index_postings — in a module the r13
+# window already leads with, per the ledger rule)
+# (history — r12: 195 — r11 closed at 188 with twelve tail
 # entries: eleven new-module rows plus one scale twin
 # (knn_classify_ivf); r12 adds pmi_cooccurrence_floored (llm/cooc.py),
 # novelty_gate_docs (llm/novelty.py) and dsir_gate_docs (llm/dsir.py)
@@ -126,104 +130,59 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-12 rotation (r11 VERDICT "Next round" item 1, rotated at round
+#: Round-13 rotation (r12 VERDICT "Next round" item 1, rotated at round
 #: START per the ledger discipline). Window composition (50):
 #:
-#: - the 4 deferred ``ops/windows.py`` r7 rows (the ledger's oldest
-#:   evidence — they yielded their r11 slots to the forced re-certs
-#:   and were queued to lead this window);
-#: - the 12 r11-s2 tail rows (``bloom_ngram_decontaminate`` …
-#:   ``knn_classify_ivf``) — full oracles and pytest parity since r11,
-#:   awaiting their FIRST driver rows;
-#: - all 31 r8-vintage rows (the oldest block after r11 retired r7).
-#:   This doubles as the re-cert surface for this round's
-#:   ``io/sinks.py`` fix (r11 VERDICT item 2: the ``_temporary``
-#:   prune): the edit is function-local to ``compact_small_files``,
-#:   whose registry-reachable consumers are the txn/maintenance rows —
-#:   all in this block;
-#: - ``curation_funnel_counts`` — forced re-cert: ``llm/curate.py``
-#:   gains the novelty/DSIR gate stages and the streaming-DataSource
-#:   input route this round (r11 VERDICT items 4 and 7);
-#: - 2 NEW queries (slots reserved at rotation, filled by their
-#:   implementing commits): ``pmi_cooccurrence_floored`` (the
-#:   open-vocabulary floored form — r11 VERDICT item 3) and
-#:   ``novelty_gate_docs`` (the novelty funnel-gate form — item 7),
-#:   both in modules already staled this round per the ledger rule.
+#: - the 5 r12 tail rows FIRST (``dsir_gate_docs`` …
+#:   ``inverted_index_postings``) — full oracles and pytest parity
+#:   since r12, awaiting their FIRST driver rows;
+#: - 1 NEW query (slot reserved at rotation, filled by its
+#:   implementing commit): ``inverted_index_postings_sharded`` — the
+#:   scale-safe segmented-postings production twin of
+#:   ``inverted_index_postings`` (r12 VERDICT item 2 / What's wrong
+#:   #1), in ``llm/retrieval.py`` which this round's window already
+#:   staled via its two leading rows;
+#: - 3 forced re-certs for modules this round edits:
+#:   ``warc_source_scan`` (``io/warc_datasource.py`` gains remote-URI
+#:   scheme normalization + percent-encoding path parity — r12 VERDICT
+#:   item 3 and ADVICE 1), ``curation_funnel_counts``
+#:   (``llm/curate.py``/``curatectl.py`` gain the heavy-hitters audit
+#:   surface and the warc-stream default decision — items 4 and 7),
+#:   ``dsir_importance_select`` (``llm/dsir.py`` docstring fix — item
+#:   5 stales the module);
+#: - the first 41 r9-vintage rows (``temperature_mixture_sample`` …
+#:   ``vocab_oov_rate``) — the ledger's oldest evidence after r12
+#:   retired the r7/r8 blocks.
 #:
 #: In-window coverage of every module this round plans to edit:
-#: ``llm/cooc.py`` → ``pmi_cooccurrence`` (+ the new floored row);
-#: ``llm/knn.py`` (empty-centroid guard, r11 ADVICE) → both knn rows;
-#: ``io/warc_datasource.py`` (pyarrow-FS routing + fixture-dir fix,
-#: r11 ADVICE) → ``warc_source_scan``; ``llm/novelty.py`` /
-#: ``llm/dsir.py`` (gate forms) → their rows + the new gate row;
-#: ``llm/curate.py`` / ``curatectl.py`` → ``curation_funnel_counts``.
+#: ``llm/retrieval.py`` → ``bm25_score_docs``,
+#: ``inverted_index_postings`` (+ the new sharded row);
+#: ``llm/heavy.py`` (citation fix + audit surface) →
+#: ``heavy_hitters_tokens``; ``ops/outliers.py`` (citation fix) →
+#: ``mad_outliers``; ``llm/dsir.py`` → ``dsir_gate_docs`` +
+#: ``dsir_importance_select``; ``io/warc_datasource.py`` →
+#: ``warc_source_scan``; ``llm/curate.py``/``curatectl.py`` →
+#: ``curation_funnel_counts``.
 #:
-#: Tail order after the window: r9 vintage (oldest evidence after
-#: this round), then the 45 r10-certified rows, then the 49 remaining
-#: r11-certified rows (freshest).
+#: Tail order after the window: the 5 remaining r9 rows (oldest), then
+#: the 45 r10-certified rows, the 49 r11-certified rows, and the 47
+#: r12-certified rows not pulled into this window (freshest).
 _ORDER = [
-    # ---- r12 window (50): see rotation note above ----
-    # the 4 deferred r7 rows (queued by the r11 rotation to lead here)
-    "window_lag_lead",
-    "window_range_interval",
-    "window_ranking",
-    "window_running_frames",
-    # the 12 r11-s2 tail rows: first driver rows
-    "bloom_ngram_decontaminate",
-    "ngram_novelty",
-    "zorder_layout",
-    "knn_classify",
-    "dsir_importance_select",
-    "skyline_parts",
+    # ---- r13 window (50): see rotation note above ----
+    # the 5 r12 tail rows: first driver rows
+    "dsir_gate_docs",
+    "heavy_hitters_tokens",
+    "mad_outliers",
+    "bm25_score_docs",
+    "inverted_index_postings",
+    # NEW this round (slot 6): the segmented-postings scale twin
+    # (r12 VERDICT item 2)
+    "inverted_index_postings_sharded",
+    # forced re-certs: modules edited this round (see note)
     "warc_source_scan",
-    "pmi_cooccurrence",
-    "attribution_touchpoints",
-    "fim_psm_split",
-    "crawl_link_graph",
-    "knn_classify_ivf",
-    # r8 vintage (31 rows; includes the txn/maintenance re-cert
-    # surface for the io/sinks.py _temporary-prune fix)
-    "array_agg_ops",
-    "case_conditional",
-    "date_functions",
-    "explode_tokens",
-    "filter_pushdown_project",
-    "join_asof",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_left_outer",
-    "join_multiway_topk",
-    "join_range_window",
-    "join_semi_anti",
-    "join_theta_bands",
-    "map_ops",
-    "math_functions",
-    "null_semantics",
-    "pandas_grouped_agg_udf",
-    "python_udtf_expand",
-    "regexp_extract_ops",
-    "set_operations",
-    "stream_txn_sink",
-    "string_functions",
-    "string_predicates",
-    "txn_change_apply",
-    "txn_change_feed",
-    "txn_exactly_once_rollup",
-    "txn_history",
-    "txn_maintenance_sql",
-    "txn_pyds_write",
-    "txn_snapshot_merge",
-    "txn_time_travel",
-    # forced re-cert: llm/curate.py gains the novelty/DSIR gate stages
-    # + the streaming-DataSource input route this round
     "curation_funnel_counts",
-    # NEW this round (slots 49-50): the open-vocabulary floored
-    # co-occurrence form (r11 VERDICT item 3) and the novelty funnel
-    # gate (r11 VERDICT item 7)
-    "pmi_cooccurrence_floored",
-    "novelty_gate_docs",
-    # ---- 50-query window boundary (driver budget) ----
-    # r9 vintage (the ledger's oldest evidence after this round)
+    "dsir_importance_select",
+    # r9 vintage, first 41 rows (oldest evidence after this round)
     "temperature_mixture_sample",
     "token_budget_subset",
     "apply_in_pandas_topk",
@@ -265,12 +224,14 @@ _ORDER = [
     "text_stats",
     "tfidf_top_terms",
     "vocab_oov_rate",
+    # ---- 50-query window boundary (driver budget) ----
+    # the 5 remaining r9-vintage rows
     "exact_dedup",
     "minhash_lsh_nearup",
     "pricing_summary",
     "regional_revenue",
     "window_sessionize",
-    # r10 vintage (freshest: CORRECTNESS_r10 was 50/50 full-green)
+    # r10 vintage (45)
     "bpe_train_merges",
     "cohort_retention",
     "collated_string_ops",
@@ -316,9 +277,7 @@ _ORDER = [
     "hll_union_bound",
     "brp_lsh_bound",
     "warc_roundtrip_parse",
-    # r11 vintage (freshest: CORRECTNESS_r11 was 50/50 as designed;
-    # 49 rows — curation_funnel_counts moved to the r12 window as a
-    # forced re-cert)
+    # r11 vintage (49)
     "volume_shipping",
     "ann_brute_topk",
     "ann_ivf_topk",
@@ -368,14 +327,55 @@ _ORDER = [
     "h264_header_parse",
     "mp4_h264_headers",
     "fingerprint_store_compact",
-    # ---- r12 tail additions (modules already staled this round — no
-    # certified row touched; first driver rows in the r13+ windows;
-    # covered every pytest run by the full-registry parity sweep) ----
-    "dsir_gate_docs",
-    "heavy_hitters_tokens",
-    "mad_outliers",
-    "bm25_score_docs",
-    "inverted_index_postings",
+    # r12 vintage (47: the r12 window minus the 3 re-certs pulled
+    # into this window)
+    "window_lag_lead",
+    "window_range_interval",
+    "window_ranking",
+    "window_running_frames",
+    "bloom_ngram_decontaminate",
+    "ngram_novelty",
+    "zorder_layout",
+    "knn_classify",
+    "skyline_parts",
+    "pmi_cooccurrence",
+    "attribution_touchpoints",
+    "fim_psm_split",
+    "crawl_link_graph",
+    "knn_classify_ivf",
+    "array_agg_ops",
+    "case_conditional",
+    "date_functions",
+    "explode_tokens",
+    "filter_pushdown_project",
+    "join_asof",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_outer",
+    "join_multiway_topk",
+    "join_range_window",
+    "join_semi_anti",
+    "join_theta_bands",
+    "map_ops",
+    "math_functions",
+    "null_semantics",
+    "pandas_grouped_agg_udf",
+    "python_udtf_expand",
+    "regexp_extract_ops",
+    "set_operations",
+    "stream_txn_sink",
+    "string_functions",
+    "string_predicates",
+    "txn_change_apply",
+    "txn_change_feed",
+    "txn_exactly_once_rollup",
+    "txn_history",
+    "txn_maintenance_sql",
+    "txn_pyds_write",
+    "txn_snapshot_merge",
+    "txn_time_travel",
+    "pmi_cooccurrence_floored",
+    "novelty_gate_docs",
 ]
 
 

@@ -8,11 +8,14 @@ format contract, and branch non-vacuity at the correctness SFs.
 from __future__ import annotations
 
 import math
+import re
 
 from ir_analyses_spark.llm.retrieval import (
+    INVERTED_INDEX_POSTINGS_SHARDED_SQL,
     bm25_score_docs,
     bm25_scores,
     inverted_postings,
+    inverted_postings_sharded,
 )
 
 
@@ -123,3 +126,101 @@ def test_bm25_stat_frames_broadcast(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 3
+
+
+def test_sharded_segments_split_on_boundary(spark):
+    """doc_ids straddling a segment boundary (255 | 256 at the default
+    width) put one token's entries in two rows; encoding matches the
+    certificate's within each segment."""
+    docs = spark.createDataFrame(
+        [(255, "a b a"), (256, "a"), (0, "b")], "doc_id long, text string"
+    )
+    rows = {
+        (r["token"], r["segment"]): r
+        for r in inverted_postings_sharded(docs).collect()
+    }
+    assert set(rows) == {("a", 0), ("a", 1), ("b", 0)}
+    assert rows[("a", 0)]["postings"] == "255:1,3"
+    assert rows[("a", 1)]["postings"] == "256:1"
+    assert rows[("b", 0)]["postings"] == "0:1;255:2"
+    assert rows[("a", 0)]["df_seg"] == 1 and rows[("a", 0)]["total_tf"] == 2
+
+
+def test_sharded_reconstructs_certificate(spark):
+    """Concatenating a token's segment postings ascending reproduces the
+    single-string certificate byte-for-byte, and the per-segment df/tf
+    partial sums recover the certificate's totals — the twin is the
+    same index, sharded."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cert = {r["token"]: r for r in inverted_postings(docs).collect()}
+    segs: dict = {}
+    for r in inverted_postings_sharded(docs).collect():
+        segs.setdefault(r["token"], []).append(r)
+    assert set(segs) == set(cert)
+    n_multi = 0
+    for tok, rows in segs.items():
+        rows.sort(key=lambda r: r["segment"])
+        n_multi += len(rows) > 1
+        assert ";".join(r["postings"] for r in rows) == cert[tok]["postings"]
+        assert sum(r["df_seg"] for r in rows) == cert[tok]["df"]
+        assert sum(r["total_tf"] for r in rows) == cert[tok]["total_tf"]
+    # non-vacuity: the SF exercises multi-segment AND single-segment
+    # tokens (50 docs / width 256 would be one segment — sf0.001 has
+    # 50 docs, so shrink the width to force both shapes)
+    if not n_multi:
+        segs2: dict = {}
+        for r in inverted_postings_sharded(docs, seg_width=16).collect():
+            segs2.setdefault(r["token"], []).append(r)
+        assert any(len(v) > 1 for v in segs2.values())
+
+
+def test_sharded_div_matches_duckdb_on_negative_ids(spark):
+    """Hashed 64-bit doc_ids can be negative; Spark `div` and DuckDB
+    `//` must assign identical segments (both truncate toward zero) or
+    the oracle would silently diverge exactly at the hashed-identity
+    deployment shape."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(-513, "a b"), (-512, "a"), (-1, "b"), (0, "a"), (511, "b a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["token"], r["segment"], r["postings"])
+        for r in inverted_postings_sharded(docs, seg_width=512).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        ),
+    )
+    sql = INVERTED_INDEX_POSTINGS_SHARDED_SQL.replace("// 256", "// 512")
+    want = {(r[0], r[1], r[4]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_sharded_plan_no_single_key_postings_agg(spark):
+    """The scale pin (r12 VERDICT item 2): every aggregation that
+    carries postings state must group on (token, segment) — a
+    single-key [w] aggregate is the unbounded-stopword straggler the
+    twin exists to remove."""
+    plan = (
+        inverted_postings_sharded(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # still two grouped aggs over one scan
+    postings_aggs = [
+        k
+        for k in re.findall(r"keys=\[([^\]]*)\]", plan)
+        if re.search(r"\bw#\d+", k)
+    ]
+    assert postings_aggs, plan
+    for k in postings_aggs:
+        # every per-token aggregate also keys on doc_id (the per-doc
+        # position list) or seg (the segmented postings) — never w alone
+        assert re.search(r"\b(seg|doc_id)#\d+", k), (k, plan)
