@@ -68,9 +68,24 @@ _QUERY = ("customer", "window", "filter")
 _DEC = "decimal(20,6)"
 
 
-def bm25_scores(docs: DataFrame, query_terms=_QUERY) -> DataFrame:
+#: int64 ceiling for the rescaled-BM25 overflow guard below
+_I64_MAX = (1 << 63) - 1
+
+
+def bm25_scores(docs: DataFrame, query_terms=_QUERY, _i64=_I64_MAX) -> DataFrame:
     """(doc_id, n_terms, score) for every doc matching ≥ 1 query term;
-    k1 = 1.2, b = 0.75 via the integer-scaled rational form above."""
+    k1 = 1.2, b = 0.75 via the integer-scaled rational form above.
+
+    Overflow guard (r12 ADVICE): past the int64 bound Spark's non-ANSI
+    arithmetic silently WRAPS ``10·tf·t_tokens`` while DuckDB promotes
+    to HUGEINT — the engines would diverge silently at exactly the
+    scale this module advertises. The 1-row totals frame therefore
+    checks ``23·max_dl·t_tokens ≤ int64`` (a sufficient bound for both
+    the numerator ``22·tf·T``, tf ≤ dl ≤ max_dl, and the denominator
+    ``10·tf·T + 3·T + 9·dl·N ≤ 22·max_dl·T`` since N ≤ T), evaluated
+    by integer division so the CHECK itself cannot wrap; exceeding it
+    raises instead of scoring wrapped. ``_i64`` exists only so tests
+    can shrink the ceiling and prove the guard fires."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -78,6 +93,32 @@ def bm25_scores(docs: DataFrame, query_terms=_QUERY) -> DataFrame:
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("t_tokens"),
+        F.max("dl").alias("max_dl"),
+    ).select(
+        "n_docs",
+        F.when(
+            F.col("t_tokens")
+            <= F.expr(f"({_i64} div 23) div max_dl"),
+            F.col("t_tokens"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bm25_scores: corpus exceeds the int64 rescale "
+                        "bound (23 * max_dl * t_tokens > 2^63): t_tokens="
+                    ),
+                    F.col("t_tokens").cast("string"),
+                    F.lit(", max_dl="),
+                    F.col("max_dl").cast("string"),
+                    F.lit(
+                        "; shard the corpus or rescale the constant "
+                        "pair (module docstring)"
+                    ),
+                )
+            )
+        )
+        .alias("t_tokens"),
     )
     tf = (
         toks.filter(F.col("w").isin(*query_terms))

@@ -224,3 +224,20 @@ def test_sharded_plan_no_single_key_postings_agg(spark):
         # every per-token aggregate also keys on doc_id (the per-doc
         # position list) or seg (the segmented postings) — never w alone
         assert re.search(r"\b(seg|doc_id)#\d+", k), (k, plan)
+
+
+def test_bm25_overflow_guard_fires(spark):
+    """Past the int64 rescale bound the guard must raise, never score
+    wrapped (r12 ADVICE: DuckDB promotes to HUGEINT, Spark wraps — a
+    silent divergence at the advertised scale). The ceiling is shrunk
+    via the test-only knob; the production ceiling is 2^63-1."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat fish"), (2, "cat bird")], "doc_id long, text string"
+    )
+    # 6 tokens, max_dl 4: 23*4*6 = 552 > 500 → must raise
+    with pytest.raises(Exception, match="int64 rescale bound"):
+        bm25_scores(docs, ("cat",), _i64=500).collect()
+    # comfortably under the real ceiling → scores normally
+    assert bm25_scores(docs, ("cat",)).count() == 2
