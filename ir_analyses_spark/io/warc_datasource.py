@@ -38,10 +38,15 @@ Hadoop/binaryFile's local rendering (``file:/abs/path``) so document
 identity — ``doc_id = xxhash64(path#record_seq)`` in the curation
 funnel — is IDENTICAL whichever scan route read the shard; before
 this, the routes' min-doc_id tie-breaks diverged and a 1M-page funnel
-shipped measurably different corpora per route. Caveat: for object
-stores the URI is hashed as given, and Hadoop spells S3 ``s3a://``
-where pyarrow spells ``s3://`` — don't mix scan routes over the same
-remote corpus without pinning one spelling.
+shipped measurably different corpora per route. r13 extends the rule
+to remote URIs: S3 schemes normalize to Hadoop's ``s3a://`` spelling
+(pyarrow's ``s3://`` and legacy ``s3n://`` rewrite; see
+``canonical_scan_path`` — resolution translates back to pyarrow's
+spelling when opening), so mixed scan routes over one remote corpus
+hash identical doc_ids by construction instead of by operator
+discipline. The rendering is DECODED (spaces and ``%`` literal),
+matching binaryFile's ``Path.toString`` — pinned by test against a
+real binaryFile read over a space-and-percent shard directory.
 
 Usage::
 
@@ -147,6 +152,47 @@ def iter_warc_records_stream(
         offset += need
 
 
+#: Hadoop's S3 connector spells the scheme ``s3a://`` (S3AFileSystem is
+#: the only maintained one), pyarrow spells the same store ``s3://``,
+#: and the legacy Hadoop spelling was ``s3n://``. The emitted ``path``
+#: column feeds document identity (doc_id = xxhash64(path#record_seq)),
+#: so a scheme that renders differently per scan route flips every
+#: min-doc_id tie-break — the exact mechanism of the r12 local-path bug
+#: at the actual 100 TB deployment target (r12 VERDICT item 3). All S3
+#: spellings normalize to Hadoop's ``s3a://``.
+_SCHEME_CANON = {"s3": "s3a", "s3n": "s3a"}
+
+
+def canonical_scan_path(path: str) -> str:
+    """The canonical ``path``-column rendering for one shard — the rule
+    that makes document identity scan-route-independent:
+
+    - local paths (plain, ``file:/x``, or ``file:///x``) render as
+      Hadoop/binaryFile's local form ``file:/abs/path``, DECODED —
+      spaces and ``%`` stay literal, because binaryFile emits
+      ``Path.toString`` (decoded), not the percent-encoded URI form
+      (pinned against a real binaryFile read over a
+      space-and-percent shard directory in
+      tests/test_warc_datasource.py);
+    - S3 URIs render with Hadoop's scheme spelling: ``s3://`` and
+      ``s3n://`` rewrite to ``s3a://`` (path part untouched);
+    - every other scheme passes through as given.
+
+    Supported path charset: anything the local filesystem accepts —
+    the decoded rendering cannot collide because it is the identity on
+    the byte content; only scheme spelling is rewritten."""
+    if path.startswith("file:") and "://" not in path:
+        return "file:" + os.path.abspath(path[len("file:"):])
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme == "file":
+            # file://host/p is not supported by the local route anyway
+            # (pyarrow rejects non-empty hosts); file:///p → /p
+            return "file:" + os.path.abspath("/" + rest.lstrip("/"))
+        return _SCHEME_CANON.get(scheme, scheme) + "://" + rest
+    return "file:" + os.path.abspath(path)
+
+
 def _fs_and_path(path: str):
     """Resolve a path-or-URI to ``(pyarrow FileSystem, fs-local path)``.
     Plain paths stay on the local FS; anything with a scheme routes
@@ -159,8 +205,18 @@ def _fs_and_path(path: str):
     if path.startswith("file:") and "://" not in path:
         return pafs.LocalFileSystem(), path[len("file:"):]
     if "://" in path:
-        return pafs.FileSystem.from_uri(path)
+        return pafs.FileSystem.from_uri(_resolution_uri(path))
     return pafs.LocalFileSystem(), path
+
+
+def _resolution_uri(path: str) -> str:
+    """Canonical partition paths carry Hadoop's ``s3a://`` spelling
+    (see ``canonical_scan_path``); pyarrow only resolves ``s3://`` —
+    translate for RESOLUTION only, identity keeps the canonical form."""
+    scheme, _, rest = path.partition("://")
+    if scheme in ("s3a", "s3n"):
+        return "s3://" + rest
+    return path
 
 
 class _HeadStream:
@@ -207,20 +263,22 @@ class WarcSourceReader(DataSourceReader):
         # route-dependent rendering silently flips every min-doc_id
         # tie-break — at 1M pages the two routes' curated corpora
         # diverged by live rows, not just dedup-twin picks (r12 fix).
-        # Non-file schemes keep their original URI; the caveat that
-        # s3:// here vs binaryFile's s3a:// still differ is documented
-        # in the module docstring.
+        # Non-file schemes render via canonical_scan_path's scheme rule:
+        # s3://(pyarrow)/s3n://(legacy) normalize to Hadoop's s3a:// so
+        # a remote corpus hashes identical doc_ids whichever route scans
+        # it (r12 VERDICT item 3 — the remote twin of the local bug).
         from pyarrow import fs as pafs
 
         fs, root = _fs_and_path(self.root)
         local = isinstance(fs, pafs.LocalFileSystem)
-        scheme = (
-            "file:" if local
-            else self.root.split("://", 1)[0] + "://" if "://" in self.root
-            else ""
-        )
         if local:
+            scheme = "file:"
             root = os.path.abspath(root)
+        elif "://" in self.root:
+            s = self.root.split("://", 1)[0]
+            scheme = _SCHEME_CANON.get(s, s) + "://"
+        else:
+            scheme = ""
         info = fs.get_file_info(root)
         if info.type == pafs.FileType.File:
             return [_WarcFilePartition(scheme + root)]

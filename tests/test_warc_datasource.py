@@ -208,3 +208,64 @@ def test_fixture_dir_deterministic_not_leaked(spark, sf_dir):
     assert n1 == n2 > 0
     assert mid == after          # second run reused, not leaked
     assert len(mid - before) <= 1  # at most the one deterministic dir
+
+
+def test_path_parity_space_and_percent_dir(registered, tmp_path):
+    """r12 ADVICE: the canonical local rendering must match binaryFile
+    byte-for-byte for paths Hadoop COULD render differently — a shard
+    directory with spaces and a literal '%'. binaryFile emits the
+    DECODED Path.toString form (verified here against a real binaryFile
+    read, not an assumption), so 'file:' + abspath is exactly right and
+    doc_id identity holds on these paths too."""
+    d = tmp_path / "sh ard %1 dir"
+    d.mkdir()
+    write_fixture_warcs(_DOCS[:6], str(d))
+    ds = sorted(
+        r["path"] for r in _read_ds(registered, str(d)).select("path").collect()
+    )
+    bf = sorted(
+        r["path"]
+        for r in read_warc(registered, str(d)).select("path").collect()
+    )
+    assert ds == bf
+    assert all(" " in p and "%" in p and p.startswith("file:/") for p in ds)
+
+
+def test_canonical_scan_path_scheme_rule():
+    """Remote-URI identity (r12 VERDICT item 3): every S3 spelling
+    renders as Hadoop's s3a://, other schemes and the path part pass
+    through untouched, local forms collapse to file:/abs."""
+    from ir_analyses_spark.io.warc_datasource import canonical_scan_path
+
+    assert canonical_scan_path("s3://bucket/k ey.warc.gz") == (
+        "s3a://bucket/k ey.warc.gz"
+    )
+    assert canonical_scan_path("s3n://b/k") == "s3a://b/k"
+    assert canonical_scan_path("s3a://b/k") == "s3a://b/k"
+    assert canonical_scan_path("hdfs://nn:8020/x") == "hdfs://nn:8020/x"
+    assert canonical_scan_path("gs://b/k") == "gs://b/k"
+    assert canonical_scan_path("/a b/c%1.warc") == "file:/a b/c%1.warc"
+    assert canonical_scan_path("file:/a b/c") == "file:/a b/c"
+    assert canonical_scan_path("file:///a/c") == "file:/a/c"
+
+
+def test_s3a_partition_path_resolves_via_pyarrow_spelling():
+    """The canonical s3a:// partition path must translate back to the
+    spelling pyarrow can resolve when a task opens its shard —
+    otherwise normalization would break the very route it canonicalizes.
+    No network: pin the resolution URI (what _fs_and_path hands to
+    FileSystem.from_uri)."""
+    from ir_analyses_spark.io.warc_datasource import _resolution_uri
+
+    assert _resolution_uri("s3a://bucket/sh ard.warc.gz") == (
+        "s3://bucket/sh ard.warc.gz"
+    )
+    assert _resolution_uri("s3n://b/k") == "s3://b/k"
+    assert _resolution_uri("s3://b/k") == "s3://b/k"
+    assert _resolution_uri("hdfs://nn:8020/x") == "hdfs://nn:8020/x"
+    # round trip: canonical → resolution → canonical is a fixpoint
+    from ir_analyses_spark.io.warc_datasource import canonical_scan_path
+
+    for uri in ("s3://b/k", "s3n://b/k", "s3a://b/k"):
+        c = canonical_scan_path(uri)
+        assert canonical_scan_path(_resolution_uri(c)) == c == "s3a://b/k"
