@@ -136,9 +136,15 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
     deployment shape: target = Wikipedia/books, raw = the crawl; the
     registry twin's lang-split target is the self-contained certificate
     of the same algebra). ``docs`` needs (doc_id, text) plus any
-    passthrough columns — all preserved via one left_semi join; docs
-    with no tokens score 0·norm = 0 via the bucket join's inner
-    semantics and simply follow the mean gate.
+    passthrough columns — all preserved via one left_semi join. A doc
+    with NO token rows gets no ``weights`` row at all (the bucket join
+    is inner), so the final ``left_semi`` drops it unconditionally —
+    un-scoreable docs can never be in ``keep``, even when the corpus
+    mean weight is negative (unlike ``novelty_gate``'s documented KEEP
+    for short docs). In practice only null-text docs can hit this:
+    ``split("") → [""]`` is one token, so every non-null text scores.
+    The oracle (``DSIR_GATE_DOCS_SQL``) replays the same inner-join
+    semantics.
 
     Same float discipline as :func:`dsir_weights`: ln only on integer
     counts, round(·,6)→decimal before aggregation, the gate compares

@@ -47,10 +47,10 @@ deduped-frontier shape as `ops/skyline._local_skyline`.
 Tokenization is the repo's pinned single-space convention
 (`llm/textstats.doc_frequency`), so the DuckDB twin reproduces the
 stream exactly. Reference parity: the reference app has no sketch or
-frequency mining at all (its aggregation surface is
-pandas groupby/value_counts, e.g. summary assembly in
-ir_analyses/analyses/summary.py); this row is part of the §2B/LLM
-capability closure, not a port.
+frequency mining at all — its closest aggregation surface is the
+per-filing pandas extraction in `utils/data_mapper.py:11`
+(standardize_raw_data) and the chart assembly in `app/app.py`; this
+row is part of the §2B/LLM capability closure, not a port.
 """
 
 from __future__ import annotations

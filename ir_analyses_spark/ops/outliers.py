@@ -23,9 +23,10 @@ form 6745·dev > 35000·mad) is the SAME IEEE expression on identical
 inputs in both engines, and the emitted columns are counts plus the
 rounded statistics.
 
-Reference parity: the reference has no outlier screen (its numeric
-hygiene is pandas dropna/clip in ir_analyses/etl); this row belongs to
-the LLM-pipeline capability closure.
+Reference parity: the reference has no outlier screen — its numeric
+hygiene is ``pd.to_numeric(errors="coerce")`` after full-width-dash
+stripping in `utils/data_mapper.py:40-41` (standardize_raw_data);
+this row belongs to the LLM-pipeline capability closure.
 """
 
 from __future__ import annotations
