@@ -147,13 +147,16 @@ def main(argv: list[str] | None = None) -> int:
         "--input-format",
         choices=("warc", "warc-stream", "wet"),
         default=None,
-        help="crawl distribution: 'warc' (full HTTP responses via the "
-        "binaryFile route — whole decompressed shard per task), "
-        "'warc-stream' (same WARC files through the streaming Python "
-        "DataSource — ONE record per task peak memory, the posture "
-        "~1 GB Common Crawl shards want), or 'wet' (Common Crawl's "
-        "pre-extracted text — skips the HTML stages entirely); "
-        "overrides the config's input_format (default warc)",
+        help="crawl distribution: 'warc-stream' (WARC through the "
+        "streaming Python DataSource — ONE record per task peak "
+        "memory, the posture ~1 GB Common Crawl shards want; the "
+        "DEFAULT since r13, measured 2.9x lower scan RSS at funnel "
+        "wall parity with byte-identical output), 'warc' (same files "
+        "via the binaryFile route — whole decompressed shard per "
+        "task, ~27%% faster scan-only when memory is no constraint), "
+        "or 'wet' (Common Crawl's pre-extracted text — skips the "
+        "HTML stages entirely); overrides the config's input_format "
+        "(default warc-stream)",
     )
     ap.add_argument(
         "--novelty-filter",
@@ -178,6 +181,19 @@ def main(argv: list[str] | None = None) -> int:
         "(a 'text' column); only curated docs whose importance "
         "log-weight against this target exceeds the corpus mean "
         "survive (llm/dsir.py); overrides the config's dsir_target_path",
+    )
+    ap.add_argument(
+        "--heavy-hitters-permille",
+        type=int,
+        default=None,
+        metavar="PHI",
+        help="AUDIT: after the export lands, mine the SHIPPED corpus "
+        "for exact heavy-hitter tokens (count > PHI/1000 of all "
+        "tokens; llm/heavy.py two-phase Misra-Gries — candidates "
+        "broadcast, never a full-vocabulary shuffle) and add them to "
+        "the printed JSON as 'heavy_hitters' — the stopword/"
+        "boilerplate-vocabulary side of a curation audit (at most "
+        "1000/PHI rows by definition, so the collect is bounded)",
     )
     ap.add_argument(
         "--compact-store",
@@ -428,6 +444,27 @@ def main(argv: list[str] | None = None) -> int:
     out = {"out_dir": args.out_dir, "n_documents": spark.read.parquet(args.out_dir).count()}
     if funnel is not None:
         out["funnel"] = funnel
+    if args.heavy_hitters_permille is not None:
+        # audit the corpus that actually SHIPPED (the written parquet,
+        # the same read-back discipline as the store append above) —
+        # a pre-gate stage would report tokens the export never
+        # contained. Result cardinality is bounded by construction:
+        # at most 1000/phi tokens can each exceed phi/1000 of the
+        # stream, so the collect is a guaranteed-small audit frame.
+        from ir_analyses_spark.llm.heavy import heavy_hitters
+
+        hh = heavy_hitters(
+            spark.read.parquet(args.out_dir).select("text"),
+            args.heavy_hitters_permille,
+        ).collect()
+        out["heavy_hitters"] = [
+            {
+                "token": r["token"],
+                "cnt": r["cnt"],
+                "permille": round(r["cnt"] * 1000 / r["n_tokens"], 2),
+            }
+            for r in sorted(hh, key=lambda r: (-r["cnt"], r["token"]))
+        ]
     print(json.dumps(out))
     return 0
 

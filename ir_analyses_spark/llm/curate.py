@@ -58,7 +58,7 @@ def curation_stages(
     max_ppl_bucket: int | None = None,
     quality_model=None,
     min_quality_prob: float = 0.5,
-    input_format: str = "warc",
+    input_format: str = "warc-stream",
     substring_dedup: bool = False,
     substring_dedup_k: int = _SUBSTRING_DEFAULT_K,
     substring_dedup_window: int = _SUBSTRING_DEFAULT_WINDOW,
@@ -84,14 +84,23 @@ def curation_stages(
     not enforcing a requested compliance filter is the one failure
     mode a curation run must not have.
 
-    ``input_format="warc-stream"`` reads the same WARC distribution
-    through the streaming Python DataSource
+    ``input_format="warc-stream"`` — the DEFAULT since r13 (r12
+    VERDICT item 7) — reads the WARC distribution through the
+    streaming Python DataSource
     (`io/warc_datasource.WarcDataSource`, r11 VERDICT item 4) instead
     of the binaryFile route: identical schema and record semantics
     (row-for-row pinned by tests), but per-task peak memory is ONE
     RECORD + a 64 KiB chunk instead of one whole decompressed shard —
-    the right default posture for ~1 GB Common Crawl shards. Every
-    stage downstream is byte-identical; only the scan route changes.
+    measured at 1M pages / 8×63 MB-gz shards: 3.41 vs 9.8 GiB peak
+    scan RSS, funnel wall parity, byte-identical output including
+    doc_id (the r12 path canonicalization makes identity
+    route-independent; SCALE.md §"scan route"). At Common Crawl's
+    ~1 GB shards the residency gap is what keeps 4 GB executors
+    alive. ``input_format="warc"`` keeps the binaryFile route as the
+    explicit option (~27% faster scan-only when memory is no
+    constraint: whole-shard Arrow batches beat per-record Python
+    framing). Every stage downstream is byte-identical; only the scan
+    route changes.
 
     Keys, in order: ``records``, ``pages``, [``robots_allowed``,]
     ``unblocked``, ``url_deduped``, ``capped``, ``extracted``,

@@ -556,3 +556,53 @@ def test_cli_novelty_threshold_without_stage_fails(tmp_path):
                 "--novelty-min-permille", "100",
             ]
         )
+
+
+def test_cli_heavy_hitters_audit(spark, tmp_path, capsys):
+    """--heavy-hitters-permille mines the SHIPPED corpus (r12 VERDICT
+    item 4): every reported token's count recomputes exactly from the
+    written parquet, shares are true permille of the shipped token
+    stream, and the list is descending-count."""
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in CRAWL)
+    )
+    out_dir = tmp_path / "corpus_hh"
+    rc = curatectl.main(
+        [
+            "--warc-dir", str(warc_dir),
+            "--out-dir", str(out_dir),
+            "--min-words", "10",
+            "--heavy-hitters-permille", "20",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hh = report["heavy_hitters"]
+    assert hh, "fixture corpus repeats words; 20‰ must find some"
+    assert len(hh) <= 1000 // 20  # the cardinality bound, by definition
+    # exact recount from what shipped
+    from collections import Counter
+
+    toks = Counter()
+    for r in spark.read.parquet(str(out_dir)).select("text").collect():
+        toks.update(r["text"].split(" "))
+    n = sum(toks.values())
+    want = {t: c for t, c in toks.items() if c * 1000 > n * 20}
+    assert {e["token"]: e["cnt"] for e in hh} == want
+    cnts = [e["cnt"] for e in hh]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(e["permille"] == round(e["cnt"] * 1000 / n, 2) for e in hh)
+
+
+def test_default_input_format_is_stream(tmp_path):
+    """r12 VERDICT item 7: the default scan route is the streaming
+    DataSource (2.9x lower scan RSS at funnel wall parity, identical
+    output — SCALE.md); binaryFile stays as the explicit 'warc'."""
+    import inspect
+
+    from ir_analyses_spark.llm.curate import curation_stages
+
+    sig = inspect.signature(curation_stages)
+    assert sig.parameters["input_format"].default == "warc-stream"
