@@ -314,6 +314,7 @@ def run_funnel(
     novelty_permille: int = 250,
     dsir: bool = False,
     rss: bool = False,
+    retrieval: bool = False,
 ) -> dict:
     import sys
 
@@ -378,6 +379,42 @@ def run_funnel(
         "sec": round(time.monotonic() - t, 2),
         "rows_out": n_kept,
     }
+    if retrieval:
+        # r12 VERDICT item 6: the retrieval primitives composed with
+        # the funnel — BM25 + the segmented postings index over the
+        # CURATED corpus (hashed xxhash64 doc_ids, not the synthetic
+        # table's sequential ones). seg_width = 2^52 puts the full
+        # signed-64-bit id space into 2^12 = 4096 value-range
+        # segments — the hashed-id guidance from the module docstring
+        # (uniform hashes populate range segments evenly; sequential
+        # small ids would all land in segment 0 at this width).
+        from ir_analyses_spark.llm.retrieval import (
+            bm25_scores,
+            inverted_postings_sharded,
+        )
+
+        corpus = final.select("doc_id", "text")
+        t = time.monotonic()
+        n_scored = bm25_scores(corpus).count()
+        timings["bm25_certificate_query"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "rows_out": n_scored,
+        }
+        t = time.monotonic()
+        idx = inverted_postings_sharded(corpus, seg_width=1 << 52)
+        agg = idx.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("segment").alias("n_segments"),
+            F.max(F.length("postings")).alias("max_postings_chars"),
+            F.max("df_seg").alias("max_df_seg"),
+        ).collect()[0]
+        timings["sharded_postings_index"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "rows_out": agg["rows"],
+            "n_segments": agg["n_segments"],
+            "max_postings_chars": agg["max_postings_chars"],
+            "max_df_seg": agg["max_df_seg"],
+        }
     if not audit:
         if sampler is not None:
             timings["peak_tree_rss_gib"] = sampler.stop_gib()
@@ -500,6 +537,13 @@ def main() -> int:
         "target drawn from --src",
     )
     ap.add_argument(
+        "--retrieval", action="store_true",
+        help="after the funnel, run the retrieval primitives over the "
+        "CURATED corpus: BM25 certificate query + the segmented "
+        "postings index at the hashed-id segment width (2^52 -> 4096 "
+        "value-range segments)",
+    )
+    ap.add_argument(
         "--rss", action="store_true",
         help="sample and report the process tree's peak resident set "
         "(the warc vs warc-stream route comparison)",
@@ -529,7 +573,7 @@ def main() -> int:
     print(json.dumps(run_funnel(
         args.out, audit=args.audit, fmt=args.format, src=args.src,
         decontaminate=args.decontaminate, novelty=args.novelty,
-        dsir=args.dsir, rss=args.rss), indent=1))
+        dsir=args.dsir, rss=args.rss, retrieval=args.retrieval), indent=1))
     return 0
 
 
