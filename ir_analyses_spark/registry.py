@@ -10,10 +10,17 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r13: 196 — r12 closed at 195; r13 adds
+# (registry count r13: 198 — r12 closed at 195; r13 adds
 # inverted_index_postings_sharded (llm/retrieval.py), the scale-safe
 # segmented twin of inverted_index_postings — in a module the r13
-# window already leads with, per the ledger rule)
+# window already leads with, per the ledger rule — plus, as a tail
+# addition, phrase_search_postings (same module): exact-phrase match
+# answered by PARSING the segmented index, oracled directly against
+# the raw text, so the hash binds the text→index→parse→match round
+# trip) and bm25_topk_queries (same module): batched multi-query
+# top-k BM25 via a salted two-phase rank — no one-task-per-query
+# global sort; the oracle replays the semantics with one plain
+# window per query
 # (history — r12: 195 — r11 closed at 188 with twelve tail
 # entries: eleven new-module rows plus one scale twin
 # (knn_classify_ivf); r12 adds pmi_cooccurrence_floored (llm/cooc.py),
@@ -168,6 +175,10 @@ _MODULES = [
 #: the 45 r10-certified rows, the 49 r11-certified rows, and the 47
 #: r12-certified rows not pulled into this window (freshest).
 _ORDER = [
+    # (r13 tail additions, appended at the list's end:
+    # phrase_search_postings + bm25_topk_queries — llm/retrieval.py, a
+    # module whose every certified row is already inside this window,
+    # per the ledger rule)
     # ---- r13 window (50): see rotation note above ----
     # the 5 r12 tail rows: first driver rows
     "dsir_gate_docs",
@@ -376,6 +387,10 @@ _ORDER = [
     "txn_time_travel",
     "pmi_cooccurrence_floored",
     "novelty_gate_docs",
+    # ---- r13 tail additions (first driver rows in the r14+ windows;
+    # covered every pytest run by the full-registry parity sweep) ----
+    "phrase_search_postings",
+    "bm25_topk_queries",
 ]
 
 

@@ -241,3 +241,138 @@ def test_bm25_overflow_guard_fires(spark):
         bm25_scores(docs, ("cat",), _i64=500).collect()
     # comfortably under the real ceiling → scores normally
     assert bm25_scores(docs, ("cat",)).count() == 2
+
+
+def test_phrase_search_exact_semantics(spark):
+    """Adjacency, not co-occurrence: doc 1 has the phrase twice, doc 2
+    has both words non-adjacent (must NOT match), doc 257 puts the
+    match in a different segment, and a self-phrase (t1 == t2) counts
+    adjacent runs correctly."""
+    from ir_analyses_spark.llm.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x part filter y part filter"),
+            (2, "part x filter part y"),
+            (257, "z part filter"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_postings_sharded(docs)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(idx, "part", "filter").collect()
+    }
+    assert got == {1: 2, 257: 1}
+    # self-phrase: "a a a" contains "a a" at positions (1,2) and (2,3)
+    docs2 = spark.createDataFrame([(7, "a a a b a")], "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(inverted_postings_sharded(docs2), "a", "a").collect()
+    }
+    assert got2 == {7: 2}
+
+
+def test_phrase_registry_and_bite(spark):
+    """At sf0.001 the certificate phrase matches a strict subset of the
+    docs containing its first term (adjacency bites beyond mere
+    containment) and multi-occurrence docs exist."""
+    from ir_analyses_spark.llm.retrieval import phrase_search_postings
+
+    rows = phrase_search_postings(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    n_t1 = docs.filter(
+        F.array_contains(F.split("text", " "), "part")
+    ).count()
+    assert 0 < len(rows) < n_t1
+    assert max(r["n_occurrences"] for r in rows) > 1
+
+
+def test_phrase_plan_token_filter_pushed_below_index_build(spark):
+    """Query-time selectivity: Catalyst must push the two-token filter
+    BELOW the inline index build's aggregations to the token-explode
+    scan — the phrase query over an index never aggregates postings
+    for tokens outside the query."""
+    from ir_analyses_spark.llm.retrieval import phrase_search_postings
+
+    plan = (
+        phrase_search_postings(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the self-join rebuilds the inline index in BOTH branches, so the
+    # plan contains the build subtree twice; in EVERY branch the pushed
+    # token filter must sit directly above the token explode (below all
+    # of that branch's aggregations)
+    explodes = [m.start() for m in re.finditer(r"Generate posexplode", plan)]
+    assert explodes, plan
+    for pos in explodes:
+        assert re.search(r"IN \(part,filter\)", plan[max(0, pos - 300):pos]), (
+            plan[max(0, pos - 300):pos + 100]
+        )
+
+
+def test_bm25_topk_matches_single_query_form(spark):
+    """A one-query batch must reproduce bm25_scores' scores exactly and
+    rank by (score desc, doc_id): the batched form is the same algebra
+    plus ranking."""
+    from ir_analyses_spark.llm.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_scores(docs, ("customer", "filter")).collect()
+    }
+    got = bm25_topk(docs, {9: ("customer", "filter")}, k=5).collect()
+    assert len(got) == 5 and {r["query_id"] for r in got} == {9}
+    want_order = sorted(single.items(), key=lambda kv: (-kv[1][1], kv[0]))[:5]
+    for r, (doc, (n_terms, score)) in zip(
+        sorted(got, key=lambda r: r["rank"]), want_order
+    ):
+        assert r["doc_id"] == doc and r["n_terms"] == n_terms
+        assert abs(r["score"] - score) < 1e-9
+
+
+def test_bm25_topk_salted_phase_never_evicts_winner(spark):
+    """Phase 1 keeps k per (query, salt bucket); with salt greater than
+    the candidate count every bucket holds at most one doc — the global
+    top-k must still come out exactly (a winner is top-k in any subset
+    it belongs to, whatever the bucketing)."""
+    from ir_analyses_spark.llm.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        (r["rank"], r["doc_id"])
+        for r in bm25_topk(docs, {1: ("customer",)}, k=5, salt=2).collect()
+    )
+    b = sorted(
+        (r["rank"], r["doc_id"])
+        for r in bm25_topk(docs, {1: ("customer",)}, k=5, salt=997).collect()
+    )
+    assert a == b and len(a) == 5
+
+
+def test_bm25_topk_plan_two_phase_rank(spark):
+    """The scale pin: TWO row_number windows — the first keyed on
+    (query_id, salt), so no single task ever sorts one query's full
+    scored corpus; the per-query window only sees phase-1 survivors."""
+    from ir_analyses_spark.llm.retrieval import bm25_topk_queries
+
+    qe = bm25_topk_queries(spark, "/root/testdata/sf0.001")._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert plan.count("row_number()") >= 2, plan
+    # phase 1: partitioned on (query_id, salt) — the spec carries TWO
+    # partition columns before the ordering keys
+    assert re.search(
+        r"windowspecdefinition\(query_id#\d+, _w\d+#\d+, sdec#\d+ DESC", plan
+    ), plan
+    # phase 2: per-query only, over phase-1 survivors
+    assert re.search(
+        r"windowspecdefinition\(query_id#\d+, sdec#\d+ DESC", plan
+    ), plan
+    # the salt really is pmod(hash(doc_id)) (projected into _w0 by the
+    # optimizer, so pin it on the optimized plan)
+    assert "pmod(hash(doc_id" in qe.optimizedPlan().toString()
