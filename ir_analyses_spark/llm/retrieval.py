@@ -250,7 +250,15 @@ def inverted_postings_sharded(
     rows instead of one multi-GB string built on one straggler task.
     Concatenating a token's ``postings`` over its segments ascending
     reproduces the certificate's string byte-for-byte (pinned in
-    tests)."""
+    tests).
+
+    Skew note: ``div`` truncates toward zero (the DuckDB-``//``-parity
+    choice for hashed, negative-capable ids), so the two nominal
+    widths either side of zero both land in segment 0 — the
+    zero-straddling segment is exactly DOUBLE width, never more
+    (measured at 5M hashed-id docs: max segment population ~2× mean;
+    SCALE.md §r13). Runs needing exact evenness can pmod-shift ids
+    before segmenting."""
     pos = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("p0", "w"),

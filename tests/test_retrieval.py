@@ -376,3 +376,35 @@ def test_bm25_topk_plan_two_phase_rank(spark):
     # the salt really is pmod(hash(doc_id)) (projected into _w0 by the
     # optimizer, so pin it on the optimized plan)
     assert "pmod(hash(doc_id" in qe.optimizedPlan().toString()
+
+
+def test_phrase_search_over_stored_index_prunes_scan(spark, tmp_path):
+    """The production claim in phrase_search's docstring, executed: the
+    index written to parquet and read back, the phrase query's scans
+    must push the token predicate into the parquet reader
+    (PushedFilters In(token, ...)) and prune to the postings columns —
+    a query-time read touches only the two query tokens' rows, never
+    the full index."""
+    from ir_analyses_spark.llm.retrieval import phrase_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "postings_index")
+    inverted_postings_sharded(docs).write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = phrase_search(stored, "part", "filter")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*In\(token", plan), plan
+    # column pruning: the scan reads the three columns the query needs,
+    # not df_seg/total_tf
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "df_seg" not in m.group(0) and "total_tf" not in m.group(0)
+    # and the stored-index result equals the inline-build result
+    inline = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(
+            inverted_postings_sharded(docs), "part", "filter"
+        ).collect()
+    }
+    assert {
+        (r["doc_id"], r["n_occurrences"]) for r in q.collect()
+    } == inline
