@@ -269,3 +269,34 @@ def test_s3a_partition_path_resolves_via_pyarrow_spelling():
     for uri in ("s3://b/k", "s3n://b/k", "s3a://b/k"):
         c = canonical_scan_path(uri)
         assert canonical_scan_path(_resolution_uri(c)) == c == "s3a://b/k"
+
+
+def test_canonical_scan_path_idempotent():
+    """Canonicalization must be a projection: canonical(canonical(x)) ==
+    canonical(x), and the resolution spelling must round-trip back to
+    the same canonical form — otherwise identity could drift across
+    re-scans of already-canonical partition paths."""
+    from hypothesis import given, settings, strategies as st
+
+    from ir_analyses_spark.io.warc_datasource import (
+        _resolution_uri,
+        canonical_scan_path,
+    )
+
+    schemes = st.sampled_from(
+        ["", "file://", "s3://", "s3a://", "s3n://", "hdfs://nn:8020", "gs://"]
+    )
+    # path chars incl. the route-divergence suspects: space, %, unicode
+    path_part = st.text(
+        alphabet="abz09 %._-/\u65e5", min_size=1, max_size=30
+    ).map(lambda s: "/" + s.lstrip("/"))
+
+    @settings(max_examples=300, deadline=None)
+    @given(schemes, path_part)
+    def prop(scheme, p):
+        x = scheme + p
+        c = canonical_scan_path(x)
+        assert canonical_scan_path(c) == c, (x, c)
+        assert canonical_scan_path(_resolution_uri(c)) == c, (x, c)
+
+    prop()
