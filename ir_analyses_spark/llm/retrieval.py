@@ -259,6 +259,11 @@ def inverted_postings_sharded(
     (measured at 5M hashed-id docs: max segment population ~2× mean;
     SCALE.md §r13). Runs needing exact evenness can pmod-shift ids
     before segmenting."""
+    if seg_width < 1:
+        # div-by-zero segments are NULL in non-ANSI mode — every row
+        # would silently collapse into one null segment, resurrecting
+        # exactly the unbounded key this form exists to remove
+        raise ValueError(f"seg_width must be >= 1, got {seg_width}")
     pos = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("p0", "w"),
@@ -407,9 +412,17 @@ def bm25_topk(
     decimal score, so rank is deterministic and the DuckDB oracle
     (one plain window — the oracle replays semantics, not the physical
     strategy) hashes identically."""
+    if k < 1 or salt < 1:
+        # salt 0 makes pmod NULL: every doc lands in one null bucket
+        # and phase 1 silently degenerates to the per-query global sort
+        # this form exists to avoid
+        raise ValueError(f"k and salt must be >= 1, got k={k} salt={salt}")
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries.items() for t in ts],
+        # dict.fromkeys dedups a repeated term within one query — a
+        # duplicate (query_id, w) row would double-count that term's
+        # score through the join
+        [(qid, t) for qid, ts in queries.items() for t in dict.fromkeys(ts)],
         "query_id int, w string",
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})

@@ -408,3 +408,33 @@ def test_phrase_search_over_stored_index_prunes_scan(spark, tmp_path):
     assert {
         (r["doc_id"], r["n_occurrences"]) for r in q.collect()
     } == inline
+
+
+def test_guards_fail_loudly_not_degrade(spark):
+    """Degenerate parameters raise instead of silently degrading:
+    seg_width 0 would collapse all postings into one NULL segment,
+    salt 0 would put every doc in one null rank bucket, and a repeated
+    term inside one query would double-count through the join."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="seg_width"):
+        inverted_postings_sharded(docs, seg_width=0)
+    with pytest.raises(ValueError, match="salt"):
+        bm25_topk(docs, {1: ("cat",)}, salt=0)
+    with pytest.raises(ValueError, match="k and salt"):
+        bm25_topk(docs, {1: ("cat",)}, k=0)
+    # duplicate term within one query scores once, not twice
+    once = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, {1: ("cat",)}).collect()
+    }
+    dup = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, {1: ("cat", "cat")}).collect()
+    }
+    assert once == dup
