@@ -110,8 +110,15 @@ def _term_scores(docs: DataFrame, query_terms, _i64=_I64_MAX) -> DataFrame:
     ).select(
         "n_docs",
         F.when(
-            F.col("t_tokens")
-            <= F.expr(f"({_i64} div 23) div max_dl"),
+            # empty corpus: the agg row carries NULL totals — pass it
+            # through (nothing scores downstream) instead of letting
+            # the NULL comparison fall into the raise branch with a
+            # misleading overflow message
+            F.col("t_tokens").isNull()
+            | (
+                F.col("t_tokens")
+                <= F.expr(f"({_i64} div 23) div max_dl")
+            ),
             F.col("t_tokens"),
         )
         .otherwise(

@@ -438,3 +438,14 @@ def test_guards_fail_loudly_not_degrade(spark):
         for r in bm25_topk(docs, {1: ("cat", "cat")}).collect()
     }
     assert once == dup
+
+
+def test_bm25_empty_corpus_scores_nothing_not_raises(spark):
+    """An empty corpus makes the totals row NULL; the overflow guard
+    must pass the NULL through (empty result downstream), not raise a
+    misleading overflow error out of the NULL comparison."""
+    from ir_analyses_spark.llm.retrieval import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_scores(empty, ("cat",)).count() == 0
+    assert bm25_topk(empty, {1: ("cat",)}).count() == 0
