@@ -137,112 +137,63 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-13 rotation (r12 VERDICT "Next round" item 1, rotated at round
+#: Round-14 rotation (r13 VERDICT "Next round" item 1, rotated at round
 #: START per the ledger discipline). Window composition (50):
 #:
-#: - the 5 r12 tail rows FIRST (``dsir_gate_docs`` …
-#:   ``inverted_index_postings``) — full oracles and pytest parity
-#:   since r12, awaiting their FIRST driver rows;
-#: - 1 NEW query (slot reserved at rotation, filled by its
-#:   implementing commit): ``inverted_index_postings_sharded`` — the
-#:   scale-safe segmented-postings production twin of
-#:   ``inverted_index_postings`` (r12 VERDICT item 2 / What's wrong
-#:   #1), in ``llm/retrieval.py`` which this round's window already
-#:   staled via its two leading rows;
-#: - 3 forced re-certs for modules this round edits:
-#:   ``warc_source_scan`` (``io/warc_datasource.py`` gains remote-URI
-#:   scheme normalization + percent-encoding path parity — r12 VERDICT
-#:   item 3 and ADVICE 1), ``curation_funnel_counts``
-#:   (``llm/curate.py``/``curatectl.py`` gain the heavy-hitters audit
-#:   surface and the warc-stream default decision — items 4 and 7),
-#:   ``dsir_importance_select`` (``llm/dsir.py`` docstring fix — item
-#:   5 stales the module);
-#: - the first 41 r9-vintage rows (``temperature_mixture_sample`` …
-#:   ``vocab_oov_rate``) — the ledger's oldest evidence after r12
-#:   retired the r7/r8 blocks.
+#: - the 2 r13 tail rows FIRST (``phrase_search_postings``,
+#:   ``bm25_topk_queries``) — full oracles, pytest parity, and the
+#:   judge's own sweep MATCH since r13, awaiting their FIRST driver
+#:   rows;
+#: - forced re-certs for every module this round edits:
+#:   ``bm25_score_docs`` + ``inverted_index_postings`` + the sharded
+#:   twin (``llm/retrieval.py`` — r13 ADVICE 3's oracle dedup mirror
+#:   plus the retrievectl/stored-index surface stale the module),
+#:   ``warc_source_scan`` (``io/warc_datasource.py`` — r13 VERDICT
+#:   item 4's non-empty ``file://`` authority raise + ADVICE 2's
+#:   remote-rendering docstring scope), ``curation_funnel_counts``
+#:   (``curatectl.py`` — ADVICE 1's argparse-time φ validation + the
+#:   store-vintage load warning), and the 4 substring-store rows
+#:   ``winnow_fingerprints_select`` / ``substring_dedup_rebuild`` /
+#:   ``substring_dedup_incremental`` / ``fingerprint_store_compact``
+#:   (``llm/substring_dedup.py`` — r13 VERDICT item 2's
+#:   identity-rendering vintage stamp);
+#: - the 5 remaining r9-vintage rows (``exact_dedup`` …
+#:   ``window_sessionize``) — the ledger's oldest evidence, retiring
+#:   the r9 block entirely (r13 VERDICT item 7);
+#: - the first 34 r10-vintage rows (``bpe_train_merges`` …
+#:   ``top_supplier_revenue``); the 11 remaining r10 rows spill to
+#:   the r15 window per the r13 VERDICT's own arithmetic
+#:   (2+5+45 > 50, re-certs take precedence over vintage spill).
 #:
-#: In-window coverage of every module this round plans to edit:
-#: ``llm/retrieval.py`` → ``bm25_score_docs``,
-#: ``inverted_index_postings`` (+ the new sharded row);
-#: ``llm/heavy.py`` (citation fix + audit surface) →
-#: ``heavy_hitters_tokens``; ``ops/outliers.py`` (citation fix) →
-#: ``mad_outliers``; ``llm/dsir.py`` → ``dsir_gate_docs`` +
-#: ``dsir_importance_select``; ``io/warc_datasource.py`` →
-#: ``warc_source_scan``; ``llm/curate.py``/``curatectl.py`` →
-#: ``curation_funnel_counts``.
-#:
-#: Tail order after the window: the 5 remaining r9 rows (oldest), then
-#: the 45 r10-certified rows, the 49 r11-certified rows, and the 47
-#: r12-certified rows not pulled into this window (freshest).
+#: Tail order after the window: the 11 remaining r10 rows (oldest),
+#: then the 45 r11-certified rows not pulled into this window, the 47
+#: r12-certified rows, and the 45 r13-certified rows not pulled into
+#: this window (freshest).
 _ORDER = [
-    # (r13 tail additions, appended at the list's end:
-    # phrase_search_postings + bm25_topk_queries — llm/retrieval.py, a
-    # module whose every certified row is already inside this window,
-    # per the ledger rule)
-    # ---- r13 window (50): see rotation note above ----
-    # the 5 r12 tail rows: first driver rows
-    "dsir_gate_docs",
-    "heavy_hitters_tokens",
-    "mad_outliers",
+    # ---- r14 window (50): see rotation note above ----
+    # the 2 r13 tail rows: first driver rows
+    "phrase_search_postings",
+    "bm25_topk_queries",
+    # forced re-certs: llm/retrieval.py (oracle dedup mirror + CLI)
     "bm25_score_docs",
     "inverted_index_postings",
-    # NEW this round (slot 6): the segmented-postings scale twin
-    # (r12 VERDICT item 2)
     "inverted_index_postings_sharded",
-    # forced re-certs: modules edited this round (see note)
+    # forced re-certs: io/warc_datasource.py (file:// authority raise)
     "warc_source_scan",
+    # forced re-certs: curatectl.py (argparse φ validation, vintage warn)
     "curation_funnel_counts",
-    "dsir_importance_select",
-    # r9 vintage, first 41 rows (oldest evidence after this round)
-    "temperature_mixture_sample",
-    "token_budget_subset",
-    "apply_in_pandas_topk",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "variant_json_ops",
-    "quality_classifier_gate",
-    "dataset_split",
-    "negative_sampling",
-    "html_extract_text",
-    "quality_signals",
-    "gopher_quality_flags",
-    "url_canonicalize",
-    "url_domain_caps",
-    "robots_wildcard_rules",
-    "unicode_clean_text",
-    "line_dedup_global",
-    "span_dedup_c4",
-    "charlm_gram_counts",
-    "charlm_scoring_stats",
-    "training_export_layout",
-    "disjunctive_pushdown",
-    "doc_fingerprint",
-    "guarded_ratio_margin",
-    "ir_summary_pipeline",
-    "language_id",
-    "market_share",
-    "pandas_udf_vectorized",
-    "product_profit",
-    "quality_score",
-    "stateful_user_totals",
-    "stream_dedup_watermark",
-    "stream_incremental_rollup",
-    "stream_session_batch",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_tumbling_batch",
-    "summary_chart_frame",
-    "text_stats",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    # ---- 50-query window boundary (driver budget) ----
-    # the 5 remaining r9-vintage rows
+    # forced re-certs: llm/substring_dedup.py (identity vintage stamp)
+    "winnow_fingerprints_select",
+    "substring_dedup_rebuild",
+    "substring_dedup_incremental",
+    "fingerprint_store_compact",
+    # the 5 remaining r9-vintage rows (r9 evidence retired after this)
     "exact_dedup",
     "minhash_lsh_nearup",
     "pricing_summary",
     "regional_revenue",
     "window_sessionize",
-    # r10 vintage (45)
+    # r10 vintage, first 34 rows
     "bpe_train_merges",
     "cohort_retention",
     "collated_string_ops",
@@ -277,6 +228,8 @@ _ORDER = [
     "token_length_histogram",
     "token_topk_sketch",
     "top_supplier_revenue",
+    # ---- 50-query window boundary (driver budget) ----
+    # r10 vintage, remaining 11 rows (lead the r15 window)
     "trade_bfs_hops",
     "trade_pagerank",
     "trade_triangles",
@@ -288,7 +241,8 @@ _ORDER = [
     "hll_union_bound",
     "brp_lsh_bound",
     "warc_roundtrip_parse",
-    # r11 vintage (49)
+    # r11 vintage (45: the r11 block minus the 4 substring-store
+    # re-certs pulled into this window)
     "volume_shipping",
     "ann_brute_topk",
     "ann_ivf_topk",
@@ -332,14 +286,9 @@ _ORDER = [
     "suppliers_with_waiting_orders",
     "top_unshipped_parts",
     "unpivot_melt",
-    "winnow_fingerprints_select",
-    "substring_dedup_rebuild",
-    "substring_dedup_incremental",
     "h264_header_parse",
     "mp4_h264_headers",
-    "fingerprint_store_compact",
-    # r12 vintage (47: the r12 window minus the 3 re-certs pulled
-    # into this window)
+    # r12 vintage (47)
     "window_lag_lead",
     "window_range_interval",
     "window_ranking",
@@ -387,10 +336,53 @@ _ORDER = [
     "txn_time_travel",
     "pmi_cooccurrence_floored",
     "novelty_gate_docs",
-    # ---- r13 tail additions (first driver rows in the r14+ windows;
-    # covered every pytest run by the full-registry parity sweep) ----
-    "phrase_search_postings",
-    "bm25_topk_queries",
+    # r13 vintage (45: the r13 window minus the 5 re-certs pulled
+    # into this window)
+    "dsir_gate_docs",
+    "heavy_hitters_tokens",
+    "mad_outliers",
+    "dsir_importance_select",
+    "temperature_mixture_sample",
+    "token_budget_subset",
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "variant_json_ops",
+    "quality_classifier_gate",
+    "dataset_split",
+    "negative_sampling",
+    "html_extract_text",
+    "quality_signals",
+    "gopher_quality_flags",
+    "url_canonicalize",
+    "url_domain_caps",
+    "robots_wildcard_rules",
+    "unicode_clean_text",
+    "line_dedup_global",
+    "span_dedup_c4",
+    "charlm_gram_counts",
+    "charlm_scoring_stats",
+    "training_export_layout",
+    "disjunctive_pushdown",
+    "doc_fingerprint",
+    "guarded_ratio_margin",
+    "ir_summary_pipeline",
+    "language_id",
+    "market_share",
+    "pandas_udf_vectorized",
+    "product_profit",
+    "quality_score",
+    "stateful_user_totals",
+    "stream_dedup_watermark",
+    "stream_incremental_rollup",
+    "stream_session_batch",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_batch",
+    "summary_chart_frame",
+    "text_stats",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
 ]
 
 
