@@ -42,11 +42,17 @@ shipped measurably different corpora per route. r13 extends the rule
 to remote URIs: S3 schemes normalize to Hadoop's ``s3a://`` spelling
 (pyarrow's ``s3://`` and legacy ``s3n://`` rewrite; see
 ``canonical_scan_path`` — resolution translates back to pyarrow's
-spelling when opening), so mixed scan routes over one remote corpus
-hash identical doc_ids by construction instead of by operator
-discipline. The rendering is DECODED (spaces and ``%`` literal),
-matching binaryFile's ``Path.toString`` — pinned by test against a
-real binaryFile read over a space-and-percent shard directory.
+spelling when opening). The LOCAL rendering is DECODED (spaces and
+``%`` literal), matching binaryFile's ``Path.toString`` — pinned by
+test against a real binaryFile read over a space-and-percent shard
+directory. REMOTE identity renders from the caller's ORIGINAL
+spelling (scheme rewrite only) plus the store's raw listed key
+suffix — never from pyarrow's percent-DECODED parse (r14, r13 ADVICE
+2) — so the rendering is route-independent for any spelling both
+routes resolve to the same objects; a percent-ENCODED remote root is
+resolved through pyarrow's decoded interpretation, which Hadoop (``%XX``
+literal in keys) would address differently — prefer un-encoded remote
+spellings, whose identity holds by construction.
 
 Usage::
 
@@ -162,6 +168,25 @@ def iter_warc_records_stream(
 #: spellings normalize to Hadoop's ``s3a://``.
 _SCHEME_CANON = {"s3": "s3a", "s3n": "s3a"}
 
+#: Version tag of the doc-identity path-rendering rule — the thing
+#: ``doc_id = xxhash64(path#record_seq)`` is a function of. Stamped
+#: into every artifact whose stored keys embed doc identity (the
+#: substring-dedup fingerprint store, llm/substring_dedup.py) so the
+#: NEXT rendering change is detected at load time instead of by
+#: operator memory (r13 VERDICT item 2 — two changes had already
+#: shipped before the stamp existed, and this round makes a third).
+#:
+#: History:
+#:   csp-1 (r12) — local paths canonicalized to Hadoop's decoded
+#:          ``file:/abs/path`` rendering (both scan routes agree);
+#:   csp-2 (r13) — remote scheme spellings normalized (s3/s3n→s3a),
+#:          remote path portion still pyarrow's percent-DECODED parse;
+#:   csp-3 (r14) — remote identity renders from the caller's ORIGINAL
+#:          spelling + raw listed key suffix (never the decoded parse),
+#:          and a non-empty ``file://`` authority raises instead of
+#:          folding into the local identity space.
+IDENTITY_RENDERING = "csp-3"
+
 
 def canonical_scan_path(path: str) -> str:
     """The canonical ``path``-column rendering for one shard — the rule
@@ -180,14 +205,32 @@ def canonical_scan_path(path: str) -> str:
 
     Supported path charset: anything the local filesystem accepts —
     the decoded rendering cannot collide because it is the identity on
-    the byte content; only scheme spelling is rewritten."""
+    the byte content; only scheme spelling is rewritten.
+
+    REMOTE paths are canonicalized on the CALLER's spelling (scheme
+    rewrite only, path bytes untouched): percent-encoded characters
+    stay encoded, because this function never percent-decodes — the
+    identity rule is "same spelling in → same rendering out", not a
+    decoded re-rendering that could diverge from Hadoop's
+    ``Path.toString`` (which keeps ``%XX`` literal) per scan route
+    (r13 ADVICE 2).
+
+    A ``file://`` URI with a non-empty authority raises: folding the
+    host into the path (``file://host/p`` → ``file:/host/p``) would
+    collide with the identity of the genuinely-local ``/host/p``, and
+    no scan route can resolve a remote ``file`` host anyway (pyarrow
+    rejects non-empty file hosts — r13 VERDICT item 4)."""
     if path.startswith("file:") and "://" not in path:
         return "file:" + os.path.abspath(path[len("file:"):])
     if "://" in path:
         scheme, rest = path.split("://", 1)
         if scheme == "file":
-            # file://host/p is not supported by the local route anyway
-            # (pyarrow rejects non-empty hosts); file:///p → /p
+            if rest and not rest.startswith("/"):
+                raise ValueError(
+                    "file:// URI with a non-empty authority is not "
+                    f"supported (would collide with the local path "
+                    f"identity of /{rest}): {path!r}"
+                )
             return "file:" + os.path.abspath("/" + rest.lstrip("/"))
         return _SCHEME_CANON.get(scheme, scheme) + "://" + rest
     return "file:" + os.path.abspath(path)
@@ -267,28 +310,40 @@ class WarcSourceReader(DataSourceReader):
         # s3://(pyarrow)/s3n://(legacy) normalize to Hadoop's s3a:// so
         # a remote corpus hashes identical doc_ids whichever route scans
         # it (r12 VERDICT item 3 — the remote twin of the local bug).
+        # The remote root renders from the CALLER's ORIGINAL spelling
+        # (scheme rewrite only) + the raw listed key suffix — never from
+        # pyarrow's percent-DECODED parse of the URI, which would
+        # diverge from Hadoop Path.toString (keeps %XX literal) on any
+        # percent-encoded spelling (r13 ADVICE 2). Listed key suffixes
+        # are the stores' raw bytes (listings are not URI-parsed), so
+        # only the root portion ever had an encoding to preserve.
         from pyarrow import fs as pafs
 
         fs, root = _fs_and_path(self.root)
         local = isinstance(fs, pafs.LocalFileSystem)
         if local:
-            scheme = "file:"
             root = os.path.abspath(root)
-        elif "://" in self.root:
-            s = self.root.split("://", 1)[0]
-            scheme = _SCHEME_CANON.get(s, s) + "://"
+            canon_root = "file:" + root
         else:
-            scheme = ""
+            canon_root = canonical_scan_path(self.root).rstrip("/")
         info = fs.get_file_info(root)
         if info.type == pafs.FileType.File:
-            return [_WarcFilePartition(scheme + root)]
+            return [_WarcFilePartition(canon_root)]
         if info.type != pafs.FileType.Directory:
             raise FileNotFoundError(
                 f"warc source path does not exist: {self.root}"
             )
         sel = pafs.FileSelector(root, recursive=False)
+        if local:
+            # pinned byte-for-byte against a real binaryFile read over a
+            # space-and-percent directory: local identity is the DECODED
+            # listing path, Hadoop's local Path.toString form
+            render = lambda p: "file:" + p  # noqa: E731
+        else:
+            prefix = len(root.rstrip("/"))
+            render = lambda p: canon_root + p[prefix:]  # noqa: E731
         return [
-            _WarcFilePartition(scheme + i.path)
+            _WarcFilePartition(render(i.path))
             for i in sorted(fs.get_file_info(sel), key=lambda i: i.path)
             if i.type == pafs.FileType.File
             and ".warc" in os.path.basename(i.path)

@@ -393,6 +393,17 @@ _TOPK = 10
 _SALT = 16
 
 
+def _qterm_pairs(queries: dict[int, tuple]) -> list[tuple[int, str]]:
+    """The (query_id, term) rows BOTH the Spark side and the DuckDB
+    oracle score against. dict.fromkeys dedups a repeated term within
+    one query — a duplicate (query_id, w) row would double-count that
+    term's score through the join — and because the oracle's VALUES
+    list is built from the same pairs (r13 ADVICE 3), the two sides
+    share the dedup semantics by construction, not by the accident of
+    a duplicate-free _QUERY_BATCH."""
+    return [(qid, t) for qid, ts in queries.items() for t in dict.fromkeys(ts)]
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: dict[int, tuple] = _QUERY_BATCH,
@@ -426,11 +437,7 @@ def bm25_topk(
         raise ValueError(f"k and salt must be >= 1, got k={k} salt={salt}")
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
-        # dict.fromkeys dedups a repeated term within one query — a
-        # duplicate (query_id, w) row would double-count that term's
-        # score through the join
-        [(qid, t) for qid, ts in queries.items() for t in dict.fromkeys(ts)],
-        "query_id int, w string",
+        _qterm_pairs(queries), "query_id int, w string"
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     scored = (
@@ -547,9 +554,11 @@ SELECT w AS token, seg AS segment, COUNT(*) AS df_seg,
 FROM per_doc GROUP BY w, seg
 """
 
-_QB_SQL = ", ".join(
-    f"({qid}, '{t}')" for qid, ts in _QUERY_BATCH.items() for t in ts
-)
+# built from _qterm_pairs — the SAME rows bm25_topk joins against — so
+# the oracle inherits the within-query term dedup by construction
+# (r13 ADVICE 3): a future _QUERY_BATCH edit with a repeated term can
+# no longer make the oracle double-count what the Spark side dedups
+_QB_SQL = ", ".join(f"({qid}, '{t}')" for qid, t in _qterm_pairs(_QUERY_BATCH))
 _QB_TERMS_SQL = ", ".join(
     f"'{t}'" for t in sorted({t for ts in _QUERY_BATCH.values() for t in ts})
 )

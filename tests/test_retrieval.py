@@ -449,3 +449,25 @@ def test_bm25_empty_corpus_scores_nothing_not_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_scores(empty, ("cat",)).count() == 0
     assert bm25_topk(empty, {1: ("cat",)}).count() == 0
+
+
+def test_oracle_qterms_share_dedup_by_construction():
+    """r13 ADVICE 3: the DuckDB oracle's qterms VALUES list is built
+    from _qterm_pairs — the SAME rows bm25_topk joins against — so a
+    repeated term in a future _QUERY_BATCH edit dedups on BOTH sides
+    instead of double-counting in the oracle only."""
+    from ir_analyses_spark.llm.retrieval import (
+        _QB_SQL,
+        _QUERY_BATCH,
+        _qterm_pairs,
+    )
+
+    # the helper dedups within a query but not across queries
+    assert _qterm_pairs({1: ("cat", "cat", "dog"), 2: ("cat",)}) == [
+        (1, "cat"),
+        (1, "dog"),
+        (2, "cat"),
+    ]
+    # and the shipped oracle VALUES list is exactly the helper's rows
+    want = ", ".join(f"({q}, '{t}')" for q, t in _qterm_pairs(_QUERY_BATCH))
+    assert _QB_SQL == want

@@ -300,3 +300,93 @@ def test_canonical_scan_path_idempotent():
         assert canonical_scan_path(_resolution_uri(c)) == c, (x, c)
 
     prop()
+
+
+def test_canonical_scan_path_rejects_file_authority():
+    """r13 VERDICT item 4: file://host/p must RAISE, not silently fold
+    the host into the path — 'file:/host/p' is the identity of the
+    genuinely-local /host/p, so the fold is a doc_id collision for any
+    metadata path that never resolves (resolution itself always failed
+    loudly; this makes the identity layer agree)."""
+    from ir_analyses_spark.io.warc_datasource import canonical_scan_path
+
+    for bad in ("file://host/p", "file://h", "file://host/a b/c%1.warc"):
+        with pytest.raises(ValueError, match="non-empty authority"):
+            canonical_scan_path(bad)
+    # the empty-authority spellings stay supported and unchanged
+    assert canonical_scan_path("file:///a/c") == "file:/a/c"
+    assert canonical_scan_path("file:/a/c") == "file:/a/c"
+
+
+def test_canonical_scan_path_file_authority_property():
+    """Property battery extension (r13 VERDICT item 4): EVERY non-empty
+    file authority raises; every empty-authority file URI canonicalizes
+    to the single-slash local form."""
+    from hypothesis import given, settings, strategies as st
+
+    from ir_analyses_spark.io.warc_datasource import canonical_scan_path
+
+    host = st.text(alphabet="abz09.-", min_size=1, max_size=12)
+    tail = st.text(alphabet="abz09 %._-/", min_size=0, max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(host, tail)
+    def prop(h, t):
+        with pytest.raises(ValueError):
+            canonical_scan_path(f"file://{h}/{t}")
+        c = canonical_scan_path(f"file:///{t.lstrip('/')}")
+        assert c.startswith("file:/") and not c.startswith("file://")
+        assert canonical_scan_path(c) == c
+
+    prop()
+
+
+def test_remote_partition_paths_render_from_caller_spelling(monkeypatch):
+    """r13 ADVICE 2: remote identity must come from the caller's
+    ORIGINAL spelling (scheme rewrite only) + the store's raw listed
+    key suffix — NOT from pyarrow's percent-DECODED parse, which
+    Hadoop's Path.toString (keeps %XX literal) would never render.
+    Simulated remote store: pyarrow's _MockFileSystem (non-local), with
+    _fs_and_path patched to hand back the decoded root the way
+    FileSystem.from_uri does for an encoded URI."""
+    from pyarrow.fs import _MockFileSystem
+
+    from ir_analyses_spark.io import warc_datasource as wd
+
+    mock = _MockFileSystem()
+    mock.create_dir("bucket/dir x")
+    for key in ("bucket/dir x/b sh%1.warc.gz", "bucket/dir x/a.warc"):
+        with mock.open_output_stream(key) as f:
+            f.write(b"stub")
+
+    def fake_fs_and_path(path):
+        # what FileSystem.from_uri does to s3://bucket/dir%20x:
+        # percent-decode the path portion
+        assert path == "s3://bucket/dir%20x"
+        return mock, "bucket/dir x"
+
+    monkeypatch.setattr(wd, "_fs_and_path", fake_fs_and_path)
+    reader = wd.WarcSourceReader({"path": "s3://bucket/dir%20x"})
+    got = sorted(p.path for p in reader.partitions())
+    # root keeps the caller's %20 (scheme normalized s3->s3a); the
+    # listed key suffixes keep their RAW bytes (space, literal %)
+    assert got == [
+        "s3a://bucket/dir%20x/a.warc",
+        "s3a://bucket/dir%20x/b sh%1.warc.gz",
+    ]
+
+
+def test_remote_single_file_partition_renders_caller_spelling(monkeypatch):
+    from pyarrow.fs import _MockFileSystem
+
+    from ir_analyses_spark.io import warc_datasource as wd
+
+    mock = _MockFileSystem()
+    mock.create_dir("b")
+    with mock.open_output_stream("b/k y.warc") as f:
+        f.write(b"stub")
+    monkeypatch.setattr(
+        wd, "_fs_and_path", lambda path: (mock, "b/k y.warc")
+    )
+    reader = wd.WarcSourceReader({"path": "s3n://b/k%20y.warc"})
+    assert [p.path for p in reader.partitions()] == ["s3a://b/k%20y.warc"]
