@@ -29,6 +29,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _phi_permille(raw: str) -> int:
+    """argparse type for --heavy-hitters-permille: fail a typo BEFORE the
+    expensive funnel runs. heavy_hitters() (llm/heavy.py:111) enforces the
+    same (0, 1000) bound, but only after the export already landed — by
+    then the run's JSON report (funnel counts, out_dir) is lost to a
+    traceback (r13 ADVICE 1)."""
+    value = int(raw)
+    if not 0 < value < 1000:
+        raise argparse.ArgumentTypeError(
+            f"PHI must be in (0, 1000) permille, got {value}"
+        )
+    return value
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
     # not argparse-required: the store-maintenance mode below runs
@@ -125,6 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         "substring_store",
     )
     ap.add_argument(
+        "--force-store-vintage",
+        action="store_true",
+        help="proceed against a fingerprint store whose recorded "
+        "doc-identity rendering vintage (identity_rendering in "
+        "_store_meta) differs from the engine's current one, or that "
+        "predates the stamp. Without this flag such a store FAILS AT "
+        "LOAD (FingerprintStoreIdentityMismatch): its probe keys "
+        "hashed paths under an old rendering rule, so cross-batch "
+        "dedup against it can silently no-op. Only force after "
+        "verifying every path the store ever hashed renders "
+        "identically under the current rule (SCALE.md store-vintage "
+        "note)",
+    )
+    ap.add_argument(
         "--decontaminate",
         default=None,
         metavar="PARQUET",
@@ -184,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--heavy-hitters-permille",
-        type=int,
+        type=_phi_permille,
         default=None,
         metavar="PHI",
         help="AUDIT: after the export lands, mine the SHIPPED corpus "
@@ -299,6 +327,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs[flag] = v
     if args.substring_store is not None:
         kwargs["substring_store"] = args.substring_store
+    if args.force_store_vintage:
+        kwargs["substring_store_force_vintage"] = True
     if args.input_format is not None:
         kwargs["input_format"] = args.input_format
     if args.decontaminate is not None:
@@ -337,6 +367,12 @@ def main(argv: list[str] | None = None) -> int:
             "substring_dedup_k/substring_dedup_window/substring_store "
             "require the stage (--substring-dedup or [curation] "
             "substring_dedup = true)"
+        )
+    if kwargs.get("substring_store_force_vintage") and "substring_store" not in kwargs:
+        # forcing the vintage of a store that was never named would
+        # silently authorize NOTHING — same loud-flag discipline
+        raise ValueError(
+            "--force-store-vintage requires --substring-store"
         )
     if kwargs.get("substring_dedup"):
         # a default-w production run must be LOUD about its shuffle
@@ -439,7 +475,8 @@ def main(argv: list[str] | None = None) -> int:
         w = kwargs.get("substring_dedup_window", DEFAULT_WINDOW)
         shipped = spark.read.parquet(args.out_dir).select("doc_id", "text")
         write_fingerprint_store(
-            winnow_fingerprints(shipped, k=k, window=w), store_path, k, w
+            winnow_fingerprints(shipped, k=k, window=w), store_path, k, w,
+            allow_stale_identity=args.force_store_vintage,
         )
     out = {"out_dir": args.out_dir, "n_documents": spark.read.parquet(args.out_dir).count()}
     if funnel is not None:

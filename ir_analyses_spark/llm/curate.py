@@ -63,6 +63,7 @@ def curation_stages(
     substring_dedup_k: int = _SUBSTRING_DEFAULT_K,
     substring_dedup_window: int = _SUBSTRING_DEFAULT_WINDOW,
     substring_store: str | None = None,
+    substring_store_force_vintage: bool = False,
     decontaminate_bench: DataFrame | None = None,
     decontaminate_max_permille: int = 100,
     novelty_filter: bool = False,
@@ -149,7 +150,12 @@ def curation_stages(
     the exporter's job AFTER its write lands (``curatectl
     --substring-store`` does both), so a crash in between leaves
     future batches keeping a duplicate rather than cutting text the
-    corpus never shipped.
+    corpus never shipped. A store stamped with an older doc-identity
+    rendering vintage (or predating the stamp) fails AT LOAD with
+    :class:`~.substring_dedup.FingerprintStoreIdentityMismatch`;
+    ``substring_store_force_vintage=True`` (CLI:
+    ``--force-store-vintage``) overrides after the operator has
+    verified path-rendering stability (r13 VERDICT item 2).
 
     ``enforce_robots=True`` extracts the crawl's own robots.txt
     responses (`llm/robots.py`) and drops disallowed pages right after
@@ -327,8 +333,14 @@ def curation_stages(
         if substring_store is not None:
             from .substring_dedup import read_fingerprint_store
 
+            # raises FingerprintStoreIdentityMismatch AT LOAD on a
+            # store built under an older doc-identity rendering
+            # vintage (or predating the stamp) unless the operator
+            # forces it — r13 VERDICT item 2
             store_fps, store_meta = read_fingerprint_store(
-                spark, substring_store
+                spark,
+                substring_store,
+                allow_stale_identity=substring_store_force_vintage,
             )
         if store_fps is not None:
             from .substring_dedup import remove_substrings_against_store
@@ -344,6 +356,7 @@ def curation_stages(
                 k=substring_dedup_k,
                 window=substring_dedup_window,
                 store_meta=store_meta,
+                allow_stale_identity=substring_store_force_vintage,
             )
         else:
             from .substring_dedup import remove_duplicated_substrings

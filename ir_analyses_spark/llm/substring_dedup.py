@@ -504,7 +504,44 @@ class FingerprintStoreMismatch(ValueError):
     rows (r9 ADVICE)."""
 
 
-def _check_store_meta(meta: dict, k: int, window: int, hash_scheme: str) -> None:
+class FingerprintStoreIdentityMismatch(FingerprintStoreMismatch):
+    """The store was built under a DIFFERENT doc-identity rendering
+    vintage than the engine's current one (``IDENTITY_RENDERING``,
+    io/warc_datasource.py) — or predates the stamp entirely, in which
+    case its vintage is unknowable after the fact (SCALE.md, r12
+    migration note). The store's probe keys are (fp, xxhash64-derived
+    probe) pairs whose doc side hashed the OLD rendering, so dedup
+    against it can silently no-op (never cut text it shouldn't — the
+    conservative direction — but the operator believes cross-batch
+    dedup happened). Rebuild the store from the exported corpora, or
+    pass ``allow_stale_identity=True`` (CLI: ``--force-store-vintage``)
+    after verifying every path the store ever hashed renders
+    identically under the current rule (r13 VERDICT item 2)."""
+
+
+def _check_store_identity(
+    meta: dict, allow_stale_identity: bool = False
+) -> None:
+    from ..io.warc_datasource import IDENTITY_RENDERING
+
+    got = meta.get("identity_rendering")
+    if got != IDENTITY_RENDERING and not allow_stale_identity:
+        raise FingerprintStoreIdentityMismatch(
+            f"fingerprint store identity_rendering is "
+            f"{got if got is not None else 'UNSTAMPED (pre-r14 store)'}, "
+            f"engine renders {IDENTITY_RENDERING!r}; rebuild the store "
+            f"or pass allow_stale_identity=True / --force-store-vintage "
+            f"after verifying path-rendering stability"
+        )
+
+
+def _check_store_meta(
+    meta: dict,
+    k: int,
+    window: int,
+    hash_scheme: str,
+    allow_stale_identity: bool = False,
+) -> None:
     want = {"k": k, "window": window, "hash_scheme": hash_scheme}
     got = {f: meta.get(f) for f in want}
     if got != want:
@@ -516,6 +553,7 @@ def _check_store_meta(meta: dict, k: int, window: int, hash_scheme: str) -> None
         raise FingerprintStoreMismatch(
             f"store format_version {v} != supported {_STORE_FORMAT_VERSION}"
         )
+    _check_store_identity(meta, allow_stale_identity)
 
 
 def write_fingerprint_store(
@@ -524,17 +562,22 @@ def write_fingerprint_store(
     k: int,
     window: int,
     hash_scheme: str = DEFAULT_HASH_SCHEME,
+    allow_stale_identity: bool = False,
 ) -> None:
     """Append ``(fp, probe)`` rows to the versioned on-disk store at
     ``path``, creating it (with its parameter record) on first write.
 
     Layout: ``<path>/fingerprints`` (parquet, append-only) +
     ``<path>/_store_meta`` (one JSON row: k, window, hash_scheme,
-    format_version — written via Spark so the store works on any
-    Hadoop-visible filesystem, not just the local one). Every append
-    validates the call's parameters against the recorded ones and
-    raises :class:`FingerprintStoreMismatch` instead of mixing
-    incompatible fingerprints. Single-writer append-only discipline
+    format_version, identity_rendering — written via Spark so the
+    store works on any Hadoop-visible filesystem, not just the local
+    one). Every append validates the call's parameters against the
+    recorded ones and raises :class:`FingerprintStoreMismatch` instead
+    of mixing incompatible fingerprints; a store stamped with (or
+    predating) a different doc-identity rendering vintage raises
+    :class:`FingerprintStoreIdentityMismatch` unless
+    ``allow_stale_identity`` (r13 VERDICT item 2 — probe keys hash the
+    emitted path, so a rendering change silently un-joins old stores). Single-writer append-only discipline
     (the same contract as the txn table's manifest): the store is only
     ever appended AFTER its batch's export lands, so a crash in
     between leaves future batches keeping a duplicate (conservative)
@@ -542,15 +585,21 @@ def write_fingerprint_store(
     the meta write and the fingerprint append leaves a meta-only store,
     which readers treat as EMPTY (same conservative direction) and the
     next append repairs (r10 ADVICE)."""
+    from ..io.warc_datasource import IDENTITY_RENDERING
+
     spark = fps.sparkSession
     meta = _read_store_meta(spark, path)
     if meta is None:
         spark.createDataFrame(
-            [(int(k), int(window), hash_scheme, _STORE_FORMAT_VERSION)],
-            "k int, window int, hash_scheme string, format_version int",
+            [(
+                int(k), int(window), hash_scheme, _STORE_FORMAT_VERSION,
+                IDENTITY_RENDERING,
+            )],
+            "k int, window int, hash_scheme string, format_version int, "
+            "identity_rendering string",
         ).coalesce(1).write.mode("overwrite").json(f"{path}/_store_meta")
     else:
-        _check_store_meta(meta, k, window, hash_scheme)
+        _check_store_meta(meta, k, window, hash_scheme, allow_stale_identity)
     # an interrupted compaction must be resolved BEFORE appending: an
     # append that recreates ``fingerprints/`` while the __old dir still
     # holds the real data would permanently strand it
@@ -629,12 +678,19 @@ def _store_data_dir(path: str) -> str:
 
 
 def read_fingerprint_store(
-    spark, path: str
+    spark, path: str, allow_stale_identity: bool = False
 ) -> tuple[DataFrame, dict] | tuple[None, None]:
     """Load a store written by :func:`write_fingerprint_store`:
     ``((fp, probe) DataFrame, meta dict)``, or ``(None, None)`` when no
     store exists at ``path`` yet (the incremental pipeline's first
-    batch). Mutation-free: a crashed compaction swap is READ AROUND
+    batch). A store whose recorded ``identity_rendering`` differs from
+    the engine's current vintage — or that predates the stamp — raises
+    :class:`FingerprintStoreIdentityMismatch` AT LOAD unless
+    ``allow_stale_identity``: its probe keys hashed paths under an old
+    rendering rule, so dedup against it can silently no-op (r13
+    VERDICT item 2; both prior rendering changes, r12 local and r13
+    remote-scheme, invalidated every earlier store with no load-time
+    signal — this makes the third change detectable by the engine). Mutation-free: a crashed compaction swap is READ AROUND
     (:func:`_store_data_dir`), not repaired — repair happens on the
     next write entry point. LINEAGE CAVEAT that follows: a DataFrame
     resolved against the crashed shape reads ``fingerprints__old``
@@ -660,6 +716,7 @@ def read_fingerprint_store(
     meta = _read_store_meta(spark, path)
     if meta is None:
         return None, None
+    _check_store_identity(meta, allow_stale_identity)
     try:
         fps = spark.read.parquet(_store_data_dir(path)).select("fp", "probe")
     except AnalysisException as e:
@@ -993,6 +1050,7 @@ def remove_substrings_against_store(
     hash_fn=None,
     store_meta: dict | None = None,
     hash_scheme: str | None = None,
+    allow_stale_identity: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental duplicated-substring removal: dedup a NEW shard
     against the fingerprint store of an already-exported corpus —
@@ -1047,7 +1105,7 @@ def remove_substrings_against_store(
                 "store_meta validation with a custom hash_fn requires "
                 "an explicit hash_scheme tag"
             )
-        _check_store_meta(store_meta, k, window, scheme)
+        _check_store_meta(store_meta, k, window, scheme, allow_stale_identity)
 
     probed = _winnow_raw(new_docs, k, window, text_col, hash_fn)
     store_keys = (

@@ -324,10 +324,17 @@ def test_cli_export_store_crash_contract(spark, tmp_path, capsys, monkeypatch):
     # the simulated crash: the export write has landed, the store
     # append dies AFTER the meta write but BEFORE any fingerprint row
     # (r10 ADVICE item 1's exact window)
-    def crash_append(fps, path, k, window, hash_scheme=sd.DEFAULT_HASH_SCHEME):
+    def crash_append(
+        fps, path, k, window,
+        hash_scheme=sd.DEFAULT_HASH_SCHEME, allow_stale_identity=False,
+    ):
+        from ir_analyses_spark.io.warc_datasource import IDENTITY_RENDERING
+
         fps.sparkSession.createDataFrame(
-            [(int(k), int(window), hash_scheme, sd._STORE_FORMAT_VERSION)],
-            "k int, window int, hash_scheme string, format_version int",
+            [(int(k), int(window), hash_scheme, sd._STORE_FORMAT_VERSION,
+              IDENTITY_RENDERING)],
+            "k int, window int, hash_scheme string, format_version int, "
+            "identity_rendering string",
         ).coalesce(1).write.mode("overwrite").json(f"{path}/_store_meta")
         raise RuntimeError("simulated crash between export and append")
 
@@ -606,3 +613,105 @@ def test_default_input_format_is_stream(tmp_path):
 
     sig = inspect.signature(curation_stages)
     assert sig.parameters["input_format"].default == "warc-stream"
+
+
+def test_cli_heavy_hitters_phi_validated_at_parse_time(tmp_path, capsys):
+    """r13 ADVICE 1: an out-of-range PHI must fail at argparse time —
+    BEFORE the funnel runs and the export lands — not via
+    heavy_hitters()'s post-export ValueError that eats the run's JSON
+    report. argparse type errors exit 2 with a usage message."""
+    import pytest
+
+    for bad in ("0", "1000", "-5", "2048"):
+        with pytest.raises(SystemExit) as ei:
+            curatectl.main(
+                ["--warc-dir", str(tmp_path), "--out-dir",
+                 str(tmp_path / "o"), "--heavy-hitters-permille", bad]
+            )
+        assert ei.value.code == 2
+        err = capsys.readouterr().err
+        assert "PHI must be in (0, 1000) permille" in err
+    # in-range values still parse (the run itself fails later on the
+    # empty warc dir, which is fine — parse acceptance is the contract)
+    assert curatectl._phi_permille("20") == 20
+    assert curatectl._phi_permille("999") == 999
+    assert curatectl._phi_permille("1") == 1
+
+
+def test_cli_stale_store_vintage_fails_loudly_force_overrides(
+    spark, tmp_path, capsys
+):
+    """r13 VERDICT item 2, end to end through the CLI: a fingerprint
+    store stamped with an older doc-identity rendering vintage (or
+    predating the stamp) fails AT LOAD — before the funnel computes
+    anything against it — and --force-store-vintage proceeds after the
+    operator has verified path-rendering stability."""
+    import gzip
+
+    import pytest
+
+    from ir_analyses_spark.llm.substring_dedup import (
+        FingerprintStoreIdentityMismatch,
+    )
+    from tests.test_curate import _page, _record
+
+    store = tmp_path / "fps_store"
+    b1 = tmp_path / "crawl1"
+    b1.mkdir()
+    (b1 / "c.warc.gz").write_bytes(gzip.compress(_record(
+        "http://a.com/1",
+        _page(["alpha filing with plenty of words to pass the quality"
+               " gate and some more padding words"], "One"),
+        seq=0,
+    )))
+    out1 = tmp_path / "corpus1"
+    rc = curatectl.main(
+        ["--warc-dir", str(b1), "--out-dir", str(out1),
+         "--min-words", "8", "--substring-dedup",
+         "--substring-store", str(store), "--report"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # back-stamp the store to a pre-r14 vintage (and strip the crc so
+    # the rewrite is readable)
+    meta_dir = store / "_store_meta"
+    for crc in meta_dir.glob(".*.crc"):
+        crc.unlink()
+    for p in meta_dir.glob("*.json"):
+        row = json.loads(p.read_text().strip())
+        row["identity_rendering"] = "csp-2"
+        p.write_text(json.dumps(row) + "\n")
+
+    out2 = tmp_path / "corpus2"
+    with pytest.raises(FingerprintStoreIdentityMismatch, match="csp-2"):
+        curatectl.main(
+            ["--warc-dir", str(b1), "--out-dir", str(out2),
+             "--min-words", "8", "--substring-dedup",
+             "--substring-store", str(store), "--report"]
+        )
+    # nothing shipped: the refusal happened before the funnel exported
+    assert not out2.exists()
+
+    rc = curatectl.main(
+        ["--warc-dir", str(b1), "--out-dir", str(out2),
+         "--min-words", "8", "--substring-dedup",
+         "--substring-store", str(store), "--force-store-vintage",
+         "--report"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the forced run proceeded — and the store did its job: the
+    # re-crawled page is a cross-batch duplicate of batch 1's export,
+    # so first-seen-wins cuts it and nothing new ships
+    assert report["n_documents"] == 0
+
+
+def test_cli_force_store_vintage_requires_store(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="--force-store-vintage requires"):
+        curatectl.main(
+            ["--warc-dir", str(tmp_path), "--out-dir",
+             str(tmp_path / "o"), "--force-store-vintage"]
+        )

@@ -17,6 +17,7 @@ import os
 import pytest
 
 import ir_analyses_spark.llm.substring_dedup as sd
+from ir_analyses_spark.io.warc_datasource import IDENTITY_RENDERING
 
 
 def _docs(spark, rows):
@@ -108,8 +109,9 @@ def test_meta_only_store_is_empty_not_corrupt(spark, tmp_path):
     store."""
     store = str(tmp_path / "store")
     spark.createDataFrame(
-        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
-        "k int, window int, hash_scheme string, format_version int",
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION, IDENTITY_RENDERING)],
+        "k int, window int, hash_scheme string, format_version int, "
+        "identity_rendering string",
     ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
 
     fps, meta = sd.read_fingerprint_store(spark, store)
@@ -139,8 +141,9 @@ def test_meta_only_store_is_empty_not_corrupt(spark, tmp_path):
     # compaction of a meta-only store is a no-op, not an error
     store2 = str(tmp_path / "store2")
     spark.createDataFrame(
-        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
-        "k int, window int, hash_scheme string, format_version int",
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION, IDENTITY_RENDERING)],
+        "k int, window int, hash_scheme string, format_version int, "
+        "identity_rendering string",
     ).coalesce(1).write.mode("overwrite").json(f"{store2}/_store_meta")
     assert sd.compact_fingerprint_store(spark, store2) == {
         "rows_before": 0, "rows_after": 0,
@@ -248,8 +251,9 @@ def test_append_killed_mid_job_reads_as_empty(spark, tmp_path):
     incremental batch."""
     store = str(tmp_path / "store")
     spark.createDataFrame(
-        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
-        "k int, window int, hash_scheme string, format_version int",
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION, IDENTITY_RENDERING)],
+        "k int, window int, hash_scheme string, format_version int, "
+        "identity_rendering string",
     ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
     # the real kill shape: an uncommitted TASK ATTEMPT dir (the
     # committer's _temporary/<appAttempt>/_temporary/attempt_* layout —
@@ -299,8 +303,9 @@ def test_wrong_schema_fingerprints_raise_not_empty(spark, tmp_path):
     no-op the dedup and then mix schemas on the next append."""
     store = str(tmp_path / "store")
     spark.createDataFrame(
-        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
-        "k int, window int, hash_scheme string, format_version int",
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION, IDENTITY_RENDERING)],
+        "k int, window int, hash_scheme string, format_version int, "
+        "identity_rendering string",
     ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
     spark.createDataFrame(
         [(1, "x")], "wrong_col int, other string"
@@ -349,8 +354,9 @@ def test_stats_distinct_counts_null_bearing_rows(spark, tmp_path):
     The struct form must count them like the compactor does."""
     store = str(tmp_path / "store")
     spark.createDataFrame(
-        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION)],
-        "k int, window int, hash_scheme string, format_version int",
+        [(16, 8, sd.DEFAULT_HASH_SCHEME, sd._STORE_FORMAT_VERSION, IDENTITY_RENDERING)],
+        "k int, window int, hash_scheme string, format_version int, "
+        "identity_rendering string",
     ).coalesce(1).write.mode("overwrite").json(f"{store}/_store_meta")
     spark.createDataFrame(
         [(None, "x"), (None, "x"), (1, None), (1, "y")],

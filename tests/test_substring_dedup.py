@@ -510,3 +510,76 @@ def test_incremental_random_matches_python_reference(spark, seed):
     n_new = sum(1 for _, t in batch if frag_new in t)
     assert n_new >= 2
     assert sum(1 for t in got.values() if frag_new in t) == 1
+
+
+def test_store_identity_vintage_stamped_and_guarded(spark, tmp_path):
+    """r13 VERDICT item 2: a new store records the engine's
+    doc-identity rendering vintage; a store stamped with an OLDER
+    vintage — or predating the stamp entirely — fails AT LOAD and on
+    append/use, unless explicitly forced. Both prior rendering changes
+    (r12 local, r13 remote-scheme) invalidated every earlier store
+    with no load-time signal; this makes the next one detectable by
+    the engine instead of by operator memory."""
+    import json
+
+    from ir_analyses_spark.io.warc_datasource import IDENTITY_RENDERING
+    from ir_analyses_spark.llm.substring_dedup import (
+        FingerprintStoreIdentityMismatch,
+        read_fingerprint_store,
+        remove_substrings_against_store,
+        write_fingerprint_store,
+    )
+
+    path = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(0, "exported doc keeps THE-SHIPPED-RUN-OF-BATCH-ONE forever")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, K, W)
+    write_fingerprint_store(fps, path, K, W)
+    _, meta = read_fingerprint_store(spark, path)
+    assert meta["identity_rendering"] == IDENTITY_RENDERING
+
+    def _stamp(value):
+        meta_dir = tmp_path / "store" / "_store_meta"
+        for crc in meta_dir.glob(".*.crc"):
+            crc.unlink()  # rewritten bytes invalidate Hadoop's checksum
+        for p in meta_dir.glob("*.json"):
+            row = json.loads(p.read_text().strip())
+            if value is None:
+                row.pop("identity_rendering", None)
+            else:
+                row["identity_rendering"] = value
+            p.write_text(json.dumps(row) + "\n")
+
+    for stale in ("csp-2", None):
+        _stamp(stale)
+        # load refuses
+        with pytest.raises(FingerprintStoreIdentityMismatch):
+            read_fingerprint_store(spark, path)
+        # append refuses
+        with pytest.raises(FingerprintStoreIdentityMismatch):
+            write_fingerprint_store(fps, path, K, W)
+        # use-by-meta refuses
+        stale_meta = dict(meta)
+        if stale is None:
+            stale_meta.pop("identity_rendering", None)
+        else:
+            stale_meta["identity_rendering"] = stale
+        with pytest.raises(FingerprintStoreIdentityMismatch):
+            remove_substrings_against_store(
+                docs, fps, K, W, store_meta=stale_meta
+            )
+        # the explicit override proceeds (operator verified stability)
+        got, got_meta = read_fingerprint_store(
+            spark, path, allow_stale_identity=True
+        )
+        assert got.count() > 0
+        write_fingerprint_store(fps, path, K, W, allow_stale_identity=True)
+        remove_substrings_against_store(
+            docs, fps, K, W, store_meta=stale_meta, allow_stale_identity=True
+        )
+    # restore and confirm clean loads again
+    _stamp(IDENTITY_RENDERING)
+    ok, _ = read_fingerprint_store(spark, path)
+    assert ok.count() > 0
