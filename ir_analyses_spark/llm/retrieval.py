@@ -449,6 +449,14 @@ def bm25_topk(
             F.sum("s").alias("sdec"),
         )
     )
+    return _rank_topk(scored, k, salt)
+
+
+def _rank_topk(scored: DataFrame, k: int, salt: int) -> DataFrame:
+    """The salted two-phase rank shared by the from-text
+    (:func:`bm25_topk`) and from-stored-index (:func:`bm25_topk_stored`)
+    forms — one implementation so the two routes cannot drift.
+    ``scored`` is (query_id, doc_id, n_terms, sdec)."""
     from pyspark.sql import Window
 
     w1 = (
@@ -487,6 +495,222 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table; oracled directly against the raw text."""
     index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
     return phrase_search(index, *_PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# Stored-index production route (r13 VERDICT items 5/6): the registry
+# certificates above build the index INLINE so the driver can oracle
+# them self-contained; production builds the segmented index ONCE,
+# writes it token-clustered to parquet, and answers phrase / top-k
+# queries from storage — each query reads ~the query tokens' rows
+# (PushedFilters In(token, …) against token-sorted row groups), never
+# the corpus and never the full index.
+
+#: bump when the on-disk index layout changes incompatibly
+_INDEX_FORMAT_VERSION = 1
+
+
+def write_retrieval_index(
+    docs: DataFrame, path: str, seg_width: int = _SEG_WIDTH
+) -> dict:
+    """Build the segmented positional index over ``docs`` and persist
+    it for query-time reads. Layout:
+
+    - ``<path>/postings`` — :func:`inverted_postings_sharded` rows,
+      RANGE-CLUSTERED AND SORTED BY TOKEN before the write so parquet
+      row-group min/max statistics prune a query's token filter down
+      to ~the matching row groups (the pruned-scan plan pin in
+      tests/test_retrieval.py is about exactly this read);
+    - ``<path>/doclens`` — (doc_id, dl): the per-doc token counts BM25
+      normalizes by (identical tokenization to the scorer: every
+      space-split token counts, so text↔index parity holds on empty
+      strings too);
+    - ``<path>/_index_meta`` — one JSON row: seg_width, n_docs,
+      t_tokens, max_dl, format_version. The corpus totals are frozen
+      AT BUILD: a stored index answers queries with the statistics of
+      the corpus it indexed, and the int64 overflow guard re-checks
+      them at query time from the meta (cheap Python ints) exactly as
+      :func:`_term_scores` checks them from the totals frame.
+
+    Returns the meta dict (with ``postings_rows`` added) so callers
+    can report the build without re-scanning."""
+    spark = docs.sparkSession
+    idx = inverted_postings_sharded(docs, seg_width)
+    (
+        idx.repartitionByRange(F.col("token"), F.col("segment"))
+        .sortWithinPartitions("token", "segment")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    stats = (
+        spark.read.parquet(f"{path}/doclens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("t_tokens"),
+            F.max("dl").alias("max_dl"),
+        )
+        .head()
+    )
+    meta = {
+        "seg_width": int(seg_width),
+        "n_docs": int(stats["n_docs"]),
+        "t_tokens": int(stats["t_tokens"] or 0),
+        "max_dl": int(stats["max_dl"] or 0),
+        "format_version": _INDEX_FORMAT_VERSION,
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "seg_width long, n_docs long, t_tokens long, max_dl long, "
+        "format_version int",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_index_meta")
+    meta["postings_rows"] = spark.read.parquet(f"{path}/postings").count()
+    return meta
+
+
+def read_retrieval_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(postings, doclens, meta) for a store written by
+    :func:`write_retrieval_index`. Raises ``FileNotFoundError`` on a
+    missing index and ``ValueError`` on a format-version mismatch —
+    silently querying a half-written or foreign directory would return
+    empty results the operator believes are real misses."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.json(f"{path}/_index_meta").head()
+    except AnalysisException:
+        row = None
+    if row is None:
+        raise FileNotFoundError(f"no retrieval index at {path}")
+    meta = row.asDict()
+    v = meta.get("format_version")
+    if v != _INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"retrieval index format_version {v} != supported "
+            f"{_INDEX_FORMAT_VERSION}"
+        )
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doclens"),
+        meta,
+    )
+
+
+def phrase_search_stored(
+    spark: SparkSession, path: str, t1: str, t2: str
+) -> DataFrame:
+    """Exact-phrase match answered from the STORED index: the token
+    filter reaches the parquet scan (PushedFilters), so the read is
+    ~two tokens' (token, segment) rows whatever the index size — the
+    production form of the :func:`phrase_search_postings` certificate
+    (which builds the index inline in both join branches)."""
+    postings, _, _ = read_retrieval_index(spark, path)
+    return phrase_search(postings, t1, t2)
+
+
+def bm25_topk_stored(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, tuple] = _QUERY_BATCH,
+    k: int = _TOPK,
+    salt: int = _SALT,
+    _i64: int = _I64_MAX,
+) -> DataFrame:
+    """Batched top-k BM25 answered FROM the stored index — identical
+    output to :func:`bm25_topk` over the indexed corpus (test-pinned),
+    without re-tokenizing a byte of text:
+
+    - tf per (doc, term) parses from the query tokens' postings
+      entries (position-list length — the same integer the scorer
+      counts);
+    - df per term is ``sum(df_seg)`` over the token's segments;
+    - dl joins from the doclen sidecar; N / T come from the build-time
+      meta, and the :func:`_term_scores` int64 overflow bound
+      ``23·max_dl·t_tokens ≤ 2^63`` re-checks on those meta values
+      (exact Python ints) before any scoring;
+    - scoring reuses the exact integer-rational rescale + ROUND(·,6)
+      → decimal discipline, and ranking is the SAME salted two-phase
+      :func:`_rank_topk` the from-text form uses.
+
+    Scale shape: the scan reads ~the query tokens' rows (pushed token
+    filter over token-sorted row groups); the only doc-cardinality
+    shuffle is the (doc_id, tf) ⋈ doclens join on fixed-width rows;
+    idf and the (query_id, term) map broadcast."""
+    if k < 1 or salt < 1:
+        raise ValueError(f"k and salt must be >= 1, got k={k} salt={salt}")
+    postings, dl, meta = read_retrieval_index(spark, path)
+    n_docs, t_tokens = int(meta["n_docs"]), int(meta["t_tokens"])
+    max_dl = int(meta["max_dl"])
+    if t_tokens and not t_tokens <= (_i64 // 23) // max(max_dl, 1):
+        raise ValueError(
+            "bm25_topk_stored: indexed corpus exceeds the int64 rescale "
+            f"bound (23 * max_dl * t_tokens > 2^63): t_tokens={t_tokens}, "
+            f"max_dl={max_dl}; shard the corpus or rescale the constant "
+            "pair (module docstring)"
+        )
+    qterms = spark.createDataFrame(
+        _qterm_pairs(queries), "query_id int, w string"
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    hit = postings.filter(F.col("token").isin(*all_terms))
+    tf = (
+        hit.select(
+            F.col("token").alias("w"),
+            F.explode(F.split("postings", ";")).alias("entry"),
+        )
+        .select(
+            "w",
+            F.split("entry", ":")[0].cast("long").alias("doc_id"),
+            F.size(F.split(F.split("entry", ":")[1], ","))
+            .cast("long")
+            .alias("tf"),
+        )
+    )
+    idf = (
+        hit.groupBy(F.col("token").alias("w"))
+        .agg(F.sum("df_seg").alias("df"))
+        .select(
+            "w",
+            (
+                F.log(2 * F.lit(n_docs) - 2 * F.col("df") + 1)
+                - F.log(2 * F.col("df") + 1)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "w")
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("idf")
+                * (
+                    (22 * F.col("tf") * F.lit(t_tokens))
+                    / (
+                        10 * F.col("tf") * F.lit(t_tokens)
+                        + 3 * F.lit(t_tokens)
+                        + 9 * F.col("dl") * F.lit(n_docs)
+                    )
+                ),
+                6,
+            )
+            .cast(_DEC)
+            .alias("s"),
+        )
+        .join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("s").alias("sdec"),
+        )
+    )
+    return _rank_topk(scored, k, salt)
 
 
 _Q_SQL = ", ".join(f"'{t}'" for t in _QUERY)

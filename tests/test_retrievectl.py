@@ -1,0 +1,139 @@
+"""retrievectl.py e2e: build the stored index over a corpus parquet,
+answer phrase + batched top-k from storage, and fail loudly on the
+rejection paths (r13 VERDICT item 6)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import retrievectl
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("retr_corpus") / "corpus"
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(str(d))
+    )
+    return str(d)
+
+
+def test_cli_build_phrase_topk_end_to_end(spark, corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "ridx")
+    # sequential small doc_ids → explicit width (the help's guidance)
+    rc = retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", idx,
+         "--seg-width", "256"]
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 500 and built["postings_rows"] > 0
+    assert built["seg_width"] == 256
+
+    rc = retrievectl.main(
+        ["phrase", "--index-dir", idx, "--terms", "part filter"]
+    )
+    assert rc == 0
+    ph = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ph["matched_docs"] > 0
+    assert ph["rows_printed"] == min(ph["matched_docs"], 100)
+    # parity with the in-engine certificate form
+    from ir_analyses_spark.llm.retrieval import (
+        inverted_postings_sharded,
+        phrase_search,
+    )
+
+    docs = spark.read.parquet(corpus_dir)
+    want = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(
+            inverted_postings_sharded(docs, 256), "part", "filter"
+        ).collect()
+    }
+    assert {r["doc_id"]: r["n_occurrences"] for r in ph["rows"]} == want
+
+    rc = retrievectl.main(
+        ["topk", "--index-dir", idx,
+         "--query", "customer filter", "--query", "window join",
+         "--k", "5"]
+    )
+    assert rc == 0
+    tk = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tk["queries"] == {"1": ["customer", "filter"],
+                             "2": ["window", "join"]}
+    assert len(tk["rows"]) == 10  # 2 queries x k=5
+    # rows come back ranked 1..k per query with descending scores
+    by_q: dict = {}
+    for r in tk["rows"]:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in rows] == list(range(1, 6))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # parity with the from-text form
+    from ir_analyses_spark.llm.retrieval import bm25_topk
+
+    want_tk = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk(
+            docs, {1: ("customer", "filter"), 2: ("window", "join")}, k=5
+        ).collect()
+    )
+    got_tk = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in tk["rows"]
+    )
+    assert got_tk == want_tk
+
+
+def test_cli_rejection_paths(corpus_dir, tmp_path, capsys):
+    # missing index → exit 2, loud message
+    rc = retrievectl.main(
+        ["phrase", "--index-dir", str(tmp_path / "nope"),
+         "--terms", "a b"]
+    )
+    assert rc == 2
+    assert "no retrieval index" in capsys.readouterr().err
+    # corpus without the contract columns → exit 2 before any build
+    bad = tmp_path / "bad_corpus"
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"body": ["x"]})),
+        str(bad / "p.parquet"),
+    )
+    rc = retrievectl.main(
+        ["build", "--corpus", str(bad), "--index-dir", str(tmp_path / "i")]
+    )
+    assert rc == 2
+    assert "lacks columns" in capsys.readouterr().err
+    # phrase wants exactly two tokens
+    idx = str(tmp_path / "ridx2")
+    assert retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", idx,
+         "--seg-width", "256"]
+    ) == 0
+    capsys.readouterr()
+    rc = retrievectl.main(
+        ["phrase", "--index-dir", idx, "--terms", "one two three"]
+    )
+    assert rc == 2
+    assert "exactly two" in capsys.readouterr().err
+    rc = retrievectl.main(
+        ["phrase", "--index-dir", idx, "--terms", "a b", "--limit", "0"]
+    )
+    assert rc == 2
+    assert "--limit" in capsys.readouterr().err
+    rc = retrievectl.main(
+        ["topk", "--index-dir", idx, "--query", "  "]
+    )
+    assert rc == 2
+    assert "at least one term" in capsys.readouterr().err
