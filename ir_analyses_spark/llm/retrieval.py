@@ -381,6 +381,85 @@ def phrase_search(index: DataFrame, t1: str, t2: str) -> DataFrame:
     )
 
 
+#: fixed certificate proximity pair + window — chosen so the distance
+#: filter BITES at every correctness SF (sf0.01: 329 docs contain both
+#: terms, only ~213 within d=6 — the oracle hash certifies the
+#: distance arithmetic, not mere co-occurrence)
+_PROX = ("part", "scan")
+_PROX_D = 6
+
+
+def proximity_search(
+    index: DataFrame, t1: str, t2: str, d: int
+) -> DataFrame:
+    """(doc_id, n_pairs, min_dist): documents where ``t1`` and ``t2``
+    co-occur within ≤ ``d`` token positions, answered by PARSING the
+    segmented positional index — the unordered windowed generalization
+    of :func:`phrase_search` (which is the ordered d = 1 special
+    case). The shape behind co-occurrence features, collocation
+    mining, and query expansion over an indexed corpus.
+
+    ``n_pairs`` counts position pairs with ``0 < |p1 − p2| ≤ d``
+    (ordered occurrences once each; for ``t1 == t2`` each unordered
+    pair once, via ``p1 < p2``); ``min_dist`` is the smallest such
+    distance. Query-time scale shape is phrase_search's: the token
+    filter prunes the index to the two tokens' (token, segment) rows
+    before any postings string is parsed, and the pair join carries
+    fixed-width (segment, doc_id, p) rows on the keys the index is
+    bucketed by. The pair join is per-doc tf₁×tf₂ — bounded by
+    position counts inside ONE document, never corpus-cardinality."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    e = (
+        index.filter(F.col("token").isin(t1, t2))
+        .select(
+            "token",
+            "segment",
+            F.explode(F.split("postings", ";")).alias("entry"),
+        )
+        .select(
+            "token",
+            "segment",
+            F.split("entry", ":")[0].cast("long").alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.split(F.split("entry", ":")[1], ","),
+                    lambda x: x.cast("int"),
+                )
+            ).alias("p"),
+        )
+    )
+    first = e.filter(F.col("token") == t1).select(
+        "segment", "doc_id", F.col("p").alias("p1")
+    )
+    second = e.filter(F.col("token") == t2).select(
+        "segment", "doc_id", F.col("p").alias("p2")
+    )
+    dist = F.abs(F.col("p1") - F.col("p2"))
+    pair_ok = (
+        (F.col("p1") < F.col("p2")) if t1 == t2 else dist > 0
+    ) & (dist <= d)
+    return (
+        first.join(second, ["segment", "doc_id"])
+        .filter(pair_ok)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(dist).cast("long").alias("min_dist"),
+        )
+    )
+
+
+def proximity_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: windowed co-occurrence for the fixed certificate
+    pair, answered from the segmented positional index built over the
+    documents table; oracled directly against the raw text (the hash
+    binds the text→index→parse→distance round trip, phrase-row
+    precedent)."""
+    index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
+    return proximity_search(index, *_PROX, _PROX_D)
+
+
 #: fixed certificate query BATCH for the multi-query form — overlapping
 #: vocabularies (so one doc scores for several queries), a single-term
 #: query, and >k matching docs per query at every correctness SF
@@ -840,11 +919,31 @@ WHERE ws[CAST(i AS INT)] = '{_PHRASE[0]}'
 GROUP BY doc_id
 """
 
+# the oracle recomputes distances FROM RAW TEXT (1-based positions via
+# UNNEST range), so the hash binds text → index → parse → |Δp| ≤ d —
+# the phrase row's round-trip discipline, generalized to the window
+PROXIMITY_SEARCH_POSTINGS_SQL = f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS p
+  FROM w, UNNEST(range(1, LEN(ws) + 1)) AS t(i)
+),
+p1 AS (SELECT doc_id, p FROM pos WHERE tok = '{_PROX[0]}'),
+p2 AS (SELECT doc_id, p FROM pos WHERE tok = '{_PROX[1]}')
+SELECT p1.doc_id AS doc_id,
+       COUNT(*) AS n_pairs,
+       MIN(ABS(p1.p - p2.p)) AS min_dist
+FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+WHERE ABS(p1.p - p2.p) BETWEEN 1 AND {_PROX_D}
+GROUP BY p1.doc_id
+"""
+
 QUERIES = {
     "bm25_score_docs": bm25_score_docs,
     "inverted_index_postings": inverted_index_postings,
     "inverted_index_postings_sharded": inverted_index_postings_sharded,
     "phrase_search_postings": phrase_search_postings,
+    "proximity_search_postings": proximity_search_postings,
     "bm25_topk_queries": bm25_topk_queries,
 }
 ORACLES = {
@@ -852,5 +951,6 @@ ORACLES = {
     "inverted_index_postings": INVERTED_INDEX_POSTINGS_SQL,
     "inverted_index_postings_sharded": INVERTED_INDEX_POSTINGS_SHARDED_SQL,
     "phrase_search_postings": PHRASE_SEARCH_POSTINGS_SQL,
+    "proximity_search_postings": PROXIMITY_SEARCH_POSTINGS_SQL,
     "bm25_topk_queries": BM25_TOPK_QUERIES_SQL,
 }

@@ -10,7 +10,13 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r13: 198 — r12 closed at 195; r13 adds
+# (registry count r14: 199 — r13 closed at 198; r14 adds, as a tail
+# addition, proximity_search_postings (llm/retrieval.py, a module the
+# r14 window already re-certifies in full): windowed co-occurrence
+# answered by PARSING the segmented index — the unordered
+# generalization of the phrase row, oracled directly against the raw
+# text so the hash binds the text→index→parse→distance round trip)
+# (history — r13: 198 — r12 closed at 195; r13 adds
 # inverted_index_postings_sharded (llm/retrieval.py), the scale-safe
 # segmented twin of inverted_index_postings — in a module the r13
 # window already leads with, per the ledger rule — plus, as a tail
@@ -383,6 +389,13 @@ _ORDER = [
     "text_stats",
     "tfidf_top_terms",
     "vocab_oov_rate",
+    # ---- r14 tail additions (first driver rows in the r15+ windows;
+    # covered every pytest run by the full-registry parity sweep) ----
+    # proximity_search_postings — llm/retrieval.py, a module whose
+    # every certified row is already inside this window, per the
+    # ledger rule: windowed co-occurrence (|Δp| ≤ d) parsed from the
+    # segmented index, oracled from raw text
+    "proximity_search_postings",
 ]
 
 

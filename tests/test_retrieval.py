@@ -573,3 +573,63 @@ def test_stored_index_guards(spark, tmp_path):
         bm25_topk_stored(spark, idx_dir, {1: ("cat",)}, _i64=100)
     with pytest.raises(ValueError, match="k and salt"):
         bm25_topk_stored(spark, idx_dir, {1: ("cat",)}, k=0)
+
+
+def test_proximity_search_exact_semantics(spark):
+    """Windowed co-occurrence parsed from the segmented index equals a
+    brute-force position model: n_pairs counts 0 < |p1-p2| <= d pairs,
+    min_dist is the smallest, docs outside the window drop even when
+    both terms co-occur (the distance filter must BITE)."""
+    from ir_analyses_spark.llm.retrieval import proximity_search
+
+    texts = {
+        1: "a x b",                  # dist 2: within d=2
+        2: "a x x x b",              # dist 4: both terms, OUTSIDE d=2
+        3: "a b a x b",              # pairs: |1-2|=1,|1-5|=4,|3-2|=1,|3-5|=2
+        4: "a a a",                  # t2 absent
+        5: "b x a",                  # dist 2 (order-insensitive)
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    idx = inverted_postings_sharded(docs, seg_width=2)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search(idx, "a", "b", 2).collect()
+    }
+    assert got == {1: (1, 2), 3: (3, 1), 5: (1, 2)}
+    # d widens -> doc 2 enters, doc 3 gains its dist-4 pair
+    got4 = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search(idx, "a", "b", 4).collect()
+    }
+    assert got4 == {1: (1, 2), 2: (1, 4), 3: (4, 1), 5: (1, 2)}
+    # t1 == t2: each unordered self-pair once (p1 < p2), zero excluded
+    self_pairs = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search(idx, "a", "a", 2).collect()
+    }
+    assert self_pairs == {3: (1, 2), 4: (3, 1)}
+    import pytest
+
+    with pytest.raises(ValueError, match="d must be"):
+        proximity_search(idx, "a", "b", 0)
+
+
+def test_proximity_registry_bites(spark):
+    """The certificate pair/window is non-vacuous at the correctness
+    SF AND the distance filter excludes real co-occurring docs."""
+    from ir_analyses_spark.llm.retrieval import (
+        _PROX,
+        _PROX_D,
+        proximity_search_postings,
+    )
+
+    got = proximity_search_postings(spark, "/root/testdata/sf0.001")
+    n_within = got.count()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = inverted_postings_sharded(docs)
+    from ir_analyses_spark.llm.retrieval import proximity_search
+
+    n_both = proximity_search(idx, *_PROX, 10_000).count()
+    assert 0 < n_within < n_both  # filter bites, result non-empty
