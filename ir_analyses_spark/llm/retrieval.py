@@ -612,7 +612,10 @@ def write_retrieval_index(
       :func:`_term_scores` checks them from the totals frame.
 
     Returns the meta dict (with ``postings_rows`` added) so callers
-    can report the build without re-scanning."""
+    can report the build without re-scanning. The meta write is LAST —
+    a build that crashes mid-way leaves no ``_index_meta``, which
+    readers report as "no retrieval index" (clean re-run), never a
+    half-index that answers queries."""
     spark = docs.sparkSession
     idx = inverted_postings_sharded(docs, seg_width)
     (
@@ -640,14 +643,34 @@ def write_retrieval_index(
         "t_tokens": int(stats["t_tokens"] or 0),
         "max_dl": int(stats["max_dl"] or 0),
         "format_version": _INDEX_FORMAT_VERSION,
+        # footer-metadata count (count pushdown), not a data scan
+        "postings_rows": spark.read.parquet(f"{path}/postings").count(),
     }
     spark.createDataFrame(
         [tuple(meta.values())],
         "seg_width long, n_docs long, t_tokens long, max_dl long, "
-        "format_version int",
+        "format_version int, postings_rows long",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_index_meta")
-    meta["postings_rows"] = spark.read.parquet(f"{path}/postings").count()
     return meta
+
+
+def _index_data_root(path: str) -> str:
+    """READ-ONLY resolution of where the index currently lives:
+    normally ``path``; after an :func:`append_retrieval_index`
+    promotion crashed between its two renames the only complete copy
+    sits at ``<path>__old`` — read THAT, without repairing anything
+    (repair is a write, done by the next append's recovery; reads must
+    not race a live promotion — the `llm/substring_dedup`
+    ``_store_data_dir`` discipline). Local-filesystem probes only; a
+    remote path falls through untouched."""
+    import os
+
+    old = path.rstrip("/") + "__old"
+    if not os.path.isdir(os.path.join(path, "_index_meta")) and os.path.isdir(
+        os.path.join(old, "_index_meta")
+    ):
+        return old
+    return path
 
 
 def read_retrieval_index(
@@ -660,6 +683,7 @@ def read_retrieval_index(
     empty results the operator believes are real misses."""
     from pyspark.errors import AnalysisException
 
+    path = _index_data_root(path)
     try:
         row = spark.read.json(f"{path}/_index_meta").head()
     except AnalysisException:
@@ -678,6 +702,154 @@ def read_retrieval_index(
         spark.read.parquet(f"{path}/doclens"),
         meta,
     )
+
+
+def append_retrieval_index(new_docs: DataFrame, path: str) -> dict:
+    """Merge a NEW batch into the stored index — the incremental form
+    (the fingerprint store's batch discipline, applied to retrieval):
+    the result is BYTE-IDENTICAL to a full rebuild over old ∪ new
+    (pinned by test), so queries cannot tell how the index was grown.
+
+    Merge shape: rows whose (token, segment) key exists in only one
+    side pass through UNPARSED; only intersecting keys merge — df_seg
+    and total_tf ADD (doc sets are disjoint, see the guard), and the
+    two postings strings merge-sort their entries by the ``doc:``
+    prefix (whole-column array ops, no explode — per-row state stays
+    bounded by the segment population, the same bound as the build).
+    The new batch's postings are a fresh
+    :func:`inverted_postings_sharded` at the STORE's recorded
+    seg_width, so segmentation is consistent by construction.
+
+    Guards: a new doc_id already present in the index raises
+    (interleaving duplicate entries would corrupt postings silently);
+    seg_width/format come from the store meta, never from the caller.
+
+    Crash safety: the merged index is staged COMPLETE (postings +
+    doclens + meta) at ``<path>__staging`` and promoted with the same
+    staged swap the batch sinks use (`io/sinks._swap_in`): a crash at
+    any step leaves a complete old or complete new index on disk —
+    readers resolve a between-renames remnant via
+    :func:`_index_data_root`; the next append repairs it. Re-running a
+    promoted append raises on the duplicate doc_ids instead of
+    double-appending. SINGLE-WRITER by contract, local-filesystem
+    renames (the store-maintenance scope): run appends in the gap
+    between batches."""
+    import os
+
+    from ..io.sinks import _recover_swap, _swap_in
+
+    spark = new_docs.sparkSession
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"append_retrieval_index requires a local index (rename-"
+            f"based promotion): {path!r}"
+        )
+    _recover_swap(path.rstrip("/"))
+    postings, doclens, meta = read_retrieval_index(spark, path)
+    seg_width = int(meta["seg_width"])
+    new_docs = new_docs.select("doc_id", "text")
+    counts = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    ).head()
+    if counts["n"] != counts["n_ids"]:
+        raise ValueError(
+            f"append_retrieval_index: the new batch repeats doc_ids "
+            f"({counts['n']} rows, {counts['n_ids']} distinct) — merged "
+            f"postings would interleave one doc's entries"
+        )
+    n_dup = new_docs.join(doclens, "doc_id", "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"append_retrieval_index: {n_dup} doc_ids of the new batch "
+            f"are already indexed at {path} — appending them would "
+            f"interleave duplicate postings entries; dedup the batch "
+            f"(or rebuild) instead"
+        )
+    new_idx = inverted_postings_sharded(new_docs, seg_width)
+    keys = ["token", "segment"]
+    shared = postings.select(*keys).join(new_idx.select(*keys), keys)
+    untouched_old = postings.join(shared, keys, "left_anti")
+    untouched_new = new_idx.join(shared, keys, "left_anti")
+
+    def _entry_structs(col):
+        # "doc:p,p;doc:p" -> array<struct<doc_id, entry>> (prefix key
+        # only; positions stay unparsed — the merge never rewrites them)
+        return F.transform(
+            F.split(col, ";"),
+            lambda e: F.struct(
+                F.split(e, ":")[0].cast("long").alias("doc_id"),
+                e.alias("entry"),
+            ),
+        )
+
+    o = postings.join(shared, keys, "left_semi").alias("o")
+    n = new_idx.join(shared, keys, "left_semi").alias("n")
+    merged = o.join(n, keys).select(
+        "token",
+        "segment",
+        (F.col("o.df_seg") + F.col("n.df_seg")).alias("df_seg"),
+        (F.col("o.total_tf") + F.col("n.total_tf")).alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.concat(
+                        _entry_structs(F.col("o.postings")),
+                        _entry_structs(F.col("n.postings")),
+                    )
+                ),
+                lambda s: s["entry"],
+            ),
+            ";",
+        ).alias("postings"),
+    )
+    cols = ["token", "segment", "df_seg", "total_tf", "postings"]
+    all_rows = (
+        untouched_old.select(*cols)
+        .unionByName(untouched_new.select(*cols))
+        .unionByName(merged.select(*cols))
+    )
+    staging = path.rstrip("/") + "__staging"
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)  # stale crash remnant; staging is ours
+    (
+        all_rows.repartitionByRange(F.col("token"), F.col("segment"))
+        .sortWithinPartitions("token", "segment")
+        .write.mode("overwrite")
+        .parquet(f"{staging}/postings")
+    )
+    new_dl = new_docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    doclens.unionByName(new_dl).write.mode("overwrite").parquet(
+        f"{staging}/doclens"
+    )
+    stats = (
+        spark.read.parquet(f"{staging}/doclens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("t_tokens"),
+            F.max("dl").alias("max_dl"),
+        )
+        .head()
+    )
+    out = {
+        "seg_width": seg_width,
+        "n_docs": int(stats["n_docs"]),
+        "t_tokens": int(stats["t_tokens"] or 0),
+        "max_dl": int(stats["max_dl"] or 0),
+        "format_version": _INDEX_FORMAT_VERSION,
+        "postings_rows": spark.read.parquet(f"{staging}/postings").count(),
+    }
+    spark.createDataFrame(
+        [tuple(out.values())],
+        "seg_width long, n_docs long, t_tokens long, max_dl long, "
+        "format_version int, postings_rows long",
+    ).coalesce(1).write.mode("overwrite").json(f"{staging}/_index_meta")
+    _swap_in(staging, path.rstrip("/"))
+    return out
 
 
 def phrase_search_stored(

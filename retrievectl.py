@@ -53,6 +53,16 @@ def main(argv: list[str] | None = None) -> int:
                    "from llm/retrieval.py (sequential small ids should pass "
                    "an explicit width instead)")
 
+    a = sub.add_parser(
+        "append",
+        help="merge a NEW batch into an existing index (byte-identical "
+        "to a full rebuild over old ∪ new; staged-swap crash safety; "
+        "duplicate doc_ids refuse loudly)",
+    )
+    a.add_argument("--corpus", required=True, metavar="PARQUET",
+                   help="new-batch parquet with doc_id/text columns")
+    a.add_argument("--index-dir", required=True)
+
     p = sub.add_parser("phrase", help="exact-phrase match from the stored index")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--terms", required=True, metavar='"T1 T2"',
@@ -90,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
             seg_width = args.seg_width if args.seg_width is not None else 1 << 52
             meta = write_retrieval_index(
                 corpus.select("doc_id", "text"), args.index_dir, seg_width
+            )
+            out = {"index_dir": args.index_dir, **meta}
+        elif args.cmd == "append":
+            from ir_analyses_spark.llm.retrieval import append_retrieval_index
+
+            corpus = spark.read.parquet(args.corpus)
+            missing = {"doc_id", "text"} - set(corpus.columns)
+            if missing:
+                raise ValueError(
+                    f"corpus at {args.corpus} lacks columns "
+                    f"{sorted(missing)} (columns: {corpus.columns})"
+                )
+            meta = append_retrieval_index(
+                corpus.select("doc_id", "text"), args.index_dir
             )
             out = {"index_dir": args.index_dir, **meta}
         elif args.cmd == "phrase":

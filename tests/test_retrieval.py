@@ -633,3 +633,89 @@ def test_proximity_registry_bites(spark):
 
     n_both = proximity_search(idx, *_PROX, 10_000).count()
     assert 0 < n_within < n_both  # filter bites, result non-empty
+
+
+def test_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental index growth: append(batch2 into index(batch1)) is
+    BYTE-IDENTICAL to build(batch1 ∪ batch2) — postings strings, stats
+    rows, doclens, and meta all equal — so queries cannot tell how the
+    index was grown (the fingerprint store's batch discipline applied
+    to retrieval)."""
+    from ir_analyses_spark.llm.retrieval import (
+        _QUERY_BATCH,
+        append_retrieval_index,
+        bm25_topk,
+        bm25_topk_stored,
+        read_retrieval_index,
+        write_retrieval_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter("doc_id % 3 != 0")
+    b2 = docs.filter("doc_id % 3 = 0")
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_retrieval_index(b1, inc_dir, seg_width=256)
+    out = append_retrieval_index(b2, inc_dir)
+    want = write_retrieval_index(docs, full_dir, seg_width=256)
+    assert out == want
+    pi, di, mi = read_retrieval_index(spark, inc_dir)
+    pf, df_, mf = read_retrieval_index(spark, full_dir)
+    assert mi == mf
+    assert pi.exceptAll(pf).count() == 0 and pf.exceptAll(pi).count() == 0
+    assert di.exceptAll(df_).count() == 0 and df_.exceptAll(di).count() == 0
+    # and the query surface agrees with the from-text form end to end
+    want_tk = sorted(tuple(r) for r in bm25_topk(docs, _QUERY_BATCH).collect())
+    got_tk = sorted(
+        tuple(r) for r in bm25_topk_stored(spark, inc_dir, _QUERY_BATCH).collect()
+    )
+    assert got_tk == want_tk
+
+
+def test_append_guards_and_crash_recovery(spark, tmp_path):
+    """Duplicate doc_ids (within the batch or vs the index) refuse
+    loudly; a promotion crashed between its two renames reads from the
+    __old remnant (read-around, mutation-free) and the next append
+    repairs it."""
+    import os
+
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import (
+        append_retrieval_index,
+        phrase_search_stored,
+        read_retrieval_index,
+        write_retrieval_index,
+    )
+
+    d1 = spark.createDataFrame(
+        [(1, "part filter part"), (2, "scan part")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(d1, idx, seg_width=256)
+    # batch repeating a doc_id internally
+    with pytest.raises(ValueError, match="repeats doc_ids"):
+        append_retrieval_index(
+            spark.createDataFrame(
+                [(9, "a"), (9, "b")], "doc_id long, text string"
+            ),
+            idx,
+        )
+    # batch colliding with the index
+    with pytest.raises(ValueError, match="already indexed"):
+        append_retrieval_index(
+            spark.createDataFrame([(2, "x")], "doc_id long, text string"),
+            idx,
+        )
+    # simulate the between-renames crash window: only __old exists
+    os.rename(idx, idx + "__old")
+    _, _, meta = read_retrieval_index(spark, idx)  # read-around resolves
+    assert meta["n_docs"] == 2
+    # the next WRITE repairs the shape, then appends
+    out = append_retrieval_index(
+        spark.createDataFrame([(3, "part filter")], "doc_id long, text string"),
+        idx,
+    )
+    assert out["n_docs"] == 3
+    assert not os.path.exists(idx + "__old")
+    assert {r["doc_id"] for r in
+            phrase_search_stored(spark, idx, "part", "filter").collect()} == {1, 3}

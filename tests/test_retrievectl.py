@@ -137,3 +137,33 @@ def test_cli_rejection_paths(corpus_dir, tmp_path, capsys):
     )
     assert rc == 2
     assert "at least one term" in capsys.readouterr().err
+
+
+def test_cli_append_two_batch_flow(spark, corpus_dir, tmp_path, capsys):
+    """retrievectl append: two-batch incremental growth through the
+    CLI equals the one-shot build (n_docs/t_tokens/postings_rows all
+    converge to the full corpus's)."""
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    docs = spark.read.parquet(corpus_dir)
+    docs.filter("doc_id % 2 = 0").write.parquet(b1)
+    docs.filter("doc_id % 2 = 1").write.parquet(b2)
+    idx, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    assert retrievectl.main(
+        ["build", "--corpus", b1, "--index-dir", idx, "--seg-width", "256"]
+    ) == 0
+    capsys.readouterr()
+    assert retrievectl.main(
+        ["append", "--corpus", b2, "--index-dir", idx]
+    ) == 0
+    inc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", full,
+         "--seg-width", "256"]
+    ) == 0
+    one = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("n_docs", "t_tokens", "max_dl", "postings_rows", "seg_width"):
+        assert inc[k] == one[k], k
+    # re-running the same append refuses (duplicate doc_ids), exit 2
+    rc = retrievectl.main(["append", "--corpus", b2, "--index-dir", idx])
+    assert rc == 2
+    assert "already indexed" in capsys.readouterr().err

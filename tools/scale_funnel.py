@@ -421,27 +421,23 @@ def run_funnel(
         # segmented index to parquet ONCE (token-clustered), then
         # answer the phrase + batched-top-k certificate queries FROM
         # STORAGE. The evidence the pruned-scan plan pin certifies at
-        # toy scale, measured at corpus scale: bytes read per query
-        # (Hadoop global FS statistics — local[32] is one JVM, so the
-        # counter sees executor reads) and rows surviving the pushed
-        # token filter, vs the full index.
+        # toy scale, measured at corpus scale: rows surviving the
+        # pushed token filter vs the full index, and the actual
+        # postings payload those rows carry (sum of string lengths —
+        # the bytes the query PARSES; do not trust Hadoop FS or task
+        # input-bytes counters here: both miss the local vectorized
+        # parquet read path — measured 168 KB reported for a 41 MB
+        # scan — so a "bytes_read" column from them would overstate
+        # the pruning ~250x).
         from ir_analyses_spark.llm.retrieval import (
             _PHRASE,
+            _QUERY_BATCH,
             bm25_topk_stored,
             phrase_search_stored,
             read_retrieval_index,
             write_retrieval_index,
         )
-
-        def _fs_bytes() -> int:
-            it = (
-                spark._jvm.org.apache.hadoop.fs.FileSystem
-                .getGlobalStorageStatistics().iterator()
-            )
-            total = 0
-            while it.hasNext():
-                total += it.next().getLong("bytesRead") or 0
-            return total
+        from ir_analyses_spark.llm.substring_dedup import _dir_bytes
 
         # sibling of the crawl dir, not inside it — the scan route
         # must never see index parquet next to the warc shards
@@ -451,30 +447,43 @@ def run_funnel(
         meta = write_retrieval_index(corpus, idx_dir, seg_width=1 << 52)
         timings["stored_index_write"] = {
             "sec": round(time.monotonic() - t, 2),
+            "index_bytes": _dir_bytes(f"{idx_dir}/postings"),
+            "doclens_bytes": _dir_bytes(f"{idx_dir}/doclens"),
             **meta,
         }
-        b0 = _fs_bytes()
         t = time.monotonic()
         n_ph = phrase_search_stored(spark, idx_dir, *_PHRASE).count()
-        timings["stored_phrase_query"] = {
-            "sec": round(time.monotonic() - t, 2),
-            "matched_docs": n_ph,
-            "bytes_read": _fs_bytes() - b0,
-        }
+        ph_sec = round(time.monotonic() - t, 2)
         postings, _, _ = read_retrieval_index(spark, idx_dir)
-        timings["stored_phrase_query"]["rows_scanned"] = postings.filter(
-            F.col("token").isin(*_PHRASE)
-        ).count()
-        timings["stored_phrase_query"]["index_rows_total"] = meta[
-            "postings_rows"
-        ]
-        b0 = _fs_bytes()
+
+        def _pruned(terms) -> dict:
+            row = (
+                postings.filter(F.col("token").isin(*terms))
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.length("postings")).alias("chars"),
+                )
+                .head()
+            )
+            return {
+                "rows_scanned": row["rows"],
+                "postings_chars_parsed": int(row["chars"] or 0),
+                "index_rows_total": meta["postings_rows"],
+            }
+
+        timings["stored_phrase_query"] = {
+            "sec": ph_sec,
+            "matched_docs": n_ph,
+            **_pruned(_PHRASE),
+        }
         t = time.monotonic()
         n_tk = bm25_topk_stored(spark, idx_dir).count()
         timings["stored_topk_query"] = {
             "sec": round(time.monotonic() - t, 2),
             "rows_out": n_tk,
-            "bytes_read": _fs_bytes() - b0,
+            **_pruned(
+                sorted({w for ts in _QUERY_BATCH.values() for w in ts})
+            ),
         }
     if not audit:
         if sampler is not None:
