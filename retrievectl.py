@@ -10,8 +10,13 @@ token-sorted row groups), never the corpus and never the full index
 tests/test_retrieval.py).
 
     python retrievectl.py build --corpus /data/corpus --index-dir /data/ridx
+    python retrievectl.py append --corpus /data/batch2 --index-dir /data/ridx
     python retrievectl.py phrase --index-dir /data/ridx --terms "machine learning"
     python retrievectl.py topk --index-dir /data/ridx --query "spark shuffle" --k 10
+
+``append`` merges a new batch byte-identically to a full rebuild over
+old ∪ new (staged-swap crash safety; duplicate doc_ids refuse loudly)
+— the incremental growth twin of ``curatectl --substring-store``.
 
 One JSON line on stdout per invocation (machine-readable, like
 bench.py / curatectl --report). Exit codes: 0 = ran, 2 = rejected
