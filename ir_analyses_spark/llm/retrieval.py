@@ -615,8 +615,24 @@ def write_retrieval_index(
     can report the build without re-scanning. The meta write is LAST —
     a build that crashes mid-way leaves no ``_index_meta``, which
     readers report as "no retrieval index" (clean re-run), never a
-    half-index that answers queries."""
+    half-index that answers queries. That guarantee only holds for a
+    FRESH directory, so building over an existing index RAISES: the
+    old meta would survive a crash that already tore the postings
+    down, and readers would answer from garbage believing it real —
+    grow with :func:`append_retrieval_index`, or build to a new
+    directory and swap."""
     spark = docs.sparkSession
+    try:
+        read_retrieval_index(spark, path)
+    except (FileNotFoundError, ValueError):
+        pass
+    else:
+        raise ValueError(
+            f"retrieval index already exists at {path}: rebuilding in "
+            f"place would leave the OLD meta over half-written postings "
+            f"on a crash; append_retrieval_index grows it, or build to "
+            f"a fresh directory and swap"
+        )
     idx = inverted_postings_sharded(docs, seg_width)
     (
         idx.repartitionByRange(F.col("token"), F.col("segment"))
@@ -739,7 +755,19 @@ def append_retrieval_index(new_docs: DataFrame, path: str) -> dict:
     from ..io.sinks import _recover_swap, _swap_in
 
     spark = new_docs.sparkSession
-    if "://" in path and not path.startswith("file:"):
+    if path.startswith("file:"):
+        # normalize Hadoop's local spellings to the plain path the
+        # os.rename promotion below operates on (file://host/… is not
+        # local — canonical_scan_path's authority rule — and falls
+        # through to the raise)
+        rest = path[len("file:"):]
+        if rest.startswith("//") and not rest.startswith("///"):
+            raise ValueError(
+                f"append_retrieval_index requires a local index (rename-"
+                f"based promotion): {path!r}"
+            )
+        path = "/" + rest.lstrip("/")
+    if "://" in path:
         raise ValueError(
             f"append_retrieval_index requires a local index (rename-"
             f"based promotion): {path!r}"

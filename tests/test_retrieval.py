@@ -719,3 +719,44 @@ def test_append_guards_and_crash_recovery(spark, tmp_path):
     assert not os.path.exists(idx + "__old")
     assert {r["doc_id"] for r in
             phrase_search_stored(spark, idx, "part", "filter").collect()} == {1, 3}
+
+
+def test_build_refuses_existing_index_and_append_path_spellings(spark, tmp_path):
+    """Hardening (r14 self-review): building over an existing index
+    raises — a crash mid-overwrite would leave the OLD meta over
+    half-written postings, and readers would answer from garbage
+    believing it real. And append normalizes Hadoop's local file:
+    spellings onto its rename path while refusing remote ones."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import (
+        append_retrieval_index,
+        read_retrieval_index,
+        write_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "part filter"), (2, "scan part")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    with pytest.raises(ValueError, match="already exists"):
+        write_retrieval_index(docs, idx, seg_width=256)
+    # file:///abs and file:/abs spell the same local dir — append works
+    more = spark.createDataFrame(
+        [(3, "part filter again")], "doc_id long, text string"
+    )
+    out = append_retrieval_index(more, "file://" + idx)
+    assert out["n_docs"] == 3
+    _, _, meta = read_retrieval_index(spark, idx)
+    assert meta["n_docs"] == 3
+    out2 = append_retrieval_index(
+        spark.createDataFrame([(4, "part")], "doc_id long, text string"),
+        "file:" + idx,
+    )
+    assert out2["n_docs"] == 4
+    # remote spellings refuse loudly (rename-based promotion is local)
+    with pytest.raises(ValueError, match="requires a local index"):
+        append_retrieval_index(more, "s3a://bucket/ridx")
+    with pytest.raises(ValueError, match="requires a local index"):
+        append_retrieval_index(more, "file://host/ridx")
