@@ -440,8 +440,14 @@ def run_funnel(
         from ir_analyses_spark.llm.substring_dedup import _dir_bytes
 
         # sibling of the crawl dir, not inside it — the scan route
-        # must never see index parquet next to the warc shards
+        # must never see index parquet next to the warc shards. The
+        # index is THIS run's derived artifact: clear any previous
+        # run's copy first (write_retrieval_index refuses in-place
+        # rebuilds by design)
+        import shutil
+
         idx_dir = out_dir.rstrip("/") + "_retrieval_index"
+        shutil.rmtree(idx_dir, ignore_errors=True)
         corpus = final.select("doc_id", "text")
         t = time.monotonic()
         meta = write_retrieval_index(corpus, idx_dir, seg_width=1 << 52)
