@@ -1037,6 +1037,10 @@ def fingerprint_store_stats(spark, path: str) -> dict:
         "window": meta.get("window"),
         "hash_scheme": meta.get("hash_scheme"),
         "format_version": meta.get("format_version"),
+        # None = pre-r14 store, vintage unknowable (the load paths
+        # refuse it; stats is the read-only surface operators use to
+        # SEE that before deciding to rebuild or --force)
+        "identity_rendering": meta.get("identity_rendering"),
         "n_compactions": n_compactions,
     }
 

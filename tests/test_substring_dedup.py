@@ -539,6 +539,16 @@ def test_store_identity_vintage_stamped_and_guarded(spark, tmp_path):
     write_fingerprint_store(fps, path, K, W)
     _, meta = read_fingerprint_store(spark, path)
     assert meta["identity_rendering"] == IDENTITY_RENDERING
+    # the read-only stats surface shows the vintage (None = pre-r14
+    # store), so operators can SEE it before deciding to rebuild/force
+    from ir_analyses_spark.llm.substring_dedup import (
+        fingerprint_store_stats,
+    )
+
+    assert (
+        fingerprint_store_stats(spark, path)["identity_rendering"]
+        == IDENTITY_RENDERING
+    )
 
     def _stamp(value):
         meta_dir = tmp_path / "store" / "_store_meta"
