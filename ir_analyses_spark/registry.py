@@ -10,8 +10,10 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r14: 199 — r13 closed at 198; r14 adds, as a tail
-# addition, proximity_search_postings (llm/retrieval.py, a module the
+# (registry count r14: 200 — r13 closed at 198; r14 adds, as tail
+# additions, benchmark_leak_report (NEW module llm/deconreport.py —
+# the eval-side exact-leakage audit twin of the bloomdecon gate,
+# stales nothing) and proximity_search_postings (llm/retrieval.py, a module the
 # r14 window already re-certifies in full): windowed co-occurrence
 # answered by PARSING the segmented index — the unordered
 # generalization of the phrase row, oracled directly against the raw
@@ -50,6 +52,7 @@ from .llm import (
     clf_gate,
     cooc,
     curation_queries,
+    deconreport,
     dedup,
     dsir,
     fim,
@@ -128,6 +131,7 @@ _MODULES = [
     knn,
     dsir,
     cooc,
+    deconreport,
     fim,
     linkgraph,
     heavy,
@@ -396,6 +400,10 @@ _ORDER = [
     # ledger rule: windowed co-occurrence (|Δp| ≤ d) parsed from the
     # segmented index, oracled from raw text
     "proximity_search_postings",
+    # benchmark_leak_report — NEW module llm/deconreport.py (stales
+    # nothing): the eval-side exact-leakage audit complementing the
+    # bloomdecon gate, gram semantics shared by construction
+    "benchmark_leak_report",
 ]
 
 
