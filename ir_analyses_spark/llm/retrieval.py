@@ -720,7 +720,12 @@ def read_retrieval_index(
     )
 
 
-def append_retrieval_index(new_docs: DataFrame, path: str) -> dict:
+def append_retrieval_index(
+    new_docs: DataFrame,
+    path: str,
+    batch_marker: str | None = None,
+    bootstrap_seg_width: int | None = None,
+) -> dict:
     """Merge a NEW batch into the stored index — the incremental form
     (the fingerprint store's batch discipline, applied to retrieval):
     the result is BYTE-IDENTICAL to a full rebuild over old ∪ new
@@ -749,12 +754,33 @@ def append_retrieval_index(new_docs: DataFrame, path: str) -> dict:
     promoted append raises on the duplicate doc_ids instead of
     double-appending. SINGLE-WRITER by contract, local-filesystem
     renames (the store-maintenance scope): run appends in the gap
-    between batches."""
+    between batches.
+
+    EXACTLY-ONCE batches (``batch_marker``): the marker lands as
+    ``<path>/_applied/<marker>`` INSIDE the staged index, so it
+    commits in the SAME rename as the data (the `io/txn` streaming
+    sink's one-publication rule) — a replay of an already-promoted
+    batch short-circuits to a no-op at the marker check, a replay of
+    a batch whose promotion never happened re-runs cleanly (its
+    staging copy is discarded), and no crash point can commit the
+    marker without the data or vice versa. ``bootstrap_seg_width``
+    lets the FIRST batch create the index through the same
+    staged-swap/marker machinery (a plain `write_retrieval_index` +
+    separate marker would leave a crash window between them —
+    `streaming` consumers: see `llm/retrieval_stream.py`)."""
     import os
+    import re as _re
 
     from ..io.sinks import _recover_swap, _swap_in
 
     spark = new_docs.sparkSession
+    if batch_marker is not None and not _re.fullmatch(
+        r"[A-Za-z0-9._-]+", batch_marker
+    ):
+        raise ValueError(
+            f"batch_marker must be a safe filename ([A-Za-z0-9._-]+): "
+            f"{batch_marker!r}"
+        )
     if path.startswith("file:"):
         # normalize Hadoop's local spellings to the plain path the
         # os.rename promotion below operates on (file://host/… is not
@@ -773,7 +799,39 @@ def append_retrieval_index(new_docs: DataFrame, path: str) -> dict:
             f"based promotion): {path!r}"
         )
     _recover_swap(path.rstrip("/"))
-    postings, doclens, meta = read_retrieval_index(spark, path)
+    live = _index_data_root(path.rstrip("/"))
+    if batch_marker is not None and os.path.isfile(
+        os.path.join(live, "_applied", batch_marker)
+    ):
+        # replayed batch (checkpoint recovery): the marker committed in
+        # the same rename as its data, so this is exactly the no-op the
+        # exactly-once contract requires
+        _, _, meta = read_retrieval_index(spark, path)
+        meta["replayed_noop"] = True
+        return meta
+    try:
+        postings, doclens, meta = read_retrieval_index(spark, path)
+    except FileNotFoundError:
+        if bootstrap_seg_width is None:
+            raise
+        # first batch: CREATE the index through the same staged-swap +
+        # marker machinery (atomic bootstrap)
+        staging = path.rstrip("/") + "__staging"
+        if os.path.isdir(staging):
+            import shutil
+
+            shutil.rmtree(staging)
+        out = write_retrieval_index(
+            new_docs.select("doc_id", "text"), staging, bootstrap_seg_width
+        )
+        if batch_marker is not None:
+            os.makedirs(os.path.join(staging, "_applied"), exist_ok=True)
+            with open(
+                os.path.join(staging, "_applied", batch_marker), "w"
+            ) as fh:
+                fh.write(batch_marker)
+        _swap_in(staging, path.rstrip("/"))
+        return out
     seg_width = int(meta["seg_width"])
     new_docs = new_docs.select("doc_id", "text")
     counts = new_docs.agg(
@@ -876,6 +934,20 @@ def append_retrieval_index(new_docs: DataFrame, path: str) -> dict:
         "seg_width long, n_docs long, t_tokens long, max_dl long, "
         "format_version int, postings_rows long",
     ).coalesce(1).write.mode("overwrite").json(f"{staging}/_index_meta")
+    # applied-batch ledger rides the SAME promotion rename as the data:
+    # carry the existing markers into the staged copy, then add this
+    # batch's — a crash before the swap discards both with the staging
+    # dir, a crash after has committed both with the data
+    applied_src = os.path.join(live, "_applied")
+    applied_dst = os.path.join(staging, "_applied")
+    os.makedirs(applied_dst, exist_ok=True)
+    if os.path.isdir(applied_src):
+        for m in os.listdir(applied_src):
+            with open(os.path.join(applied_dst, m), "w") as fh:
+                fh.write(m)
+    if batch_marker is not None:
+        with open(os.path.join(applied_dst, batch_marker), "w") as fh:
+            fh.write(batch_marker)
     _swap_in(staging, path.rstrip("/"))
     return out
 

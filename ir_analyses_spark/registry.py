@@ -10,8 +10,10 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r14: 200 — r13 closed at 198; r14 adds, as tail
-# additions, benchmark_leak_report (NEW module llm/deconreport.py —
+# (registry count r14: 201 — r13 closed at 198; r14 adds, as tail
+# additions, stream_index_append (NEW module llm/retrieval_stream.py
+# — exactly-once streaming index maintenance over the stored-index
+# append, stales nothing), benchmark_leak_report (NEW module llm/deconreport.py —
 # the eval-side exact-leakage audit twin of the bloomdecon gate,
 # stales nothing) and proximity_search_postings (llm/retrieval.py, a module the
 # r14 window already re-certifies in full): windowed co-occurrence
@@ -65,6 +67,7 @@ from .llm import (
     novelty,
     pq,
     retrieval,
+    retrieval_stream,
     sampling,
     similarity,
     substring_queries,
@@ -137,6 +140,7 @@ _MODULES = [
     heavy,
     outliers,
     retrieval,
+    retrieval_stream,
     streaming_pipeline,
     ir_demo,
     txn_queries,
@@ -404,6 +408,13 @@ _ORDER = [
     # nothing): the eval-side exact-leakage audit complementing the
     # bloomdecon gate, gram semantics shared by construction
     "benchmark_leak_report",
+    # stream_index_append — NEW module llm/retrieval_stream.py (stales
+    # nothing): exactly-once streaming index maintenance — a real
+    # 3-epoch document stream grows the stored index via foreachBatch
+    # appends whose applied-batch marker commits INSIDE the staged
+    # swap; oracled against the batch segmented-postings SQL (valid
+    # whatever the batching: append == rebuild byte-identically)
+    "stream_index_append",
 ]
 
 
