@@ -952,6 +952,45 @@ def append_retrieval_index(
     return out
 
 
+def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
+    """Operator-facing stats for a stored index — the observability
+    half of its lifecycle (the `fingerprint_store_stats` shape): the
+    frozen build meta, live distinct-token / segment counts and the
+    largest per-row postings payload (ONE footer-light aggregation
+    pass), on-disk bytes, and the applied-batch epoch count when the
+    index is stream-maintained. Read-only: resolves a crashed
+    promotion's ``__old`` remnant via the same read-around as
+    :func:`read_retrieval_index`, never repairs it."""
+    import os
+
+    from .substring_dedup import _dir_bytes
+
+    postings, doclens, meta = read_retrieval_index(spark, path)
+    live = _index_data_root(path.rstrip("/"))
+    row = postings.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.countDistinct("segment").alias("n_segments"),
+        F.max(F.length("postings")).alias("max_postings_chars"),
+    ).head()
+    applied = os.path.join(live, "_applied")
+    return {
+        **{k: meta.get(k) for k in (
+            "seg_width", "n_docs", "t_tokens", "max_dl",
+            "format_version", "postings_rows",
+        )},
+        "live_rows": row["rows"],
+        "n_tokens": row["n_tokens"],
+        "n_segments": row["n_segments"],
+        "max_postings_chars": row["max_postings_chars"],
+        "postings_bytes": _dir_bytes(os.path.join(live, "postings")),
+        "doclens_bytes": _dir_bytes(os.path.join(live, "doclens")),
+        "n_applied_batches": (
+            len(os.listdir(applied)) if os.path.isdir(applied) else 0
+        ),
+    }
+
+
 def phrase_search_stored(
     spark: SparkSession, path: str, t1: str, t2: str
 ) -> DataFrame:

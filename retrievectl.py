@@ -11,6 +11,7 @@ tests/test_retrieval.py).
 
     python retrievectl.py build --corpus /data/corpus --index-dir /data/ridx
     python retrievectl.py append --corpus /data/batch2 --index-dir /data/ridx
+    python retrievectl.py stats --index-dir /data/ridx
     python retrievectl.py phrase --index-dir /data/ridx --terms "machine learning"
     python retrievectl.py topk --index-dir /data/ridx --query "spark shuffle" --k 10
 
@@ -76,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
                    help=f"max rows printed, most occurrences first "
                    f"(default {_DEFAULT_LIMIT})")
 
+    st = sub.add_parser(
+        "stats",
+        help="index observability: frozen build meta + live token/"
+        "segment/payload counts, on-disk bytes, applied-epoch count",
+    )
+    st.add_argument("--index-dir", required=True)
+
     t = sub.add_parser("topk", help="top-k BM25 from the stored index")
     t.add_argument("--index-dir", required=True)
     t.add_argument("--query", required=True, action="append",
@@ -121,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
                 corpus.select("doc_id", "text"), args.index_dir
             )
             out = {"index_dir": args.index_dir, **meta}
+        elif args.cmd == "stats":
+            from ir_analyses_spark.llm.retrieval import retrieval_index_stats
+
+            out = {
+                "index_dir": args.index_dir,
+                **retrieval_index_stats(spark, args.index_dir),
+            }
         elif args.cmd == "phrase":
             from pyspark.sql import functions as F
 

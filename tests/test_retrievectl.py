@@ -167,3 +167,34 @@ def test_cli_append_two_batch_flow(spark, corpus_dir, tmp_path, capsys):
     rc = retrievectl.main(["append", "--corpus", b2, "--index-dir", idx])
     assert rc == 2
     assert "already indexed" in capsys.readouterr().err
+
+
+def test_cli_stats_surface(spark, corpus_dir, tmp_path, capsys):
+    """retrievectl stats: the frozen meta, live counts, and epoch
+    ledger — recomputed here from the index itself."""
+    idx = str(tmp_path / "ridx")
+    assert retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", idx,
+         "--seg-width", "256"]
+    ) == 0
+    capsys.readouterr()
+    assert retrievectl.main(["stats", "--index-dir", idx]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    postings = spark.read.parquet(f"{idx}/postings")
+    assert st["n_docs"] == 500
+    assert st["live_rows"] == st["postings_rows"] == postings.count()
+    assert st["n_tokens"] == postings.select("token").distinct().count()
+    assert st["n_segments"] == postings.select("segment").distinct().count()
+    assert st["postings_bytes"] > 0 and st["doclens_bytes"] > 0
+    assert st["n_applied_batches"] == 0  # batch-built, not streamed
+    # a streamed index reports its epochs
+    from ir_analyses_spark.llm.retrieval import retrieval_index_stats
+    from ir_analyses_spark.llm.retrieval_stream import index_stream_sink
+
+    idx2 = str(tmp_path / "ridx_stream")
+    sink = index_stream_sink(idx2, seg_width=256)
+    docs = spark.read.parquet(corpus_dir)
+    sink(docs.filter("doc_id % 2 = 0"), 0)
+    sink(docs.filter("doc_id % 2 = 1"), 1)
+    st2 = retrieval_index_stats(spark, idx2)
+    assert st2["n_applied_batches"] == 2 and st2["n_docs"] == 500
