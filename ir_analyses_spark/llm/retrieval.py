@@ -326,6 +326,56 @@ def inverted_index_postings_sharded(
 _PHRASE = ("part", "filter")
 
 
+def _parse_positions(index: DataFrame, tokens) -> DataFrame:
+    """(token, segment, doc_id, p): the query tokens' postings strings
+    parsed back to one row per position — the shared read head of every
+    position-consuming query (phrase, proximity). The token filter is
+    applied BEFORE any postings string is parsed, so over a stored
+    index it reaches the parquet scan as PushedFilters and the parse
+    touches ~the query tokens' rows."""
+    return (
+        index.filter(F.col("token").isin(*tokens))
+        .select(
+            "token",
+            "segment",
+            F.explode(F.split("postings", ";")).alias("entry"),
+        )
+        .select(
+            "token",
+            "segment",
+            F.split("entry", ":")[0].cast("long").alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.split(F.split("entry", ":")[1], ","),
+                    lambda x: x.cast("int"),
+                )
+            ).alias("p"),
+        )
+    )
+
+
+def _parse_tf(index: DataFrame, tokens) -> DataFrame:
+    """(w, doc_id, tf): term frequencies parsed from the query tokens'
+    postings entries WITHOUT unrolling positions (tf = position-list
+    length — the same integer the from-text scorer counts). The
+    doc-frequency shape of the shared read head: fixed-width rows,
+    token filter pushed below the parse."""
+    return (
+        index.filter(F.col("token").isin(*tokens))
+        .select(
+            F.col("token").alias("w"),
+            F.explode(F.split("postings", ";")).alias("entry"),
+        )
+        .select(
+            "w",
+            F.split("entry", ":")[0].cast("long").alias("doc_id"),
+            F.size(F.split(F.split("entry", ":")[1], ","))
+            .cast("long")
+            .alias("tf"),
+        )
+    )
+
+
 def phrase_search(index: DataFrame, t1: str, t2: str) -> DataFrame:
     """(doc_id, n_occurrences) of the exact phrase ``"t1 t2"`` computed
     by READING the segmented positional index — the reader-side proof
@@ -351,25 +401,7 @@ def phrase_search(index: DataFrame, t1: str, t2: str) -> DataFrame:
     the index from storage, where each branch is a pruned scan, so the
     duplication is an artifact of the self-contained certificate, not
     the operator."""
-    e = (
-        index.filter(F.col("token").isin(t1, t2))
-        .select(
-            "token",
-            "segment",
-            F.explode(F.split("postings", ";")).alias("entry"),
-        )
-        .select(
-            "token",
-            "segment",
-            F.split("entry", ":")[0].cast("long").alias("doc_id"),
-            F.explode(
-                F.transform(
-                    F.split(F.split("entry", ":")[1], ","),
-                    lambda x: x.cast("int"),
-                )
-            ).alias("p"),
-        )
-    )
+    e = _parse_positions(index, (t1, t2))
     first = e.filter(F.col("token") == t1).select("segment", "doc_id", "p")
     second = e.filter(F.col("token") == t2).select(
         "segment", "doc_id", (F.col("p") - 1).alias("p")
@@ -410,25 +442,7 @@ def proximity_search(
     position counts inside ONE document, never corpus-cardinality."""
     if d < 1:
         raise ValueError(f"d must be >= 1, got {d}")
-    e = (
-        index.filter(F.col("token").isin(t1, t2))
-        .select(
-            "token",
-            "segment",
-            F.explode(F.split("postings", ";")).alias("entry"),
-        )
-        .select(
-            "token",
-            "segment",
-            F.split("entry", ":")[0].cast("long").alias("doc_id"),
-            F.explode(
-                F.transform(
-                    F.split(F.split("entry", ":")[1], ","),
-                    lambda x: x.cast("int"),
-                )
-            ).alias("p"),
-        )
-    )
+    e = _parse_positions(index, (t1, t2))
     first = e.filter(F.col("token") == t1).select(
         "segment", "doc_id", F.col("p").alias("p1")
     )
@@ -458,6 +472,153 @@ def proximity_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent)."""
     index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
     return proximity_search(index, *_PROX, _PROX_D)
+
+
+#: fixed certificate boolean query — two common must-terms AND a rare
+#: NOT-term ('dup': df ≈ 5% of docs), chosen so at every correctness SF
+#: the conjunction admits docs the exclusion then removes (sf0.01: 329
+#: docs carry both must terms, 15 of them also carry 'dup' — the
+#: oracle hash certifies the NOT actually bit, not mere AND)
+_BOOL_MUST = ("customer", "filter")
+_BOOL_NOT = ("dup",)
+
+
+def boolean_search(index: DataFrame, must, must_not=()) -> DataFrame:
+    """(doc_id, tf_sum): documents containing EVERY ``must`` token and
+    NONE of the ``must_not`` tokens, answered from the segmented index
+    — classic boolean retrieval (AND + NOT), the filter stage of a
+    retrieval pipeline (candidate generation before ranking, corpus
+    carving by required/banned vocabulary). ``tf_sum`` is the summed
+    term frequency of the must tokens, parsed from position-list
+    lengths, so the oracle hash certifies the index's tf payload, not
+    just doc membership.
+
+    Scale shape: the token filter prunes the index to the query
+    tokens' (token, segment) rows before any postings string is parsed
+    (pushed to the parquet scan over a stored index); the AND is one
+    groupBy(doc_id) over fixed-width (w, doc_id, tf) rows — cardinality
+    bounded by the posting lists, never the corpus — keeping docs
+    whose distinct-token count equals |must|; the NOT is a left-anti
+    join against the must_not tokens' doc set. No window, no sort, no
+    corpus scan.
+
+    Guards: an empty ``must`` would make the AND vacuous (the whole
+    corpus "matches") and a term in both lists is a contradiction that
+    silently returns nothing — both raise instead."""
+    must = tuple(dict.fromkeys(must))
+    must_not = tuple(dict.fromkeys(must_not))
+    if not must:
+        raise ValueError("boolean_search: must-terms may not be empty")
+    contradiction = set(must) & set(must_not)
+    if contradiction:
+        raise ValueError(
+            f"boolean_search: terms in both must and must_not would "
+            f"match nothing: {sorted(contradiction)}"
+        )
+    tf = _parse_tf(index, must + must_not)
+    matched = (
+        tf.filter(F.col("w").isin(*must))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("w").alias("n_must"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+        .filter(F.col("n_must") == len(must))
+        .select("doc_id", "tf_sum")
+    )
+    if must_not:
+        banned = tf.filter(F.col("w").isin(*must_not)).select("doc_id")
+        matched = matched.join(banned, "doc_id", "left_anti")
+    return matched
+
+
+def boolean_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: boolean AND + NOT retrieval for the fixed
+    certificate query, answered from the segmented positional index
+    built over the documents table; oracled directly against the raw
+    text (the hash binds text → index → tf parse → set algebra)."""
+    index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
+    return boolean_search(index, _BOOL_MUST, _BOOL_NOT)
+
+
+#: fixed certificate KWIC term + half-window — 'line' is the one
+#: corpus term where, at every correctness SF, multi-occurrence docs
+#: (first-occurrence selection bites), first occurrences within the
+#: first 4 tokens (left clamp bites) and within the last 4 (right
+#: clamp bites) ALL exist — the oracle hash certifies the windowing
+#: arithmetic at both edges, not just the happy middle
+_KWIC_TERM = "line"
+_KWIC_W = 4
+
+
+def kwic_snippets(
+    docs: DataFrame, index: DataFrame, term: str, width: int
+) -> DataFrame:
+    """(doc_id, p_first, snippet): a keyword-in-context window of
+    ``width`` tokens either side of the FIRST occurrence of ``term``
+    in every matching document — the result-rendering leg of retrieval
+    (search-hit highlighting, context extraction for training-data
+    inspection). The index supplies the hit position; only then is the
+    document text touched.
+
+    The first occurrence costs no position unroll: postings entries
+    keep positions ascending and a doc's entry for a token lives in
+    exactly ONE segment (segment = doc_id div seg_width), so element 0
+    of the entry's position list IS the document-global first
+    occurrence. The snippet is a clamped array slice of the split
+    text: start = max(p−width, 1), end = min(p+width, dl) — 1-based,
+    inclusive, matching the index's position convention.
+
+    Scale shape: the index side is the pruned one-token read; the join
+    back to text is doc_id-equi on exactly the matching docs (Spark
+    prunes the text scan to (doc_id, text) — the only full-width rows
+    that move are the hits'). No window function, no sort."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    return _kwic_render(docs, _kwic_first(index, term), width)
+
+
+def _kwic_first(index: DataFrame, term: str) -> DataFrame:
+    """(doc_id, p_first): the term's document-global first occurrence,
+    read as element 0 of each postings entry's position list — no
+    position unroll (see :func:`kwic_snippets`)."""
+    return (
+        index.filter(F.col("token") == term)
+        .select(F.explode(F.split("postings", ";")).alias("entry"))
+        .select(
+            F.split("entry", ":")[0].cast("long").alias("doc_id"),
+            F.split(F.split("entry", ":")[1], ",")[0]
+            .cast("long")
+            .alias("p_first"),
+        )
+    )
+
+
+def _kwic_render(docs: DataFrame, first: DataFrame, width: int) -> DataFrame:
+    """Join hit positions back to text and render the clamped window
+    (the rendering half of :func:`kwic_snippets`)."""
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    start = F.greatest(F.col("p_first") - width, F.lit(1))
+    end = F.least(F.col("p_first") + width, F.size("ws").cast("long"))
+    return first.join(ws, "doc_id").select(
+        "doc_id",
+        "p_first",
+        F.array_join(
+            F.slice("ws", start, end - start + 1), " "
+        ).alias("snippet"),
+    )
+
+
+def kwic_snippets_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: keyword-in-context snippets for the fixed
+    certificate term over the documents table, hit positions from the
+    segmented positional index; oracled directly against the raw text
+    (the hash binds text → index → first-position parse → clamped
+    slice → rendering)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return kwic_snippets(
+        docs, inverted_postings_sharded(docs), _KWIC_TERM, _KWIC_W
+    )
 
 
 #: fixed certificate query BATCH for the multi-query form — overlapping
@@ -670,6 +831,28 @@ def write_retrieval_index(
     return meta
 
 
+def _require_local(path: str, op: str) -> str:
+    """Normalize Hadoop's local ``file:`` spellings to the plain path
+    the os.rename-based maintenance ops operate on; refuse remote
+    schemes and ``file://host/…`` (not local — canonical_scan_path's
+    authority rule) loudly. Shared by append / delete / vacuum — the
+    store-maintenance ops whose crash discipline is rename-based."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//") and not rest.startswith("///"):
+            raise ValueError(
+                f"{op} requires a local index (rename-based promotion): "
+                f"{path!r}"
+            )
+        path = "/" + rest.lstrip("/")
+    if "://" in path:
+        raise ValueError(
+            f"{op} requires a local index (rename-based promotion): "
+            f"{path!r}"
+        )
+    return path
+
+
 def _index_data_root(path: str) -> str:
     """READ-ONLY resolution of where the index currently lives:
     normally ``path``; after an :func:`append_retrieval_index`
@@ -781,23 +964,7 @@ def append_retrieval_index(
             f"batch_marker must be a safe filename ([A-Za-z0-9._-]+): "
             f"{batch_marker!r}"
         )
-    if path.startswith("file:"):
-        # normalize Hadoop's local spellings to the plain path the
-        # os.rename promotion below operates on (file://host/… is not
-        # local — canonical_scan_path's authority rule — and falls
-        # through to the raise)
-        rest = path[len("file:"):]
-        if rest.startswith("//") and not rest.startswith("///"):
-            raise ValueError(
-                f"append_retrieval_index requires a local index (rename-"
-                f"based promotion): {path!r}"
-            )
-        path = "/" + rest.lstrip("/")
-    if "://" in path:
-        raise ValueError(
-            f"append_retrieval_index requires a local index (rename-"
-            f"based promotion): {path!r}"
-        )
+    path = _require_local(path, "append_retrieval_index")
     _recover_swap(path.rstrip("/"))
     live = _index_data_root(path.rstrip("/"))
     if batch_marker is not None and os.path.isfile(
@@ -948,8 +1115,260 @@ def append_retrieval_index(
     if batch_marker is not None:
         with open(os.path.join(applied_dst, batch_marker), "w") as fh:
             fh.write(batch_marker)
+    # pending tombstones survive an append: deletion is independent of
+    # growth, and dropping the dir here would silently resurrect docs
+    tombs_src = os.path.join(live, "_tombstones")
+    if os.path.isdir(tombs_src):
+        import shutil
+
+        shutil.copytree(tombs_src, os.path.join(staging, "_tombstones"))
     _swap_in(staging, path.rstrip("/"))
     return out
+
+
+def _tombstones_dir(live: str) -> str:
+    import os
+
+    return os.path.join(live, "_tombstones")
+
+
+def _read_tombstones(spark: SparkSession, live: str) -> DataFrame | None:
+    """The deleted-doc set of a stored index as a (doc_id) frame, or
+    ``None`` when no delete has ever landed — callers skip the masking
+    join entirely in that case, so an undeleted index's query plans are
+    byte-identical to the pre-delete era (the plan pins stay valid)."""
+    import os
+
+    d = _tombstones_dir(live)
+    if not os.path.isdir(d):
+        return None
+    # only COMMITTED batch dirs: a delete that crashed mid-write leaves
+    # a ``__tmp`` remnant whose parquet may be complete — reading it
+    # would surface a batch whose delete call never returned
+    batches = sorted(
+        e.path
+        for e in os.scandir(d)
+        if e.is_dir() and not e.name.endswith("__tmp")
+    )
+    if not batches:
+        return None
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(*batches)
+        .select(F.col("doc_id").cast("long"))
+        .distinct()
+    )
+
+
+def _mask_deleted(result: DataFrame, spark: SparkSession, live: str) -> DataFrame:
+    """Drop tombstoned doc_ids from a per-doc query result. Query-time
+    deletion semantics are Lucene's: a deleted doc stops MATCHING
+    immediately, but corpus statistics (N, T, df) stay frozen at build
+    until :func:`vacuum_retrieval_index` rewrites the postings — scores
+    of surviving docs do not move when a neighbor is deleted, they move
+    when the index is vacuumed. The mask is one anti-join on the
+    (operator-batch-sized) tombstone set, after the query's own work —
+    candidate generation never pays for deletion."""
+    tombs = _read_tombstones(spark, live)
+    if tombs is None:
+        return result
+    return result.join(tombs, "doc_id", "left_anti")
+
+
+def delete_from_retrieval_index(
+    spark: SparkSession, path: str, doc_ids, marker: str | None = None
+) -> dict:
+    """Tombstone documents out of a stored index — the retention /
+    right-to-be-forgotten half of the index lifecycle (append grows it,
+    delete shrinks it, :func:`vacuum_retrieval_index` reclaims it).
+    ``doc_ids`` is a (doc_id) DataFrame or an iterable of ints.
+
+    The tombstone batch lands as parquet under
+    ``<index>/_tombstones/<marker>/`` via a write-then-rename (the
+    single-rename atomicity of the ``_applied`` markers): a crash
+    mid-write leaves only a ``__tmp`` remnant the next delete clears —
+    no partial tombstone set is ever readable. Stored-index queries
+    anti-join the set at result granularity (:func:`_mask_deleted`);
+    a never-deleted index skips the join entirely.
+
+    Guards: deleting a doc_id the index never held raises (a typo'd id
+    silently "succeeding" is how an operator believes a record is gone
+    when it is not); re-deleting an already-tombstoned id is an
+    idempotent no-op (retried delete batches converge). A tombstoned
+    id still refuses re-append until vacuum — its postings are masked,
+    not gone, and appending would interleave duplicates.
+
+    SINGLE-WRITER by contract, local filesystem (the rename-based
+    maintenance scope, append's rule)."""
+    import os
+    import re as _re
+    import shutil
+
+    from ..io.sinks import _recover_swap
+
+    path = _require_local(path, "delete_from_retrieval_index")
+    if marker is not None and not _re.fullmatch(r"[A-Za-z0-9._-]+", marker):
+        raise ValueError(
+            f"marker must be a safe filename ([A-Za-z0-9._-]+): {marker!r}"
+        )
+    _recover_swap(path.rstrip("/"))
+    live = _index_data_root(path.rstrip("/"))
+    _, doclens, _ = read_retrieval_index(spark, path)
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        ).distinct()
+    n_req = ids.count()
+    if n_req == 0:
+        raise ValueError("delete_from_retrieval_index: empty doc_id set")
+    n_unknown = ids.join(doclens, "doc_id", "left_anti").count()
+    if n_unknown:
+        raise ValueError(
+            f"delete_from_retrieval_index: {n_unknown} of {n_req} doc_ids "
+            f"were never indexed at {path} — deleting them would report "
+            f"success for records the index does not hold"
+        )
+    existing = _read_tombstones(spark, live)
+    if existing is not None:
+        ids = ids.join(existing, "doc_id", "left_anti")
+    d = _tombstones_dir(live)
+    os.makedirs(d, exist_ok=True)
+    # clear crash remnants of a previous delete's parquet write
+    for e in os.scandir(d):
+        if e.name.endswith("__tmp"):
+            shutil.rmtree(e.path, ignore_errors=True)
+    n_new = ids.count()
+    n_before = 0 if existing is None else existing.count()
+    if n_new == 0:
+        return {
+            "deleted": 0,
+            "n_tombstones": n_before,
+            "replayed_noop": True,
+        }
+    if marker is None:
+        n = sum(1 for e in os.scandir(d) if e.is_dir())
+        while os.path.isdir(os.path.join(d, f"del-{n:06d}")):
+            n += 1
+        marker = f"del-{n:06d}"
+    dst = os.path.join(d, marker)
+    if os.path.isdir(dst):
+        # marker replay after its batch landed: idempotent no-op
+        return {
+            "deleted": 0,
+            "n_tombstones": n_before,
+            "replayed_noop": True,
+        }
+    tmp = dst + "__tmp"
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, dst)
+    return {"deleted": n_new, "n_tombstones": n_before + n_new}
+
+
+def vacuum_retrieval_index(spark: SparkSession, path: str) -> dict:
+    """Physically reclaim tombstoned documents: rewrite postings with
+    the deleted docs' entries removed (df_seg / total_tf recomputed),
+    drop their doclens, refresh the corpus statistics in the meta, and
+    clear the tombstone set — the content of the vacuumed index equals
+    a fresh build over exactly the surviving documents (pinned by
+    test), so post-vacuum scores are what a rebuild would produce.
+
+    Scale shape: entries explode to fixed-width (token, segment,
+    doc_id, tf, entry) rows, anti-join the tombstone set, and regroup
+    on (token, segment) — the same bounded aggregation key as the
+    build, so no task ever holds one token's corpus-wide postings.
+    Promotion is the append's staged swap: a crash leaves a complete
+    old or complete new index, never a half-vacuumed one (tombstones
+    clear in the SAME rename that publishes the rewritten postings —
+    no crash point can drop the mask before the data, or vice versa)."""
+    import os
+
+    from ..io.sinks import _recover_swap, _swap_in
+
+    path = _require_local(path, "vacuum_retrieval_index")
+    _recover_swap(path.rstrip("/"))
+    live = _index_data_root(path.rstrip("/"))
+    postings, doclens, meta = read_retrieval_index(spark, path)
+    tombs = _read_tombstones(spark, live)
+    if tombs is None:
+        return {**meta, "removed_docs": 0, "replayed_noop": True}
+    n_t = tombs.count()
+    e = postings.select(
+        "token",
+        "segment",
+        F.explode(F.split("postings", ";")).alias("entry"),
+    ).select(
+        "token",
+        "segment",
+        F.split("entry", ":")[0].cast("long").alias("doc_id"),
+        F.size(F.split(F.split("entry", ":")[1], ","))
+        .cast("long")
+        .alias("tf"),
+        "entry",
+    )
+    survivors = e.join(tombs, "doc_id", "left_anti")
+    new_postings = survivors.groupBy("token", "segment").agg(
+        F.count(F.lit(1)).alias("df_seg"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s["entry"],
+            ),
+            ";",
+        ).alias("postings"),
+    )
+    staging = path.rstrip("/") + "__staging"
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    cols = ["token", "segment", "df_seg", "total_tf", "postings"]
+    (
+        new_postings.select(*cols)
+        .repartitionByRange(F.col("token"), F.col("segment"))
+        .sortWithinPartitions("token", "segment")
+        .write.mode("overwrite")
+        .parquet(f"{staging}/postings")
+    )
+    doclens.join(tombs, "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{staging}/doclens")
+    stats = (
+        spark.read.parquet(f"{staging}/doclens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("t_tokens"),
+            F.max("dl").alias("max_dl"),
+        )
+        .head()
+    )
+    out = {
+        "seg_width": int(meta["seg_width"]),
+        "n_docs": int(stats["n_docs"]),
+        "t_tokens": int(stats["t_tokens"] or 0),
+        "max_dl": int(stats["max_dl"] or 0),
+        "format_version": _INDEX_FORMAT_VERSION,
+        "postings_rows": spark.read.parquet(f"{staging}/postings").count(),
+    }
+    spark.createDataFrame(
+        [tuple(out.values())],
+        "seg_width long, n_docs long, t_tokens long, max_dl long, "
+        "format_version int, postings_rows long",
+    ).coalesce(1).write.mode("overwrite").json(f"{staging}/_index_meta")
+    # the applied-batch ledger survives a vacuum (exactly-once replay
+    # detection is about WHICH batches landed, not which docs remain);
+    # the tombstone set does NOT — it is consumed by this rewrite
+    applied_src = os.path.join(live, "_applied")
+    if os.path.isdir(applied_src):
+        applied_dst = os.path.join(staging, "_applied")
+        os.makedirs(applied_dst, exist_ok=True)
+        for m in os.listdir(applied_src):
+            with open(os.path.join(applied_dst, m), "w") as fh:
+                fh.write(m)
+    _swap_in(staging, path.rstrip("/"))
+    return {**out, "removed_docs": n_t}
 
 
 def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
@@ -974,6 +1393,8 @@ def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
         F.max(F.length("postings")).alias("max_postings_chars"),
     ).head()
     applied = os.path.join(live, "_applied")
+    tombs = _read_tombstones(spark, live)
+    n_tombstones = 0 if tombs is None else tombs.count()
     return {
         **{k: meta.get(k) for k in (
             "seg_width", "n_docs", "t_tokens", "max_dl",
@@ -988,6 +1409,10 @@ def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
         "n_applied_batches": (
             len(os.listdir(applied)) if os.path.isdir(applied) else 0
         ),
+        # deletion observability: pending tombstones, and the doc count
+        # queries actually see (meta's n_docs is the frozen build stat)
+        "n_tombstones": n_tombstones,
+        "n_live_docs": int(meta.get("n_docs") or 0) - n_tombstones,
     }
 
 
@@ -998,9 +1423,52 @@ def phrase_search_stored(
     filter reaches the parquet scan (PushedFilters), so the read is
     ~two tokens' (token, segment) rows whatever the index size — the
     production form of the :func:`phrase_search_postings` certificate
-    (which builds the index inline in both join branches)."""
+    (which builds the index inline in both join branches). Tombstoned
+    docs are masked out (:func:`_mask_deleted`); an undeleted index
+    skips the join."""
     postings, _, _ = read_retrieval_index(spark, path)
-    return phrase_search(postings, t1, t2)
+    live = _index_data_root(path.rstrip("/"))
+    return _mask_deleted(phrase_search(postings, t1, t2), spark, live)
+
+
+def proximity_search_stored(
+    spark: SparkSession, path: str, t1: str, t2: str, d: int
+) -> DataFrame:
+    """Windowed co-occurrence answered from the STORED index — the
+    production form of :func:`proximity_search_postings` (same pruned
+    two-token read as the phrase route); tombstone-masked."""
+    postings, _, _ = read_retrieval_index(spark, path)
+    live = _index_data_root(path.rstrip("/"))
+    return _mask_deleted(proximity_search(postings, t1, t2, d), spark, live)
+
+
+def boolean_search_stored(
+    spark: SparkSession, path: str, must, must_not=()
+) -> DataFrame:
+    """Boolean AND + NOT retrieval answered from the STORED index —
+    the pruned read is the query tokens' rows only; tombstone-masked
+    (a deleted doc stops matching immediately, vacuum reclaims it)."""
+    postings, _, _ = read_retrieval_index(spark, path)
+    live = _index_data_root(path.rstrip("/"))
+    return _mask_deleted(
+        boolean_search(postings, must, must_not), spark, live
+    )
+
+
+def kwic_snippets_stored(
+    spark: SparkSession, path: str, docs: DataFrame, term: str, width: int
+) -> DataFrame:
+    """Keyword-in-context snippets with hit positions from the STORED
+    index (one pruned token read) and text from the caller's corpus
+    frame — the index stores positions, never text, so rendering joins
+    back to the corpus; tombstone-masked BEFORE the text join (a
+    deleted doc's text is never read, let alone rendered)."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    postings, _, _ = read_retrieval_index(spark, path)
+    live = _index_data_root(path.rstrip("/"))
+    first = _mask_deleted(_kwic_first(postings, term), spark, live)
+    return _kwic_render(docs, first, width)
 
 
 def bm25_topk_stored(
@@ -1030,7 +1498,13 @@ def bm25_topk_stored(
     Scale shape: the scan reads ~the query tokens' rows (pushed token
     filter over token-sorted row groups); the only doc-cardinality
     shuffle is the (doc_id, tf) ⋈ doclens join on fixed-width rows;
-    idf and the (query_id, term) map broadcast."""
+    idf and the (query_id, term) map broadcast.
+
+    Deletion semantics (Lucene's): tombstoned docs are masked out of
+    the CANDIDATE set BEFORE ranking — the next-best survivor takes
+    the freed rank, never a k−1-row result — but df and the corpus
+    stats stay frozen at build until vacuum, so surviving docs' scores
+    do not move when a neighbor is deleted."""
     if k < 1 or salt < 1:
         raise ValueError(f"k and salt must be >= 1, got k={k} salt={salt}")
     postings, dl, meta = read_retrieval_index(spark, path)
@@ -1048,18 +1522,10 @@ def bm25_topk_stored(
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     hit = postings.filter(F.col("token").isin(*all_terms))
-    tf = (
-        hit.select(
-            F.col("token").alias("w"),
-            F.explode(F.split("postings", ";")).alias("entry"),
-        )
-        .select(
-            "w",
-            F.split("entry", ":")[0].cast("long").alias("doc_id"),
-            F.size(F.split(F.split("entry", ":")[1], ","))
-            .cast("long")
-            .alias("tf"),
-        )
+    tf = _mask_deleted(
+        _parse_tf(postings, all_terms),
+        spark,
+        _index_data_root(path.rstrip("/")),
     )
     idf = (
         hit.groupBy(F.col("token").alias("w"))
@@ -1101,6 +1567,39 @@ def bm25_topk_stored(
         )
     )
     return _rank_topk(scored, k, salt)
+
+
+#: deterministic certificate delete set — doc_id ≡ 3 (mod 10) removes
+#: a fixed tenth of the corpus, including phrase-matching docs at
+#: every correctness SF (sf0.001: 2 of 45 matches; sf0.01: 5 of 44 —
+#: the oracle hash certifies the mask actually removed hits)
+_DEL_MOD, _DEL_REM = 10, 3
+
+
+def retrieval_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-lifecycle certificate: build the stored index over the
+    documents table via the REAL lifecycle ops (`write_retrieval_index`
+    into a fresh tempdir), tombstone the fixed delete set through
+    `delete_from_retrieval_index`, and answer the certificate phrase
+    from the masked index. The DuckDB oracle recomputes phrase counts
+    FROM RAW TEXT over the surviving docs only, so the driver hash
+    binds build → delete → masked read end to end: a tombstone that
+    fails to mask leaves extra rows, one that over-masks drops rows.
+
+    Each run builds under a fresh ``tempfile.mkdtemp``; the returned
+    DataFrame lazily reads from it, so cleanup is left to /tmp hygiene
+    (the `fingerprint_store_compact` precedent)."""
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="ridx_del_")
+    write_retrieval_index(docs, idx)
+    delete_from_retrieval_index(
+        spark,
+        idx,
+        docs.filter(F.col("doc_id") % _DEL_MOD == _DEL_REM).select("doc_id"),
+    )
+    return phrase_search_stored(spark, idx, *_PHRASE)
 
 
 _Q_SQL = ", ".join(f"'{t}'" for t in _QUERY)
@@ -1249,13 +1748,79 @@ WHERE ABS(p1.p - p2.p) BETWEEN 1 AND {_PROX_D}
 GROUP BY p1.doc_id
 """
 
+# the oracle recomputes the boolean algebra straight from the text —
+# HAVING COUNT(DISTINCT w) = |must| is the AND, NOT IN the exclusion,
+# and tf_sum the must-terms' occurrence count — so the hash binds
+# text → index → tf parse → set algebra (NOT membership: a doc the
+# index wrongly keeps or drops moves the row count; a wrong tf payload
+# moves the value hash)
+_BOOL_MUST_SQL = ", ".join(f"'{t}'" for t in _BOOL_MUST)
+_BOOL_NOT_SQL = ", ".join(f"'{t}'" for t in _BOOL_NOT)
+
+BOOLEAN_SEARCH_POSTINGS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+matched AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_sum
+  FROM toks WHERE w IN ({_BOOL_MUST_SQL})
+  GROUP BY doc_id
+  HAVING COUNT(DISTINCT w) = {len(_BOOL_MUST)}
+)
+SELECT doc_id, tf_sum FROM matched
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM toks WHERE w IN ({_BOOL_NOT_SQL})
+)
+"""
+
+# the oracle recomputes the snippet straight from the text: MIN(pos)
+# is the first occurrence, the slice bounds clamp at both edges
+# (GREATEST/LEAST), and DuckDB's 1-based inclusive list slice matches
+# the index's 1-based position convention — the hash binds
+# text → index → first-position parse → clamped slice → rendering
+KWIC_SNIPPETS_POSTINGS_SQL = f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+f AS (
+  SELECT doc_id, MIN(CAST(i AS BIGINT)) AS p_first
+  FROM w, UNNEST(range(1, LEN(ws) + 1)) AS t(i)
+  WHERE ws[CAST(i AS INT)] = '{_KWIC_TERM}'
+  GROUP BY doc_id
+)
+SELECT f.doc_id AS doc_id, f.p_first,
+       array_to_string(
+         w.ws[CAST(GREATEST(f.p_first - {_KWIC_W}, 1) AS INT)
+              :CAST(LEAST(f.p_first + {_KWIC_W}, LEN(w.ws)) AS INT)],
+         ' '
+       ) AS snippet
+FROM f JOIN w USING (doc_id)
+"""
+
+# the oracle recomputes phrase occurrences from RAW TEXT over the
+# SURVIVING docs only — the stored-index side went through build →
+# tombstone → masked read, so a mask that leaks or over-deletes breaks
+# the row count, and any postings corruption breaks the value hash
+RETRIEVAL_DELETE_SEARCH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+  WHERE doc_id % {_DEL_MOD} != {_DEL_REM}
+)
+SELECT doc_id, COUNT(*) AS n_occurrences
+FROM w, UNNEST(range(1, LEN(ws))) AS t(i)
+WHERE ws[CAST(i AS INT)] = '{_PHRASE[0]}'
+  AND ws[CAST(i AS INT) + 1] = '{_PHRASE[1]}'
+GROUP BY doc_id
+"""
+
 QUERIES = {
     "bm25_score_docs": bm25_score_docs,
     "inverted_index_postings": inverted_index_postings,
     "inverted_index_postings_sharded": inverted_index_postings_sharded,
     "phrase_search_postings": phrase_search_postings,
     "proximity_search_postings": proximity_search_postings,
+    "boolean_search_postings": boolean_search_postings,
+    "kwic_snippets_postings": kwic_snippets_postings,
     "bm25_topk_queries": bm25_topk_queries,
+    "retrieval_delete_search": retrieval_delete_search,
 }
 ORACLES = {
     "bm25_score_docs": BM25_SCORE_DOCS_SQL,
@@ -1263,5 +1828,8 @@ ORACLES = {
     "inverted_index_postings_sharded": INVERTED_INDEX_POSTINGS_SHARDED_SQL,
     "phrase_search_postings": PHRASE_SEARCH_POSTINGS_SQL,
     "proximity_search_postings": PROXIMITY_SEARCH_POSTINGS_SQL,
+    "boolean_search_postings": BOOLEAN_SEARCH_POSTINGS_SQL,
+    "kwic_snippets_postings": KWIC_SNIPPETS_POSTINGS_SQL,
     "bm25_topk_queries": BM25_TOPK_QUERIES_SQL,
+    "retrieval_delete_search": RETRIEVAL_DELETE_SEARCH_SQL,
 }

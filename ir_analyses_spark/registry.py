@@ -10,8 +10,12 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r14: 201 — r13 closed at 198; r14 adds, as tail
-# additions, stream_index_append (NEW module llm/retrieval_stream.py
+# (registry count r14: 204 — r13 closed at 198; r14 adds, as tail
+# additions, boolean_search_postings / kwic_snippets_postings /
+# retrieval_delete_search (llm/retrieval.py — boolean AND+NOT
+# retrieval, keyword-in-context snippets, and the index-lifecycle
+# delete certificate, each oracled directly against raw text),
+# stream_index_append (NEW module llm/retrieval_stream.py
 # — exactly-once streaming index maintenance over the stored-index
 # append, stales nothing), benchmark_leak_report (NEW module llm/deconreport.py —
 # the eval-side exact-leakage audit twin of the bloomdecon gate,
@@ -415,6 +419,22 @@ _ORDER = [
     # swap; oracled against the batch segmented-postings SQL (valid
     # whatever the batching: append == rebuild byte-identically)
     "stream_index_append",
+    # boolean_search_postings / kwic_snippets_postings —
+    # llm/retrieval.py (a module whose every certified row is already
+    # inside this window, per the ledger rule): boolean AND + NOT
+    # retrieval with the tf payload in the hash, and keyword-in-context
+    # snippets (first occurrence from the index, clamped slice of the
+    # text) — both oracled directly against the raw text
+    "boolean_search_postings",
+    "kwic_snippets_postings",
+    # retrieval_delete_search — llm/retrieval.py (same in-window-module
+    # rule): the index-lifecycle certificate — build the STORED index
+    # via the real ops, tombstone a fixed doc set through
+    # delete_from_retrieval_index, answer the certificate phrase from
+    # the masked index; the oracle recomputes from raw text over the
+    # surviving docs only (fingerprint_store_compact's tempdir
+    # precedent)
+    "retrieval_delete_search",
 ]
 
 

@@ -760,3 +760,415 @@ def test_build_refuses_existing_index_and_append_path_spellings(spark, tmp_path)
         append_retrieval_index(more, "s3a://bucket/ridx")
     with pytest.raises(ValueError, match="requires a local index"):
         append_retrieval_index(more, "file://host/ridx")
+
+
+def test_boolean_search_exact_semantics(spark):
+    """AND + NOT set algebra with the tf payload: doc 1 carries both
+    must terms (tf_sum counts every occurrence), doc 2 misses one must
+    term, doc 3 carries both but also the banned term (NOT bites),
+    doc 257 matches from a different segment."""
+    from ir_analyses_spark.llm.retrieval import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "customer x filter customer y"),
+            (2, "customer only here"),
+            (3, "customer filter dup"),
+            (257, "filter z customer"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_postings_sharded(docs)
+    got = {
+        r["doc_id"]: r["tf_sum"]
+        for r in boolean_search(idx, ("customer", "filter"), ("dup",)).collect()
+    }
+    assert got == {1: 3, 257: 2}
+    # without the NOT, doc 3 matches too — the exclusion is what
+    # removed it, not the AND
+    got_and = {
+        r["doc_id"]: r["tf_sum"]
+        for r in boolean_search(idx, ("customer", "filter")).collect()
+    }
+    assert got_and == {1: 3, 3: 2, 257: 2}
+
+
+def test_boolean_search_guards_fail_loudly(spark):
+    """An empty must-list (vacuous AND) and a term in both lists (a
+    contradiction that silently matches nothing) both raise; a
+    duplicated must term dedups instead of demanding tf twice."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import boolean_search
+
+    docs = spark.createDataFrame(
+        [(1, "customer filter")], "doc_id long, text string"
+    )
+    idx = inverted_postings_sharded(docs)
+    with pytest.raises(ValueError, match="must-terms may not be empty"):
+        boolean_search(idx, ())
+    with pytest.raises(ValueError, match="both must and must_not"):
+        boolean_search(idx, ("customer",), ("customer",))
+    got = {
+        r["doc_id"]: r["tf_sum"]
+        for r in boolean_search(idx, ("customer", "customer")).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_boolean_registry_not_bites(spark):
+    """At sf0.001 the certificate's NOT-term excludes a non-empty strict
+    subset of the AND matches — the driver hash certifies exclusion,
+    not mere conjunction."""
+    from ir_analyses_spark.llm.retrieval import (
+        _BOOL_MUST,
+        boolean_search,
+        boolean_search_postings,
+    )
+
+    masked = boolean_search_postings(spark, "/root/testdata/sf0.001").count()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    unmasked = boolean_search(
+        inverted_postings_sharded(docs), _BOOL_MUST
+    ).count()
+    assert 0 < masked < unmasked
+
+
+def test_boolean_plan_no_sort_and_pushed_tokens(spark):
+    """Boolean retrieval is joins + one bounded aggregate: no window,
+    no global sort anywhere in the plan, and the query-token filter is
+    pushed below the inline index build to the token explode."""
+    from ir_analyses_spark.llm.retrieval import boolean_search_postings
+
+    plan = (
+        boolean_search_postings(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "TakeOrdered" not in plan
+    explodes = [m.start() for m in re.finditer(r"Generate posexplode", plan)]
+    assert explodes, plan
+    for pos in explodes:
+        assert re.search(
+            r"IN \(customer,filter,dup\)", plan[max(0, pos - 300):pos]
+        ), plan[max(0, pos - 300):pos + 100]
+
+
+def test_kwic_exact_semantics(spark):
+    """Clamped windowing around the FIRST occurrence: doc 1 middle hit
+    (full window), doc 2 hit at position 1 (left clamp), doc 3 hit at
+    the last token (right clamp), doc 4 multi-occurrence (first wins),
+    doc 257 matches from a different segment."""
+    from ir_analyses_spark.llm.retrieval import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c line d e f"),
+            (2, "line x y"),
+            (3, "p q r line"),
+            (4, "u line v w line z"),
+            (257, "m line n"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_postings_sharded(docs)
+    got = {
+        r["doc_id"]: (r["p_first"], r["snippet"])
+        for r in kwic_snippets(docs, idx, "line", 2).collect()
+    }
+    assert got == {
+        1: (4, "b c line d e"),
+        2: (1, "line x y"),
+        3: (4, "q r line"),
+        4: (2, "u line v w"),
+        257: (2, "m line n"),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="width must be >= 1"):
+        kwic_snippets(docs, idx, "line", 0)
+
+
+def test_kwic_registry_clamps_and_first_bite(spark):
+    """At sf0.001 the certificate term produces left-clamped snippets
+    (hit inside the first W tokens), right-clamped snippets (hit inside
+    the last W), and multi-occurrence docs where only the FIRST
+    occurrence is rendered — all three edge behaviors are inside the
+    driver hash."""
+    from pyspark.sql import functions as F
+
+    from ir_analyses_spark.llm.retrieval import (
+        _KWIC_W,
+        kwic_snippets_postings,
+    )
+
+    rows = kwic_snippets_postings(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    full = 2 * _KWIC_W + 1
+    left = [r for r in rows if r["p_first"] <= _KWIC_W]
+    right = [r for r in rows if r["p_first"] + _KWIC_W > n_tok[r["doc_id"]]]
+    assert left and right
+    for r in rows:
+        want_len = (
+            min(r["p_first"] + _KWIC_W, n_tok[r["doc_id"]])
+            - max(r["p_first"] - _KWIC_W, 1)
+            + 1
+        )
+        toks = r["snippet"].split(" ")
+        assert len(toks) == want_len <= full
+        # the rendered window really is centered on an occurrence
+        assert toks[min(r["p_first"], _KWIC_W + 1) - 1] == "line"
+
+
+def test_kwic_plan_no_position_unroll(spark):
+    """p_first reads element 0 of the entry's position list — the plan
+    explodes postings entries (one Generate per doc-entry) but NEVER
+    the positions inside an entry: exactly one explode beyond the
+    inline build's posexplode."""
+    from ir_analyses_spark.llm.retrieval import kwic_snippets_postings
+
+    plan = (
+        kwic_snippets_postings(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Generate explode", plan)) == 1, plan
+    assert "Window" not in plan
+
+
+def test_delete_masks_all_stored_queries_and_promotes_next_best(spark, tmp_path):
+    """Tombstoning doc 1 removes it from phrase / boolean / kwic /
+    proximity results immediately, and the top-k rank PROMOTES the
+    next-best survivor (a k-row result, never k−1) while surviving
+    docs' scores stay frozen (Lucene deletion semantics)."""
+    from ir_analyses_spark.llm.retrieval import (
+        bm25_topk_stored,
+        boolean_search_stored,
+        delete_from_retrieval_index,
+        kwic_snippets_stored,
+        phrase_search_stored,
+        proximity_search_stored,
+        retrieval_index_stats,
+        write_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "part filter part filter line"),
+            (2, "part filter x line y"),
+            (3, "part filter y line part"),
+            (4, "part z q filter dup"),
+            # filler docs WITHOUT the query terms, so df('part') < N/2
+            # and idf is positive (df = N would flip the ranking)
+            (5, "x y"),
+            (6, "y z"),
+            (7, "z w"),
+            (8, "w x"),
+            (9, "x z"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    before = bm25_topk_stored(spark, idx, {1: ("part",)}, k=2)
+    assert [r["doc_id"] for r in before.orderBy("rank").collect()] == [1, 3]
+    out = delete_from_retrieval_index(spark, idx, [1])
+    assert out == {"deleted": 1, "n_tombstones": 1}
+    assert {
+        r["doc_id"]
+        for r in phrase_search_stored(spark, idx, "part", "filter").collect()
+    } == {2, 3}
+    assert {
+        r["doc_id"]
+        for r in boolean_search_stored(
+            spark, idx, ("part", "filter"), ("dup",)
+        ).collect()
+    } == {2, 3}
+    assert {
+        r["doc_id"]
+        for r in kwic_snippets_stored(spark, idx, docs, "line", 1).collect()
+    } == {2, 3}
+    assert {
+        r["doc_id"]
+        for r in proximity_search_stored(spark, idx, "part", "filter", 3).collect()
+    } == {2, 3, 4}
+    after = bm25_topk_stored(spark, idx, {1: ("part",)}, k=2)
+    rows = after.orderBy("rank").collect()
+    # doc 3 promoted to rank 1, the next-best survivor takes the freed
+    # rank 2 (k rows, never k−1) — and doc 3's score is IDENTICAL
+    # pre/post delete (frozen stats)
+    assert len(rows) == 2 and rows[0]["doc_id"] == 3
+    assert rows[1]["doc_id"] in (2, 4)
+    s3_before = {r["doc_id"]: r["score"] for r in before.collect()}[3]
+    assert rows[0]["score"] == s3_before
+    st = retrieval_index_stats(spark, idx)
+    assert (st["n_docs"], st["n_tombstones"], st["n_live_docs"]) == (9, 1, 8)
+
+
+def test_delete_guards_and_idempotent_replay(spark, tmp_path):
+    """Unknown doc_ids raise (a typo'd delete must not report success),
+    an empty set raises, a bad marker raises, and replaying the same
+    delete batch (by ids or by marker) is a no-op that converges."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import (
+        delete_from_retrieval_index,
+        write_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "part filter"), (2, "scan part")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    with pytest.raises(ValueError, match="never indexed"):
+        delete_from_retrieval_index(spark, idx, [99])
+    with pytest.raises(ValueError, match="empty doc_id set"):
+        delete_from_retrieval_index(spark, idx, [])
+    with pytest.raises(ValueError, match="safe filename"):
+        delete_from_retrieval_index(spark, idx, [1], marker="a/b")
+    out = delete_from_retrieval_index(spark, idx, [1], marker="batch-A")
+    assert out == {"deleted": 1, "n_tombstones": 1}
+    replay = delete_from_retrieval_index(spark, idx, [1], marker="batch-A")
+    assert replay["deleted"] == 0 and replay["replayed_noop"]
+    # remote spellings refuse loudly (rename-based maintenance scope)
+    with pytest.raises(ValueError, match="requires a local index"):
+        delete_from_retrieval_index(spark, "s3a://b/ridx", [1])
+
+
+def test_delete_crash_remnant_never_surfaces(spark, tmp_path):
+    """A delete that crashed mid-parquet-write leaves only a __tmp
+    remnant: readers must NOT surface it as tombstones (the batch's
+    delete call never returned), and the next delete clears it."""
+    import os
+
+    from ir_analyses_spark.llm.retrieval import (
+        _read_tombstones,
+        delete_from_retrieval_index,
+        phrase_search_stored,
+        write_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "part filter"), (2, "part filter x")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    # simulate the crash: a fully-written parquet dir still named __tmp
+    tmp = os.path.join(idx, "_tombstones", "del-000000__tmp")
+    spark.createDataFrame([(1,)], "doc_id long").coalesce(1).write.parquet(tmp)
+    assert _read_tombstones(spark, idx) is None
+    assert phrase_search_stored(spark, idx, "part", "filter").count() == 2
+    out = delete_from_retrieval_index(spark, idx, [2])
+    assert out == {"deleted": 1, "n_tombstones": 1}
+    assert not os.path.exists(tmp)
+    assert {
+        r["doc_id"]
+        for r in phrase_search_stored(spark, idx, "part", "filter").collect()
+    } == {1}
+
+
+def test_vacuum_equals_fresh_build_and_clears_tombstones(spark, tmp_path):
+    """Vacuum is a rebuild in place: postings, doclens and meta of the
+    vacuumed index equal a fresh build over exactly the surviving docs
+    (so post-vacuum scores are rebuild scores), the tombstone set is
+    consumed in the same promotion, a tombstone-free vacuum is a no-op,
+    and a reclaimed doc_id may be re-appended."""
+    from ir_analyses_spark.llm.retrieval import (
+        _read_tombstones,
+        append_retrieval_index,
+        delete_from_retrieval_index,
+        read_retrieval_index,
+        vacuum_retrieval_index,
+        write_retrieval_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx, fresh = str(tmp_path / "ridx"), str(tmp_path / "fresh")
+    write_retrieval_index(docs, idx, seg_width=256)
+    assert vacuum_retrieval_index(spark, idx)["replayed_noop"]
+    delete_from_retrieval_index(
+        spark, idx, docs.filter("doc_id % 10 = 3").select("doc_id")
+    )
+    out = vacuum_retrieval_index(spark, idx)
+    assert out["removed_docs"] == 50 and out["n_docs"] == 450
+    write_retrieval_index(
+        docs.filter("doc_id % 10 != 3"), fresh, seg_width=256
+    )
+    pv, dv, mv = read_retrieval_index(spark, idx)
+    pf, df_, mf = read_retrieval_index(spark, fresh)
+    assert mv == mf
+    assert pv.exceptAll(pf).count() == 0 and pf.exceptAll(pv).count() == 0
+    assert dv.exceptAll(df_).count() == 0 and df_.exceptAll(dv).count() == 0
+    assert _read_tombstones(spark, idx) is None
+    # the reclaimed ids are re-appendable (they are really gone)
+    out2 = append_retrieval_index(
+        docs.filter("doc_id = 3"), idx
+    )
+    assert out2["n_docs"] == 451
+
+
+def test_append_carries_tombstones_and_tombstoned_refuses_reappend(
+    spark, tmp_path
+):
+    """Deletion is independent of growth: an append promotes the index
+    WITH its pending tombstones (masking survives), and re-appending a
+    tombstoned-but-unvacuumed doc_id still refuses (its postings are
+    masked, not gone — appending would interleave duplicates)."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import (
+        append_retrieval_index,
+        delete_from_retrieval_index,
+        phrase_search_stored,
+        write_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "part filter"), (2, "part filter x")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    delete_from_retrieval_index(spark, idx, [1])
+    with pytest.raises(ValueError, match="already indexed"):
+        append_retrieval_index(
+            spark.createDataFrame([(1, "part filter again")],
+                                  "doc_id long, text string"),
+            idx,
+        )
+    append_retrieval_index(
+        spark.createDataFrame([(3, "part filter z")],
+                              "doc_id long, text string"),
+        idx,
+    )
+    assert {
+        r["doc_id"]
+        for r in phrase_search_stored(spark, idx, "part", "filter").collect()
+    } == {2, 3}
+
+
+def test_delete_registry_bites(spark):
+    """At sf0.001 the certificate delete set removes phrase-matching
+    docs: the masked result is a non-empty strict subset of the
+    unmasked one, and no surviving row carries a deleted id."""
+    from ir_analyses_spark.llm.retrieval import (
+        _DEL_MOD,
+        _DEL_REM,
+        phrase_search_postings,
+        retrieval_delete_search,
+    )
+
+    masked = retrieval_delete_search(spark, "/root/testdata/sf0.001").collect()
+    unmasked = phrase_search_postings(spark, "/root/testdata/sf0.001").count()
+    assert 0 < len(masked) < unmasked
+    assert all(r["doc_id"] % _DEL_MOD != _DEL_REM for r in masked)
