@@ -14,10 +14,20 @@ tests/test_retrieval.py).
     python retrievectl.py stats --index-dir /data/ridx
     python retrievectl.py phrase --index-dir /data/ridx --terms "machine learning"
     python retrievectl.py topk --index-dir /data/ridx --query "spark shuffle" --k 10
+    python retrievectl.py boolean --index-dir /data/ridx --must "spark shuffle" --must-not "deprecated"
+    python retrievectl.py proximity --index-dir /data/ridx --terms "spark shuffle" --window 6
+    python retrievectl.py kwic --index-dir /data/ridx --corpus /data/corpus --term shuffle --width 5
+    python retrievectl.py delete --index-dir /data/ridx --doc-ids 17,42 --marker takedown-0007
+    python retrievectl.py vacuum --index-dir /data/ridx
 
 ``append`` merges a new batch byte-identically to a full rebuild over
 old ∪ new (staged-swap crash safety; duplicate doc_ids refuse loudly)
 — the incremental growth twin of ``curatectl --substring-store``.
+``delete``/``vacuum`` are the retention half: tombstoned docs stop
+matching every query immediately (ranked top-k promotes the next-best
+survivor; corpus stats stay frozen at build — Lucene semantics) and
+``vacuum`` rewrites the postings to equal a fresh build over the
+survivors, clearing the tombstone set in the same staged swap.
 
 One JSON line on stdout per invocation (machine-readable, like
 bench.py / curatectl --report). Exit codes: 0 = ran, 2 = rejected
@@ -94,6 +104,72 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--k", type=int, default=10)
     t.add_argument("--salt", type=int, default=16)
 
+    bl = sub.add_parser(
+        "boolean",
+        help="boolean AND + NOT retrieval from the stored index",
+    )
+    bl.add_argument("--index-dir", required=True)
+    bl.add_argument("--must", required=True, metavar='"T1 T2 ..."',
+                    help="space-separated tokens a doc must ALL contain")
+    bl.add_argument("--must-not", default="", metavar='"T1 ..."',
+                    help="space-separated tokens a doc must contain NONE of")
+    bl.add_argument("--limit", type=int, default=_DEFAULT_LIMIT,
+                    help=f"max rows printed, highest tf_sum first "
+                    f"(default {_DEFAULT_LIMIT})")
+
+    kw = sub.add_parser(
+        "kwic",
+        help="keyword-in-context snippets: hit positions from the "
+        "stored index, text from the corpus parquet",
+    )
+    kw.add_argument("--index-dir", required=True)
+    kw.add_argument("--corpus", required=True, metavar="PARQUET",
+                    help="corpus parquet with doc_id/text (snippets render "
+                    "from text; the index stores positions only)")
+    kw.add_argument("--term", required=True)
+    kw.add_argument("--width", type=int, default=5,
+                    help="tokens of context either side of the hit "
+                    "(default 5)")
+    kw.add_argument("--limit", type=int, default=_DEFAULT_LIMIT,
+                    help=f"max rows printed, doc_id ascending "
+                    f"(default {_DEFAULT_LIMIT})")
+
+    px = sub.add_parser(
+        "proximity",
+        help="windowed co-occurrence (0 < |Δpos| ≤ d) from the stored index",
+    )
+    px.add_argument("--index-dir", required=True)
+    px.add_argument("--terms", required=True, metavar='"T1 T2"',
+                    help="the two tokens, space-separated")
+    px.add_argument("--window", type=int, default=6,
+                    help="max token distance d (default 6)")
+    px.add_argument("--limit", type=int, default=_DEFAULT_LIMIT,
+                    help=f"max rows printed, most pairs first "
+                    f"(default {_DEFAULT_LIMIT})")
+
+    dl_ = sub.add_parser(
+        "delete",
+        help="tombstone documents out of the index (masked from queries "
+        "immediately; vacuum reclaims the space)",
+    )
+    dl_.add_argument("--index-dir", required=True)
+    dl_.add_argument("--doc-ids", metavar="ID[,ID...]",
+                     help="comma-separated doc_ids to delete")
+    dl_.add_argument("--ids-parquet", metavar="PARQUET",
+                     help="parquet with a doc_id column (large delete "
+                     "sets: GDPR batches, takedown lists)")
+    dl_.add_argument("--marker", default=None,
+                     help="idempotency marker: re-running a delete with "
+                     "the same marker is a no-op")
+
+    vc = sub.add_parser(
+        "vacuum",
+        help="rewrite postings without the tombstoned docs (equals a "
+        "fresh build over the survivors), refresh corpus stats, clear "
+        "the tombstone set",
+    )
+    vc.add_argument("--index-dir", required=True)
+
     args = ap.parse_args(argv)
     from ir_analyses_spark.session import get_spark
 
@@ -162,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_printed": len(rows),
                 "rows": [r.asDict() for r in rows],
             }
-        else:
+        elif args.cmd == "topk":
             from ir_analyses_spark.llm.retrieval import bm25_topk_stored
 
             queries = {
@@ -181,6 +257,122 @@ def main(argv: list[str] | None = None) -> int:
                 "queries": {str(i): list(ts) for i, ts in queries.items()},
                 "k": args.k,
                 "rows": [r.asDict() for r in rows],
+            }
+        elif args.cmd == "boolean":
+            from pyspark.sql import functions as F
+
+            from ir_analyses_spark.llm.retrieval import boolean_search_stored
+
+            must = tuple(args.must.split())
+            must_not = tuple(args.must_not.split())
+            if args.limit < 1:
+                raise ValueError(f"--limit must be >= 1, got {args.limit}")
+            df = boolean_search_stored(spark, args.index_dir, must, must_not)
+            total = df.count()
+            rows = (
+                df.orderBy(F.desc("tf_sum"), "doc_id")
+                .limit(args.limit)
+                .collect()
+            )
+            out = {
+                "must": list(must),
+                "must_not": list(must_not),
+                "matched_docs": total,
+                "rows_printed": len(rows),
+                "rows": [r.asDict() for r in rows],
+            }
+        elif args.cmd == "kwic":
+            from ir_analyses_spark.llm.retrieval import kwic_snippets_stored
+
+            corpus = spark.read.parquet(args.corpus)
+            missing = {"doc_id", "text"} - set(corpus.columns)
+            if missing:
+                raise ValueError(
+                    f"corpus at {args.corpus} lacks columns "
+                    f"{sorted(missing)} (columns: {corpus.columns})"
+                )
+            if args.limit < 1:
+                raise ValueError(f"--limit must be >= 1, got {args.limit}")
+            df = kwic_snippets_stored(
+                spark, args.index_dir, corpus, args.term, args.width
+            )
+            total = df.count()
+            rows = df.orderBy("doc_id").limit(args.limit).collect()
+            out = {
+                "term": args.term,
+                "width": args.width,
+                "matched_docs": total,
+                "rows_printed": len(rows),
+                "rows": [r.asDict() for r in rows],
+            }
+        elif args.cmd == "proximity":
+            from pyspark.sql import functions as F
+
+            from ir_analyses_spark.llm.retrieval import (
+                proximity_search_stored,
+            )
+
+            terms = args.terms.split()
+            if len(terms) != 2:
+                raise ValueError(
+                    f"--terms takes exactly two space-separated tokens, "
+                    f"got {len(terms)}: {args.terms!r}"
+                )
+            if args.limit < 1:
+                raise ValueError(f"--limit must be >= 1, got {args.limit}")
+            df = proximity_search_stored(
+                spark, args.index_dir, *terms, args.window
+            )
+            total = df.count()
+            rows = (
+                df.orderBy(F.desc("n_pairs"), "doc_id")
+                .limit(args.limit)
+                .collect()
+            )
+            out = {
+                "terms": terms,
+                "window": args.window,
+                "matched_docs": total,
+                "rows_printed": len(rows),
+                "rows": [r.asDict() for r in rows],
+            }
+        elif args.cmd == "delete":
+            from ir_analyses_spark.llm.retrieval import (
+                delete_from_retrieval_index,
+            )
+
+            if bool(args.doc_ids) == bool(args.ids_parquet):
+                raise ValueError(
+                    "delete takes exactly one of --doc-ids or --ids-parquet"
+                )
+            if args.doc_ids:
+                try:
+                    ids = [int(s) for s in args.doc_ids.split(",") if s]
+                except ValueError:
+                    raise ValueError(
+                        f"--doc-ids must be comma-separated integers: "
+                        f"{args.doc_ids!r}"
+                    )
+            else:
+                frame = spark.read.parquet(args.ids_parquet)
+                if "doc_id" not in frame.columns:
+                    raise ValueError(
+                        f"ids parquet at {args.ids_parquet} lacks a doc_id "
+                        f"column (columns: {frame.columns})"
+                    )
+                ids = frame.select("doc_id")
+            res = delete_from_retrieval_index(
+                spark, args.index_dir, ids, marker=args.marker
+            )
+            out = {"index_dir": args.index_dir, **res}
+        else:
+            from ir_analyses_spark.llm.retrieval import (
+                vacuum_retrieval_index,
+            )
+
+            out = {
+                "index_dir": args.index_dir,
+                **vacuum_retrieval_index(spark, args.index_dir),
             }
     except (ValueError, FileNotFoundError) as exc:
         print(f"retrievectl: {exc}", file=sys.stderr)

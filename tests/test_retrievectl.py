@@ -198,3 +198,133 @@ def test_cli_stats_surface(spark, corpus_dir, tmp_path, capsys):
     sink(docs.filter("doc_id % 2 = 1"), 1)
     st2 = retrieval_index_stats(spark, idx2)
     assert st2["n_applied_batches"] == 2 and st2["n_docs"] == 500
+
+
+def test_cli_boolean_kwic_proximity_queries(spark, corpus_dir, tmp_path, capsys):
+    """The three r14 query subcommands answer from storage and agree
+    with the in-engine certificate forms."""
+    idx = str(tmp_path / "ridx")
+    assert retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", idx,
+         "--seg-width", "256"]
+    ) == 0
+    capsys.readouterr()
+
+    from ir_analyses_spark.llm.retrieval import (
+        boolean_search,
+        inverted_postings_sharded,
+        kwic_snippets,
+        proximity_search,
+    )
+
+    docs = spark.read.parquet(corpus_dir)
+    index = inverted_postings_sharded(docs, 256)
+
+    assert retrievectl.main(
+        ["boolean", "--index-dir", idx, "--must", "customer filter",
+         "--must-not", "dup"]
+    ) == 0
+    bl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = {
+        r["doc_id"]: r["tf_sum"]
+        for r in boolean_search(
+            index, ("customer", "filter"), ("dup",)
+        ).collect()
+    }
+    assert bl["matched_docs"] == len(want)
+    assert all(want[r["doc_id"]] == r["tf_sum"] for r in bl["rows"])
+
+    assert retrievectl.main(
+        ["kwic", "--index-dir", idx, "--corpus", corpus_dir,
+         "--term", "line", "--width", "4"]
+    ) == 0
+    kw = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want_kw = {
+        r["doc_id"]: (r["p_first"], r["snippet"])
+        for r in kwic_snippets(docs, index, "line", 4).collect()
+    }
+    assert kw["matched_docs"] == len(want_kw)
+    assert all(
+        want_kw[r["doc_id"]] == (r["p_first"], r["snippet"])
+        for r in kw["rows"]
+    )
+
+    assert retrievectl.main(
+        ["proximity", "--index-dir", idx, "--terms", "part scan",
+         "--window", "6"]
+    ) == 0
+    px = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want_px = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search(index, "part", "scan", 6).collect()
+    }
+    assert px["matched_docs"] == len(want_px)
+    assert all(
+        want_px[r["doc_id"]] == (r["n_pairs"], r["min_dist"])
+        for r in px["rows"]
+    )
+
+
+def test_cli_delete_vacuum_flow(spark, corpus_dir, tmp_path, capsys):
+    """delete masks immediately (phrase result shrinks), marker replay
+    is a no-op, vacuum reclaims and clears, and the rejection paths
+    (both/neither id source, non-integer ids) exit 2."""
+    idx = str(tmp_path / "ridx")
+    assert retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", idx,
+         "--seg-width", "256"]
+    ) == 0
+    capsys.readouterr()
+
+    assert retrievectl.main(
+        ["phrase", "--index-dir", idx, "--terms", "part filter"]
+    ) == 0
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    victims = [str(r["doc_id"]) for r in before["rows"][:2]]
+
+    assert retrievectl.main(
+        ["delete", "--index-dir", idx, "--doc-ids", ",".join(victims),
+         "--marker", "takedown-1"]
+    ) == 0
+    d1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d1["deleted"] == 2 and d1["n_tombstones"] == 2
+
+    assert retrievectl.main(
+        ["delete", "--index-dir", idx, "--doc-ids", ",".join(victims),
+         "--marker", "takedown-1"]
+    ) == 0
+    d2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d2["deleted"] == 0 and d2.get("replayed_noop")
+
+    assert retrievectl.main(
+        ["phrase", "--index-dir", idx, "--terms", "part filter"]
+    ) == 0
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert after["matched_docs"] == before["matched_docs"] - 2
+    gone = {int(v) for v in victims}
+    assert not gone & {r["doc_id"] for r in after["rows"]}
+
+    assert retrievectl.main(["stats", "--index-dir", idx]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_tombstones"] == 2 and st["n_live_docs"] == 498
+
+    assert retrievectl.main(["vacuum", "--index-dir", idx]) == 0
+    vc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vc["removed_docs"] == 2 and vc["n_docs"] == 498
+
+    assert retrievectl.main(["stats", "--index-dir", idx]) == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["n_tombstones"] == 0 and st2["n_docs"] == 498
+
+    # rejections: both/neither source, non-integer ids, bad must-lists
+    for argv in (
+        ["delete", "--index-dir", idx],
+        ["delete", "--index-dir", idx, "--doc-ids", "1",
+         "--ids-parquet", corpus_dir],
+        ["delete", "--index-dir", idx, "--doc-ids", "1,x"],
+        ["boolean", "--index-dir", idx, "--must", ""],
+        ["boolean", "--index-dir", idx, "--must", "part",
+         "--must-not", "part"],
+    ):
+        assert retrievectl.main(argv) == 2, argv
+        capsys.readouterr()
