@@ -316,6 +316,7 @@ def run_funnel(
     rss: bool = False,
     retrieval: bool = False,
     retrieval_stored: bool = False,
+    retrieval_lifecycle: bool = False,
 ) -> dict:
     import sys
 
@@ -491,6 +492,75 @@ def run_funnel(
                 sorted({w for ts in _QUERY_BATCH.values() for w in ts})
             ),
         }
+    if retrieval_lifecycle:
+        # r14 session 2: the remaining stored query forms (boolean,
+        # kwic) and the DELETE → masked-query → VACUUM lifecycle at
+        # corpus scale. Pruning evidence stays rows-passed +
+        # postings-chars (the byte-counter caveat above).
+        if not retrieval_stored:
+            raise ValueError("--retrieval-lifecycle needs --retrieval-stored")
+        from ir_analyses_spark.llm.retrieval import (
+            _BOOL_MUST,
+            _BOOL_NOT,
+            _KWIC_TERM,
+            _KWIC_W,
+            boolean_search_stored,
+            delete_from_retrieval_index,
+            kwic_snippets_stored,
+            retrieval_index_stats,
+            vacuum_retrieval_index,
+        )
+
+        t = time.monotonic()
+        n_bool = boolean_search_stored(
+            spark, idx_dir, _BOOL_MUST, _BOOL_NOT
+        ).count()
+        timings["stored_boolean_query"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "matched_docs": n_bool,
+            **_pruned(_BOOL_MUST + _BOOL_NOT),
+        }
+        t = time.monotonic()
+        n_kwic = kwic_snippets_stored(
+            spark, idx_dir, corpus, _KWIC_TERM, _KWIC_W
+        ).count()
+        timings["stored_kwic_query"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "matched_docs": n_kwic,
+            **_pruned((_KWIC_TERM,)),
+        }
+        # delete ~0.1% of the corpus (hashed ids → pmod sampling),
+        # measure the tombstone write, the masked re-query, and vacuum
+        victims = corpus.select("doc_id").filter(
+            F.pmod(F.col("doc_id"), F.lit(1000)) == 3
+        )
+        t = time.monotonic()
+        del_out = delete_from_retrieval_index(spark, idx_dir, victims)
+        timings["index_delete_permille"] = {
+            "sec": round(time.monotonic() - t, 2),
+            **del_out,
+        }
+        t = time.monotonic()
+        n_ph_masked = phrase_search_stored(spark, idx_dir, *_PHRASE).count()
+        timings["stored_phrase_query_masked"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "matched_docs": n_ph_masked,
+            "masked_out": n_ph - n_ph_masked,
+        }
+        t = time.monotonic()
+        vac_out = vacuum_retrieval_index(spark, idx_dir)
+        timings["index_vacuum"] = {
+            "sec": round(time.monotonic() - t, 2),
+            "removed_docs": vac_out["removed_docs"],
+            "n_docs_after": vac_out["n_docs"],
+            "postings_rows_after": vac_out["postings_rows"],
+        }
+        st = retrieval_index_stats(spark, idx_dir)
+        timings["index_stats_after_vacuum"] = {
+            k: st[k]
+            for k in ("n_docs", "n_tombstones", "n_live_docs",
+                      "postings_bytes")
+        }
     if not audit:
         if sampler is not None:
             timings["peak_tree_rss_gib"] = sampler.stop_gib()
@@ -630,6 +700,13 @@ def main() -> int:
         "pruned-scan plan pin certifies at toy scale",
     )
     ap.add_argument(
+        "--retrieval-lifecycle", action="store_true",
+        help="with --retrieval-stored: also answer the boolean + kwic "
+        "certificate queries from storage, then run the DELETE (~1‰ "
+        "of docs tombstoned) → masked-phrase → VACUUM lifecycle, "
+        "reporting per-step wall and the pruned rows/chars evidence",
+    )
+    ap.add_argument(
         "--rss", action="store_true",
         help="sample and report the process tree's peak resident set "
         "(the warc vs warc-stream route comparison)",
@@ -660,7 +737,8 @@ def main() -> int:
         args.out, audit=args.audit, fmt=args.format, src=args.src,
         decontaminate=args.decontaminate, novelty=args.novelty,
         dsir=args.dsir, rss=args.rss, retrieval=args.retrieval,
-        retrieval_stored=args.retrieval_stored), indent=1))
+        retrieval_stored=args.retrieval_stored,
+        retrieval_lifecycle=args.retrieval_lifecycle), indent=1))
     return 0
 
 
