@@ -401,15 +401,41 @@ def phrase_search(index: DataFrame, t1: str, t2: str) -> DataFrame:
     the index from storage, where each branch is a pruned scan, so the
     duplication is an artifact of the self-contained certificate, not
     the operator."""
-    e = _parse_positions(index, (t1, t2))
-    first = e.filter(F.col("token") == t1).select("segment", "doc_id", "p")
-    second = e.filter(F.col("token") == t2).select(
-        "segment", "doc_id", (F.col("p") - 1).alias("p")
+    return phrase_search_n(index, (t1, t2))
+
+
+def phrase_search_n(index: DataFrame, tokens) -> DataFrame:
+    """(doc_id, n_occurrences) of the exact n-token phrase — the
+    general form :func:`phrase_search` is the n = 2 case of. An
+    occurrence is a position p where ``tokens[i]`` sits at p + i for
+    every i; the i-th join key shifts that token's positions by −i, so
+    all n − 1 joins are equi-joins on the same (segment, doc_id, p)
+    key the index is bucketed by. A token REPEATED inside the phrase
+    ("data group group") joins the same parsed frame at two different
+    offsets — the offsets, not token identity, carry the adjacency,
+    so repeats cost nothing special.
+
+    Scale shape: one pruned read of the n distinct tokens' (token,
+    segment) rows, then n − 1 fixed-width position joins — rarest-term
+    cardinality dominates, never the corpus. n < 2 raises (a 1-token
+    "phrase" is a doc-frequency lookup — use :func:`boolean_search` or
+    tf from :func:`_parse_tf`)."""
+    tokens = tuple(tokens)
+    if len(tokens) < 2:
+        raise ValueError(
+            f"a phrase needs >= 2 tokens, got {len(tokens)}: {tokens!r}"
+        )
+    e = _parse_positions(index, tuple(dict.fromkeys(tokens)))
+    out = e.filter(F.col("token") == tokens[0]).select(
+        "segment", "doc_id", "p"
     )
-    return (
-        first.join(second, ["segment", "doc_id", "p"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    for i, t in enumerate(tokens[1:], start=1):
+        nxt = e.filter(F.col("token") == t).select(
+            "segment", "doc_id", (F.col("p") - i).alias("p")
+        )
+        out = out.join(nxt, ["segment", "doc_id", "p"])
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
     )
 
 
@@ -472,6 +498,50 @@ def proximity_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent)."""
     index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
     return proximity_search(index, *_PROX, _PROX_D)
+
+
+#: fixed certificate vocabulary prefix — 's' matches several corpus
+#: tokens (scan, sort, small, spark, stream, slow, …) at every SF, so
+#: the per-token regroup over multiple segments is exercised
+_VOCAB_PREFIX = "s"
+
+
+def vocab_prefix(index: DataFrame, prefix: str) -> DataFrame:
+    """(token, df, total_tf) for every indexed token starting with
+    ``prefix`` — the wildcard/prefix leg of the query surface (query
+    expansion, vocabulary exploration, typo probing: "what does the
+    corpus have under 'tokeniz…'?"). Postings strings are NEVER
+    parsed: df and total_tf are the per-segment partial sums the index
+    already carries, re-summed per token.
+
+    Scale shape: over a stored index the prefix predicate reaches the
+    parquet scan as ``StringStartsWith`` and the token-range-clustered
+    layout prunes to ~the matching row groups (plan-pinned); the
+    regroup is per (token) over its segment rows — bounded by segment
+    count, not corpus size. An empty prefix would aggregate the whole
+    vocabulary on purpose-defeating scale: raise instead."""
+    if not prefix:
+        raise ValueError(
+            "vocab_prefix: empty prefix matches the whole vocabulary — "
+            "scan the index directly if that is really intended"
+        )
+    return (
+        index.filter(F.col("token").startswith(prefix))
+        .groupBy("token")
+        .agg(
+            F.sum("df_seg").cast("long").alias("df"),
+            F.sum("total_tf").cast("long").alias("total_tf"),
+        )
+    )
+
+
+def vocab_prefix_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: prefix vocabulary stats over the documents
+    table's segmented index; oracled directly against the raw text
+    (the hash certifies the per-segment df/tf partial sums re-compose
+    to the text's true per-token counts)."""
+    index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
+    return vocab_prefix(index, _VOCAB_PREFIX)
 
 
 #: fixed certificate boolean query — two common must-terms AND a rare
@@ -735,6 +805,26 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table; oracled directly against the raw text."""
     index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
     return phrase_search(index, *_PHRASE)
+
+
+#: fixed 3-token certificate phrase WITH A REPEATED TOKEN — 'group'
+#: joins the same parsed frame at offsets 1 and 2, so the driver hash
+#: certifies that the position offsets, not token identity, carry the
+#: adjacency (a DISTINCT-token implementation would break here); the
+#: phrase matches 4/4/8 docs at the three correctness SFs while its
+#: tokens co-occur in most docs, so the double adjacency bites hard
+_PHRASE3 = ("data", "group", "group")
+
+
+def phrase_multi_search_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry: n-token exact-phrase match (n = 3 with a
+    repeated token) answered from the segmented positional index;
+    oracled directly against the raw text — the general-length twin of
+    ``phrase_search_postings``."""
+    index = inverted_postings_sharded(load_table(spark, "documents", sf_dir))
+    return phrase_search_n(index, _PHRASE3)
 
 
 # ---------------------------------------------------------------------------
@@ -1417,18 +1507,19 @@ def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
 
 
 def phrase_search_stored(
-    spark: SparkSession, path: str, t1: str, t2: str
+    spark: SparkSession, path: str, *terms: str
 ) -> DataFrame:
-    """Exact-phrase match answered from the STORED index: the token
-    filter reaches the parquet scan (PushedFilters), so the read is
-    ~two tokens' (token, segment) rows whatever the index size — the
-    production form of the :func:`phrase_search_postings` certificate
-    (which builds the index inline in both join branches). Tombstoned
-    docs are masked out (:func:`_mask_deleted`); an undeleted index
-    skips the join."""
+    """Exact-phrase match (any length ≥ 2, :func:`phrase_search_n`)
+    answered from the STORED index: the token filter reaches the
+    parquet scan (PushedFilters), so the read is ~the query tokens'
+    (token, segment) rows whatever the index size — the production
+    form of the :func:`phrase_search_postings` certificate (which
+    builds the index inline in every join branch). Tombstoned docs are
+    masked out (:func:`_mask_deleted`); an undeleted index skips the
+    join."""
     postings, _, _ = read_retrieval_index(spark, path)
     live = _index_data_root(path.rstrip("/"))
-    return _mask_deleted(phrase_search(postings, t1, t2), spark, live)
+    return _mask_deleted(phrase_search_n(postings, terms), spark, live)
 
 
 def proximity_search_stored(
@@ -1440,6 +1531,19 @@ def proximity_search_stored(
     postings, _, _ = read_retrieval_index(spark, path)
     live = _index_data_root(path.rstrip("/"))
     return _mask_deleted(proximity_search(postings, t1, t2, d), spark, live)
+
+
+def vocab_prefix_stored(
+    spark: SparkSession, path: str, prefix: str
+) -> DataFrame:
+    """Prefix vocabulary stats from the STORED index — the prefix
+    predicate reaches the parquet scan as ``StringStartsWith`` over
+    the token-sorted layout (plan-pinned), so the read is ~the
+    matching tokens' rows. df/total_tf are the frozen index counts:
+    tombstoned docs still count until vacuum (the corpus-stats rule —
+    deletion masks documents, vacuum rewrites statistics)."""
+    postings, _, _ = read_retrieval_index(spark, path)
+    return vocab_prefix(postings, prefix)
 
 
 def boolean_search_stored(
@@ -1729,6 +1833,18 @@ WHERE ws[CAST(i AS INT)] = '{_PHRASE[0]}'
 GROUP BY doc_id
 """
 
+# raw-text oracle for the 3-token repeated-token phrase: a window of
+# THREE consecutive split positions — the i+2 bound keeps full windows
+PHRASE_MULTI_SEARCH_POSTINGS_SQL = f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+SELECT doc_id, COUNT(*) AS n_occurrences
+FROM w, UNNEST(range(1, LEN(ws) - 1)) AS t(i)
+WHERE ws[CAST(i AS INT)] = '{_PHRASE3[0]}'
+  AND ws[CAST(i AS INT) + 1] = '{_PHRASE3[1]}'
+  AND ws[CAST(i AS INT) + 2] = '{_PHRASE3[2]}'
+GROUP BY doc_id
+"""
+
 # the oracle recomputes distances FROM RAW TEXT (1-based positions via
 # UNNEST range), so the hash binds text → index → parse → |Δp| ≤ d —
 # the phrase row's round-trip discipline, generalized to the window
@@ -1746,6 +1862,23 @@ SELECT p1.doc_id AS doc_id,
 FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
 WHERE ABS(p1.p - p2.p) BETWEEN 1 AND {_PROX_D}
 GROUP BY p1.doc_id
+"""
+
+# the oracle recomputes per-token df/tf straight from the text for
+# the prefix's tokens — a sharded index whose per-segment partial
+# sums double-count or drop a segment breaks the value hash
+VOCAB_PREFIX_POSTINGS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT w, doc_id, COUNT(*) AS tf FROM toks
+  WHERE SUBSTR(w, 1, {len(_VOCAB_PREFIX)}) = '{_VOCAB_PREFIX}'
+  GROUP BY w, doc_id
+)
+SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM per_doc GROUP BY w
 """
 
 # the oracle recomputes the boolean algebra straight from the text —
@@ -1816,9 +1949,11 @@ QUERIES = {
     "inverted_index_postings": inverted_index_postings,
     "inverted_index_postings_sharded": inverted_index_postings_sharded,
     "phrase_search_postings": phrase_search_postings,
+    "phrase_multi_search_postings": phrase_multi_search_postings,
     "proximity_search_postings": proximity_search_postings,
     "boolean_search_postings": boolean_search_postings,
     "kwic_snippets_postings": kwic_snippets_postings,
+    "vocab_prefix_postings": vocab_prefix_postings,
     "bm25_topk_queries": bm25_topk_queries,
     "retrieval_delete_search": retrieval_delete_search,
 }
@@ -1827,9 +1962,11 @@ ORACLES = {
     "inverted_index_postings": INVERTED_INDEX_POSTINGS_SQL,
     "inverted_index_postings_sharded": INVERTED_INDEX_POSTINGS_SHARDED_SQL,
     "phrase_search_postings": PHRASE_SEARCH_POSTINGS_SQL,
+    "phrase_multi_search_postings": PHRASE_MULTI_SEARCH_POSTINGS_SQL,
     "proximity_search_postings": PROXIMITY_SEARCH_POSTINGS_SQL,
     "boolean_search_postings": BOOLEAN_SEARCH_POSTINGS_SQL,
     "kwic_snippets_postings": KWIC_SNIPPETS_POSTINGS_SQL,
+    "vocab_prefix_postings": VOCAB_PREFIX_POSTINGS_SQL,
     "bm25_topk_queries": BM25_TOPK_QUERIES_SQL,
     "retrieval_delete_search": RETRIEVAL_DELETE_SEARCH_SQL,
 }

@@ -10,11 +10,13 @@ Each ops/queries/llm/streaming module exports
 
 Names must be globally unique; the merge asserts it.
 """
-# (registry count r14: 204 — r13 closed at 198; r14 adds, as tail
-# additions, boolean_search_postings / kwic_snippets_postings /
-# retrieval_delete_search (llm/retrieval.py — boolean AND+NOT
-# retrieval, keyword-in-context snippets, and the index-lifecycle
-# delete certificate, each oracled directly against raw text),
+# (registry count r14: 206 — r13 closed at 198; r14 adds, as tail
+# additions, vocab_prefix_postings / phrase_multi_search_postings /
+# boolean_search_postings /
+# kwic_snippets_postings / retrieval_delete_search (llm/retrieval.py —
+# n-token repeated-token phrase match, boolean AND+NOT retrieval,
+# keyword-in-context snippets, and the index-lifecycle delete
+# certificate, each oracled directly against raw text),
 # stream_index_append (NEW module llm/retrieval_stream.py
 # — exactly-once streaming index maintenance over the stored-index
 # append, stales nothing), benchmark_leak_report (NEW module llm/deconreport.py —
@@ -435,6 +437,18 @@ _ORDER = [
     # surviving docs only (fingerprint_store_compact's tempdir
     # precedent)
     "retrieval_delete_search",
+    # phrase_multi_search_postings — llm/retrieval.py (same rule): the
+    # n-token generalization of the phrase row, certified with a
+    # 3-token REPEATED-token phrase ("data group group") so the hash
+    # pins that position offsets, not token identity, carry adjacency;
+    # oracled from raw text
+    "phrase_multi_search_postings",
+    # vocab_prefix_postings — llm/retrieval.py (same rule): the
+    # prefix/wildcard leg — per-token df/tf for a vocabulary prefix,
+    # recomposed from the sharded index's per-segment partial sums
+    # WITHOUT parsing postings; StringStartsWith pushdown pinned on
+    # the stored route; oracled from raw text
+    "vocab_prefix_postings",
 ]
 
 

@@ -1172,3 +1172,170 @@ def test_delete_registry_bites(spark):
     unmasked = phrase_search_postings(spark, "/root/testdata/sf0.001").count()
     assert 0 < len(masked) < unmasked
     assert all(r["doc_id"] % _DEL_MOD != _DEL_REM for r in masked)
+
+
+def test_phrase_n_exact_semantics(spark):
+    """n-token adjacency: a 3-phrase counts every occurrence, a
+    REPEATED token inside the phrase joins the same frame at two
+    offsets (doc 5: 'g g g' contains 'g g' twice but 'x g g' once),
+    cross-segment docs match, a doc with all tokens non-adjacent does
+    NOT, n = 4 works, and n = 1 raises."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import phrase_search, phrase_search_n
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),
+            (2, "a c b d"),
+            (5, "x g g g y"),
+            (257, "q a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_postings_sharded(docs)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_n(idx, ("a", "b", "c")).collect()
+    }
+    assert got == {1: 2, 257: 1}
+    rep = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_n(idx, ("x", "g", "g")).collect()
+    }
+    assert rep == {5: 1}
+    rep2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_n(idx, ("g", "g")).collect()
+    }
+    assert rep2 == {5: 2}
+    four = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_n(idx, ("a", "b", "c", "d")).collect()
+    }
+    assert four == {1: 1}
+    # the 2-token special case IS phrase_search (delegation, not twins)
+    assert sorted(
+        tuple(r) for r in phrase_search(idx, "a", "b").collect()
+    ) == sorted(tuple(r) for r in phrase_search_n(idx, ("a", "b")).collect())
+    with pytest.raises(ValueError, match="needs >= 2 tokens"):
+        phrase_search_n(idx, ("a",))
+
+
+def test_phrase_multi_registry_bites(spark):
+    """At sf0.001 the 3-token certificate matches a non-empty strict
+    subset of its own 2-token prefix's matches — the THIRD adjacency
+    constraint (on a repeated token) is what the driver hash pins."""
+    from ir_analyses_spark.llm.retrieval import (
+        _PHRASE3,
+        phrase_multi_search_postings,
+        phrase_search,
+    )
+
+    rows = phrase_multi_search_postings(spark, "/root/testdata/sf0.001").count()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prefix = phrase_search(
+        inverted_postings_sharded(docs), _PHRASE3[0], _PHRASE3[1]
+    ).count()
+    assert 0 < rows < prefix
+
+
+def test_stored_boolean_and_kwic_prune_scan(spark, tmp_path):
+    """The stored boolean and kwic routes push their token filters to
+    the postings parquet scan (PushedFilters), the same pruning pin as
+    the stored phrase/top-k routes."""
+    from ir_analyses_spark.llm.retrieval import (
+        boolean_search_stored,
+        kwic_snippets_stored,
+        write_retrieval_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    plan_b = (
+        boolean_search_stored(spark, idx, ("customer", "filter"), ("dup",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: .*In\(token, \[customer,dup,filter\]", plan_b) or \
+        re.search(r"PushedFilters: .*In\(token", plan_b), plan_b
+    plan_k = (
+        kwic_snippets_stored(spark, idx, docs, "line", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(token), EqualTo(token,line)]" in plan_k, plan_k
+
+
+def test_vocab_prefix_semantics_and_guard(spark):
+    """Per-token df/total_tf recomposed from segment partial sums: a
+    token split across segments re-sums correctly, non-matching tokens
+    are absent, and the empty prefix (whole-vocabulary aggregation)
+    raises."""
+    import pytest
+
+    from ir_analyses_spark.llm.retrieval import vocab_prefix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan sort scan x"),
+            (2, "sort y"),
+            (257, "scan z sort sort"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_postings_sharded(docs)
+    got = {
+        r["token"]: (r["df"], r["total_tf"])
+        for r in vocab_prefix(idx, "s").collect()
+    }
+    assert got == {"scan": (2, 3), "sort": (3, 4)}
+    assert {
+        r["token"] for r in vocab_prefix(idx, "sc").collect()
+    } == {"scan"}
+    with pytest.raises(ValueError, match="empty prefix"):
+        vocab_prefix(idx, "")
+
+
+def test_vocab_prefix_registry_bites(spark):
+    """At sf0.001 the certificate prefix matches several tokens but a
+    strict subset of the vocabulary — the prefix filter is what the
+    driver hash pins, not a full-vocabulary dump."""
+    from ir_analyses_spark.llm.retrieval import vocab_prefix_postings
+
+    rows = vocab_prefix_postings(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    n_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w").distinct().count()
+    )
+    assert 1 < len(rows) < n_vocab
+    assert all(r["token"].startswith("s") for r in rows)
+    assert all(r["total_tf"] >= r["df"] >= 1 for r in rows)
+
+
+def test_vocab_prefix_stored_pushes_startswith(spark, tmp_path):
+    """The stored route's prefix predicate reaches the parquet scan as
+    StringStartsWith over the token-sorted layout — the prefix query
+    never reads the non-matching vocabulary."""
+    from ir_analyses_spark.llm.retrieval import (
+        vocab_prefix_stored,
+        write_retrieval_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    df = vocab_prefix_stored(spark, idx, "s")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(token,s)" in plan, plan
+    assert df.count() > 1
