@@ -17,6 +17,7 @@ tests/test_retrieval.py).
     python retrievectl.py boolean --index-dir /data/ridx --must "spark shuffle" --must-not "deprecated"
     python retrievectl.py proximity --index-dir /data/ridx --terms "spark shuffle" --window 6
     python retrievectl.py kwic --index-dir /data/ridx --corpus /data/corpus --term shuffle --width 5
+    python retrievectl.py vocab --index-dir /data/ridx --prefix shuf
     python retrievectl.py delete --index-dir /data/ridx --doc-ids 17,42 --marker takedown-0007
     python retrievectl.py vacuum --index-dir /data/ridx
 
@@ -81,8 +82,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("phrase", help="exact-phrase match from the stored index")
     p.add_argument("--index-dir", required=True)
-    p.add_argument("--terms", required=True, metavar='"T1 T2"',
-                   help="the two-token phrase, space-separated")
+    p.add_argument("--terms", required=True, metavar='"T1 T2 [T3 ...]"',
+                   help="the phrase, space-separated (2+ tokens; repeats "
+                   "allowed)")
     p.add_argument("--limit", type=int, default=_DEFAULT_LIMIT,
                    help=f"max rows printed, most occurrences first "
                    f"(default {_DEFAULT_LIMIT})")
@@ -145,6 +147,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="max token distance d (default 6)")
     px.add_argument("--limit", type=int, default=_DEFAULT_LIMIT,
                     help=f"max rows printed, most pairs first "
+                    f"(default {_DEFAULT_LIMIT})")
+
+    vb = sub.add_parser(
+        "vocab",
+        help="prefix vocabulary stats (token, df, total_tf) from the "
+        "stored index — StringStartsWith-pruned scan, postings never "
+        "parsed",
+    )
+    vb.add_argument("--index-dir", required=True)
+    vb.add_argument("--prefix", required=True)
+    vb.add_argument("--limit", type=int, default=_DEFAULT_LIMIT,
+                    help=f"max rows printed, highest df first "
                     f"(default {_DEFAULT_LIMIT})")
 
     dl_ = sub.add_parser(
@@ -218,9 +232,9 @@ def main(argv: list[str] | None = None) -> int:
             from ir_analyses_spark.llm.retrieval import phrase_search_stored
 
             terms = args.terms.split()
-            if len(terms) != 2:
+            if len(terms) < 2:
                 raise ValueError(
-                    f"--terms takes exactly two space-separated tokens, "
+                    f"--terms takes at least two space-separated tokens, "
                     f"got {len(terms)}: {args.terms!r}"
                 )
             if args.limit < 1:
@@ -333,6 +347,26 @@ def main(argv: list[str] | None = None) -> int:
                 "terms": terms,
                 "window": args.window,
                 "matched_docs": total,
+                "rows_printed": len(rows),
+                "rows": [r.asDict() for r in rows],
+            }
+        elif args.cmd == "vocab":
+            from pyspark.sql import functions as F
+
+            from ir_analyses_spark.llm.retrieval import vocab_prefix_stored
+
+            if args.limit < 1:
+                raise ValueError(f"--limit must be >= 1, got {args.limit}")
+            df = vocab_prefix_stored(spark, args.index_dir, args.prefix)
+            total = df.count()
+            rows = (
+                df.orderBy(F.desc("df"), "token")
+                .limit(args.limit)
+                .collect()
+            )
+            out = {
+                "prefix": args.prefix,
+                "matched_tokens": total,
                 "rows_printed": len(rows),
                 "rows": [r.asDict() for r in rows],
             }

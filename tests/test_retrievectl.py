@@ -115,7 +115,8 @@ def test_cli_rejection_paths(corpus_dir, tmp_path, capsys):
     )
     assert rc == 2
     assert "lacks columns" in capsys.readouterr().err
-    # phrase wants exactly two tokens
+    # phrase wants at least two tokens (a 1-token "phrase" is a df
+    # lookup, not a phrase); three tokens is a valid n-phrase
     idx = str(tmp_path / "ridx2")
     assert retrievectl.main(
         ["build", "--corpus", corpus_dir, "--index-dir", idx,
@@ -123,10 +124,16 @@ def test_cli_rejection_paths(corpus_dir, tmp_path, capsys):
     ) == 0
     capsys.readouterr()
     rc = retrievectl.main(
-        ["phrase", "--index-dir", idx, "--terms", "one two three"]
+        ["phrase", "--index-dir", idx, "--terms", "one"]
     )
     assert rc == 2
-    assert "exactly two" in capsys.readouterr().err
+    assert "at least two" in capsys.readouterr().err
+    rc = retrievectl.main(
+        ["phrase", "--index-dir", idx, "--terms", "data group group"]
+    )
+    assert rc == 0
+    tri = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tri["matched_docs"] > 0
     rc = retrievectl.main(
         ["phrase", "--index-dir", idx, "--terms", "a b", "--limit", "0"]
     )
@@ -263,6 +270,41 @@ def test_cli_boolean_kwic_proximity_queries(spark, corpus_dir, tmp_path, capsys)
         want_px[r["doc_id"]] == (r["n_pairs"], r["min_dist"])
         for r in px["rows"]
     )
+
+
+def test_cli_vocab_prefix(spark, corpus_dir, tmp_path, capsys):
+    """vocab answers from storage and agrees with the in-engine form;
+    an empty prefix is rejected before any scan."""
+    idx = str(tmp_path / "ridx")
+    assert retrievectl.main(
+        ["build", "--corpus", corpus_dir, "--index-dir", idx,
+         "--seg-width", "256"]
+    ) == 0
+    capsys.readouterr()
+    assert retrievectl.main(
+        ["vocab", "--index-dir", idx, "--prefix", "s"]
+    ) == 0
+    vb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    from ir_analyses_spark.llm.retrieval import (
+        inverted_postings_sharded,
+        vocab_prefix,
+    )
+
+    docs = spark.read.parquet(corpus_dir)
+    want = {
+        r["token"]: (r["df"], r["total_tf"])
+        for r in vocab_prefix(
+            inverted_postings_sharded(docs, 256), "s"
+        ).collect()
+    }
+    assert vb["matched_tokens"] == len(want)
+    assert all(
+        want[r["token"]] == (r["df"], r["total_tf"]) for r in vb["rows"]
+    )
+    assert retrievectl.main(
+        ["vocab", "--index-dir", idx, "--prefix", ""]
+    ) == 2
+    assert "empty prefix" in capsys.readouterr().err
 
 
 def test_cli_delete_vacuum_flow(spark, corpus_dir, tmp_path, capsys):
