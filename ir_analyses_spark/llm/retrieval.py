@@ -839,6 +839,62 @@ def phrase_multi_search_postings(
 #: bump when the on-disk index layout changes incompatibly
 _INDEX_FORMAT_VERSION = 1
 
+_META_SCHEMA = (
+    "seg_width long, n_docs long, t_tokens long, max_dl long, "
+    "format_version int, postings_rows long"
+)
+
+
+def _write_index_files(
+    spark: SparkSession,
+    postings: DataFrame,
+    doclens: DataFrame,
+    dest: str,
+    seg_width: int,
+) -> dict:
+    """The ONE place the on-disk index layout is written — build,
+    append and vacuum all stage through here (review-caught: three
+    inline copies of this block meant the append == rebuild and
+    vacuum == rebuild byte-identity pins held only while the copies
+    stayed in lockstep). Postings are range-clustered and sorted by
+    (token, segment) so parquet row-group statistics prune query token
+    filters; the meta JSON is written LAST, so a crashed write leaves
+    no ``_index_meta`` and readers report "no retrieval index", never
+    a half-index."""
+    cols = ["token", "segment", "df_seg", "total_tf", "postings"]
+    (
+        postings.select(*cols)
+        .repartitionByRange(F.col("token"), F.col("segment"))
+        .sortWithinPartitions("token", "segment")
+        .write.mode("overwrite")
+        .parquet(f"{dest}/postings")
+    )
+    doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{dest}/doclens"
+    )
+    stats = (
+        spark.read.parquet(f"{dest}/doclens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("t_tokens"),
+            F.max("dl").alias("max_dl"),
+        )
+        .head()
+    )
+    meta = {
+        "seg_width": int(seg_width),
+        "n_docs": int(stats["n_docs"]),
+        "t_tokens": int(stats["t_tokens"] or 0),
+        "max_dl": int(stats["max_dl"] or 0),
+        "format_version": _INDEX_FORMAT_VERSION,
+        # footer-metadata count (count pushdown), not a data scan
+        "postings_rows": spark.read.parquet(f"{dest}/postings").count(),
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())], _META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").json(f"{dest}/_index_meta")
+    return meta
+
 
 def write_retrieval_index(
     docs: DataFrame, path: str, seg_width: int = _SEG_WIDTH
@@ -885,40 +941,10 @@ def write_retrieval_index(
             f"a fresh directory and swap"
         )
     idx = inverted_postings_sharded(docs, seg_width)
-    (
-        idx.repartitionByRange(F.col("token"), F.col("segment"))
-        .sortWithinPartitions("token", "segment")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
     )
-    dl.write.mode("overwrite").parquet(f"{path}/doclens")
-    stats = (
-        spark.read.parquet(f"{path}/doclens")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("t_tokens"),
-            F.max("dl").alias("max_dl"),
-        )
-        .head()
-    )
-    meta = {
-        "seg_width": int(seg_width),
-        "n_docs": int(stats["n_docs"]),
-        "t_tokens": int(stats["t_tokens"] or 0),
-        "max_dl": int(stats["max_dl"] or 0),
-        "format_version": _INDEX_FORMAT_VERSION,
-        # footer-metadata count (count pushdown), not a data scan
-        "postings_rows": spark.read.parquet(f"{path}/postings").count(),
-    }
-    spark.createDataFrame(
-        [tuple(meta.values())],
-        "seg_width long, n_docs long, t_tokens long, max_dl long, "
-        "format_version int, postings_rows long",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_index_meta")
-    return meta
+    return _write_index_files(spark, idx, dl, path, seg_width)
 
 
 def _require_local(path: str, op: str) -> str:
@@ -951,9 +977,25 @@ def _index_data_root(path: str) -> str:
     (repair is a write, done by the next append's recovery; reads must
     not race a live promotion — the `llm/substring_dedup`
     ``_store_data_dir`` discipline). Local-filesystem probes only; a
-    remote path falls through untouched."""
+    remote path falls through untouched.
+
+    Hadoop's local ``file:`` spellings normalize to the plain path
+    FIRST (review-caught): the query routes resolve tombstones and the
+    ``__old`` remnant through this function, and an unnormalized
+    ``file:///data/ridx`` would probe the literal string, find no
+    ``_tombstones``, and silently answer with deleted docs restored —
+    the two spellings of one index must agree about deletions."""
     import os
 
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//") and not rest.startswith("///"):
+            # non-empty authority: not this machine's filesystem —
+            # no local probe can be meaningful
+            return path
+        path = "/" + rest.lstrip("/")
+    if "://" in path:
+        return path
     old = path.rstrip("/") + "__old"
     if not os.path.isdir(os.path.join(path, "_index_meta")) and os.path.isdir(
         os.path.join(old, "_index_meta")
@@ -1157,40 +1199,12 @@ def append_retrieval_index(
         import shutil
 
         shutil.rmtree(staging)  # stale crash remnant; staging is ours
-    (
-        all_rows.repartitionByRange(F.col("token"), F.col("segment"))
-        .sortWithinPartitions("token", "segment")
-        .write.mode("overwrite")
-        .parquet(f"{staging}/postings")
-    )
     new_dl = new_docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
     )
-    doclens.unionByName(new_dl).write.mode("overwrite").parquet(
-        f"{staging}/doclens"
+    out = _write_index_files(
+        spark, all_rows, doclens.unionByName(new_dl), staging, seg_width
     )
-    stats = (
-        spark.read.parquet(f"{staging}/doclens")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("t_tokens"),
-            F.max("dl").alias("max_dl"),
-        )
-        .head()
-    )
-    out = {
-        "seg_width": seg_width,
-        "n_docs": int(stats["n_docs"]),
-        "t_tokens": int(stats["t_tokens"] or 0),
-        "max_dl": int(stats["max_dl"] or 0),
-        "format_version": _INDEX_FORMAT_VERSION,
-        "postings_rows": spark.read.parquet(f"{staging}/postings").count(),
-    }
-    spark.createDataFrame(
-        [tuple(out.values())],
-        "seg_width long, n_docs long, t_tokens long, max_dl long, "
-        "format_version int, postings_rows long",
-    ).coalesce(1).write.mode("overwrite").json(f"{staging}/_index_meta")
     # applied-batch ledger rides the SAME promotion rename as the data:
     # carry the existing markers into the staged copy, then add this
     # batch's — a crash before the swap discards both with the staging
@@ -1207,11 +1221,11 @@ def append_retrieval_index(
             fh.write(batch_marker)
     # pending tombstones survive an append: deletion is independent of
     # growth, and dropping the dir here would silently resurrect docs
-    tombs_src = os.path.join(live, "_tombstones")
+    tombs_src = _tombstones_dir(live)
     if os.path.isdir(tombs_src):
         import shutil
 
-        shutil.copytree(tombs_src, os.path.join(staging, "_tombstones"))
+        shutil.copytree(tombs_src, _tombstones_dir(staging))
     _swap_in(staging, path.rstrip("/"))
     return out
 
@@ -1344,12 +1358,18 @@ def delete_from_retrieval_index(
         marker = f"del-{n:06d}"
     dst = os.path.join(d, marker)
     if os.path.isdir(dst):
-        # marker replay after its batch landed: idempotent no-op
-        return {
-            "deleted": 0,
-            "n_tombstones": n_before,
-            "replayed_noop": True,
-        }
+        # the marker's batch already landed, yet n_new > 0 ids of THIS
+        # request are still untombstoned — a true replay of the same
+        # batch would have short-circuited at the n_new == 0 branch
+        # above, so this is marker REUSE with a different doc set
+        # (review-caught): a silent no-op would report success for
+        # records that still match every query
+        raise ValueError(
+            f"delete_from_retrieval_index: marker {marker!r} was already "
+            f"used by a different delete batch ({n_new} of the requested "
+            f"doc_ids are not tombstoned) — replays of one batch are "
+            f"no-ops, but a marker cannot name two different batches"
+        )
     tmp = dst + "__tmp"
     ids.coalesce(1).write.mode("overwrite").parquet(tmp)
     os.rename(tmp, dst)
@@ -1414,39 +1434,13 @@ def vacuum_retrieval_index(spark: SparkSession, path: str) -> dict:
         import shutil
 
         shutil.rmtree(staging)
-    cols = ["token", "segment", "df_seg", "total_tf", "postings"]
-    (
-        new_postings.select(*cols)
-        .repartitionByRange(F.col("token"), F.col("segment"))
-        .sortWithinPartitions("token", "segment")
-        .write.mode("overwrite")
-        .parquet(f"{staging}/postings")
+    out = _write_index_files(
+        spark,
+        new_postings,
+        doclens.join(tombs, "doc_id", "left_anti"),
+        staging,
+        int(meta["seg_width"]),
     )
-    doclens.join(tombs, "doc_id", "left_anti").write.mode(
-        "overwrite"
-    ).parquet(f"{staging}/doclens")
-    stats = (
-        spark.read.parquet(f"{staging}/doclens")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("t_tokens"),
-            F.max("dl").alias("max_dl"),
-        )
-        .head()
-    )
-    out = {
-        "seg_width": int(meta["seg_width"]),
-        "n_docs": int(stats["n_docs"]),
-        "t_tokens": int(stats["t_tokens"] or 0),
-        "max_dl": int(stats["max_dl"] or 0),
-        "format_version": _INDEX_FORMAT_VERSION,
-        "postings_rows": spark.read.parquet(f"{staging}/postings").count(),
-    }
-    spark.createDataFrame(
-        [tuple(out.values())],
-        "seg_width long, n_docs long, t_tokens long, max_dl long, "
-        "format_version int, postings_rows long",
-    ).coalesce(1).write.mode("overwrite").json(f"{staging}/_index_meta")
     # the applied-batch ledger survives a vacuum (exactly-once replay
     # detection is about WHICH batches landed, not which docs remain);
     # the tombstone set does NOT — it is consumed by this rewrite

@@ -1039,9 +1039,43 @@ def test_delete_guards_and_idempotent_replay(spark, tmp_path):
     assert out == {"deleted": 1, "n_tombstones": 1}
     replay = delete_from_retrieval_index(spark, idx, [1], marker="batch-A")
     assert replay["deleted"] == 0 and replay["replayed_noop"]
+    # reusing a marker for a DIFFERENT doc set is not a replay — a
+    # silent no-op would report success for a record that still
+    # matches every query (review-caught)
+    with pytest.raises(ValueError, match="cannot name two different"):
+        delete_from_retrieval_index(spark, idx, [2], marker="batch-A")
     # remote spellings refuse loudly (rename-based maintenance scope)
     with pytest.raises(ValueError, match="requires a local index"):
         delete_from_retrieval_index(spark, "s3a://b/ridx", [1])
+
+
+def test_stored_queries_see_tombstones_through_file_spelling(spark, tmp_path):
+    """file:///p and /p name the same index and must agree about
+    deletions: a delete through the plain path masks queries and
+    reports stats through the file: spelling too (review-caught — an
+    unnormalized probe would silently resurrect deleted docs)."""
+    from ir_analyses_spark.llm.retrieval import (
+        delete_from_retrieval_index,
+        phrase_search_stored,
+        retrieval_index_stats,
+        write_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "part filter"), (2, "part filter x")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ridx")
+    write_retrieval_index(docs, idx, seg_width=256)
+    delete_from_retrieval_index(spark, idx, [1])
+    for spelling in (f"file://{idx}", f"file:{idx}"):
+        assert {
+            r["doc_id"]
+            for r in phrase_search_stored(
+                spark, spelling, "part", "filter"
+            ).collect()
+        } == {2}, spelling
+        st = retrieval_index_stats(spark, spelling)
+        assert (st["n_tombstones"], st["n_live_docs"]) == (1, 1), spelling
 
 
 def test_delete_crash_remnant_never_surfaces(spark, tmp_path):

@@ -530,37 +530,48 @@ def run_funnel(
             **_pruned((_KWIC_TERM,)),
         }
         # delete ~0.1% of the corpus (hashed ids → pmod sampling),
-        # measure the tombstone write, the masked re-query, and vacuum
+        # measure the tombstone write, the masked re-query, and vacuum.
+        # A smoke-scale corpus can sample ZERO victims (review-caught:
+        # an empty delete set raises by design, which would discard the
+        # whole run's report) — record the skip instead of crashing.
         victims = corpus.select("doc_id").filter(
             F.pmod(F.col("doc_id"), F.lit(1000)) == 3
         )
-        t = time.monotonic()
-        del_out = delete_from_retrieval_index(spark, idx_dir, victims)
-        timings["index_delete_permille"] = {
-            "sec": round(time.monotonic() - t, 2),
-            **del_out,
-        }
-        t = time.monotonic()
-        n_ph_masked = phrase_search_stored(spark, idx_dir, *_PHRASE).count()
-        timings["stored_phrase_query_masked"] = {
-            "sec": round(time.monotonic() - t, 2),
-            "matched_docs": n_ph_masked,
-            "masked_out": n_ph - n_ph_masked,
-        }
-        t = time.monotonic()
-        vac_out = vacuum_retrieval_index(spark, idx_dir)
-        timings["index_vacuum"] = {
-            "sec": round(time.monotonic() - t, 2),
-            "removed_docs": vac_out["removed_docs"],
-            "n_docs_after": vac_out["n_docs"],
-            "postings_rows_after": vac_out["postings_rows"],
-        }
-        st = retrieval_index_stats(spark, idx_dir)
-        timings["index_stats_after_vacuum"] = {
-            k: st[k]
-            for k in ("n_docs", "n_tombstones", "n_live_docs",
-                      "postings_bytes")
-        }
+        if victims.limit(1).count() == 0:
+            timings["index_delete_permille"] = {
+                "skipped": "no doc_id sampled at 1 permille "
+                "(corpus too small)",
+            }
+        else:
+            t = time.monotonic()
+            del_out = delete_from_retrieval_index(spark, idx_dir, victims)
+            timings["index_delete_permille"] = {
+                "sec": round(time.monotonic() - t, 2),
+                **del_out,
+            }
+            t = time.monotonic()
+            n_ph_masked = phrase_search_stored(
+                spark, idx_dir, *_PHRASE
+            ).count()
+            timings["stored_phrase_query_masked"] = {
+                "sec": round(time.monotonic() - t, 2),
+                "matched_docs": n_ph_masked,
+                "masked_out": n_ph - n_ph_masked,
+            }
+            t = time.monotonic()
+            vac_out = vacuum_retrieval_index(spark, idx_dir)
+            timings["index_vacuum"] = {
+                "sec": round(time.monotonic() - t, 2),
+                "removed_docs": vac_out["removed_docs"],
+                "n_docs_after": vac_out["n_docs"],
+                "postings_rows_after": vac_out["postings_rows"],
+            }
+            st = retrieval_index_stats(spark, idx_dir)
+            timings["index_stats_after_vacuum"] = {
+                k: st[k]
+                for k in ("n_docs", "n_tombstones", "n_live_docs",
+                          "postings_bytes")
+            }
     if not audit:
         if sampler is not None:
             timings["peak_tree_rss_gib"] = sampler.stop_gib()
@@ -721,6 +732,12 @@ def main() -> int:
         "single composed run (see run_incremental)",
     )
     args = ap.parse_args()
+    if args.retrieval_lifecycle and not args.retrieval_stored:
+        # fail at parse time, not after the full funnel has run
+        # (review-caught: the in-function raise fires only once the
+        # corpus has already been curated — hours of discarded work
+        # at real scale)
+        ap.error("--retrieval-lifecycle needs --retrieval-stored")
     if args.incremental:
         print(json.dumps(run_incremental(
             args.out, args.pages, args.shards, args.src,
