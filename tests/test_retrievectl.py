@@ -358,6 +358,17 @@ def test_cli_delete_vacuum_flow(spark, corpus_dir, tmp_path, capsys):
     st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st2["n_tombstones"] == 0 and st2["n_docs"] == 498
 
+    # the large-batch route: ids from a parquet file
+    ids_pq = str(tmp_path / "ids")
+    spark.createDataFrame(
+        [(r["doc_id"],) for r in before["rows"][2:4]], "doc_id long"
+    ).write.parquet(ids_pq)
+    assert retrievectl.main(
+        ["delete", "--index-dir", idx, "--ids-parquet", ids_pq]
+    ) == 0
+    d3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d3["deleted"] == 2 and d3["n_tombstones"] == 2
+
     # rejections: both/neither source, non-integer ids, bad must-lists
     for argv in (
         ["delete", "--index-dir", idx],
