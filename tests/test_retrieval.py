@@ -1373,3 +1373,109 @@ def test_vocab_prefix_stored_pushes_startswith(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "StringStartsWith(token,s)" in plan, plan
     assert df.count() > 1
+
+
+def test_randomized_reference_corpus(spark):
+    """Seeded random corpus (200 docs, 7-token vocab → dense
+    collisions, every doc-length edge) checked against pure-Python
+    references in one pass per query form — the certificate phrases
+    are fixed, this pins the OPERATORS on adversarial inputs: phrases
+    of length 2/3/4 incl. all-same-token runs, boolean AND+NOT, kwic
+    clamps, vocab prefix and proximity all agree with a direct
+    recomputation from the raw text."""
+    import random
+
+    from ir_analyses_spark.llm.retrieval import (
+        boolean_search,
+        kwic_snippets,
+        phrase_search_n,
+        proximity_search,
+        vocab_prefix,
+    )
+
+    rnd = random.Random(20260816)
+    vocab = ["aa", "ab", "ba", "cc", "cd", "dd", "e"]
+    docs = {
+        i: " ".join(
+            rnd.choice(vocab) for _ in range(rnd.randint(1, 30))
+        )
+        for i in range(1, 201)
+    }
+    docs[300] = "aa ab aa"  # force a second segment at seg_width=64
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    idx = inverted_postings_sharded(df, seg_width=64)
+    toks = {d: t.split(" ") for d, t in docs.items()}
+
+    def count_phrase(ws, ph):
+        return sum(
+            1
+            for i in range(len(ws) - len(ph) + 1)
+            if tuple(ws[i:i + len(ph)]) == ph
+        )
+
+    for ph in [("aa", "ab"), ("aa", "aa"), ("aa", "ab", "aa"),
+               ("cc", "cc", "cc"), ("ab", "ba", "cc", "cd")]:
+        want = {
+            d: c for d, ws in toks.items() if (c := count_phrase(ws, ph))
+        }
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search_n(idx, ph).collect()
+        }
+        assert got == want, ph
+
+    want_b = {
+        d: ws.count("aa") + ws.count("ba")
+        for d, ws in toks.items()
+        if "aa" in ws and "ba" in ws and "cc" not in ws
+    }
+    got_b = {
+        r["doc_id"]: r["tf_sum"]
+        for r in boolean_search(idx, ("aa", "ba"), ("cc",)).collect()
+    }
+    assert got_b == want_b
+
+    W = 3
+    want_k = {}
+    for d, ws in toks.items():
+        if "cd" in ws:
+            p = ws.index("cd") + 1
+            lo, hi = max(p - W, 1), min(p + W, len(ws))
+            want_k[d] = (p, " ".join(ws[lo - 1:hi]))
+    got_k = {
+        r["doc_id"]: (r["p_first"], r["snippet"])
+        for r in kwic_snippets(df, idx, "cd", W).collect()
+    }
+    assert got_k == want_k
+
+    want_v = {}
+    for d, ws in toks.items():
+        for w in ws:
+            if w.startswith("a"):
+                df_, tf_ = want_v.get(w, (set(), 0))
+                df_.add(d)
+                want_v[w] = (df_, tf_ + 1)
+    got_v = {
+        r["token"]: (r["df"], r["total_tf"])
+        for r in vocab_prefix(idx, "a").collect()
+    }
+    assert got_v == {w: (len(df_), tf_) for w, (df_, tf_) in want_v.items()}
+
+    D = 4
+    want_p = {}
+    for d, ws in toks.items():
+        pairs = [
+            (i + 1, j + 1)
+            for i, w1 in enumerate(ws) if w1 == "ab"
+            for j, w2 in enumerate(ws) if w2 == "dd"
+            if 0 < abs(i - j) <= D
+        ]
+        if pairs:
+            want_p[d] = (len(pairs), min(abs(i - j) for i, j in pairs))
+    got_p = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search(idx, "ab", "dd", D).collect()
+    }
+    assert got_p == want_p
