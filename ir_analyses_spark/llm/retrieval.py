@@ -1458,10 +1458,17 @@ def vacuum_retrieval_index(spark: SparkSession, path: str) -> dict:
 def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
     """Operator-facing stats for a stored index — the observability
     half of its lifecycle (the `fingerprint_store_stats` shape): the
-    frozen build meta, live distinct-token / segment counts and the
-    largest per-row postings payload (ONE footer-light aggregation
-    pass), on-disk bytes, and the applied-batch epoch count when the
-    index is stream-maintained. Read-only: resolves a crashed
+    frozen build meta, live distinct-token / segment counts, the
+    per-row postings payload distribution (max + p50/p99 — is one row
+    carrying an outsized string?), the SEGMENT-SKEW signal (max vs
+    mean (doc, token)-pairs per segment: the number that tells an
+    operator whether their ``seg_width`` choice balanced the doc_id
+    value range — ~2 is the documented zero-straddling artifact for
+    hashed ids, ≫2 means the ids are NOT uniform over the range and
+    the width needs rethinking), on-disk bytes, pending tombstones,
+    and the applied-batch epoch count when the index is
+    stream-maintained. Two aggregation passes over the postings
+    (row-level, then per-segment). Read-only: resolves a crashed
     promotion's ``__old`` remnant via the same read-around as
     :func:`read_retrieval_index`, never repairs it."""
     import os
@@ -1475,7 +1482,19 @@ def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
         F.countDistinct("token").alias("n_tokens"),
         F.countDistinct("segment").alias("n_segments"),
         F.max(F.length("postings")).alias("max_postings_chars"),
+        F.percentile_approx(
+            F.length("postings"), [0.5, 0.99]
+        ).alias("postings_chars_p50_p99"),
     ).head()
+    seg = (
+        postings.groupBy("segment")
+        .agg(F.sum("df_seg").alias("pairs"))
+        .agg(
+            F.max("pairs").alias("max_pairs"),
+            F.avg("pairs").alias("mean_pairs"),
+        )
+        .head()
+    )
     applied = os.path.join(live, "_applied")
     tombs = _read_tombstones(spark, live)
     n_tombstones = 0 if tombs is None else tombs.count()
@@ -1488,6 +1507,15 @@ def retrieval_index_stats(spark: SparkSession, path: str) -> dict:
         "n_tokens": row["n_tokens"],
         "n_segments": row["n_segments"],
         "max_postings_chars": row["max_postings_chars"],
+        "postings_chars_p50": row["postings_chars_p50_p99"][0],
+        "postings_chars_p99": row["postings_chars_p50_p99"][1],
+        # (doc, token)-pairs in the fullest segment vs the mean — the
+        # seg_width balance check (docstring)
+        "max_segment_pairs": seg["max_pairs"],
+        "segment_skew": (
+            round(seg["max_pairs"] / seg["mean_pairs"], 2)
+            if seg["mean_pairs"] else None
+        ),
         "postings_bytes": _dir_bytes(os.path.join(live, "postings")),
         "doclens_bytes": _dir_bytes(os.path.join(live, "doclens")),
         "n_applied_batches": (

@@ -9,6 +9,7 @@ import json
 import pytest
 
 import retrievectl
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -194,6 +195,20 @@ def test_cli_stats_surface(spark, corpus_dir, tmp_path, capsys):
     assert st["n_segments"] == postings.select("segment").distinct().count()
     assert st["postings_bytes"] > 0 and st["doclens_bytes"] > 0
     assert st["n_applied_batches"] == 0  # batch-built, not streamed
+    # payload distribution + segment-skew observability (r14 s2)
+    assert (
+        st["postings_chars_p50"]
+        <= st["postings_chars_p99"]
+        <= st["max_postings_chars"]
+    )
+    assert st["segment_skew"] >= 1.0
+    pairs = {
+        r["segment"]: r["pairs"]
+        for r in postings.groupBy("segment")
+        .agg(F.sum("df_seg").alias("pairs"))
+        .collect()
+    }
+    assert st["max_segment_pairs"] == max(pairs.values())
     # a streamed index reports its epochs
     from ir_analyses_spark.llm.retrieval import retrieval_index_stats
     from ir_analyses_spark.llm.retrieval_stream import index_stream_sink
