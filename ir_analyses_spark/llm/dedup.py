@@ -335,17 +335,24 @@ def _minhash_wide(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     scale, and fully deterministic. Wide columns (not an array) keep every
     downstream consumer — banding, signature-estimate — inside whole-stage
     codegen; array HOFs (slice/aggregate/zip_with) are interpreted per row
-    and measurably dominate at volume."""
+    and measurably dominate at volume.
+
+    Construction note (r14 optimization, guide §1.2 "per-task work" applied
+    to the DRIVER): the n_hashes aggregate expressions are built as one
+    parsed SQL string per column, not as Python Column operator chains — a
+    Column operator is a py4j round trip, and the 4·n_hashes round trips
+    measured ~1.0 s of the bench query's wall time (plan construction, paid
+    per invocation). One ``F.expr`` per column is a single round trip with
+    identical resolved expressions (integer literals parse to the same
+    IntegerType the old ``F.lit(s)`` produced, so the wrapping long
+    arithmetic is unchanged)."""
     sh = shingles(_spread(docs), distinct=False)
     base = sh.select(
         "doc_id",
         F.xxhash64("g").alias("h1"),
         F.xxhash64("g", F.lit(1)).alias("h2"),
     )
-    mins = [
-        F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
+    mins = [F.expr(f"min(h1 + {s} * h2) AS h{s}") for s in range(n_hashes)]
     return base.groupBy("doc_id").agg(*mins)
 
 
@@ -353,9 +360,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """(doc_id, signature array<long>) — array-shaped view of
     :func:`_minhash_wide` for consumers that want one signature column."""
     agg = _minhash_wide(docs, n_hashes)
-    return agg.select(
-        "doc_id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig")
-    )
+    cols = ", ".join(f"h{s}" for s in range(n_hashes))
+    return agg.selectExpr("doc_id", f"array({cols}) AS sig")
 
 
 def minhash_lsh_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,22 +395,15 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     # banding: each band's bucket is a direct xxhash64 over its 3 min-hash
     # COLUMNS — the projection feeding the explode is (doc_id, 21 longs);
     # no signature array is assembled or carried through the generate, and
-    # the whole thing stays in codegen (no slice/HOF).
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.col(f"h{i * _BAND_SIZE}"),
-                        F.col(f"h{i * _BAND_SIZE + 1}"),
-                        F.col(f"h{i * _BAND_SIZE + 2}"),
-                        F.lit(i),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    # the whole thing stays in codegen (no slice/HOF). Built as ONE parsed
+    # expression string — see the construction note in _minhash_wide.
+    buckets = ", ".join(
+        f"xxhash64(h{i * _BAND_SIZE}, h{i * _BAND_SIZE + 1},"
+        f" h{i * _BAND_SIZE + 2}, {i})"
+        for i in range(n_bands)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"posexplode(array({buckets})) AS (band, bucket)"
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -428,13 +427,11 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     # P ≈ 1-3e-7, and the expensive exact verify only ever sees
     # near-threshold pairs. The equal-count is a codegen'd sum of 64
     # column comparisons, not an interpreted array fold.
-    siga = sig.select(
-        F.col("doc_id").alias("d1"),
-        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
+    siga = sig.selectExpr(
+        "doc_id AS d1", *[f"h{s} AS a{s}" for s in range(_N_HASHES)]
     )
-    sigb = sig.select(
-        F.col("doc_id").alias("d2"),
-        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
+    sigb = sig.selectExpr(
+        "doc_id AS d2", *[f"h{s} AS b{s}" for s in range(_N_HASHES)]
     )
     # estimate joins shuffle only signature rows (~0.5 KB/doc) keyed by
     # doc id — never text. Below the 64 MB auto-broadcast threshold
@@ -442,9 +439,13 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     # own; past that a key-partitioned shuffle of the signature table is
     # the correct plan, so no broadcast hint is forced here.
     sigp = candidates.join(siga, "d1").join(sigb, "d2")
-    n_equal = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(_N_HASHES)
+    # one parsed expression (identical CASE WHEN semantics to the former
+    # F.when chain, null condition → ELSE 0) — see _minhash_wide's note
+    n_equal = F.expr(
+        " + ".join(
+            f"(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)"
+            for s in range(_N_HASHES)
+        )
     )
     # surviving candidates feed both the doc-id prune and the pair verify
     candidates = (
@@ -491,41 +492,41 @@ def simhash_fingerprints(docs: DataFrame, portable: bool = False) -> DataFrame:
     """
     docs = _spread(docs)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # All wide expressions below are built as parsed SQL strings (one py4j
+    # round trip per column) rather than Python Column chains — the same
+    # driver-side construction-cost fix as _minhash_wide; the resolved
+    # expressions are identical.
     if portable:
         # hex digit value without conv(): instr over the hex alphabet is
         # the same expression DuckDB spells strpos(...) - 1
-        toks = toks.withColumn("hx", F.md5("tok")).select(
+        toks = toks.withColumn("hx", F.md5("tok")).selectExpr(
             "doc_id",
             *[
-                F.expr(
-                    f"instr('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1"
-                ).alias(f"d{i}")
+                f"instr('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1"
+                f" AS d{i}"
                 for i in range(16)
             ],
         )
 
         def bit(b):
-            return F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+            return f"(shiftright(d{b // 4}, {b % 4}) & 1)"
 
     else:
         toks = toks.withColumn("h", F.xxhash64("tok"))
 
         def bit(b):
-            return F.shiftright("h", b).bitwiseAND(F.lit(1))
+            return f"(shiftright(h, {b}) & 1)"
 
     votes = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        F.expr(f"sum(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) AS v{b}")
         for b in range(64)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
-    fingerprint = None
-    for b in range(64):
-        bit_col = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit_col, b)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return agg.select("doc_id", fingerprint.alias("simhash"))
+    fingerprint = " ^ ".join(
+        f"shiftleft(CAST(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END AS BIGINT), {b})"
+        for b in range(64)
+    )
+    return agg.selectExpr("doc_id", f"{fingerprint} AS simhash")
 
 
 def simhash_nearup(spark: SparkSession, sf_dir: str) -> DataFrame:
