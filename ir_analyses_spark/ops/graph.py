@@ -372,10 +372,17 @@ def trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             und.join(dist.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
         )
+        # per-round lineage truncation (r14 optimization, the
+        # dedup_components discipline): dist feeds BOTH the union and the
+        # relaxation, so without materialization each round DOUBLES the
+        # unexecuted subtree — the final plan re-ran the seed aggregation
+        # 2⁴ times. One tiny (≤|V| rows) eager checkpoint per round keeps
+        # every round's work linear in the edge list.
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
         )
     nations = load_table(spark, "nation", sf_dir).select(
         F.col("n_name").alias("node")

@@ -481,35 +481,43 @@ def recursive_inventory_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~28 rows after one groupBy shuffle of orders) — per-step state is
     one row, the joined side is a broadcast of the tiny seq frame; the
     data-sized work is a single scan. Depth ≈ #quarters stays far under
-    spark.sql.cteRecursionLevelLimit (100)."""
+    spark.sql.cteRecursionLevelLimit (100).
+
+    r14 optimization (guide §2.4/§5): UnionLoop inlines non-recursive CTEs
+    into every iteration, so ``seq``/``consts`` spelled as CTEs
+    re-aggregated orders once per recursion step (~2×28 scans with the
+    scalar subqueries). Both are materialized ONCE (localCheckpoint, ~28
+    rows + 1 row) and the recursion runs over the materialized views —
+    identical arithmetic (consts is the same SUM/COUNT over the same
+    demand rows), one data-sized scan total."""
     _register(spark, sf_dir, ["orders"])
-    return spark.sql("""
-        WITH RECURSIVE demand AS (
+    spark.sql("""
+        WITH demand AS (
           SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
                         CAST(QUARTER(o_orderdate) AS STRING)) AS qtr,
                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
                                AS BIGINT)) AS BIGINT) AS demand_c
           FROM _subq_orders GROUP BY 1
-        ),
-        consts AS (
-          SELECT SUM(demand_c) DIV COUNT(*) AS refill_c,
-                 (SUM(demand_c) * 3) DIV (COUNT(*) * 4) AS cap_c
-          FROM demand
-        ),
-        seq AS (
-          SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
-          FROM demand
-        ),
-        bal (i, qtr, balance_c) AS (
+        )
+        SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
+        FROM demand
+    """).localCheckpoint(eager=True).createOrReplaceTempView("_subq_inv_seq")
+    spark.sql("""
+        SELECT SUM(demand_c) DIV COUNT(*) AS refill_c,
+               (SUM(demand_c) * 3) DIV (COUNT(*) * 4) AS cap_c
+        FROM _subq_inv_seq
+    """).localCheckpoint(eager=True).createOrReplaceTempView("_subq_inv_consts")
+    return spark.sql("""
+        WITH RECURSIVE bal (i, qtr, balance_c) AS (
           SELECT 0, CAST('start' AS STRING),
-                 (SELECT cap_c FROM consts)
+                 (SELECT cap_c FROM _subq_inv_consts)
           UNION ALL
           SELECT s.i, s.qtr,
                  LEAST(GREATEST(b.balance_c
-                                + (SELECT refill_c FROM consts) * (s.i % 3)
+                                + (SELECT refill_c FROM _subq_inv_consts) * (s.i % 3)
                                 - s.demand_c, 0),
-                       (SELECT cap_c FROM consts))
-          FROM bal b JOIN seq s ON s.i = b.i + 1
+                       (SELECT cap_c FROM _subq_inv_consts))
+          FROM bal b JOIN _subq_inv_seq s ON s.i = b.i + 1
         )
         SELECT qtr, balance_c FROM bal WHERE i > 0
     """)

@@ -321,28 +321,38 @@ def ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — and the inputs are exact integer cents ≤ 2^53. So the floats
     hash-match bit-for-bit with NO rounding concession (contrast
     trade_pagerank, whose partition-order-varying SUM needs decimal
-    accumulators + 9-dp rounding)."""
+    accumulators + 9-dp rounding).
+
+    Scale shape (r14 optimization, guide §2.4 "remove shuffles outright" /
+    §5 "don't recompute"): Spark's UnionLoop inlines a non-recursive CTE
+    into EVERY iteration of the recursion, so spelling ``seq`` as a CTE
+    re-aggregated the full orders table once per quarter (~27 scans).
+    The quarterly series is materialized ONCE (localCheckpoint of ~28
+    rows) and the recursion joins the materialized view — identical
+    arithmetic, identical rows, one data-sized scan total."""
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("_win_orders")
-    return spark.sql(
+    spark.sql(
         """
-        WITH RECURSIVE demand AS (
+        WITH demand AS (
           SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
                         CAST(QUARTER(o_orderdate) AS STRING)) AS qtr,
                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
                                AS BIGINT)) AS BIGINT) AS demand_c
           FROM _win_orders GROUP BY 1
-        ),
-        seq AS (
-          SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
-          FROM demand
-        ),
-        sm (i, qtr, demand_c, ewma) AS (
+        )
+        SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
+        FROM demand
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("_win_ewma_seq")
+    return spark.sql(
+        """
+        WITH RECURSIVE sm (i, qtr, demand_c, ewma) AS (
           SELECT i, qtr, demand_c, CAST(demand_c AS DOUBLE)
-          FROM seq WHERE i = 1
+          FROM _win_ewma_seq WHERE i = 1
           UNION ALL
           SELECT s.i, s.qtr, s.demand_c,
                  (CAST(s.demand_c AS DOUBLE) + 3 * m.ewma) / 4
-          FROM sm m JOIN seq s ON s.i = m.i + 1
+          FROM sm m JOIN _win_ewma_seq s ON s.i = m.i + 1
         )
         SELECT qtr, demand_c, ewma FROM sm
         """
