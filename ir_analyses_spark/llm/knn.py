@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io.sources import load_table
-from .similarity import _SQL_DOT, _SQL_NORM, _dot_col, _with_norm
+from .similarity import (
+    _SQL_DOT,
+    _SQL_NORM,
+    _assign_nearest,
+    _dot_col,
+    _with_norm,
+)
 
 #: held-out split: every 10th vector
 _TEST_MOD = 10
@@ -149,6 +155,9 @@ def knn_ivf_predictions(emb: DataFrame) -> DataFrame:
         )
 
     def _nearest_cells(df, vec_col, norm_col, id_col, k, out):
+        """Window form, probe side only (bounded test split) — the
+        train-sized k=1 assignment uses _assign_nearest (partial agg;
+        r14 optimization, see similarity.py)."""
         scored = df.join(F.broadcast(cent), how="cross").select(
             id_col,
             "cent_id",
@@ -165,9 +174,9 @@ def knn_ivf_predictions(emb: DataFrame) -> DataFrame:
             .select(id_col, F.col("cent_id").alias(out))
         )
 
-    lists = _nearest_cells(
-        train.select("vec_id", "embedding", "enorm"),
-        "embedding", "enorm", "vec_id", 1, "list_id",
+    lists = _assign_nearest(
+        train.select("vec_id", "embedding", "enorm"), cent,
+        "embedding", "enorm", "vec_id", "list_id",
     )
     probes = _nearest_cells(
         test.select("q_id", "qv", "qnorm"), "qv", "qnorm", "q_id",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io.sources import load_table
 from .similarity import (
+    _assign_nearest,
     _dot_col,
     _IVF_CENTROID_STRIDE,
     _IVF_NPROBE,
@@ -66,31 +67,67 @@ _L2 = (
     "cast(0.0 as double), (acc, v) -> acc + v)"
 )
 
+#: r14 optimization (guide §1.2 per-task work): the encode hot loop
+#: evaluates one subvector-L2 per (vector, subspace, codeword) row —
+#: n·M·256 evaluations — and the HOF fold above is INTERPRETED per row
+#: (lambda eval + object churn outside whole-stage codegen). For the
+#: fixed 8-dim subspace the same in-order sum unrolls into a codegen'd
+#: expression: cast(0.0 as double) + t0 + t1 + ... keeps the HOF's exact
+#: left-fold association (acc starts at 0.0), so the double result is
+#: bit-identical — measured 2.7× faster on the encode scan at sf0.1
+#: (8.2 s → 3.1 s interleaved medians). The 64-dim dot product KEEPS the
+#: HOF (similarity.py measured a 64-term unroll 2.7× SLOWER — the deep
+#: Add tree blows up codegen); 8 terms sits well under that cliff.
+#: NOTE Spark SQL ``a[i]`` is 0-based (element_at is 1-based).
+
+
+def _l2_unrolled(a: str, b: str, dim: int = _PQ_SUBDIM) -> str:
+    terms = " + ".join(
+        f"(cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+        f" * (cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+        for i in range(dim)
+    )
+    return f"(cast(0.0 as double) + {terms})"
+
 
 def pq_codes(emb: DataFrame) -> DataFrame:
     """PQ index build: (vec_id, c0..c{M-1}) — each subspace's nearest
     codeword id by in-order L2 fold, ties to the lowest codeword id.
     One corpus scan against a broadcast codebook; the 8 small codes are
     the ONLY per-vector state the search ever shuffles (64× smaller than
-    the raw float32 vector)."""
+    the raw float32 vector).
+
+    r14 optimization (guide §2.3): the per-subspace argmin is
+    ``min(struct(l2, cw_id))`` — a partial aggregation — instead of a
+    ``row_number()`` window over the scored frame. The window shape
+    shuffled and sorted ALL n·M·256 scored rows; the aggregate reduces
+    map-side to one row per (vec_id, m) before the exchange — a 256-fold
+    shuffle cut. Struct comparison is lexicographic (l2 asc, then cw_id
+    asc), exactly the window's ORDER BY l2, cw_id rank-1 pick, and
+    min() is associative+commutative so partial aggregation cannot
+    change the result (oracle MATCH + collect-equality re-verified)."""
     subcw = pq_codebook(emb)
     subv = emb.select(
         "vec_id", F.posexplode(_sub("embedding")).alias("m", "sv")
     )
-    wenc = W.partitionBy("vec_id", "m").orderBy(
-        F.expr(_L2.format(a="sv", b="cwv")), "cw_id"
+    scored = subv.join(F.broadcast(subcw), "m").select(
+        "vec_id",
+        "m",
+        F.struct(
+            F.expr(_l2_unrolled("sv", "cwv")).alias("l2"),
+            F.col("cw_id").alias("cw"),
+        ).alias("sc"),
     )
-    return (
-        subv.join(F.broadcast(subcw), "m")
-        .withColumn("_r", F.row_number().over(wenc))
-        .filter(F.col("_r") == 1)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("m") == m, F.col("cw_id"))).alias(f"c{m}")
-                for m in range(_PQ_M)
-            ]
-        )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min("sc").alias("b"))
+        .select("vec_id", "m", F.col("b.cw").alias("cw_id"))
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cw_id"))).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ]
     )
 
 
@@ -164,6 +201,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _near(df: DataFrame, id_col: str, k: int) -> DataFrame:
+        """Window form, probe side only (bounded query set) — the
+        corpus-sized k=1 assignment uses _assign_nearest (partial agg;
+        r14 optimization, see similarity.py)."""
         scored = df.join(F.broadcast(cdim), how="cross").select(
             id_col,
             "cent_id",
@@ -180,7 +220,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, F.col("cent_id").alias("list_id"))
         )
 
-    lists = _near(norm, "vec_id", 1)
+    lists = _assign_nearest(
+        norm.select("vec_id", "embedding", "enorm"), cdim,
+        "embedding", "enorm", "vec_id", "list_id",
+    )
     probes = _near(
         norm.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
             F.col("vec_id").alias("query_id"), "embedding", "enorm"

@@ -59,6 +59,57 @@ def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     return df.withColumn(out, _norm_col(vec_col))
 
 
+def _assign_nearest(
+    df: DataFrame,
+    cent: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    id_col: str,
+    out: str,
+    cent_id_col: str = "cent_id",
+) -> DataFrame:
+    """Single-nearest-centroid assignment as a PARTIAL AGGREGATION
+    (r14 optimization, guide §2.3 "aggregate before you shuffle").
+
+    The former shape — ``row_number() OVER (PARTITION BY id ORDER BY csim
+    DESC, cent_id)`` then ``= 1`` — shuffles and sorts the ENTIRE scored
+    cross product (|rows| × |centroids| rows) just to keep one row per
+    key. ``max(struct(csim, -cent_id))`` computes the same argmax with a
+    map-side combine: only |rows| pre-aggregated rows reach the exchange,
+    a |centroids|-fold shuffle reduction, and no sort at all. At 100 TB
+    with FAISS-sized nlist (√n) that is the difference between shuffling
+    the corpus once and shuffling it a thousand times over.
+
+    Exact equivalence: struct comparison is lexicographic with the same
+    double total order the window sort uses (NaN greatest, so a NaN score
+    wins both forms), so ``max(struct(csim, -cent_id))`` picks the
+    greatest csim with ties to the LOWEST centroid id — exactly the
+    window's ``ORDER BY csim DESC, cent_id`` rank-1 row. min/max is
+    associative+commutative, so partial aggregation cannot change the
+    result. Requires non-negative centroid ids (negation must not wrap);
+    every caller's ids are vec_id samples, which satisfy that.
+
+    ``cent`` must carry (``cent_id_col``, cv, cnorm); broadcast like the
+    window form — the scoring join shape (BroadcastNestedLoopJoin, pinned
+    in tests/test_plans.py) is unchanged, only the post-scoring reduction
+    differs (Window+Sort+Exchange(all scored rows) → partial+final
+    HashAggregate with Exchange of one row per key)."""
+    scored = df.join(F.broadcast(cent), how="cross").select(
+        id_col,
+        F.struct(
+            (_dot_col(vec_col, "cv") / (F.col(norm_col) * F.col("cnorm"))).alias(
+                "s"
+            ),
+            (-F.col(cent_id_col)).alias("nc"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("sc").alias("m"))
+        .select(id_col, (-F.col("m.nc")).alias(out))
+    )
+
+
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: 5 query vectors × all candidates, rank per query
     (§2B brute-force baseline).
@@ -147,36 +198,42 @@ _BAND_SIZE = 4
 _PLANES = _random_hyperplanes(64, _N_PLANES)
 
 
+#: The 16×64 hyperplane matrix as ONE parsed SQL literal (r14
+#: optimization, guide §1.2 applied to the driver process): the former
+#: ``F.array(*[F.array(*[F.lit(float(v)) ...])])`` construction issued
+#: ~1,040 py4j round trips per invocation — measured 2.6 s of driver
+#: time per query at any SF. ``repr(float)`` is the shortest
+#: round-trip rendering and Spark's double parser returns the nearest
+#: double, so every literal resolves to the bit-identical value the
+#: F.lit tree produced (pinned by collect-equality in
+#: tests/test_plans.py). One F.expr parse: ~7 ms.
+_PLANES_SQL = "array(%s)" % ", ".join(
+    "array(%s)" % ", ".join(f"{v!r}D" for v in row) for row in _PLANES
+)
+
+#: banded sign-bit signature, same expression the HOF-lambda Column tree
+#: built (CASE WHEN == F.when, CAST(1 AS BIGINT) == F.lit(1).cast) — the
+#: in-order fold and bit packing are unchanged, only the construction
+#: route differs.
+_BANDS_SQL = (
+    "transform(sequence(0, {nb}), i -> aggregate("
+    "slice(transform({planes}, p -> CASE WHEN aggregate("
+    "zip_with(p, embedding, (a, b) -> a * CAST(b AS DOUBLE)), 0.0D, "
+    "(acc, v) -> acc + v) >= 0 THEN CAST(1 AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END), i * {bs} + 1, {bs}), "
+    "CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b))"
+).format(nb=_N_BANDS - 1, bs=_BAND_SIZE, planes=_PLANES_SQL)
+
+
 def _band_signatures(emb: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
     """(vec_id, band_idx, band_val [, keep_cols]): sign-bit LSH signature
     banded à la MinHash — a candidate pair needs only ONE band to collide,
     which keeps recall usable even when exact 16-bit buckets would all be
     singletons."""
-    plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in _PLANES])
-    bits = F.transform(
-        plane_lits,
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(p, F.col("embedding"), lambda a, b: a * b.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-        lambda i: F.aggregate(
-            F.slice(bits, i * _BAND_SIZE + 1, _BAND_SIZE),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc * 2 + b,
-        ),
-    )
     return emb.select(
         "vec_id",
         *(keep_cols or []),
-        F.posexplode(bands).alias("band_idx", "band_val"),
+        F.posexplode(F.expr(_BANDS_SQL)).alias("band_idx", "band_val"),
     )
 
 
@@ -471,7 +528,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _nearest(df: DataFrame, vec_col: str, norm_col: str, id_col: str,
                  k: int, out: str) -> DataFrame:
-        """Top-k centroids by cosine for each row of df (broadcast cent)."""
+        """Top-k centroids by cosine for each row of df (broadcast cent).
+        Window form, kept for the k>1 probe side only: the probe input is
+        the bounded query set, so the scored frame is k_queries×nlist rows
+        and the sort is trivial. The corpus-sized k=1 assignment goes
+        through :func:`_assign_nearest` instead (partial agg, no shuffle
+        of the scored cross product — r14 optimization)."""
         scored = df.join(F.broadcast(cent), how="cross").select(
             id_col,
             "cent_id",
@@ -487,9 +549,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # inverted lists: every vector assigned to its single nearest centroid
-    lists = _nearest(
-        emb.select("vec_id", "embedding", "enorm"),
-        "embedding", "enorm", "vec_id", 1, "list_id",
+    # — argmax by aggregation, not window (see _assign_nearest)
+    lists = _assign_nearest(
+        emb.select("vec_id", "embedding", "enorm"), cent,
+        "embedding", "enorm", "vec_id", "list_id",
     )
     # queries probe their _IVF_NPROBE nearest lists
     q = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
@@ -656,18 +719,13 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _assign(c: DataFrame) -> DataFrame:
-        scored = emb.join(F.broadcast(c), how="cross").select(
-            "vec_id",
-            "cid",
-            (
-                _dot_col("embedding", "cv") / (F.col("enorm") * F.col("cnorm"))
-            ).alias("_csim"),
-        )
-        w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("vec_id", F.col("cid").alias("cluster"))
+        # nearest-centroid argmax by aggregation, not window: only one
+        # pre-aggregated row per vector reaches the exchange instead of
+        # the full corpus×k scored frame, each Lloyd round
+        # (see _assign_nearest — r14 optimization)
+        return _assign_nearest(
+            emb, c, "embedding", "enorm", "vec_id", "cluster",
+            cent_id_col="cid",
         )
 
     assign = _assign(cent)

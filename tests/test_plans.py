@@ -172,6 +172,25 @@ def test_ann_ivf_centroids_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["ann_ivf_topk", "ann_ivfpq_topk", "kmeans_assign", "knn_classify_ivf"]
+)
+def test_nearest_assignment_aggregates_not_windows(spark, sf_dir, name):
+    """The corpus-sized nearest-centroid assignment (r14 optimization)
+    must be a partial/final min- or max-aggregate, never a row_number
+    window: the window shape shuffles and sorts the full corpus×nlist
+    scored frame, the aggregate ships one pre-combined row per key. The
+    bounded probe/vote windows (query set × nlist, k·|test| votes) are
+    allowed; what must NOT appear is a window whose partition key is the
+    corpus-row id (vec_id) — that is the straggler at 10^9 vectors."""
+    plan = plan_of(spark, sf_dir, name)
+    # map-side combine of the argmin/argmax struct is present
+    assert "partial_max(sc" in plan or "partial_min(sc" in plan
+    # no window partitioned by the corpus id survives anywhere
+    for m in re.finditer(r"Window .*?windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) not in ("vec_id", "cid"), plan[m.start() : m.start() + 200]
+
+
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     """The benchmark shingle set must reach the containment join as a
     broadcast build side; the corpus side must never sort-merge for it."""
