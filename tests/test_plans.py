@@ -560,10 +560,22 @@ def test_mp4_h264_headers_map_only(spark, sf_dir):
     assert len(re.findall(r"ArrowEvalPython|EvalPython|MapInPandas", plan)) == 3
 
 
-def test_approx_sketches_bound_single_scan_no_join(spark, sf_dir):
-    """The sketch certificate reads lineitem ONCE: every estimate, the
-    exact distinct count, and the exact percentile band come out of one
-    grouped aggregate — no self-join, no second scan."""
+def test_approx_sketches_bound_distinct_split_from_sketches(spark, sf_dir):
+    """r14: count_distinct must NOT share a groupBy with the
+    ObjectHashAggregate-buffered percentile/sketch functions — Spark
+    plans a mixed distinct via a (l_returnflag, l_partkey)-keyed first
+    aggregation and drags every heavyweight buffer through that ~200k
+    group expansion (measured 17 s vs 2.8 s at sf0.1). Pin the split
+    shape: the two chains meet in a BroadcastHashJoin on the 3-row
+    key, and no aggregate carries a percentile buffer next to a
+    partkey grouping key."""
     plan = plan_of(spark, sf_dir, "approx_sketches_bound")
-    assert "Join" not in plan
-    assert plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    # the expanded distinct keying must not carry sketch buffers:
+    # no single aggregate line mentions both l_partkey (as a key) and
+    # a percentile buffer
+    for line in plan.splitlines():
+        if "partial_percentile" in line or "partial_approx" in line:
+            assert "keys=[l_returnflag" in line and "l_partkey" not in (
+                line.split("functions=")[0]
+            )
