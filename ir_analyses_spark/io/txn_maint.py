@@ -54,6 +54,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from . import txn
+from ..ops.helpers import local_df
 
 _TABLE = r"(?:delta\.`(?P<bt>[^`]+)`|'(?P<sq>[^']+)'|\"(?P<dq>[^\"]+)\")"
 
@@ -153,7 +154,8 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
     """
     if m := _HISTORY.match(stmt):
         rows = txn.history(_require_table(_table_of(m)))
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (
                     r["version"],
@@ -201,7 +203,8 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
                 raise ValueError("TARGET FILE SIZE must be a positive byte count")
             kwargs["target_file_bytes"] = target
         after = txn.compact(spark, table, **kwargs)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (
                     table,
@@ -255,14 +258,16 @@ def run_maintenance_sql(spark: SparkSession, stmt: str) -> DataFrame:
                 f"a vacuum defect; treat pinned readers of the retired "
                 f"versions as broken"
             )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(table, res["removed_files"], res["removed_versions"])],
             "table string, removed_files int, removed_versions int",
         )
     if m := _RESTORE.match(stmt):
         table = _table_of(m)
         snap = txn.restore(table, int(m.group("version")))
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(table, int(m.group("version")), snap.version)],
             "table string, restored_version bigint, new_version bigint",
         )

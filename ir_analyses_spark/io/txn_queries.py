@@ -16,7 +16,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..ops.helpers import dsum
+from ..ops.helpers import dsum, local_df
 from . import txn
 from .sources import load_table
 
@@ -325,8 +325,8 @@ def txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h["version"], h["operation"], h["n_rows"])
         for h in txn.history(table)
     ]
-    return spark.createDataFrame(
-        rows, "version INT, operation STRING, n_rows BIGINT"
+    return local_df(
+        spark, rows, "version INT, operation STRING, n_rows BIGINT"
     )
 
 
@@ -379,7 +379,8 @@ def txn_pyds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.format("txn_table").mode("append").option("path", table).save()
     hist = txn.history(table)
     rows = txn.read(spark, table)
-    meta = spark.createDataFrame(
+    meta = local_df(
+        spark,
         [(h["version"], h["operation"], h["n_rows"]) for h in hist],
         "version INT, operation STRING, n_rows BIGINT",
     )
@@ -450,7 +451,7 @@ def stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price", scale=2).alias("total_price"),
     ).crossJoin(
-        F.broadcast(spark.createDataFrame([(len(hist),)], "n_epochs INT"))
+        F.broadcast(local_df(spark, [(len(hist),)], "n_epochs INT"))
     )
 
 

@@ -60,6 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
+from ..ops.helpers import local_df
 
 #: fixed certificate query — three mid-frequency corpus terms, so
 #: matched/unmatched docs, multi-term and single-term matches all
@@ -746,8 +747,8 @@ def bm25_topk(
         # this form exists to avoid
         raise ValueError(f"k and salt must be >= 1, got k={k} salt={salt}")
     spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        _qterm_pairs(queries), "query_id int, w string"
+    qterms = local_df(
+        spark, _qterm_pairs(queries), "query_id int, w string"
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     scored = (
@@ -890,8 +891,8 @@ def _write_index_files(
         # footer-metadata count (count pushdown), not a data scan
         "postings_rows": spark.read.parquet(f"{dest}/postings").count(),
     }
-    spark.createDataFrame(
-        [tuple(meta.values())], _META_SCHEMA
+    local_df(
+        spark, [tuple(meta.values())], _META_SCHEMA
     ).coalesce(1).write.mode("overwrite").json(f"{dest}/_index_meta")
     return meta
 
@@ -1321,8 +1322,8 @@ def delete_from_retrieval_index(
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
     else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
+        ids = local_df(
+            spark, [(int(i),) for i in doc_ids], "doc_id long"
         ).distinct()
     n_req = ids.count()
     if n_req == 0:
@@ -1643,8 +1644,8 @@ def bm25_topk_stored(
             f"max_dl={max_dl}; shard the corpus or rescale the constant "
             "pair (module docstring)"
         )
-    qterms = spark.createDataFrame(
-        _qterm_pairs(queries), "query_id int, w string"
+    qterms = local_df(
+        spark, _qterm_pairs(queries), "query_id int, w string"
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     hit = postings.filter(F.col("token").isin(*all_terms))

@@ -37,6 +37,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
+from ..ops.helpers import local_df
 from .retrieval import append_retrieval_index, read_retrieval_index
 
 
@@ -90,7 +91,7 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "segment", "df_seg", "total_tf", "postings"
     ).crossJoin(
         F.broadcast(
-            spark.createDataFrame([(n_epochs,)], "n_epochs int")
+            local_df(spark, [(n_epochs,)], "n_epochs int")
         )
     )
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
+from ..ops.helpers import local_df
 from .helpers_sql import STOPWORD_PATTERN
 
 _PUNCT = r"[.,;:!?]"
@@ -801,8 +802,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"({best.a}{best.b})"),
             ).alias("seq"),
         ).localCheckpoint(eager=True)  # stop round-k plan nesting round k-1
-    return spark.createDataFrame(
-        merges, "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    return local_df(
+        spark, merges, "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )
 
 

@@ -17,6 +17,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def local_df(spark, rows, schema) -> DataFrame:
+    """A DataFrame over a small driver-local list of PRIMITIVE-typed
+    rows that plans as a pure-JVM ``LocalRelation`` instead of a
+    Python-RDD scan.
+
+    ``spark.createDataFrame(list, schema)`` yields a ``LogicalRDD``
+    whose EVERY action round-trips a Python worker — measured 5-7 s per
+    job for a ONE-ROW frame on this box (r14, guide §4: the Python
+    boundary), paid by every metadata write and literal lookup table
+    sitting on a query path. Routing the same rows through a pandas
+    frame takes Spark's Arrow conversion into a ``LocalRelation``: same
+    rows, same schema, pure JVM execution (~0.2 s per job).
+
+    Scope guard: cells must be int / float / str / bool / None and rows
+    tuples or lists (positional against ``schema``). Richer cells
+    (timestamps, decimals, nested) have conversion semantics that can
+    differ between the two paths — keep those on ``createDataFrame``.
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    for r in rows:
+        for c in r:
+            if c is not None and not isinstance(c, (int, float, str, bool)):
+                raise TypeError(
+                    f"local_df cells must be primitives, got {type(c)!r}"
+                )
+    import pandas as pd
+
+    # dtype=object keeps ints exact (no int->float NaN promotion when a
+    # column mixes None) — Arrow casts each cell straight to the schema
+    # field's type, exactly like the row-based path
+    pdf = pd.DataFrame(rows, dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def spread_narrow(df: DataFrame, approx_input_bytes: int | None = None) -> DataFrame:
     """Scale-adaptive parallelism guard for expensive aggregation work over
     a NARROW scan (guide §2.5/§2.6 shape; the dedup module's ``_spread``

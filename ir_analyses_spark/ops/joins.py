@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..io.sources import load_table
-from .helpers import dsum, sql_dsum
+from .helpers import dsum, local_df, sql_dsum
 
 
 def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +172,8 @@ def join_theta_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) rows. Never do this with two large sides — bucketize first.
     """
     part = load_table(spark, "part", sf_dir)
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("budget", 0.0, 1200.0), ("mid", 1200.0, 1600.0), ("premium", 1600.0, 1e12)],
         "band string, lo double, hi double",
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..etl import conform, standardize
+from ..ops.helpers import local_df
 from ..schemas import RAW_FILING_SCHEMA
 from . import summary as summary_q
 
@@ -54,9 +55,9 @@ def ir_summary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jppfs_cor:NetSales", "1000000000", "0", "80000000", "60000000"
     )
     raw = (
-        spark.createDataFrame(f1, RAW_FILING_SCHEMA).withColumn("filing_id", F.lit("F1"))
+        local_df(spark, f1, RAW_FILING_SCHEMA).withColumn("filing_id", F.lit("F1"))
         .unionByName(
-            spark.createDataFrame(f2, RAW_FILING_SCHEMA).withColumn("filing_id", F.lit("F2"))
+            local_df(spark, f2, RAW_FILING_SCHEMA).withColumn("filing_id", F.lit("F2"))
         )
     )
     std = standardize.standardize_raw(raw, filing_id_col="filing_id")
