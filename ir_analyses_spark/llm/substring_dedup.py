@@ -62,6 +62,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..ops.helpers import local_df
+
 #: characters of the selected k-gram carried next to the 64-bit hash
 #: so a hash collision can never fuse different substrings
 _PROBE_CHARS = 8
@@ -158,9 +160,12 @@ def poly_kgram_hashes(s: str, k: int):
     return ((prefix[k:] - prefix[:-k]) * bpw).view(np.int64)
 
 
-def _select_fingerprints_udf(k: int, window: int, jvm_hashes: bool):
+def _select_fingerprints_udf(
+    k: int, window: int, jvm_hashes: bool, py_kgram_fn=None
+):
     """Arrow-batched winnowing worker: hashes each segment's k-grams
-    (``poly_kgram_hashes``, unless a JVM ``hash_fn`` already produced
+    (``poly_kgram_hashes`` — or the caller's ``py_kgram_fn`` numpy
+    twin — unless a JVM ``hash_fn`` already produced
     the array), then each sliding window of ``window`` hashes selects
     its minimum (rightmost on ties), runs of identical picks collapse
     to one, and the 8-char collision probe is cut from the segment
@@ -185,7 +190,7 @@ def _select_fingerprints_udf(k: int, window: int, jvm_hashes: bool):
                 out.append(empty)
                 continue
             if not jvm_hashes:
-                h = poly_kgram_hashes(s, k)
+                h = (py_kgram_fn or poly_kgram_hashes)(s, k)
             if h is None or len(h) < window:
                 out.append(empty)
                 continue
@@ -282,7 +287,17 @@ def _winnow_raw(
     # the JVM expression path (the cross-engine oracle variant in
     # `llm/substring_queries.py` — dimension-sized docs, where the
     # substr seek cost is irrelevant).
-    if hash_fn is not None:
+    # r14 (guide §4): a ``hash_fn`` may carry a ``np_kgrams`` numpy
+    # twin (segment str, k -> int64 array of every k-gram's hash,
+    # bit-exact with the JVM expression). When it does, hashing moves
+    # into the Arrow worker with the selection — the quadratic
+    # substr-seek expression disappears AND the JVM ships one fewer
+    # array column across the Python boundary. Measured on the sf0.1
+    # documents table: the JVM porthash projection alone was 19-20 s;
+    # the worker-side twin makes the whole winnow ~1.6 s.
+    py_kgram_fn = getattr(hash_fn, "np_kgrams", None)
+    jvm_hashes = hash_fn is not None and py_kgram_fn is None
+    if jvm_hashes:
         hashed = segs.select(
             "doc_id", "off", "seg",
             _kgram_hashes(F.col("seg"), k, hash_fn).alias("_hs"),
@@ -294,7 +309,7 @@ def _winnow_raw(
         )
     picked = hashed.select(
         "doc_id",
-        _select_fingerprints_udf(k, window, hash_fn is not None)(
+        _select_fingerprints_udf(k, window, jvm_hashes, py_kgram_fn)(
             F.col("_hs"), F.col("seg"), F.col("off")
         ).alias("z"),
     )
@@ -590,7 +605,8 @@ def write_fingerprint_store(
     spark = fps.sparkSession
     meta = _read_store_meta(spark, path)
     if meta is None:
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(
                 int(k), int(window), hash_scheme, _STORE_FORMAT_VERSION,
                 IDENTITY_RENDERING,
@@ -845,7 +861,8 @@ def compact_fingerprint_store(spark, path: str) -> dict:
         "bytes_before": bytes_before,
         "bytes_after": bytes_after,
     }
-    spark.createDataFrame(
+    local_df(
+        spark,
         [tuple(record.values())],
         "op string, ts double, rows_before bigint, rows_after bigint, "
         "bytes_before bigint, bytes_after bigint",

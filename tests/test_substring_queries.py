@@ -120,3 +120,56 @@ def test_gate_matches_oracle_on_random_corpora(spark, seed):
     }
     want = {d: (s, k) for d, s, k in con.execute(GATE_SQL).fetchall()}
     assert got == want, f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_porthash_numpy_twin_is_bit_exact(seed):
+    """The r14 worker-side twin (`port_hash_kgrams_np`) must equal the
+    per-gram Python reference on arbitrary unicode — it replaces the
+    JVM expression inside the winnow's Arrow worker, so a single
+    diverging gram silently un-joins fingerprints across engines."""
+    from ir_analyses_spark.llm.porthash import (
+        port_hash_kgrams_np,
+        port_hash_py,
+    )
+
+    rng = random.Random(seed)
+    pool = [chr(c) for c in list(range(32, 127))] + [
+        "あ", "中", "\U0001F600", "\U0010FFFF", "\t", "\n", "\x0b"
+    ]
+    for _ in range(150):
+        k = rng.randint(2, 16)
+        n = rng.randint(0, 120)
+        s = "".join(rng.choice(pool) for _ in range(n))
+        got = port_hash_kgrams_np(s, k).tolist()
+        want = [
+            port_hash_py(s[i : i + k], k) for i in range(max(0, n - k + 1))
+        ]
+        assert got == want, (seed, k, s)
+
+
+def test_winnow_twin_equals_jvm_expression_path(spark):
+    """winnow_fingerprints over the SAME corpus must emit identical
+    rows whether the portable hash runs as the JVM expression or as
+    the attached numpy twin (the r14 scale route)."""
+    from ir_analyses_spark.llm.porthash import port_hash_expr
+    from ir_analyses_spark.llm.substring_dedup import winnow_fingerprints
+
+    rng = random.Random(99)
+    rows = _random_corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def jvm_only(gram):  # no .np_kgrams attribute -> JVM expression path
+        return port_hash_expr(gram, _K)
+
+    a = sorted(
+        map(tuple, winnow_fingerprints(docs, _K, _W, hash_fn=jvm_only).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(docs, _K, _W, hash_fn=_portable_hash).collect(),
+        )
+    )
+    assert _portable_hash.np_kgrams is not None  # the twin is attached
+    assert a == b and len(a) > 0
