@@ -17,6 +17,7 @@ no Python UDFs — so dedup runs at scan speed inside codegen.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..io.sources import load_table
 
@@ -698,6 +699,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
     )
+    # r14 (guide §2.1): the adjacency is loop-INVARIANT but was being
+    # re-shuffled by dst on EVERY round's join. Hash-partition it by the
+    # join key once and persist — persist (NOT localCheckpoint, whose
+    # LogicalRDD reports UnknownPartitioning in Spark 4.1) carries the
+    # cached plan's hashpartitioning through InMemoryTableScan, so when
+    # the per-round join plans as a sort-merge join (the at-scale shape;
+    # locally AQE broadcasts the label side and the partitioning is
+    # inert) only the ≤|V|-row label frame exchanges — the |E|-sized
+    # side never touches the wire again. Verified on the executed plan:
+    # SMJ left leg = Sort←Filter←InMemoryTableScan, no Exchange.
+    # Unpersisted before return; the labels result is checkpointed and
+    # does not reference it.
+    adj = adj.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = adj.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
 
@@ -707,6 +721,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("canonical_id").alias("nmin"))
         )
+        # r14 (guide §2.3): the fixpoint test used to be a SECOND
+        # labels⋈new_labels join-and-count job per round. A label can
+        # only ever decrease, so "this row changed" is exactly
+        # nmin < canonical_id — computed in the same projection and
+        # checkpointed with it; the test is then a scan of the
+        # materialized ≤|V|-row frame, no join, no shuffle.
         new_labels = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
@@ -714,18 +734,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     "canonical_id", F.coalesce("nmin", "canonical_id")
                 ).alias("canonical_id"),
+                (
+                    F.coalesce("nmin", F.col("canonical_id"))
+                    < F.col("canonical_id")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
+            adj.unpersist()
             return labels
 
 
