@@ -33,8 +33,10 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..io.sources import load_table
+from ..ops.helpers import local_df
 from .export import training_layout
 from .porthash import WS_CLASS as _WS
 from .html_extract import extract_text_df
@@ -588,14 +590,25 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_domains=["spam.example"],
         quality_thresholds=_FUNNEL_THRESHOLDS,
     )
+    # r14 (guide §5.2): funnel_counts fires one action per stage, and
+    # the four stages upstream of the persisted ``capped`` frame
+    # (records, pages, unblocked, url_deduped) each re-ran the WARC
+    # decompress + HTTP parse from scratch — five full scans of the
+    # crawl for one attrition report. Persisting ``pages`` (the
+    # earliest frame every later stage derives from) caps it at two:
+    # the raw-record count and the parse that fills this cache.
+    if "pages" in stages:
+        stages["pages"] = stages["pages"].persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     counts = funnel_counts(stages)
     for s in stages.values():
         try:
             s.unpersist()
         except Exception:
             pass
-    return spark.createDataFrame(
-        [(k, v) for k, v in counts.items()], "stage string, n_rows long"
+    return local_df(
+        spark, [(k, v) for k, v in counts.items()], "stage string, n_rows long"
     )
 
 
