@@ -73,6 +73,12 @@ def txn_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-order-exact."""
     table = tempfile.mkdtemp(prefix="txn_exactly_once_")
     orders = _orders(spark, sf_dir)
+    # r14 probe, REJECTED: checkpointing this 4-column projection (each
+    # merge consumes it twice → 10 orders scans) measured 1.35× SLOWER
+    # at sf0.01 warm interleaved — the materialized RDD's 8 partitions
+    # turn every tiny downstream job from one pruned-parquet task into
+    # 8 task launches, and at certificate SF the scan it saves is one
+    # already-cached split. Left as the lazy pushdown-pruned scans.
     delta_all = orders.select(
         F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("omonth"),
         F.lit(1).cast("long").alias("cnt"),

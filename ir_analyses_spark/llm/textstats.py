@@ -754,6 +754,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax pair broadcast into the merge step. Rounds are a driver
     loop over small DataFrames — same pattern as ``ops/graph.pagerank``.
     Oracle: 3 unrolled CTE rounds, bit-exact integer counts."""
+    merges, _ = _bpe_train(spark, sf_dir, need_final_seqs=False)
+    return local_df(
+        spark, merges, "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, need_final_seqs: bool):
+    """The trainer loop, shared with the encoder
+    (`llm/tokenize.bpe_encode_corpus`). Returns ``(merges, seqs)``:
+    ``seqs`` is the (token, cnt, seq) vocabulary AFTER the returned
+    merges were applied — exactly the encoded vocabulary the encoder
+    needs, so it never re-explodes the corpus or re-applies the merges
+    (r14, guide §1.2: the encoder used to recompute the distinct
+    vocabulary and replay every merge on it). With
+    ``need_final_seqs=False`` the LAST round's merge application and
+    checkpoint are skipped — the trainer's own output (the merge
+    table) never reads them (one materialization job saved per call)
+    — and the returned ``seqs`` is None."""
     docs = load_table(spark, "documents", sf_dir)
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -764,7 +782,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "cnt", F.regexp_replace("token", "(.)", "($1)").alias("seq")
     ).localCheckpoint(eager=True)  # corpus scan happens once, not per round
     merges = []
-    for rnd in (1, 2, 3):
+    rounds = (1, 2, 3)
+    for rnd in rounds:
         symbols = F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\(")
         pairs = (
             seqs.select("cnt", symbols.alias("l"))
@@ -793,6 +812,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if best is None:
             break  # nothing left to merge (fully merged / 1-char tokens)
         merges.append((rnd, best.a, best.b, int(best.pc)))
+        if rnd == rounds[-1] and not need_final_seqs:
+            return merges, None  # nothing reads the merged seqs
         seqs = seqs.select(
             "token",
             "cnt",
@@ -802,9 +823,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"({best.a}{best.b})"),
             ).alias("seq"),
         ).localCheckpoint(eager=True)  # stop round-k plan nesting round k-1
-    return local_df(
-        spark, merges, "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
-    )
+    return merges, (seqs if need_final_seqs else None)
 
 
 def _bpe_round_sql(k: int) -> str:

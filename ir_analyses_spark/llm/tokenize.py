@@ -35,26 +35,20 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy leftmost merge with no lookaround regex — bit-identical in
     both engines (see ``textstats.bpe_train_merges``).
 
-    The merge table is ≤3 rows of bounded metadata — collected
-    driver-side with the same judgment as the trainer's per-round argmax
-    (it parameterizes literal expressions; it is not data)."""
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in textstats.bpe_train_merges(spark, sf_dir)
-        .orderBy("round")
-        .collect()
-    ]
+    r14 (guide §1.2): the trainer's loop already materializes the
+    vocabulary WITH every merge applied (its per-round working frame),
+    so the encoder consumes that frame directly instead of re-exploding
+    the corpus into a second distinct-vocabulary shuffle and replaying
+    all merges on it — the trainer's ``seqs`` after round k IS the
+    encoded vocabulary by construction (same token set: both derive
+    from the same whitespace split; same seq: identical literal
+    replaces in identical order)."""
+    _, seqs = textstats._bpe_train(spark, sf_dir, need_final_seqs=True)
     docs = load_table(spark, "documents", sf_dir)
-    vocab = docs.select(
-        F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
-    seq = F.regexp_replace("token", "(.)", "($1)")
-    for a, b in merges:
-        seq = F.replace(seq, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
-    enc = vocab.select(
+    enc = seqs.select(
         "token",
         F.size(
-            F.split(F.trim(seq, F.lit("()")), r"\)\(")
+            F.split(F.trim(F.col("seq"), F.lit("()")), r"\)\(")
         ).cast("long").alias("n_sym"),
     )
     toks = docs.select(

@@ -211,6 +211,11 @@ def brp_lsh_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("v2"), F.col("e").alias("e2")
     )
     sq = F.expr(_SQDIST.format(a="e1", b="e2"))
+    # r14 probe, REJECTED: checkpointing this frame (it appears twice in
+    # the one result plan — recall join + count) measured 1.04× at
+    # sf0.01 warm interleaved — the MLlib LSH fit/join dominates the
+    # certificate's wall and the barrier only serializes the stages.
+    # Left as the single lazy plan.
     exact = (
         a.join(b, F.col("v1") < F.col("v2"))
         .filter(sq <= F.lit(_BRP_RADIUS) * F.lit(_BRP_RADIUS))
