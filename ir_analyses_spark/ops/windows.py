@@ -311,27 +311,44 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 def ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential smoothing (EWMA, α = 1/4) over the quarterly order
     series — the one-step-ahead forecast every capacity-planning
-    dashboard runs, and a genuinely SEQUENTIAL recurrence: s_t depends on
-    s_{t-1}, so it runs as a native WITH RECURSIVE chain (same shape as
-    recursive_inventory_chain, frontier of one row per step).
+    dashboard runs. s_t depends on s_{t-1}: a genuinely SEQUENTIAL
+    recurrence, which the ORACLE spells as WITH RECURSIVE (DuckDB) and
+    this side evaluates as an in-order ``aggregate()`` fold over the
+    packed series — the same recurrence, the same evaluation order,
+    in ONE job.
 
-    Exactness: the recursion fixes the evaluation ORDER, every step is
-    (x + 3·s)/4 on doubles — multiply, add, divide are each correctly
-    rounded IEEE ops, identical in both engines when applied in the same
-    order — and the inputs are exact integer cents ≤ 2^53. So the floats
-    hash-match bit-for-bit with NO rounding concession (contrast
-    trade_pagerank, whose partition-order-varying SUM needs decimal
-    accumulators + 9-dp rounding).
+    Exactness: the fold fixes the evaluation ORDER exactly as the
+    recursion did — element order is ``sort_array`` over structs whose
+    FIRST field is the unique ``qtr`` (identical to the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY qtr)``), the init is the anchor row's
+    ``CAST(demand_c AS DOUBLE)``, and every step is the byte-identically
+    spelled ``(CAST(demand_c AS DOUBLE) + 3 * acc) / 4`` — multiply,
+    add, divide are each correctly rounded IEEE ops, identical in both
+    engines when applied in the same order, and the inputs are exact
+    integer cents ≤ 2^53. So the floats hash-match bit-for-bit with NO
+    rounding concession (contrast trade_pagerank, whose partition-
+    order-varying SUM needs decimal accumulators + 9-dp rounding).
+    Bit-equality with the previous WITH RECURSIVE implementation is
+    pinned by tests/test_ewma_fold.py (random series vs an iterative
+    Python reference, and the executed recursive form on the same frame).
 
-    Scale shape (r14 optimization, guide §2.4 "remove shuffles outright" /
-    §5 "don't recompute"): Spark's UnionLoop inlines a non-recursive CTE
-    into EVERY iteration of the recursion, so spelling ``seq`` as a CTE
-    re-aggregated the full orders table once per quarter (~27 scans).
-    The quarterly series is materialized ONCE (localCheckpoint of ~28
-    rows) and the recursion joins the materialized view — identical
-    arithmetic, identical rows, one data-sized scan total."""
+    Scale shape (r14 optimization, guide §1.2 "the distributed
+    algorithm"): the recurrence length is the number of QUARTERS — it
+    grows with the calendar, not the data — so executing it as a
+    UnionLoop recursion cost ~28 driver-scheduled Spark jobs of one row
+    each (measured 4-6 s at ANY SF, pure recursion machinery; the r14
+    loop-invariant materialization had already removed the per-step
+    orders re-scan). The fold runs the identical arithmetic inside one
+    task: per-row work is O(#quarters²) trivial flops — ~784 at 28
+    quarters, irrelevant next to one Spark job — and the single
+    data-sized scan feeds one partial/final aggregate. Measured
+    6.5 s → 0.29 s at sf0.01 (22×), bit-identical output. A recurrence
+    whose LENGTH scaled with the data would want the recursion back —
+    trade_bfs_hops keeps exactly that shape for its data-sized frontier.
+    ``sort_array``+fold also removes the recursion's single-partition
+    ROW_NUMBER window (WindowExec warning gone)."""
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("_win_orders")
-    spark.sql(
+    return spark.sql(
         """
         WITH demand AS (
           SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
@@ -339,22 +356,17 @@ def ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
                                AS BIGINT)) AS BIGINT) AS demand_c
           FROM _win_orders GROUP BY 1
+        ),
+        packed AS (
+          SELECT sort_array(collect_list(struct(qtr, demand_c))) AS a
+          FROM demand
         )
-        SELECT qtr, demand_c, ROW_NUMBER() OVER (ORDER BY qtr) AS i
-        FROM demand
-        """
-    ).localCheckpoint(eager=True).createOrReplaceTempView("_win_ewma_seq")
-    return spark.sql(
-        """
-        WITH RECURSIVE sm (i, qtr, demand_c, ewma) AS (
-          SELECT i, qtr, demand_c, CAST(demand_c AS DOUBLE)
-          FROM _win_ewma_seq WHERE i = 1
-          UNION ALL
-          SELECT s.i, s.qtr, s.demand_c,
-                 (CAST(s.demand_c AS DOUBLE) + 3 * m.ewma) / 4
-          FROM sm m JOIN _win_ewma_seq s ON s.i = m.i + 1
-        )
-        SELECT qtr, demand_c, ewma FROM sm
+        SELECT x.qtr AS qtr, x.demand_c AS demand_c,
+               aggregate(slice(a, 2, p),
+                         CAST(a[0].demand_c AS DOUBLE),
+                         (acc, s) -> (CAST(s.demand_c AS DOUBLE) + 3 * acc) / 4
+               ) AS ewma
+        FROM packed LATERAL VIEW posexplode(a) t AS p, x
         """
     )
 
