@@ -489,7 +489,20 @@ def recursive_inventory_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subqueries). Both are materialized ONCE (localCheckpoint, ~28
     rows + 1 row) and the recursion runs over the materialized views —
     identical arithmetic (consts is the same SUM/COUNT over the same
-    demand rows), one data-sized scan total."""
+    demand rows), one data-sized scan total.
+
+    r14 optimization, second pass (guide §1.2): even over the
+    materialized 1-row consts view, the recursion BODY's two scalar
+    subqueries re-executed as separate subquery jobs on EVERY UnionLoop
+    step (~2×28 tiny jobs — measured ~35% of the query's wall). The
+    constants now ride the recursion state instead: the anchor selects
+    ``refill_c``/``cap_c`` from the consts view into two extra columns
+    of ``bal``, each step references ``b.refill_c``/``b.cap_c`` and
+    passes them through, and the outer projection drops them. Zero
+    subqueries and zero extra joins per step, same BIGINT values in the
+    same expressions ⇒ identical output (row/schema-equality and the
+    UnionLoop + no-BNLJ plan pin re-verified; 6.4 → 4.2 s warm median
+    at sf0.01)."""
     _register(spark, sf_dir, ["orders"])
     spark.sql("""
         WITH demand AS (
@@ -508,15 +521,15 @@ def recursive_inventory_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _subq_inv_seq
     """).localCheckpoint(eager=True).createOrReplaceTempView("_subq_inv_consts")
     return spark.sql("""
-        WITH RECURSIVE bal (i, qtr, balance_c) AS (
-          SELECT 0, CAST('start' AS STRING),
-                 (SELECT cap_c FROM _subq_inv_consts)
+        WITH RECURSIVE bal (i, qtr, balance_c, refill_c, cap_c) AS (
+          SELECT 0, CAST('start' AS STRING), cap_c, refill_c, cap_c
+          FROM _subq_inv_consts
           UNION ALL
           SELECT s.i, s.qtr,
-                 LEAST(GREATEST(b.balance_c
-                                + (SELECT refill_c FROM _subq_inv_consts) * (s.i % 3)
+                 LEAST(GREATEST(b.balance_c + b.refill_c * (s.i % 3)
                                 - s.demand_c, 0),
-                       (SELECT cap_c FROM _subq_inv_consts))
+                       b.cap_c),
+                 b.refill_c, b.cap_c
           FROM bal b JOIN _subq_inv_seq s ON s.i = b.i + 1
         )
         SELECT qtr, balance_c FROM bal WHERE i > 0
