@@ -712,40 +712,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unpersisted before return; the labels result is checkpointed and
     # does not reference it.
     adj = adj.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = adj.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
+    # r15 (VERDICT r14 item 4): unpersist in a finally — the happy-path
+    # return used to be the only release, so a mid-loop failure left an
+    # |E|-sized MEMORY_AND_DISK frame pinned for the session.
+    try:
+        nodes = adj.select(F.col("src").alias("doc_id")).distinct()
+        labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
 
-    while True:
-        neighbor_min = (
-            adj.join(labels, adj["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("canonical_id").alias("nmin"))
-        )
-        # r14 (guide §2.3): the fixpoint test used to be a SECOND
-        # labels⋈new_labels join-and-count job per round. A label can
-        # only ever decrease, so "this row changed" is exactly
-        # nmin < canonical_id — computed in the same projection and
-        # checkpointed with it; the test is then a scan of the
-        # materialized ≤|V|-row frame, no join, no shuffle.
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "canonical_id", F.coalesce("nmin", "canonical_id")
-                ).alias("canonical_id"),
-                (
-                    F.coalesce("nmin", F.col("canonical_id"))
-                    < F.col("canonical_id")
-                ).alias("_chg"),
+        while True:
+            neighbor_min = (
+                adj.join(labels, adj["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("canonical_id").alias("nmin"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter("_chg").limit(1).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            adj.unpersist()
-            return labels
+            # r14 (guide §2.3): the fixpoint test used to be a SECOND
+            # labels⋈new_labels join-and-count job per round. A label can
+            # only ever decrease, so "this row changed" is exactly
+            # nmin < canonical_id — computed in the same projection and
+            # checkpointed with it; the test is then a scan of the
+            # materialized ≤|V|-row frame, no join, no shuffle.
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        "canonical_id", F.coalesce("nmin", "canonical_id")
+                    ).alias("canonical_id"),
+                    (
+                        F.coalesce("nmin", F.col("canonical_id"))
+                        < F.col("canonical_id")
+                    ).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter("_chg").limit(1).count()
+            labels = new_labels.drop("_chg")
+            if changed == 0:
+                return labels
+    finally:
+        adj.unpersist()
 
 
 #: shared CTE chain: shingles → exact-Jaccard edges → transitive closure
