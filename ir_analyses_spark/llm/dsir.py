@@ -62,12 +62,20 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     # per-bucket term table (≤ B rows): ln on integer counts only, then
-    # round→decimal so every downstream sum is exact
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    # round→decimal so every downstream sum is exact.
+    #
+    # r15 (guide §2.4, VERDICT r14 item 5): raw/tgt/totals used to
+    # aggregate the TOKEN stream directly — four explode+md5 passes
+    # over the corpus in one plan. Each is an exact sum of doc_bucket's
+    # integer counts (Σ per-(doc,lang,b) longs ≡ the token count, same
+    # 64-bit values), so they now derive from doc_bucket and the
+    # physical plan reuses its exchange: the corpus is exploded and
+    # hashed exactly ONCE. ln() inputs are unchanged integers.
+    raw = doc_bucket.groupBy("b").agg(F.sum("c").alias("c_raw"))
     tgt = (
-        toks.filter(F.col("lang") == target_lang)
+        doc_bucket.filter(F.col("lang") == target_lang)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .agg(F.sum("c").alias("c_tgt"))
     )
     terms = (
         raw.join(tgt, "b", "left")
@@ -83,11 +91,17 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
         )
     )
     # normalizing constant ln(T_raw) − ln(T_tgt) from the two scalar
-    # totals (+B smoothing mass), as a 1-row broadcast
-    totals = toks.agg(
-        (F.count(F.lit(1)) + F.lit(_B)).alias("t_raw"),
+    # totals (+B smoothing mass), as a 1-row broadcast — also derived
+    # from doc_bucket (r15): COALESCE keeps the empty-corpus totals at
+    # the smoothing mass B, exactly what COUNT produced
+    totals = doc_bucket.agg(
+        (F.coalesce(F.sum("c"), F.lit(0)) + F.lit(_B)).alias("t_raw"),
         (
-            F.count(F.when(F.col("lang") == target_lang, 1)) + F.lit(_B)
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == target_lang, F.col("c"))),
+                F.lit(0),
+            )
+            + F.lit(_B)
         ).alias("t_tgt"),
     ).select(
         F.round(F.log("t_raw") - F.log("t_tgt"), 6).cast(_DEC).alias("norm")
@@ -156,7 +170,10 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", (_md5_long("w", 1) % _B).alias("b"))
     doc_bucket = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    # r15 (guide §2.4, VERDICT r14 item 5): raw derives from doc_bucket
+    # (Σ of its integer counts ≡ the token count) so the raw corpus is
+    # exploded and hashed ONCE — the plan reuses doc_bucket's exchange
+    raw = doc_bucket.groupBy("b").agg(F.sum("c").alias("c_raw"))
     tgt_toks = target_docs.select(
         F.explode(F.split("text", " ")).alias("w")
     ).select((_md5_long("w", 1) % _B).alias("b"))
@@ -171,10 +188,20 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
         .cast(_DEC)
         .alias("term"),
     )
+    # scalar totals likewise derive from the two aggregates already in
+    # the plan (doc_bucket, tgt) instead of re-exploding either corpus;
+    # COALESCE keeps the empty-corpus total at the smoothing mass B,
+    # exactly what COUNT produced
     totals = (
-        toks.agg((F.count(F.lit(1)) + F.lit(_B)).alias("t_raw"))
+        doc_bucket.agg(
+            (F.coalesce(F.sum("c"), F.lit(0)) + F.lit(_B)).alias("t_raw")
+        )
         .crossJoin(
-            tgt_toks.agg((F.count(F.lit(1)) + F.lit(_B)).alias("t_tgt"))
+            tgt.agg(
+                (F.coalesce(F.sum("c_tgt"), F.lit(0)) + F.lit(_B)).alias(
+                    "t_tgt"
+                )
+            )
         )
         .select(
             F.round(F.log("t_raw") - F.log("t_tgt"), 6).cast(_DEC).alias("norm")
