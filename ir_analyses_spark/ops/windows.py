@@ -348,27 +348,34 @@ def ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sort_array``+fold also removes the recursion's single-partition
     ROW_NUMBER window (WindowExec warning gone)."""
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("_win_orders")
-    return spark.sql(
-        """
-        WITH demand AS (
-          SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
-                        CAST(QUARTER(o_orderdate) AS STRING)) AS qtr,
-                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
-                               AS BIGINT)) AS BIGINT) AS demand_c
-          FROM _win_orders GROUP BY 1
-        ),
-        packed AS (
-          SELECT sort_array(collect_list(struct(qtr, demand_c))) AS a
-          FROM demand
-        )
-        SELECT x.qtr AS qtr, x.demand_c AS demand_c,
-               aggregate(slice(a, 2, p),
-                         CAST(a[0].demand_c AS DOUBLE),
-                         (acc, s) -> (CAST(s.demand_c AS DOUBLE) + 3 * acc) / 4
-               ) AS ewma
-        FROM packed LATERAL VIEW posexplode(a) t AS p, x
-        """
-    )
+    return spark.sql(EWMA_FOLD_SQL.format(src=_EWMA_DEMAND_SRC))
+
+
+#: the quarterly demand series (the fold's {src}) — an inline subquery so
+#: the shipped query is exactly EWMA_FOLD_SQL over it
+_EWMA_DEMAND_SRC = """(
+  SELECT CONCAT(CAST(YEAR(o_orderdate) AS STRING), '-Q',
+                CAST(QUARTER(o_orderdate) AS STRING)) AS qtr,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS demand_c
+  FROM _win_orders GROUP BY 1
+)"""
+
+#: the in-order EWMA fold over a (qtr, demand_c) source. Module-level and
+#: ``{src}``-parameterized so tests/test_ewma_fold.py's random-series
+#: bit-equality pins exercise the SHIPPED text, not a copy (r14 ADVICE 1).
+EWMA_FOLD_SQL = """
+WITH packed AS (
+  SELECT sort_array(collect_list(struct(qtr, demand_c))) AS a
+  FROM {src}
+)
+SELECT x.qtr AS qtr, x.demand_c AS demand_c,
+       aggregate(slice(a, 2, p),
+                 CAST(a[0].demand_c AS DOUBLE),
+                 (acc, s) -> (CAST(s.demand_c AS DOUBLE) + 3 * acc) / 4
+       ) AS ewma
+FROM packed LATERAL VIEW posexplode(a) t AS p, x
+"""
 
 
 EWMA_FORECAST_SQL = """
