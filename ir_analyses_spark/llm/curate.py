@@ -25,11 +25,11 @@ New module per the evidence-ledger rule; verified end-to-end by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..io.warc import read_warc, read_wet_documents
-from .html_extract import extract_text_df
+from .html_extract import extract_text_cols, extract_text_df
 from .substring_dedup import (
     DEFAULT_K as _SUBSTRING_DEFAULT_K,
     DEFAULT_WINDOW as _SUBSTRING_DEFAULT_WINDOW,
@@ -39,7 +39,51 @@ from .lm_score import perplexity_buckets, score_with_lm
 from .quality_rules import gopher_flags_df
 from .robots import filter_robots_disallowed, robots_rules_from_warc
 from .textnorm import clean_text_expr
-from .url_ops import cap_per_domain, filter_blocked_domains, normalize_url_expr
+from .url_ops import (
+    blocked_domain_pred,
+    cap_per_domain,
+    filter_blocked_domains,
+    host_expr,
+    normalize_url_expr,
+    registered_domain_expr,
+)
+
+
+def _http_page_cond():
+    """The HTTP-response page gate over a WARC records frame — ONE
+    spelling shared by the stage graph and the one-pass funnel counts
+    (pre URL-normalization; the url-not-null leg is applied after
+    ``normalize_url_expr`` by both consumers)."""
+    return (
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.col("http_content_type")).startswith("text/html")
+        & F.col("target_uri").isNotNull()
+    )
+
+
+def _page_doc_id():
+    """The document-identity rule (xxhash64 over path#record_seq) —
+    shared spelling, see io/warc for the canonicalization vintage."""
+    return F.xxhash64(F.concat_ws("#", "path", "record_seq"))
+
+
+def _read_warc_stream(
+    spark: SparkSession, warc_path: str, permissive: bool
+) -> DataFrame:
+    """The record-bounded-memory WARC scan route (io/warc_datasource):
+    same schema and strict/permissive contract as read_warc, per-task
+    peak memory ONE record + a 64 KiB chunk. Registration idempotent."""
+    from ..io.warc_datasource import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    return (
+        spark.read.format("warc")
+        .option("path", warc_path)
+        .option("parse_http", "true")
+        .option("permissive", "true" if permissive else "false")
+        .load()
+    )
 
 
 def curation_stages(
@@ -230,31 +274,15 @@ def curation_stages(
             # pinned in tests/test_warc_datasource.py) — registration
             # is idempotent, and the path option takes object-store
             # URIs via the DataSource's pyarrow-FS routing
-            from ..io.warc_datasource import WarcDataSource
-
-            spark.dataSource.register(WarcDataSource)
-            records = (
-                spark.read.format("warc")
-                .option("path", warc_path)
-                .option("parse_http", "true")
-                .option("permissive", "true" if permissive else "false")
-                .load()
-            )
+            records = _read_warc_stream(spark, warc_path, permissive)
         else:
             records = read_warc(
                 spark, warc_path, parse_http=True, permissive=permissive
             )
         pages = (
-            records.filter(
-                (F.col("warc_type") == "response")
-                & (F.col("http_status") == 200)
-                & F.lower(F.col("http_content_type")).startswith("text/html")
-                & F.col("target_uri").isNotNull()
-            )
+            records.filter(_http_page_cond())
             .select(
-                F.xxhash64(F.concat_ws("#", "path", "record_seq")).alias(
-                    "doc_id"
-                ),
+                _page_doc_id().alias("doc_id"),
                 normalize_url_expr(F.col("target_uri")).alias("url"),
                 # raw URI kept alongside: robots prefixes match the path
                 # AS CRAWLED — canonicalization collapses trailing
@@ -498,5 +526,194 @@ def curate_crawl(spark: SparkSession, warc_path: str, **kwargs) -> DataFrame:
 
 def funnel_counts(stages: dict[str, DataFrame]) -> dict[str, int]:
     """Row count per stage — the attrition report. Triggers one action
-    per stage; meant for auditing runs, not the hot path."""
+    per stage; meant for auditing runs, not the hot path. For the
+    DEFAULT funnel shape, :func:`funnel_counts_onepass` computes the
+    same dict in ONE job with no persist."""
     return {name: df.count() for name, df in stages.items()}
+
+
+def funnel_counts_onepass(
+    spark: SparkSession,
+    warc_path: str,
+    *,
+    blocked_domains: list[str] | None = None,
+    max_pages_per_domain: int = 100_000,
+    max_link_char_frac: float = 0.5,
+    line_dedup_min_docs: int = 2,
+    quality_thresholds: dict | None = None,
+    permissive: bool = True,
+) -> dict[str, int]:
+    """Every DEFAULT-funnel stage count in ONE Spark job (guide
+    §2.3/§5.2; r14 VERDICT item 2): the counts ride the funnel's own
+    aggregation tree as carried conditional aggregates instead of firing
+    one count action per stage — which re-ran the WARC decompress+parse
+    once per pre-shuffle stage and needed a corpus-sized ``pages``
+    persist to cap the damage. Here the crawl is parsed exactly once,
+    nothing is persisted, and the one action is a 1-row collect.
+
+    Covers exactly the default ``curation_stages`` shape the funnel
+    audit runs (warc-stream input, Python-list blocklist, no optional
+    gates); the stage graph (``curation_stages`` + ``funnel_counts``)
+    remains the general surface. Count equivalence is by construction,
+    stage by stage:
+
+    - ``records``/``pages``/``unblocked``: every record lands in
+      exactly ONE url-group row of the first aggregation (non-page and
+      blocked rows together under the NULL key), so the carried
+      per-group sums total the stage counts; the page and blocklist
+      predicates are the shared spellings (``_http_page_cond`` +
+      ``normalize_url_expr`` null gate, ``blocked_domain_pred``) the
+      stage graph itself filters with.
+    - ``url_deduped``: count of non-NULL url groups ≡ COUNT(DISTINCT
+      url) over unblocked pages; the group representative is the same
+      ``min(struct(doc_id, html))``.
+    - ``capped``: the cap window re-partitions by (is-url-group,
+      registered domain) ordered by the representative doc_id, which
+      RESTRICTED TO URL GROUPS is ``cap_per_domain``'s exact window
+      (the single NULL-key row rides its own (false, NULL) partition
+      and is never counted).
+    - ``extracted``: ``extract_text_df`` is row-preserving by
+      construction (mapInPandas emitting one row per input, then a 1:1
+      join on the unique doc_id), so the stage count equals ``capped``;
+      extraction here is the SAME per-row ``html_to_text`` via
+      ``extract_text_cols``, fed NULL html for non-capped rows.
+    - ``content_like``/``normalized``: the same link-density predicate
+      over the extracted struct; normalization is a projection, so the
+      counts coincide.
+    - ``exact_deduped``: the same ``md5(clean_text_expr(text))`` key
+      over content-like rows; non-survivors ride under the NULL key and
+      only their carried sums are read. The representative is the same
+      ``min(struct(doc_id, url, title, text))``.
+    - ``line_deduped``/``final``: the UNMODIFIED stage operators
+      (``dedup_units_within_doc`` → ``remove_global_duplicate_units`` →
+      url/title join → ``gopher_flags_df``) run over the survivors,
+      counted by one conditional aggregate; the exchange feeding the
+      survivors is reused, not recomputed, because all consumers sit
+      above the same aggregation.
+
+    tests/test_funnel_onepass.py pins this dict equal to
+    ``funnel_counts(curation_stages(...))`` on adversarial crawls.
+    """
+    if max_pages_per_domain < 1:
+        raise ValueError("max_pages_per_domain must be >= 1")
+    records = _read_warc_stream(spark, warc_path, permissive)
+    url_norm = normalize_url_expr(F.col("target_uri"))
+    is_page = F.coalesce(
+        _http_page_cond() & url_norm.isNotNull(), F.lit(False)
+    )
+    if blocked_domains:
+        is_unblocked = is_page & ~blocked_domain_pred(
+            url_norm, blocked_domains
+        )
+    else:
+        is_unblocked = is_page
+    base = records.select(
+        F.when(is_unblocked, url_norm).alias("url"),
+        is_page.alias("_pg"),
+        is_unblocked.alias("_ub"),
+        F.when(
+            is_unblocked,
+            F.struct(
+                _page_doc_id().alias("doc_id"),
+                F.col("body").cast("string").alias("html"),
+            ),
+        ).alias("_r"),
+    )
+    # one aggregation = url dedup AND the carried record/page counts
+    g = base.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_rec"),
+        F.count_if(F.col("_pg")).alias("n_pg"),
+        F.count_if(F.col("_ub")).alias("n_ub"),
+        F.min("_r").alias("r"),
+    )
+    is_url = F.col("url").isNotNull()
+    dom = registered_domain_expr(host_expr(F.col("url")))
+    w = Window.partitionBy(is_url, dom).orderBy(F.col("r.doc_id"))
+    g = g.select(
+        "*",
+        (
+            is_url
+            & (F.row_number().over(w) <= F.lit(max_pages_per_domain))
+        ).alias("is_capped"),
+    )
+    ext = extract_text_cols(F.when(F.col("is_capped"), F.col("r.html")))
+    g = g.select("*", ext.alias("ext"))
+    is_cl = (
+        F.col("is_capped")
+        & F.col("ext.link_char_frac").isNotNull()
+        & (F.col("ext.link_char_frac") <= F.lit(max_link_char_frac))
+    )
+    norm_text = clean_text_expr(F.col("ext.text"))
+    g = g.select(
+        "n_rec",
+        "n_pg",
+        "n_ub",
+        is_url.alias("is_url"),
+        "is_capped",
+        is_cl.alias("is_cl"),
+        F.when(is_cl, F.md5(norm_text)).alias("h"),
+        F.when(
+            is_cl,
+            F.struct(
+                F.col("r.doc_id").alias("doc_id"),
+                F.col("url").alias("url"),
+                F.col("ext.title").alias("title"),
+                norm_text.alias("text"),
+            ),
+        ).alias("r2"),
+    )
+    # exact-content dedup AND the finalized upstream counts in one agg
+    h = g.groupBy("h").agg(
+        F.sum("n_rec").alias("records"),
+        F.sum("n_pg").alias("pages"),
+        F.sum("n_ub").alias("unblocked"),
+        F.count_if(F.col("is_url")).alias("url_deduped"),
+        F.count_if(F.col("is_capped")).alias("capped"),
+        F.count_if(F.col("is_cl")).alias("content_like"),
+        F.min("r2").alias("r2"),
+    )
+    s1 = h.agg(
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+            for c in (
+                "records",
+                "pages",
+                "unblocked",
+                "url_deduped",
+                "capped",
+                "content_like",
+            )
+        ],
+        F.count_if(F.col("h").isNotNull()).alias("exact_deduped"),
+    )
+    surv = h.filter(F.col("h").isNotNull()).select(
+        "r2.doc_id", "r2.url", "r2.title", "r2.text"
+    )
+    line_deduped = remove_global_duplicate_units(
+        dedup_units_within_doc(surv.select("doc_id", "text"), "line"),
+        "line",
+        line_dedup_min_docs,
+    ).join(surv.select("doc_id", "url", "title"), "doc_id")
+    s2 = gopher_flags_df(
+        line_deduped, quality_thresholds, keep=("url", "title", "text")
+    ).agg(
+        F.count(F.lit(1)).alias("line_deduped"),
+        F.count_if(F.col("passes_gopher")).alias("final"),
+    )
+    row = s1.crossJoin(s2).collect()[0]
+    return {
+        "records": int(row["records"]),
+        "pages": int(row["pages"]),
+        "unblocked": int(row["unblocked"]),
+        "url_deduped": int(row["url_deduped"]),
+        "capped": int(row["capped"]),
+        # extract_text_df emits one row per input row (and the 1:1
+        # doc_id join drops none), so the stage count IS the cap count
+        "extracted": int(row["capped"]),
+        "content_like": int(row["content_like"]),
+        # normalization is a projection over content_like
+        "normalized": int(row["content_like"]),
+        "exact_deduped": int(row["exact_deduped"]),
+        "line_deduped": int(row["line_deduped"]),
+        "final": int(row["final"]),
+    }

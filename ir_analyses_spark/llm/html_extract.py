@@ -38,7 +38,13 @@ from html.parser import HTMLParser
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 #: Subtrees whose text is never content.
 _SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head"})
@@ -192,6 +198,40 @@ def extract_text_df(docs: DataFrame, html_col: str = "html") -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=_EXTRACT_SCHEMA)
+
+
+# explicit StructType, not a DDL string: parsing DDL at decoration time
+# needs an active SparkContext, and this module imports context-free
+_EXTRACT_STRUCT = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("link_char_frac", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_STRUCT)
+def _extract_struct_udf(html: pd.Series) -> pd.DataFrame:
+    out = [html_to_text(h) for h in html]
+    return pd.DataFrame(
+        {
+            "title": [t for t, _, _ in out],
+            "text": [x for _, x, _ in out],
+            "link_char_frac": [f for _, _, f in out],
+        }
+    )
+
+
+def extract_text_cols(html) -> Column:
+    """Expression twin of :func:`extract_text_df`: the SAME
+    ``html_to_text`` per row, surfaced as one
+    ``struct<title,text,link_char_frac>`` column — for count-carrying
+    pipelines (the one-pass funnel counts) that thread extraction
+    through a wider projection instead of routing (and therefore
+    re-shaping) the frame through ``mapInPandas``. Row-preserving by
+    construction: a scalar pandas UDF cannot change cardinality."""
+    return _extract_struct_udf(html)
 
 
 def strip_tags_expr(col):

@@ -115,6 +115,24 @@ def host_suffixes_expr(host: Column) -> Column:
     )
 
 
+def blocked_domain_pred(url, blocked: list[str]) -> Column:
+    """TRUE exactly when ``url``'s host equals, or is a subdomain of, a
+    blocked domain from the Python-list blocklist — the predicate behind
+    :func:`filter_blocked_domains`' list path, exposed as a column so
+    audit surfaces (the one-pass funnel counts) and the filter share ONE
+    spelling and cannot diverge. Never NULL: an un-parseable URL (no
+    host) yields FALSE — blocking is an explicit decision, not a parse
+    failure side-effect."""
+    host = host_expr(url)
+    sfx = F.when(
+        host.isNull(), F.array().cast("array<string>")
+    ).otherwise(host_suffixes_expr(host))
+    # small Python list → a literal array and one arrays_overlap
+    # predicate: pure codegen, nothing joins at all
+    lits = F.array(*[F.lit(d.lower().strip().strip(".")) for d in blocked])
+    return F.arrays_overlap(sfx, lits)
+
+
 def filter_blocked_domains(
     df: DataFrame, blocked: list[str] | DataFrame, url_col: str = "url"
 ) -> DataFrame:
@@ -123,17 +141,9 @@ def filter_blocked_domains(
     it is broadcast — blocklists are dims, the corpus never reshuffles.
     Rows with un-parseable URLs (no host) are KEPT — blocking is an
     explicit decision, not a parse failure side-effect."""
-    host = host_expr(F.col(url_col))
-    sfx = F.when(
-        host.isNull(), F.array().cast("array<string>")
-    ).otherwise(host_suffixes_expr(host))
     if not isinstance(blocked, DataFrame):
-        # small Python list → a literal array and one arrays_overlap
-        # predicate: pure codegen, nothing joins at all
-        lits = F.array(
-            *[F.lit(d.lower().strip().strip(".")) for d in blocked]
-        )
-        return df.filter(~F.arrays_overlap(sfx, lits))
+        return df.filter(~blocked_domain_pred(F.col(url_col), blocked))
+    host = host_expr(F.col(url_col))
     # same canonical form the list path gets: lowercase, trimmed, no
     # leading/trailing dots
     bdf = blocked.toDF("blocked_domain").select(
