@@ -122,6 +122,8 @@ def _has_protobuf() -> bool:
         ),
     ],
 )
+# slow: real multi-epoch stateful streams (both APIs); semantics oracle-checked via stateful_user_totals
+@pytest.mark.slow
 def test_stateful_running_totals_twins(spark, events_dir, totals_fn, sink):
     """One harness, both custom-state APIs (VERDICT r6 item 7): the
     applyInPandasWithState operator and its transformWithStateInPandas
@@ -247,6 +249,8 @@ def test_incremental_rollup_additive_and_replay_safe(spark, events_dir, tmp_path
     )
 
 
+# slow: txn-variant rollup lifecycle; the bare-dir replay-safety twin stays fast in-suite
+@pytest.mark.slow
 def test_incremental_rollup_txn_snapshot_and_replay_safe(
     spark, events_dir, tmp_path
 ):
@@ -296,3 +300,32 @@ def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
     q2 = foreach_batch_upsert(stream, target, keys=["event_id"])
     _run(q2)
     assert spark.read.parquet(target).count() == n
+
+
+def test_stream_state_partitions_gate(spark, sf_dir, tmp_path):
+    """r15 scale-adaptive state sizing: a dimension-sized staged source
+    proposes a small partition count (floor 2); when the session is
+    already at or below the proposal the gate is a no-op (None) — the
+    at-scale behavior, where the estimate meets defaultParallelism."""
+    from ir_analyses_spark.streaming.pipeline import (
+        _stage_events_dir,
+        _stream_state_partitions,
+    )
+
+    src = _stage_events_dir(sf_dir)
+    try:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        got = _stream_state_partitions(spark, (src,))
+        # the sf0.001/sf0.01 events table is far below one split per core
+        assert got == 2
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "2")
+            assert _stream_state_partitions(spark, (src,)) is None
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        # empty source dir → no evidence → no-op
+        assert _stream_state_partitions(spark, (str(tmp_path),)) is None
+    finally:
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
