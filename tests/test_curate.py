@@ -144,6 +144,8 @@ def test_domain_cap_stage(spark, tmp_path_factory):
     assert len(domains) == len(set(domains))  # ≤1 per registered domain
 
 
+# slow: optional-stage wiring; the operators have their own fast tests (test_robots, test_lm_score)
+@pytest.mark.slow
 def test_optional_robots_and_perplexity_stages(spark, tmp_path_factory):
     from ir_analyses_spark.llm.curate import curate_crawl
     from ir_analyses_spark.llm.lm_score import train_char_lm
@@ -365,6 +367,8 @@ def test_substring_dedup_stage(spark, tmp_path_factory):
     assert sum(1 for t in base_texts if boiler in t) == 2
 
 
+# slow: route-parity certificate; row-level scan parity pinned fast in test_warc_datasource
+@pytest.mark.slow
 def test_warc_stream_route_identical_funnel(spark, tmp_path_factory):
     """input_format='warc-stream' reads the SAME crawl through the
     streaming DataSource (r11 VERDICT item 4): every stage count and
@@ -432,7 +436,15 @@ def test_novelty_and_dsir_stages(spark, tmp_path_factory):
     assert list(gated).index("novelty_filtered") < list(gated).index(
         "dsir_selected"
     )
-    n = funnel_counts(gated)
+    # count only the three stages the assertions read: a full
+    # funnel_counts fired one action per stage with NOTHING persisted,
+    # re-running the whole upstream funnel (parse + dedups + gates) ~13
+    # times — this one test cost 131 s of the suite for counts it never
+    # asserted on (r15 suite-runtime fix; coverage unchanged)
+    n = {
+        name: gated[name].count()
+        for name in ("line_deduped", "novelty_filtered", "dsir_selected")
+    }
     # both stages only ever shrink, and DSIR's above-mean gate always
     # drops SOMETHING on a >1-doc corpus (mean is strict)
     assert n["novelty_filtered"] <= n["line_deduped"]

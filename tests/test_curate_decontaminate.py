@@ -56,6 +56,8 @@ def test_stage_drops_contaminated_doc(spark, crawl_dir):
     assert any("/b" in u for u in urls) and any("/c" in u for u in urls)
 
 
+# slow: no-op-direction funnel e2e; the operator no-op is pinned fast in test_bloomdecon
+@pytest.mark.slow
 def test_unrelated_benchmark_drops_nothing(spark, crawl_dir):
     bench = spark.createDataFrame(
         [("completely unrelated benchmark sentence about aardvarks",)],
@@ -194,6 +196,8 @@ def test_packed_words_match_bits_table(spark):
     assert got == expected and expected
 
 
+# slow: CLI lifecycle twin; the stage drop semantics stay in test_stage_drops_contaminated_doc
+@pytest.mark.slow
 def test_cli_decontaminate_end_to_end(spark, tmp_path, capsys):
     bench_path = str(tmp_path / "bench.parquet")
     spark.createDataFrame([(_A_PARA,)], "text string").write.parquet(

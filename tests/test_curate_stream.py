@@ -98,6 +98,8 @@ def test_batch_twin_of_dedup(spark, docs_dir):
     assert batch.count() == 8  # 9 rows, one exact duplicate pair
 
 
+# slow: streaming-vs-batch parity for the model gate; the rule-gate parity twin stays fast in-suite
+@pytest.mark.slow
 def test_streaming_classifier_gate_matches_batch(spark, docs_dir):
     """r8: the MLlib classifier gate is stateless, so it runs on a
     stream and must equal the identical batch transformation."""

@@ -9,6 +9,8 @@ import json
 import curatectl
 from tests.test_curate import CRAWL
 
+import pytest
+
 
 def test_cli_end_to_end(spark, tmp_path, capsys):
     warc_dir = tmp_path / "crawl"
@@ -38,6 +40,8 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert all(r["text"] for r in rows)
 
 
+# slow: CLI config plumbing; parsing pinned fast in test_config_toml
+@pytest.mark.slow
 def test_cli_config_toml_drives_thresholds(spark, tmp_path, capsys):
     """r7 VERDICT item 7: blocklists, caps, and thresholds come from a
     [curation] TOML section; explicit CLI flags override it."""
@@ -121,6 +125,8 @@ def test_cli_min_quality_prob_without_model_fails(tmp_path):
         )
 
 
+# slow: CLI stage twin of test_curate::test_substring_dedup_stage
+@pytest.mark.slow
 def test_cli_substring_dedup_stage(spark, tmp_path, capsys):
     """--substring-dedup runs the ladder's bottom rung from the CLI:
     the mid-line duplicated run survives in exactly one output doc,
@@ -182,6 +188,8 @@ def test_cli_substring_knobs_without_stage_fail(tmp_path):
         )
 
 
+# slow: CLI lifecycle twin; the incremental store semantics are pinned fast in test_substring_dedup
+@pytest.mark.slow
 def test_cli_incremental_substring_store(spark, tmp_path, capsys):
     """r9 VERDICT item 3, end to end through the CLI: batch 1 exports
     and seeds the versioned fingerprint store; batch 2 — which contains
@@ -290,6 +298,8 @@ def test_cli_substring_store_without_stage_fails(tmp_path):
         )
 
 
+# slow: CLI crash-ordering lifecycle; the store append contract is pinned in test_substring_dedup
+@pytest.mark.slow
 def test_cli_export_store_crash_contract(spark, tmp_path, capsys, monkeypatch):
     """r10 VERDICT item 4 — the prose crash contract, executable: a
     crash between the corpus export landing and the fingerprint append
@@ -444,6 +454,8 @@ def test_cli_maintenance_and_crawl_flags_are_exclusive(tmp_path, capsys):
         curatectl.main(["--out-dir", str(tmp_path / "o")])
 
 
+# slow: CLI logging surface over the same stage run
+@pytest.mark.slow
 def test_cli_substring_stage_logs_shuffle_estimate(spark, tmp_path, capsys):
     """r10 VERDICT item 6: enabling the stage must be loud about the
     winnowing shuffle bill (w=8 ≈ 10 bytes per text byte) so a
@@ -471,6 +483,8 @@ def test_cli_substring_stage_logs_shuffle_estimate(spark, tmp_path, capsys):
     assert "w=35" in err and "SCALE.md" in err
 
 
+# slow: CLI input-format twin; the WET path is pinned in test_curate/test_warc
+@pytest.mark.slow
 def test_cli_wet_input_format(spark, tmp_path, capsys):
     """--input-format wet (or [curation] input_format) reaches the WET
     fast path from the CLI — previously curation_stages' WET mode was
@@ -510,6 +524,8 @@ def test_cli_wet_input_format(spark, tmp_path, capsys):
     assert spark.read.parquet(str(out2)).count() == len(rows)
 
 
+# slow: CLI route twin; scan-route parity pinned fast in test_warc_datasource
+@pytest.mark.slow
 def test_cli_warc_stream_route_and_gates(spark, tmp_path, capsys):
     """--input-format warc-stream drives the streaming-DataSource scan
     (r11 VERDICT item 4) and composes with the novelty + DSIR gate
@@ -638,6 +654,8 @@ def test_cli_heavy_hitters_phi_validated_at_parse_time(tmp_path, capsys):
     assert curatectl._phi_permille("1") == 1
 
 
+# slow: CLI lifecycle twin of the store-vintage guard pinned in test_substring_queries
+@pytest.mark.slow
 def test_cli_stale_store_vintage_fails_loudly_force_overrides(
     spark, tmp_path, capsys
 ):

@@ -68,6 +68,8 @@ def test_gate_steps_aside_beyond_budget(edge_fixture, monkeypatch):
     dedup._assert_lsh_equals_exact(crippled, docs)  # must not raise
 
 
+# slow: exact-closure equality; the LSH==exact gate also runs inside dedup_components on every oracle sweep
+@pytest.mark.slow
 def test_clone_collapse_components_equal_exact_closure(
     spark, tmp_path, monkeypatch
 ):

@@ -481,6 +481,8 @@ def test_summary_priority_present_null_blocks_fallback(spark):
     assert dto["operation_profit_rate"] is None
 
 
+# slow: multi-quarter backfill lifecycle; per-stage parity is pinned fast in this file
+@pytest.mark.slow
 def test_backfill_integration(spark, tmp_path):
     """Full M3 path on disk: mixed-encoding CSV files → one scan →
     standardize → conform → partitioned silver parquet → summary query —

@@ -103,6 +103,8 @@ def test_invalid_args(corpus):
         training_layout(corpus, 4, 64, (95, 90))
 
 
+# slow: crawl-to-shards e2e; each stage has fast unit pins
+@pytest.mark.slow
 def test_crawl_to_training_shards_e2e(spark, tmp_path_factory):
     """The whole pipeline: WARC → curation funnel → sharded training
     export, manifest counted from the files on disk."""

@@ -47,6 +47,8 @@ def table(tmp_path):
     return str(t)
 
 
+# slow: multi-batch export lifecycle; each stage has fast unit pins
+@pytest.mark.slow
 def test_incremental_curation_with_versioned_training_sets(
     spark, tmp_path, table
 ):

@@ -129,6 +129,8 @@ def test_classifier_stage_in_funnel(model_and_frames, spark, tmp_path_factory):
         )
 
 
+# slow: model save/load + CLI roundtrip; gate semantics pinned fast in this file
+@pytest.mark.slow
 def test_model_save_load_roundtrip_and_cli(model_and_frames, spark, tmp_path, capsys):
     """MLlib persistence: a saved model reloads and scores identically;
     curatectl drives the classifier gate from --quality-model."""

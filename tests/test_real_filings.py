@@ -54,6 +54,8 @@ def test_all_filings_scan_and_conform(spark, real_bundle):
     ]
 
 
+# slow: real-fixture backfill lifecycle; parity pins in test_etl_parity cover the transforms
+@pytest.mark.slow
 def test_real_backfill_roundtrip_idempotent(spark, tmp_path, real_bundle):
     """The backfill DAG over the real filings must land the four silver
     tables, survive a re-run unchanged (upsert + partition replace), and

@@ -10,6 +10,8 @@ from __future__ import annotations
 import math
 import re
 
+import pytest
+
 from ir_analyses_spark.llm.retrieval import (
     INVERTED_INDEX_POSTINGS_SHARDED_SQL,
     bm25_score_docs,
@@ -671,6 +673,8 @@ def test_append_equals_full_rebuild(spark, tmp_path):
     assert got_tk == want_tk
 
 
+# slow: append crash-recovery lifecycle; the staged-swap invariant is pinned in test_retrieval_stream
+@pytest.mark.slow
 def test_append_guards_and_crash_recovery(spark, tmp_path):
     """Duplicate doc_ids (within the batch or vs the index) refuse
     loudly; a promotion crashed between its two renames reads from the
@@ -721,6 +725,8 @@ def test_append_guards_and_crash_recovery(spark, tmp_path):
             phrase_search_stored(spark, idx, "part", "filter").collect()} == {1, 3}
 
 
+# slow: guard-refusal lifecycle; builds a full store per spelling
+@pytest.mark.slow
 def test_build_refuses_existing_index_and_append_path_spellings(spark, tmp_path):
     """Hardening (r14 self-review): building over an existing index
     raises — a crash mid-overwrite would leave the OLD meta over
@@ -944,6 +950,8 @@ def test_kwic_plan_no_position_unroll(spark):
     assert "Window" not in plan
 
 
+# slow: delete lifecycle breadth; the core mask is oracle-checked (retrieval_delete_search)
+@pytest.mark.slow
 def test_delete_masks_all_stored_queries_and_promotes_next_best(spark, tmp_path):
     """Tombstoning doc 1 removes it from phrase / boolean / kwic /
     proximity results immediately, and the top-k rank PROMOTES the
@@ -1013,6 +1021,8 @@ def test_delete_masks_all_stored_queries_and_promotes_next_best(spark, tmp_path)
     assert (st["n_docs"], st["n_tombstones"], st["n_live_docs"]) == (9, 1, 8)
 
 
+# slow: delete guard/replay lifecycle variant of the oracle-checked path
+@pytest.mark.slow
 def test_delete_guards_and_idempotent_replay(spark, tmp_path):
     """Unknown doc_ids raise (a typo'd delete must not report success),
     an empty set raises, a bad marker raises, and replaying the same
@@ -1049,6 +1059,8 @@ def test_delete_guards_and_idempotent_replay(spark, tmp_path):
         delete_from_retrieval_index(spark, "s3a://b/ridx", [1])
 
 
+# slow: stored-index lifecycle; delete masking itself is oracle-checked (retrieval_delete_search)
+@pytest.mark.slow
 def test_stored_queries_see_tombstones_through_file_spelling(spark, tmp_path):
     """file:///p and /p name the same index and must agree about
     deletions: a delete through the plain path masks queries and
@@ -1078,6 +1090,8 @@ def test_stored_queries_see_tombstones_through_file_spelling(spark, tmp_path):
         assert (st["n_tombstones"], st["n_live_docs"]) == (1, 1), spelling
 
 
+# slow: crash-ordering lifecycle variant of the oracle-checked delete path
+@pytest.mark.slow
 def test_delete_crash_remnant_never_surfaces(spark, tmp_path):
     """A delete that crashed mid-parquet-write leaves only a __tmp
     remnant: readers must NOT surface it as tombstones (the batch's
@@ -1110,6 +1124,8 @@ def test_delete_crash_remnant_never_surfaces(spark, tmp_path):
     } == {1}
 
 
+# slow: vacuum lifecycle; the masked-read contract is oracle-checked (retrieval_delete_search)
+@pytest.mark.slow
 def test_vacuum_equals_fresh_build_and_clears_tombstones(spark, tmp_path):
     """Vacuum is a rebuild in place: postings, doclens and meta of the
     vacuumed index equal a fresh build over exactly the surviving docs
@@ -1152,6 +1168,8 @@ def test_vacuum_equals_fresh_build_and_clears_tombstones(spark, tmp_path):
     assert out2["n_docs"] == 451
 
 
+# slow: append+tombstone lifecycle; append==rebuild stays fast in-suite
+@pytest.mark.slow
 def test_append_carries_tombstones_and_tombstoned_refuses_reappend(
     spark, tmp_path
 ):

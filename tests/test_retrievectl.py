@@ -322,6 +322,8 @@ def test_cli_vocab_prefix(spark, corpus_dir, tmp_path, capsys):
     assert "empty prefix" in capsys.readouterr().err
 
 
+# slow: CLI lifecycle twin of the oracle-checked delete/vacuum path
+@pytest.mark.slow
 def test_cli_delete_vacuum_flow(spark, corpus_dir, tmp_path, capsys):
     """delete masks immediately (phrase result shrinks), marker replay
     is a no-op, vacuum reclaims and clears, and the rejection paths

@@ -219,6 +219,8 @@ def test_gapfill_dense_and_locf_invariants(spark):
                 assert r["n_events"] == 0
 
 
+# slow: cluster-survivor certificate; neardup_dedup_pipeline is oracle-checked on every sweep
+@pytest.mark.slow
 def test_neardup_dedup_keeps_exactly_one_per_cluster(spark):
     from ir_analyses_spark.llm.dedup import (
         dedup_components,
@@ -241,6 +243,8 @@ def test_neardup_dedup_keeps_exactly_one_per_cluster(spark):
         assert len(members & kept) == 1
 
 
+# slow: guard-refusal path over a corpus-sized build; the guard logic is unit-pinned below
+@pytest.mark.slow
 def test_hot_block_low_threshold_refuses(spark):
     """Below the LSH-safe cosine threshold a hot block must fail loudly
     (banding would silently drop ~half the qualifying pairs there), while

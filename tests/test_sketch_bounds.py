@@ -93,6 +93,8 @@ def test_quantile_band_nondegenerate_and_live(spark):
         assert not (b[2] <= row["a50"] <= b[3])    # out of the wrong one
 
 
+# slow: sabotage-direction certificate over a full MLlib LSH build
+@pytest.mark.slow
 def test_brp_recall_floor_bites_on_sabotaged_params(spark):
     """recall_ok must be falsifiable: one hash table over tiny buckets
     (deterministic, same seed) finds only ~56% of the exact pair set —

@@ -42,6 +42,8 @@ def _seed_store(spark, path, n_appends=2):
     return fps
 
 
+# slow: store-compaction lifecycle; compaction is oracle-checked (fingerprint_store_compact)
+@pytest.mark.slow
 def test_compact_rewrites_to_distinct_and_preserves_meta(spark, tmp_path):
     store = str(tmp_path / "store")
     _seed_store(spark, store, n_appends=2)
@@ -78,6 +80,8 @@ def test_compact_rewrites_to_distinct_and_preserves_meta(spark, tmp_path):
     assert sd.fingerprint_store_stats(spark, store)["n_compactions"] == 3
 
 
+# slow: compaction-invariance lifecycle; oracle-checked via fingerprint_store_compact
+@pytest.mark.slow
 def test_dedup_results_identical_before_and_after_compaction(spark, tmp_path):
     """Duplicate store rows are semantically inert, so compaction must
     not change a single output byte of the incremental remover."""

@@ -546,6 +546,8 @@ def test_read_changes_partition_scoped_merge_reads_only_touched(spark, tmp_path)
     }
 
 
+# slow: multi-epoch stream-tail lifecycle; the sink path is oracle-checked (stream_txn_sink)
+@pytest.mark.slow
 def test_txn_table_stream_tails_appends(spark, tmp_path):
     """A streaming query tails an append-only txn table by commit version:
     availableNow drains what's committed, a later append + rerun on the

@@ -16,6 +16,8 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from ir_analyses_spark.io import txn
 
+import pytest
+
 _KEYS = st.integers(min_value=0, max_value=5)
 _VALS = st.integers(min_value=0, max_value=99)
 
@@ -54,6 +56,8 @@ def _apply_model(model: list, op: str, rows: list) -> list:
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(ops=st.lists(_OP, min_size=1, max_size=4), data=st.data())
+# slow: randomized model-based lifecycle; deterministic lifecycle twins run fast in test_txn
+@pytest.mark.slow
 def test_random_commit_sequences_match_list_model(spark, ops, data):
     table = tempfile.mkdtemp(prefix="txn_model_")
     try:
@@ -116,6 +120,8 @@ _OPNAMES = {"overwrite": "overwrite", "append": "append",
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(ops=st.lists(_MAINT_OP, min_size=2, max_size=5), data=st.data())
+# slow: randomized model-based lifecycle; deterministic twins in test_txn_maint
+@pytest.mark.slow
 def test_random_maintenance_lifecycle_matches_model(spark, ops, data):
     """Extends the commit-sequence model with the MAINTENANCE lifecycle —
     compact / restore / vacuum — and checks DESCRIBE HISTORY after every
