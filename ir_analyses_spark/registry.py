@@ -157,73 +157,222 @@ _MODULES = [
 #: budget (each round records rows for exactly the first 50 registry
 #: entries), so ordering is part of the verification contract.
 #:
-#: Round-14 rotation (r13 VERDICT "Next round" item 1, rotated at round
-#: START per the ledger discipline). Window composition (50):
+#: Round-15 rotation (r14 VERDICT item 8, rotated this round). Window
+#: composition (50):
 #:
-#: - the 2 r13 tail rows FIRST (``phrase_search_postings``,
-#:   ``bm25_topk_queries``) — full oracles, pytest parity, and the
-#:   judge's own sweep MATCH since r13, awaiting their FIRST driver
-#:   rows;
-#: - forced re-certs for every module this round edits:
-#:   ``bm25_score_docs`` + ``inverted_index_postings`` + the sharded
-#:   twin (``llm/retrieval.py`` — r13 ADVICE 3's oracle dedup mirror
-#:   plus the retrievectl/stored-index surface stale the module),
-#:   ``warc_source_scan`` (``io/warc_datasource.py`` — r13 VERDICT
-#:   item 4's non-empty ``file://`` authority raise + ADVICE 2's
-#:   remote-rendering docstring scope), ``curation_funnel_counts``
-#:   (``curatectl.py`` — ADVICE 1's argparse-time φ validation + the
-#:   store-vintage load warning), and the 4 substring-store rows
-#:   ``winnow_fingerprints_select`` / ``substring_dedup_rebuild`` /
-#:   ``substring_dedup_incremental`` / ``fingerprint_store_compact``
-#:   (``llm/substring_dedup.py`` — r13 VERDICT item 2's
-#:   identity-rendering vintage stamp);
-#: - the 5 remaining r9-vintage rows (``exact_dedup`` …
-#:   ``window_sessionize``) — the ledger's oldest evidence, retiring
-#:   the r9 block entirely (r13 VERDICT item 7);
-#: - the first 34 r10-vintage rows (``bpe_train_merges`` …
-#:   ``top_supplier_revenue``); the 11 remaining r10 rows spill to
-#:   the r15 window per the r13 VERDICT's own arithmetic
-#:   (2+5+45 > 50, re-certs take precedence over vintage spill).
+#: - the 8 r14 tail additions FIRST (``proximity_search_postings`` …
+#:   ``vocab_prefix_postings``) — full oracles + pytest parity since
+#:   r14, awaiting their FIRST driver rows;
+#: - the 11 remaining r10-vintage rows (``trade_bfs_hops`` …
+#:   ``warc_roundtrip_parse``) — the ledger's oldest evidence, retiring
+#:   the r10 block entirely (this also re-certifies the r14-edited
+#:   ``ops/sketch_bounds`` and ``ops/graph`` modules);
+#: - forced re-certs for every r14-EDITED module whose newest driver
+#:   rows predate the edits: the similarity/pq/knn family (argmin-by-
+#:   aggregation + parsed-SQL planes), BPE encode/pair-counts (trainer
+#:   vocabulary reuse), the txn metadata paths + stream_txn_sink
+#:   (local_df LocalRelation route), join_theta_bands (same route), and
+#:   ir_summary_pipeline/summary_chart_frame (same route);
+#: - rows for every path THIS round's optimization diffs touch:
+#:   curation_funnel_counts (one-pass conditional-aggregate counts),
+#:   dsir_importance_select + dsir_gate_docs (single explode pass),
+#:   dedup_components + neardup_dedup_pipeline (try/finally unpersist),
+#:   ewma_forecast (shared fold SQL), the five _run_to_table streaming
+#:   rows + stream_incremental_rollup (changelog checkpointing +
+#:   input-sized state partitions), and url_canonicalize /
+#:   url_domain_caps (blocked_domain_pred factoring in llm/url_ops).
+#:   html_extract_text / quality gates / linedup rows were NOT pulled
+#:   (their operators are unchanged; the funnel one-pass only ADDS a
+#:   sibling expression) — the full-registry pytest sweep covers them.
 #:
-#: Tail order after the window: the 11 remaining r10 rows (oldest),
-#: then the 45 r11-certified rows not pulled into this window, the 47
-#: r12-certified rows, and the 45 r13-certified rows not pulled into
-#: this window (freshest).
+#: Tail order after the window: the r11/r12/r13-certified rows not
+#: pulled into this window (oldest evidence first), then the r14 tail
+#: leftovers, then the 50 r14-window rows (the freshest driver
+#: evidence) last.
 _ORDER = [
-    # ---- r14 window (50): see rotation note above ----
-    # the 2 r13 tail rows: first driver rows
+    "proximity_search_postings",
+    "benchmark_leak_report",
+    "stream_index_append",
+    "boolean_search_postings",
+    "kwic_snippets_postings",
+    "retrieval_delete_search",
+    "phrase_multi_search_postings",
+    "vocab_prefix_postings",
+    "trade_bfs_hops",
+    "trade_pagerank",
+    "trade_triangles",
+    "user_rfm_segments",
+    "multimodal_features",
+    "media_resize",
+    "media_frame_sample",
+    "approx_sketches_bound",
+    "hll_union_bound",
+    "brp_lsh_bound",
+    "warc_roundtrip_parse",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_ml_brp_lsh",
+    "kmeans_assign",
+    "knn_classify_ivf",
+    "embedding_cosine_nearup",
+    "semantic_dedup",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "txn_history",
+    "txn_maintenance_sql",
+    "txn_pyds_write",
+    "stream_txn_sink",
+    "join_theta_bands",
+    "ir_summary_pipeline",
+    "summary_chart_frame",
+    "curation_funnel_counts",
+    "dsir_importance_select",
+    "dsir_gate_docs",
+    "dedup_components",
+    "neardup_dedup_pipeline",
+    "ewma_forecast",
+    "stream_stream_interval_join",
+    "stream_incremental_rollup",
+    "stateful_user_totals",
+    "stream_dedup_watermark",
+    "stream_static_enrich",
+    "url_canonicalize",
+    "url_domain_caps",
+    "volume_shipping",
+    "approx_sketches",
+    "benchmark_decontaminate",
+    "cheapest_supplier_per_part",
+    "column_profile",
+    "concentrated_part_types",
+    "containment_nearup",
+    "corpus_clean_pipeline",
+    "corpus_mixture",
+    "dedup_by_key",
+    "distinct_agg",
+    "doc_frequency",
+    "exact_median",
+    "grouping_sets_agg",
+    "hll_mergeable_rollup",
+    "idle_customer_balances",
+    "json_extract_ops",
+    "latest_per_group",
+    "minmax_extremes",
+    "order_priority_counts",
+    "pii_scrub",
+    "pivot_agg",
+    "pivot_coalesce_priority",
+    "repetition_metrics",
+    "returned_item_report",
+    "rollup_agg",
+    "sequence_packing",
+    "shipping_priority_topk",
+    "stratified_sample",
+    "stream_sliding_batch",
+    "suppliers_with_waiting_orders",
+    "top_unshipped_parts",
+    "unpivot_melt",
+    "h264_header_parse",
+    "mp4_h264_headers",
+    "window_lag_lead",
+    "window_range_interval",
+    "window_ranking",
+    "window_running_frames",
+    "bloom_ngram_decontaminate",
+    "ngram_novelty",
+    "zorder_layout",
+    "knn_classify",
+    "skyline_parts",
+    "pmi_cooccurrence",
+    "attribution_touchpoints",
+    "fim_psm_split",
+    "crawl_link_graph",
+    "array_agg_ops",
+    "case_conditional",
+    "date_functions",
+    "explode_tokens",
+    "filter_pushdown_project",
+    "join_asof",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_outer",
+    "join_multiway_topk",
+    "join_range_window",
+    "join_semi_anti",
+    "map_ops",
+    "math_functions",
+    "null_semantics",
+    "pandas_grouped_agg_udf",
+    "python_udtf_expand",
+    "regexp_extract_ops",
+    "set_operations",
+    "string_functions",
+    "string_predicates",
+    "txn_change_apply",
+    "txn_change_feed",
+    "txn_exactly_once_rollup",
+    "txn_snapshot_merge",
+    "txn_time_travel",
+    "pmi_cooccurrence_floored",
+    "novelty_gate_docs",
+    "heavy_hitters_tokens",
+    "mad_outliers",
+    "temperature_mixture_sample",
+    "token_budget_subset",
+    "apply_in_pandas_topk",
+    "salted_twophase_agg",
+    "salted_skew_join",
+    "variant_json_ops",
+    "quality_classifier_gate",
+    "dataset_split",
+    "negative_sampling",
+    "html_extract_text",
+    "quality_signals",
+    "gopher_quality_flags",
+    "robots_wildcard_rules",
+    "unicode_clean_text",
+    "line_dedup_global",
+    "span_dedup_c4",
+    "charlm_gram_counts",
+    "charlm_scoring_stats",
+    "training_export_layout",
+    "disjunctive_pushdown",
+    "doc_fingerprint",
+    "guarded_ratio_margin",
+    "language_id",
+    "market_share",
+    "pandas_udf_vectorized",
+    "product_profit",
+    "quality_score",
+    "stream_session_batch",
+    "stream_tumbling_batch",
+    "text_stats",
+    "tfidf_top_terms",
+    "vocab_oov_rate",
     "phrase_search_postings",
     "bm25_topk_queries",
-    # forced re-certs: llm/retrieval.py (oracle dedup mirror + CLI)
     "bm25_score_docs",
     "inverted_index_postings",
     "inverted_index_postings_sharded",
-    # forced re-certs: io/warc_datasource.py (file:// authority raise)
     "warc_source_scan",
-    # forced re-certs: curatectl.py (argparse φ validation, vintage warn)
-    "curation_funnel_counts",
-    # forced re-certs: llm/substring_dedup.py (identity vintage stamp)
     "winnow_fingerprints_select",
     "substring_dedup_rebuild",
     "substring_dedup_incremental",
     "fingerprint_store_compact",
-    # the 5 remaining r9-vintage rows (r9 evidence retired after this)
     "exact_dedup",
     "minhash_lsh_nearup",
     "pricing_summary",
     "regional_revenue",
     "window_sessionize",
-    # r10 vintage, first 34 rows
     "bpe_train_merges",
     "cohort_retention",
     "collated_string_ops",
     "cube_agg",
     "customer_order_distribution",
-    "dedup_components",
     "doc_chunking",
     "embedding_quantize_int8",
     "event_transition_matrix",
-    "ewma_forecast",
     "forecast_revenue_change",
     "funnel_conversion",
     "fuzzy_name_pairs",
@@ -231,7 +380,6 @@ _ORDER = [
     "late_shipment_priority",
     "lateral_topk_per_group",
     "media_codec_features",
-    "neardup_dedup_pipeline",
     "ngram_jaccard_nearup",
     "outlier_iqr_flags",
     "pipe_syntax_rollup",
@@ -248,207 +396,6 @@ _ORDER = [
     "token_length_histogram",
     "token_topk_sketch",
     "top_supplier_revenue",
-    # ---- 50-query window boundary (driver budget) ----
-    # r10 vintage, remaining 11 rows (lead the r15 window)
-    "trade_bfs_hops",
-    "trade_pagerank",
-    "trade_triangles",
-    "user_rfm_segments",
-    "multimodal_features",
-    "media_resize",
-    "media_frame_sample",
-    "approx_sketches_bound",
-    "hll_union_bound",
-    "brp_lsh_bound",
-    "warc_roundtrip_parse",
-    # r11 vintage (45: the r11 block minus the 4 substring-store
-    # re-certs pulled into this window)
-    "volume_shipping",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_ml_brp_lsh",
-    "approx_sketches",
-    "benchmark_decontaminate",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-    "cheapest_supplier_per_part",
-    "column_profile",
-    "concentrated_part_types",
-    "containment_nearup",
-    "corpus_clean_pipeline",
-    "corpus_mixture",
-    "dedup_by_key",
-    "distinct_agg",
-    "doc_frequency",
-    "embedding_cosine_nearup",
-    "exact_median",
-    "grouping_sets_agg",
-    "hll_mergeable_rollup",
-    "idle_customer_balances",
-    "json_extract_ops",
-    "kmeans_assign",
-    "latest_per_group",
-    "minmax_extremes",
-    "order_priority_counts",
-    "pii_scrub",
-    "pivot_agg",
-    "pivot_coalesce_priority",
-    "repetition_metrics",
-    "returned_item_report",
-    "rollup_agg",
-    "semantic_dedup",
-    "sequence_packing",
-    "shipping_priority_topk",
-    "stratified_sample",
-    "stream_sliding_batch",
-    "suppliers_with_waiting_orders",
-    "top_unshipped_parts",
-    "unpivot_melt",
-    "h264_header_parse",
-    "mp4_h264_headers",
-    # r12 vintage (47)
-    "window_lag_lead",
-    "window_range_interval",
-    "window_ranking",
-    "window_running_frames",
-    "bloom_ngram_decontaminate",
-    "ngram_novelty",
-    "zorder_layout",
-    "knn_classify",
-    "skyline_parts",
-    "pmi_cooccurrence",
-    "attribution_touchpoints",
-    "fim_psm_split",
-    "crawl_link_graph",
-    "knn_classify_ivf",
-    "array_agg_ops",
-    "case_conditional",
-    "date_functions",
-    "explode_tokens",
-    "filter_pushdown_project",
-    "join_asof",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_left_outer",
-    "join_multiway_topk",
-    "join_range_window",
-    "join_semi_anti",
-    "join_theta_bands",
-    "map_ops",
-    "math_functions",
-    "null_semantics",
-    "pandas_grouped_agg_udf",
-    "python_udtf_expand",
-    "regexp_extract_ops",
-    "set_operations",
-    "stream_txn_sink",
-    "string_functions",
-    "string_predicates",
-    "txn_change_apply",
-    "txn_change_feed",
-    "txn_exactly_once_rollup",
-    "txn_history",
-    "txn_maintenance_sql",
-    "txn_pyds_write",
-    "txn_snapshot_merge",
-    "txn_time_travel",
-    "pmi_cooccurrence_floored",
-    "novelty_gate_docs",
-    # r13 vintage (45: the r13 window minus the 5 re-certs pulled
-    # into this window)
-    "dsir_gate_docs",
-    "heavy_hitters_tokens",
-    "mad_outliers",
-    "dsir_importance_select",
-    "temperature_mixture_sample",
-    "token_budget_subset",
-    "apply_in_pandas_topk",
-    "salted_twophase_agg",
-    "salted_skew_join",
-    "variant_json_ops",
-    "quality_classifier_gate",
-    "dataset_split",
-    "negative_sampling",
-    "html_extract_text",
-    "quality_signals",
-    "gopher_quality_flags",
-    "url_canonicalize",
-    "url_domain_caps",
-    "robots_wildcard_rules",
-    "unicode_clean_text",
-    "line_dedup_global",
-    "span_dedup_c4",
-    "charlm_gram_counts",
-    "charlm_scoring_stats",
-    "training_export_layout",
-    "disjunctive_pushdown",
-    "doc_fingerprint",
-    "guarded_ratio_margin",
-    "ir_summary_pipeline",
-    "language_id",
-    "market_share",
-    "pandas_udf_vectorized",
-    "product_profit",
-    "quality_score",
-    "stateful_user_totals",
-    "stream_dedup_watermark",
-    "stream_incremental_rollup",
-    "stream_session_batch",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_tumbling_batch",
-    "summary_chart_frame",
-    "text_stats",
-    "tfidf_top_terms",
-    "vocab_oov_rate",
-    # ---- r14 tail additions (first driver rows in the r15+ windows;
-    # covered every pytest run by the full-registry parity sweep) ----
-    # proximity_search_postings — llm/retrieval.py, a module whose
-    # every certified row is already inside this window, per the
-    # ledger rule: windowed co-occurrence (|Δp| ≤ d) parsed from the
-    # segmented index, oracled from raw text
-    "proximity_search_postings",
-    # benchmark_leak_report — NEW module llm/deconreport.py (stales
-    # nothing): the eval-side exact-leakage audit complementing the
-    # bloomdecon gate, gram semantics shared by construction
-    "benchmark_leak_report",
-    # stream_index_append — NEW module llm/retrieval_stream.py (stales
-    # nothing): exactly-once streaming index maintenance — a real
-    # 3-epoch document stream grows the stored index via foreachBatch
-    # appends whose applied-batch marker commits INSIDE the staged
-    # swap; oracled against the batch segmented-postings SQL (valid
-    # whatever the batching: append == rebuild byte-identically)
-    "stream_index_append",
-    # boolean_search_postings / kwic_snippets_postings —
-    # llm/retrieval.py (a module whose every certified row is already
-    # inside this window, per the ledger rule): boolean AND + NOT
-    # retrieval with the tf payload in the hash, and keyword-in-context
-    # snippets (first occurrence from the index, clamped slice of the
-    # text) — both oracled directly against the raw text
-    "boolean_search_postings",
-    "kwic_snippets_postings",
-    # retrieval_delete_search — llm/retrieval.py (same in-window-module
-    # rule): the index-lifecycle certificate — build the STORED index
-    # via the real ops, tombstone a fixed doc set through
-    # delete_from_retrieval_index, answer the certificate phrase from
-    # the masked index; the oracle recomputes from raw text over the
-    # surviving docs only (fingerprint_store_compact's tempdir
-    # precedent)
-    "retrieval_delete_search",
-    # phrase_multi_search_postings — llm/retrieval.py (same rule): the
-    # n-token generalization of the phrase row, certified with a
-    # 3-token REPEATED-token phrase ("data group group") so the hash
-    # pins that position offsets, not token identity, carry adjacency;
-    # oracled from raw text
-    "phrase_multi_search_postings",
-    # vocab_prefix_postings — llm/retrieval.py (same rule): the
-    # prefix/wildcard leg — per-token df/tf for a vocabulary prefix,
-    # recomposed from the sharded index's per-segment partial sums
-    # WITHOUT parsing postings; StringStartsWith pushdown pinned on
-    # the stored route; oracled from raw text
-    "vocab_prefix_postings",
 ]
 
 
