@@ -58,51 +58,56 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", "lang", (_md5_long("w", 1) % _B).alias("b"))
-    doc_bucket = toks.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    # per-bucket term table (≤ B rows): ln on integer counts only, then
-    # round→decimal so every downstream sum is exact.
-    #
     # r15 (guide §2.4, VERDICT r14 item 5): raw/tgt/totals used to
     # aggregate the TOKEN stream directly — four explode+md5 passes
-    # over the corpus in one plan. Each is an exact sum of doc_bucket's
-    # integer counts (Σ per-(doc,lang,b) longs ≡ the token count, same
-    # 64-bit values), so they now derive from doc_bucket and the
-    # physical plan reuses its exchange: the corpus is exploded and
-    # hashed exactly ONCE. ln() inputs are unchanged integers.
-    raw = doc_bucket.groupBy("b").agg(F.sum("c").alias("c_raw"))
-    tgt = (
-        doc_bucket.filter(F.col("lang") == target_lang)
-        .groupBy("b")
-        .agg(F.sum("c").alias("c_tgt"))
+    # over the corpus in one plan. Every one of them is an exact sum of
+    # doc_bucket's integer counts (Σ per-(doc,lang,b) longs ≡ the token
+    # count, same 64-bit values), so they now derive from doc_bucket /
+    # the bucket rollup and the physical plan REUSES those exchanges:
+    # the corpus is exploded and md5-hashed exactly once (pinned by the
+    # executed-plan test below). Two reuse-breakers matter here:
+    # (a) a tgt-side `lang = target` filter would be pushed BELOW the
+    #     doc_bucket aggregate, re-creating a separate corpus pass — so
+    #     the target split lives INSIDE the bucket rollup as a
+    #     conditional sum (identical integers: Σ when(lang=tgt, c) over
+    #     a bucket ≡ the filtered COUNT; no-target buckets coalesce to
+    #     the 0 the old LEFT JOIN supplied);
+    # (b) the terms join infers `isnotnull(b)` on its doc_bucket leg —
+    #     making that filter explicit keeps every consumer's subtree
+    #     canonical-identical. It is a data no-op: b = md5(w) % B of a
+    #     never-null token (explode emits no null elements).
+    doc_bucket = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("b").isNotNull())
     )
-    terms = (
-        raw.join(tgt, "b", "left")
-        .select(
-            "b",
-            F.round(
-                F.log(F.coalesce("c_tgt", F.lit(0)) + F.lit(1))
-                - F.log(F.col("c_raw") + F.lit(1)),
-                6,
-            )
-            .cast(_DEC)
-            .alias("term"),
+    # per-bucket term table (≤ B rows): ln on integer counts only, then
+    # round→decimal so every downstream sum is exact
+    buckets = doc_bucket.groupBy("b").agg(
+        F.sum("c").alias("c_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == target_lang, F.col("c"))),
+            F.lit(0),
+        ).alias("c_tgt"),
+    )
+    terms = buckets.select(
+        "b",
+        F.round(
+            F.log(F.col("c_tgt") + F.lit(1))
+            - F.log(F.col("c_raw") + F.lit(1)),
+            6,
         )
+        .cast(_DEC)
+        .alias("term"),
     )
     # normalizing constant ln(T_raw) − ln(T_tgt) from the two scalar
-    # totals (+B smoothing mass), as a 1-row broadcast — also derived
-    # from doc_bucket (r15): COALESCE keeps the empty-corpus totals at
-    # the smoothing mass B, exactly what COUNT produced
-    totals = doc_bucket.agg(
-        (F.coalesce(F.sum("c"), F.lit(0)) + F.lit(_B)).alias("t_raw"),
-        (
-            F.coalesce(
-                F.sum(F.when(F.col("lang") == target_lang, F.col("c"))),
-                F.lit(0),
-            )
-            + F.lit(_B)
-        ).alias("t_tgt"),
+    # totals (+B smoothing mass), as a 1-row broadcast — derived from
+    # the bucket rollup (its exchange is reused); COALESCE keeps the
+    # empty-corpus totals at the smoothing mass B, exactly what COUNT
+    # produced
+    totals = buckets.agg(
+        (F.coalesce(F.sum("c_raw"), F.lit(0)) + F.lit(_B)).alias("t_raw"),
+        (F.coalesce(F.sum("c_tgt"), F.lit(0)) + F.lit(_B)).alias("t_tgt"),
     ).select(
         F.round(F.log("t_raw") - F.log("t_tgt"), 6).cast(_DEC).alias("norm")
     )
@@ -169,15 +174,28 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", (_md5_long("w", 1) % _B).alias("b"))
-    doc_bucket = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    # r15 (guide §2.4, VERDICT r14 item 5): raw derives from doc_bucket
-    # (Σ of its integer counts ≡ the token count) so the raw corpus is
-    # exploded and hashed ONCE — the plan reuses doc_bucket's exchange
+    # r15 (guide §2.4, VERDICT r14 item 5): raw/totals derive from
+    # doc_bucket / the b-rollup (Σ of integer counts ≡ the token
+    # counts) so each corpus is exploded and hashed ONCE — the plan
+    # reuses the aggregates' exchanges. The explicit isnotnull(b)
+    # filters (a data no-op: b = md5(w) % B of never-null tokens) keep
+    # every consumer's subtree canonical-identical to the join legs,
+    # where Spark infers that filter — without them the inference
+    # breaks exchange reuse and the explode pass silently duplicates.
+    doc_bucket = (
+        toks.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("b").isNotNull())
+    )
     raw = doc_bucket.groupBy("b").agg(F.sum("c").alias("c_raw"))
     tgt_toks = target_docs.select(
         F.explode(F.split("text", " ")).alias("w")
     ).select((_md5_long("w", 1) % _B).alias("b"))
-    tgt = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    tgt = (
+        tgt_toks.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .filter(F.col("b").isNotNull())
+    )
     terms = raw.join(tgt, "b", "left").select(
         "b",
         F.round(
@@ -188,13 +206,15 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
         .cast(_DEC)
         .alias("term"),
     )
-    # scalar totals likewise derive from the two aggregates already in
-    # the plan (doc_bucket, tgt) instead of re-exploding either corpus;
+    # scalar totals likewise derive from the two b-rollups already in
+    # the plan (raw, tgt) instead of re-exploding either corpus;
     # COALESCE keeps the empty-corpus total at the smoothing mass B,
     # exactly what COUNT produced
     totals = (
-        doc_bucket.agg(
-            (F.coalesce(F.sum("c"), F.lit(0)) + F.lit(_B)).alias("t_raw")
+        raw.agg(
+            (F.coalesce(F.sum("c_raw"), F.lit(0)) + F.lit(_B)).alias(
+                "t_raw"
+            )
         )
         .crossJoin(
             tgt.agg(

@@ -423,12 +423,15 @@ def test_novelty_and_dsir_stages(spark, tmp_path_factory):
     target = spark.createDataFrame(
         [("quick brown fox jumps over the lazy dog",)], "text string"
     )
+    # persist_intermediates stays ON (the default): this test fires five
+    # actions over the gated graph (three counts + two collects), and
+    # with persists off each one re-ran the whole parse+dedup funnel —
+    # 84 s of suite wall for no extra coverage
     gated = curation_stages(
         spark,
         str(d),
         blocked_domains=["spam.example"],
         quality_thresholds={"min_words": 10},
-        persist_intermediates=False,
         novelty_filter=True,
         novelty_min_permille=1,  # permissive: drop only all-dup docs
         dsir_target=target,
@@ -464,4 +467,6 @@ def test_novelty_and_dsir_stages(spark, tmp_path_factory):
         ).collect()
     }
     got = {r["doc_id"] for r in gated["dsir_selected"].collect()}
+    for s in gated.values():
+        s.unpersist()
     assert got == want

@@ -131,3 +131,19 @@ def test_dsir_gate_matches_registry_selection(spark, sf_dir):
     ).collect()
     assert {r["doc_id"] for r in got_rows} == want
     assert set(got_rows[0].asDict()) == {"doc_id", "lang", "text", "source"}
+
+
+def test_importance_select_single_explode_pass(spark, sf_dir):
+    """r15 (guide §2.4): raw/tgt/totals derive from the doc-bucket /
+    bucket-rollup aggregates, so the EXECUTED plan explodes and
+    md5-hashes the corpus exactly once — every other branch rides a
+    ReusedExchange. (The static initial plan cannot show runtime stage
+    reuse; the final adaptive plan can.)"""
+    import re
+
+    df = dsir.dsir_importance_select(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bGenerate\b", final)) == 1
+    assert "ReusedExchange" in final

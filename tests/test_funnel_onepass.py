@@ -77,10 +77,14 @@ def crawl_dir(tmp_path_factory):
 
 
 def _stage_graph_counts(spark, crawl_dir, **kwargs):
-    stages = curation_stages(
-        spark, crawl_dir, persist_intermediates=False, **kwargs
-    )
-    return funnel_counts(stages)
+    # default persists stay on: funnel_counts fires one action per stage
+    # and an unpersisted graph re-parses the crawl for each (persistence
+    # does not change any count — the one-pass side is the subject here)
+    stages = curation_stages(spark, crawl_dir, **kwargs)
+    counts = funnel_counts(stages)
+    for s in stages.values():
+        s.unpersist()
+    return counts
 
 
 def test_onepass_equals_stage_graph_default(spark, crawl_dir):
