@@ -40,7 +40,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io.sources import load_table
+from ..ops.helpers import spread_narrow
 from .bloomdecon import _md5_long
+
+
+def _table_bytes(sf_dir: str, table: str) -> int | None:
+    """On-disk size of a testdata table — the zero-cost evidence for
+    spread_narrow's split-count gate (None when unreadable: the gate
+    then simply stays off rather than paying an RDD re-plan)."""
+    import os
+
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return None
 
 #: hashed feature buckets (paper uses 10^4-10^5; sized down to 64 so the
 #: defining behavior of HASHED features — distinct words sharing a bucket —
@@ -51,11 +64,29 @@ _B = 64
 _DEC = "decimal(20,6)"
 
 
-def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    approx_input_bytes: int | None = None,
+) -> DataFrame:
     """(doc_id, lang, n_tokens, logweight, selected) — importance
     log-weights of every doc against the ``lang == target_lang`` target
-    distribution, selection-gated at the corpus mean."""
-    toks = docs.select(
+    distribution, selection-gated at the corpus mean.
+
+    ``approx_input_bytes`` (the corpus' on-disk size, when the caller
+    knows it) lets the now-single token pass fan out over the cluster:
+    with the r15 derived-totals shape the whole explode+md5 runs ONCE —
+    but a dimension-sized parquet arrives as one split, so that one
+    pass would run on one core (the old four-pass form accidentally
+    parallelized by running its redundant branches concurrently).
+    ``spread_narrow`` REBALANCEs the pre-explode rows only when the
+    estimated split count is below the parallelism (guide §2.5/§2.6;
+    no-op at scale). Safe: every downstream consumer is an
+    order-insensitive aggregation (integer counts, decimal sums)."""
+    src = docs.select("doc_id", "lang", "text")
+    if approx_input_bytes is not None:
+        src = spread_narrow(src, approx_input_bytes)
+    toks = src.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", "lang", (_md5_long("w", 1) % _B).alias("b"))
     # r15 (guide §2.4, VERDICT r14 item 5): raw/tgt/totals used to
@@ -144,10 +175,17 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
 def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: DSIR log-weights + mean-gated selection over the
     documents table, target = English."""
-    return dsir_weights(load_table(spark, "documents", sf_dir))
+    return dsir_weights(
+        load_table(spark, "documents", sf_dir),
+        approx_input_bytes=_table_bytes(sf_dir, "documents"),
+    )
 
 
-def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
+def dsir_gate(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    approx_input_bytes: int | None = None,
+) -> DataFrame:
     """Funnel gate form (r11 VERDICT item 7): keep the documents whose
     DSIR importance log-weight sits above the corpus mean, where the
     TARGET distribution comes from a separate target-domain corpus
@@ -170,8 +208,14 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
     ``N·w_i > Σw`` in decimals. Same scale shape: the B-row term table
     broadcasts, the heavy shuffle carries fixed-width (doc_id, bucket,
     count) rows, the target corpus contributes one bounded aggregate.
+    ``approx_input_bytes``: see :func:`dsir_weights` — fans the single
+    r15 token pass out when the raw corpus arrives as fewer splits than
+    the parallelism (no-op at scale, aggregation-only consumers).
     """
-    toks = docs.select(
+    src = docs.select("doc_id", "text")
+    if approx_input_bytes is not None:
+        src = spread_narrow(src, approx_input_bytes)
+    toks = src.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", (_md5_long("w", 1) % _B).alias("b"))
     # r15 (guide §2.4, VERDICT r14 item 5): raw/totals derive from
@@ -188,7 +232,13 @@ def dsir_gate(docs: DataFrame, target_docs: DataFrame) -> DataFrame:
         .filter(F.col("b").isNotNull())
     )
     raw = doc_bucket.groupBy("b").agg(F.sum("c").alias("c_raw"))
-    tgt_toks = target_docs.select(
+    tsrc = target_docs.select("text")
+    if approx_input_bytes is not None:
+        # the raw-side bytes are an upper bound for the target subset —
+        # the gate errs toward fanning out, which only REBALANCEs a
+        # narrow text frame, and still no-ops at scale
+        tsrc = spread_narrow(tsrc, approx_input_bytes)
+    tgt_toks = tsrc.select(
         F.explode(F.split("text", " ")).alias("w")
     ).select((_md5_long("w", 1) % _B).alias("b"))
     tgt = (
@@ -260,7 +310,11 @@ def dsir_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "text"
     )
-    return dsir_gate(docs, docs.filter(F.col("lang") == "en").select("text"))
+    return dsir_gate(
+        docs,
+        docs.filter(F.col("lang") == "en").select("text"),
+        approx_input_bytes=_table_bytes(sf_dir, "documents"),
+    )
 
 
 DSIR_SQL = f"""
