@@ -1152,9 +1152,24 @@ def append_retrieval_index(
             f"interleave duplicate postings entries; dedup the batch "
             f"(or rebuild) instead"
         )
-    new_idx = inverted_postings_sharded(new_docs, seg_width)
+    # r15 (guide §5 multi-consumer, VERDICT r14 item 3 "redundant
+    # per-epoch actions"): new_idx feeds the intersection, the
+    # untouched-new anti-join AND the merge leg — three consumers, each
+    # re-running the batch's whole explode+aggregate build per epoch
+    # (join-specific inferred filters defeat exchange reuse). The batch
+    # index is micro-batch-sized by the sink's contract, so one eager
+    # materialization per epoch is the documented budget; `shared`
+    # (keys only) is likewise read three times. Values unchanged —
+    # append == rebuild stays byte-identical (pinned).
+    new_idx = inverted_postings_sharded(new_docs, seg_width).localCheckpoint(
+        eager=True
+    )
     keys = ["token", "segment"]
-    shared = postings.select(*keys).join(new_idx.select(*keys), keys)
+    shared = (
+        postings.select(*keys)
+        .join(new_idx.select(*keys), keys)
+        .localCheckpoint(eager=True)
+    )
     untouched_old = postings.join(shared, keys, "left_anti")
     untouched_new = new_idx.join(shared, keys, "left_anti")
 
